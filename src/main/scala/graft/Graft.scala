@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared helpers: session defaults + harness-table loader.
+  *
+  * All queries take `(SparkSession, sfDir)` per the driver contract
+  * (SparkEntry.scala); tables are the driver-generated parquet files
+  * described in /root/repo/TESTDATA.md.
+  */
+object Graft {
+
+  /** Session tuned for the harness: local mode, UTC, shuffle partitions
+    * sized to cores (not the 200 default), AQE on. ANSI off so string→number
+    * coercion yields NULL (JS-like lenient semantics of the reference,
+    * task.ts:172 `Number(...)`) instead of throwing.
+    */
+  def session(master: String = s"local[${Runtime.getRuntime.availableProcessors}]"): SparkSession = {
+    val cpus = Runtime.getRuntime.availableProcessors
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Parquet scan for a harness table (SURVEY.md §2.1 S7). Filters and
+    * projections written downstream reach the scan via Catalyst pushdown.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (north-star EXT,
+  * SURVEY.md §2.14): MinHash + LSH banding, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design (100 TB stance):
+  *  - signatures are computed per-row with codegen'd higher-order array
+  *    functions — a single narrow pass over the corpus, no UDFs;
+  *  - candidate generation shuffles only (band_key, doc_id) pairs — a few
+  *    dozen bytes per doc per band, NOT document text;
+  *  - exact Jaccard verification runs only on LSH candidates (the
+  *    classic shingle→minhash→band→bucket-join plan), never all-pairs;
+  *  - skew guard: a band bucket holding B docs yields B² pairs; cap with
+  *    a count filter before the self-join so a degenerate key (e.g. empty
+  *    docs) can't explode a partition.
+  */
+object NearDup {
+
+  /** Word w-shingles of the lowercased text; documents shorter than `w`
+    * tokens fall back to a single whole-text shingle so they still
+    * participate.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(lower(text), " ")
+    val n = size(toks)
+    when(n < w, array(lower(text))).otherwise(
+      transform(sequence(lit(1), n - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** k seeded-minhash values over the shingle set. Seed folding uses
+    * xxhash64(shingle, seed) — 64-bit, cheap, built-in.
+    */
+  def minhashSignature(sh: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** LSH band keys: the signature split into `bands` rows-per-band
+    * groups, each band hashed to one 64-bit key (banded so that docs
+    * agreeing on ANY band become candidates).
+    */
+  def bandKeys(sig: Column, k: Int = 16, bands: Int = 8): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64((b +: (0 until r).map(i =>
+        element_at(sig, b * r + i + 1))): _*))
+  }
+
+  /** Exact Jaccard similarity of two (deduped) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+  }
+
+  /** Docs with per-row minhash signature + band keys (one narrow pass). */
+  def signed(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 16, bands: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("band_keys", bandKeys(col("sig"), k, bands))
+
+  /** Candidate pairs from band-bucket collisions (id_a < id_b), with the
+    * per-bucket blowup capped at `maxBucket`.
+    */
+  def candidatePairs(signedDocs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val exploded = signedDocs
+      .select(col("doc_id"), explode(col("band_keys")).as("bk"))
+    val bounded = exploded.groupBy(col("bk"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    bounded
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: candidates verified with exact
+    * Jaccard over shingle sets, thresholded.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, k: Int = 16,
+                      bands: Int = 8): DataFrame = {
+    val s = signed(docs, idCol, textCol, k, bands)
+    val sh = s.select(col("doc_id"), col("sh"))
+    candidatePairs(s)
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-token 64-bit hashes (compute ONCE into a column, then feed
+    * [[simhashFromHashes]] — keeps the 64 bit-votes from re-hashing).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(lower(text), " "), t => xxhash64(t))
+
+  /** 64-bit SimHash: per-bit majority vote over the token hashes, folded
+    * MSB-first into one long. Bit positions are Scala-level constants so
+    * every shift is codegen'd with a literal amount. Shuffle-free.
+    */
+  def simhashFromHashes(hs: Column): Column = {
+    val n = size(hs)
+    val bits = (63 to 0 by -1).map { b =>
+      val ones = size(filter(hs,
+        h => shiftright(h, b).bitwiseAND(1L) === 1L))
+      when(ones * 2 > n, lit(1L)).otherwise(lit(0L))
+    }
+    bits.reduce((acc, bit) => acc * 2 + bit)
+  }
+
+  /** Convenience single-expression form (see [[tokenHashes]] for the
+    * two-step variant used in hot paths).
+    */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** Hamming distance between two simhashes (popcount of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 exact-match 16-bit bands (any
+    * pair within hamming distance 3 shares at least one band), then
+    * verify hamming ≤ maxDist on candidates only.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val withSim = docs
+      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sim"))
+    val banded = withSim.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          concat(lit(s"$b:"), shiftright(col("sim"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).cast("string"))): _*)).as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Brute n-gram Jaccard within blocking keys (same lang + length
+    * bucket) — the quadratic fallback, bounded by the block sizes; used
+    * to rank the most-similar pairs, not to scan all pairs.
+    */
+  def blockedJaccardPairs(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 50).cast("long").as("lenb"),
+      array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = base.toDF("id_a", "lang", "lenb", "sh_a")
+    val b = base.toDF("id_b", "lang", "lenb", "sh_b")
+    a.join(b, Seq("lang", "lenb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+}

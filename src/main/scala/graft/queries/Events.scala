@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Graft.table
+
+/** Event-stream-shaped operators over the `events` table (SURVEY.md §2.6
+  * A1, §2.10, §2.14): last-writer-wins dedup, sessionization (both the
+  * window-function island formulation and Spark's native `session_window`),
+  * sliding frames, pivot, and regex extraction from a JSON-ish payload.
+  *
+  * Time arithmetic is done in exact integer microseconds on both sides
+  * (`unix_micros` / DuckDB `epoch_us`) — no float time math.
+  */
+object Events {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** 30-minute session gap in microseconds. */
+  private val GapUs = 1800L * 1000000L
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark reads
+    * (via `spark.sql.legacy.parquet.nanosAsLong`) as a long of epoch
+    * nanos; rebuild a microsecond TimestampType with exact integer `div`
+    * (no double round-trip). Oracles truncate with `epoch_us` to the
+    * same precision.
+    */
+  private def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Last-writer-wins dedup per key — the deterministic window
+    // formulation of the reference's JS-Map dedup (task.ts:187-209,
+    // SURVEY.md §2.6 A1): latest event per user, total order by
+    // (ts, event_id) so shuffles can't change the answer.
+    "q19_lastwins_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Sessionization, island-gap formulation: new session when the gap to
+    // the previous event exceeds 30 minutes.
+    "q21_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Native session_window (Spark's streaming-grade session operator,
+    // usable in batch). Oracle = island formulation with the same
+    // boundary rule (session_window's end is exclusive ⇒ gap >= 30min
+    // starts a new session).
+    "q22_session_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // Sliding frame: running 4-row sum per user (ROWS BETWEEN).
+    "q23_moving_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      events(s, d)
+        .withColumn("win_cents", sum(cents(col("value"))).over(w))
+        .select(col("event_id"), col("user_id"), col("win_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Pivot: event_type → columns (explicit value list keeps the plan to
+    // one pass and the output schema deterministic).
+    "q24_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Regex extraction from the JSON-ish props payload (SURVEY.md §2.3 F4
+    // relational analogue) + lag/lead derivatives.
+    "q25_regex_extract" -> ((s, d) => {
+      events(s, d)
+        .filter(col("props").rlike("\"k\": \\d+"))
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("k"))
+    }),
+
+    // lag/lead scalar window functions: per-user time delta between
+    // consecutive events, bucketed.
+    "q26_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("prev_us").isNotNull && col("next_type").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us"),
+          col("next_type"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q19_lastwins_dedup" ->
+      """SELECT user_id, event_type AS last_type,
+         CAST(round(value*100) AS BIGINT) AS last_value_cents
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q21_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM g)
+         SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+         FROM m GROUP BY user_id ORDER BY user_id""",
+    "q22_session_window" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g)
+         SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events
+         FROM m GROUP BY user_id, sess ORDER BY user_id, session_start_us""",
+    "q23_moving_sum" ->
+      """SELECT event_id, user_id,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
+         FROM events ORDER BY event_id""",
+    "q24_pivot" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q25_regex_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events WHERE regexp_matches(props, '"k": \d+')
+         GROUP BY k ORDER BY k""",
+    "q26_lag_lead" ->
+      """SELECT event_id, user_id, CAST(us - prev_us AS BIGINT) AS gap_us, next_type
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+               FROM events) t
+         WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
+         ORDER BY event_id""")
+}

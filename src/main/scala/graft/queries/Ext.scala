@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.ext.{NearDup, Similarity}
+import graft.ops.{Active911, Fixtures}
+
+/** EXT query entries: near-dup detection, vector similarity, embedding
+  * stats, and the full Active911 reference pipeline over built-in wire
+  * fixtures. Entries without an oracle are non-SQL-expressible in DuckDB
+  * (hash functions / LSH) — the driver records a rows-only check; their
+  * semantics are pinned by ScalaTest specs instead.
+  */
+object Ext {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash signatures + LSH candidate pressure per document.
+    "q36_minhash" -> ((s, d) => {
+      val signed = NearDup.signed(table(s, d, "documents"), "doc_id", "text")
+      val pairs = NearDup.candidatePairs(signed)
+      val touched = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+      signed.select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
+        .join(touched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sig_hash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash per document (two-step so token hashes are computed once).
+    "q37_simhash" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), NearDup.simhashFromHashes(col("hs")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top blocked n-gram-Jaccard pairs (lang + length-bucket blocking).
+    "q38_jaccard_pairs" -> ((s, d) =>
+      NearDup.blockedJaccardPairs(table(s, d, "documents"), 50)),
+
+    // Exact cosine top-5 for the first 10 vectors (brute force, double
+    // precision) — DuckDB oracle recomputes with the same math.
+    "q40_cosine_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
+    }),
+
+    // Approximate top-3 via random-hyperplane LSH bucket probe.
+    "q41_ann_lsh" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-label embedding stats (norms in deterministic double math).
+    "q42_embedding_stats" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // The reference dataflow end-to-end on built-in wire fixtures
+    // (SURVEY.md §7.2 minimum slice; golden parity in Active911Spec).
+    "q50_active911_features" -> ((s, d) => {
+      import s.implicits._
+      val env = Fixtures.envelopes.toDF("agency_id", "raw")
+      Active911.pipeline(env)
+        .select(col("id"), col("type"),
+          col("properties.callsign").as("callsign"),
+          col("properties.start").as("start"),
+          to_json(col("properties.links")).as("links_json"),
+          col("properties.remarks").as("remarks"),
+          element_at(col("geometry.coordinates"), 1).as("lon"),
+          element_at(col("geometry.coordinates"), 2).as("lat"))
+        .orderBy(col("id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND b.vec_id <> a.vec_id
+           WHERE a.vec_id < 10 GROUP BY a.vec_id, b.vec_id),
+         sims AS (
+           SELECT d.qid, d.nid, d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON d.qid = na.vec_id
+                       JOIN norms nb ON d.nid = nb.vec_id),
+         ranked AS (
+           SELECT qid, nid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+             round(cos, 6) AS cos6
+           FROM sims)
+         SELECT qid, nid, rank, cos6 FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "q42_embedding_stats" ->
+      """WITH f AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (
+           SELECT vec_id, any_value(label) AS label, sqrt(sum(v*v)) AS nrm
+           FROM f GROUP BY vec_id)
+         SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+           round(avg(nrm), 4) AS avg_norm
+         FROM norms GROUP BY label ORDER BY label""")
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Graft.table
+
+/** Relational operator coverage over the harness TPC-H-ish tables
+  * (SURVEY.md §2.4 J2/J3, §2.6 A4, §2.8 U2, §2.9): scans, filters,
+  * hash/rollup aggregates, broadcast/sort-merge/semi/anti joins, windows,
+  * top-k, set ops, string/date/regex scalar functions.
+  *
+  * Oracle-parity rules (driver hash-compares against DuckDB, see
+  * SparkEntry contract):
+  *  - money/double sums are computed as exact integer cents
+  *    (`round(x*100)` per row, then BIGINT sum) — identical in any engine
+  *    and any summation order; ratios derive from exact ints with a
+  *    single IEEE division + round, which is bit-stable across engines;
+  *  - every integer output is BIGINT on both sides (DuckDB HUGEINT/INT32
+  *    would hash differently after pandas conversion);
+  *  - timestamps are emitted as formatted strings;
+  *  - every query ends in a total, non-null ORDER BY replicated verbatim
+  *    in the oracle SQL (Spark NULLS FIRST vs DuckDB NULLS LAST differ —
+  *    never order by a nullable key).
+  */
+object Relational {
+
+  /** Exact money-to-cents: deterministic per-row double ops, then lossless
+    * integer aggregation. Same expression shape as the oracle SQL.
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary: partial+final hash agg, exact-cents sums.
+    "q01_pricing_summary" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+        .withColumn("avg_base_cents",
+          round(col("sum_base_cents") / col("count_order"), 4))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Filter + projection that must reach the parquet scan (pushdown).
+    "q02_filter_project" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("1995-07-01"))
+          && col("l_quantity") >= 48)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Q3-style: 3-way join (dim filtered) + agg + top-k by revenue.
+    "q03_top_revenue" -> ((s, d) => {
+      val c = table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, d, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val l = table(s, d, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Left-semi join (EXISTS).
+    "q04_semi_join" -> ((s, d) => {
+      val big = table(s, d, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey"))
+      table(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "q05_anti_join" -> ((s, d) => {
+      val o = table(s, d, "orders").select(col("o_custkey"))
+      table(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Broadcast dimension joins (region/nation are tiny — broadcast them).
+    "q06_dim_join" -> ((s, d) => {
+      table(s, d, "customer")
+        .join(broadcast(table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Window: top-3 orders per customer by price (rank + filter pattern).
+    "q07_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Global top-k (TakeOrderedAndProject, not a full sort).
+    "q08_topk_global" -> ((s, d) => {
+      table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    }),
+
+    // Distinct (shuffle-dedup).
+    "q09_distinct" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Rollup with subtotals (grouping sets); nulls sentinel-coalesced so
+    // the ORDER BY keys stay non-null.
+    "q10_rollup" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // INTERSECT (distinct set semantics both engines).
+    "q11_intersect" -> ((s, d) => {
+      val building = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val spenders = table(s, d, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(spenders).orderBy(col("custkey"))
+    }),
+
+    // EXCEPT (distinct set semantics both engines).
+    "q12_except" -> ((s, d) => {
+      val building = table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val withOrders = table(s, d, "orders").select(col("o_custkey").as("custkey"))
+      building.except(withOrders).orderBy(col("custkey"))
+    }),
+
+    // GROUP BY + HAVING.
+    "q13_having" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 15500)
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Conditional aggregation (CASE WHEN inside agg) + exact-int ratio.
+    "q14_casewhen" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > 200000, 1).otherwise(0))
+            .cast("long").as("n_big"))
+        .withColumn("big_ratio", round(col("n_big") / col("n_orders"), 4))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Date part extraction + agg.
+    "q15_date_agg" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // String scalar functions + LIKE pushdown.
+    "q16_strings" -> ((s, d) => {
+      table(s, d, "part")
+        .filter(col("p_name").like("%a%") && col("p_size") >= 40)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("namelen"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         COUNT(*) AS count_order,
+         round(CAST(SUM(l_quantity) AS BIGINT) / COUNT(*), 4) AS avg_qty,
+         round(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / COUNT(*), 4) AS avg_base_cents
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_quantity AS BIGINT) AS quantity,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1995-07-01' AND l_quantity >= 48
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         o_orderpriority,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, order_date, o_orderpriority
+         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q06_dim_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q07_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, total_cents FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q08_topk_global" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         coalesce(l_linestatus, '(all)') AS linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q11_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+         ORDER BY custkey""",
+    "q12_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders
+         ORDER BY custkey""",
+    "q13_having" ->
+      """SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY l_suppkey
+         HAVING CAST(SUM(l_quantity) AS BIGINT) > 15500 ORDER BY l_suppkey""",
+    "q14_casewhen" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         round(CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 4) AS big_ratio
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q15_date_agg" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""",
+    "q16_strings" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+         CAST(length(p_name) AS BIGINT) AS namelen,
+         substring(p_type, 1, 5) AS type5,
+         p_brand || '#' || p_type AS brand_type
+         FROM part WHERE p_name LIKE '%a%' AND p_size >= 40
+         ORDER BY p_partkey""")
+}

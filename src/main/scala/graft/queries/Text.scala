@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north-star EXT, SURVEY.md §2.14): tokenization/explode, language-ID
+  * heuristic, quality scoring, token counting (whitespace + BPE-ish
+  * regex), document fingerprinting, and exact/normalized deduplication.
+  * All per-document work is shuffle-free column expressions; only the
+  * final aggregations exchange data.
+  */
+object Text {
+
+  /** Whitespace tokens of the lowercased text. `split` on a single space
+    * matches DuckDB `string_split` exactly (empty text → one "" token).
+    */
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
+    * heuristic. Deterministic and SQL-expressible — not a real model.
+    */
+  val StopEn = Seq("the", "of", "and", "to", "in")
+  val StopEs = Seq("el", "la", "de", "que", "y")
+  val StopDe = Seq("der", "die", "und", "das", "ist")
+  val StopFr = Seq("le", "les", "et", "des", "une")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single symbols. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Explode to a token relation + frequency (the G1 explode pattern on
+    // harness data, SURVEY.md §2.5).
+    "q18_token_freq" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 3)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("token"))
+    }),
+
+    // Per-document vocabulary profile (collect + sort + join back into a
+    // deterministic scalar — array order pinned for oracle parity).
+    "q20_token_profile" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          array_join(array_sort(array_distinct(tokens(col("text")))), "|")
+            .as("vocab"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-scored language ID with a fixed tie-break order.
+    "q30_lang_id" -> ((s, d) => {
+      val t = tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          hits(t, StopEn).as("s_en"), hits(t, StopEs).as("s_es"),
+          hits(t, StopDe).as("s_de"), hits(t, StopFr).as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/word-length/stopword-ratio features and a
+    // bucket label. Ratios derive from exact ints (single division+round).
+    "q31_quality_score" -> ((s, d) => {
+      val t = tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("text_len"),
+          aggregate(t, lit(0L), (a, x) => a + length(x)).as("tok_chars"),
+          hits(t, StopEn).as("stop_hits"))
+        .withColumn("avg_tok_len", round(col("tok_chars") / col("n_tokens"), 4))
+        .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 4))
+        .withColumn("bucket",
+          when(col("n_tokens") < 10, "short")
+            .when(col("n_tokens") < 50, "medium").otherwise("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting two ways: whitespace and a BPE-ish regex, rolled up
+    // per source.
+    "q32_token_count" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+            .cast("long").as("bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Document fingerprint: md5 over the sorted distinct vocabulary —
+    // robust to token order/duplication, cheap to compare at scale.
+    "q33_fingerprint" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+            .as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: group identical raw text, keep the lowest doc_id
+    // (hash-shuffle on the text key; at 100 TB you'd group on
+    // sha2(text) to shrink shuffle rows — see q35).
+    "q34_dedup_exact" -> ((s, d) => {
+      table(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Normalized-hash dedup: whitespace-collapsed lowercase text hashed
+    // with sha256; the shuffle key is the 64-char digest, not the
+    // document body — the scale-friendly variant.
+    "q35_dedup_norm_hash" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
+            .as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    }))
+
+  private def hitsSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q18_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+         WHERE length(token) > 3 GROUP BY token
+         HAVING COUNT(*) >= 20 ORDER BY token""",
+    "q20_token_profile" ->
+      """SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+         array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), '|') AS vocab
+         FROM documents ORDER BY doc_id""",
+    "q30_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         sc AS (SELECT doc_id, any_value(lang) AS lang,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopEn)} THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopEs)} THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopDe)} THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopFr)} THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+           FROM t GROUP BY doc_id)
+         SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
+         FROM sc ORDER BY doc_id""",
+    "q31_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         sc AS (SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(length(tok)) AS BIGINT) AS tok_chars,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopEn)} THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+           FROM t GROUP BY doc_id)
+         SELECT d.doc_id, sc.n_tokens,
+           CAST(length(d.text) AS BIGINT) AS text_len, sc.tok_chars, sc.stop_hits,
+           round(sc.tok_chars / sc.n_tokens, 4) AS avg_tok_len,
+           round(sc.stop_hits / sc.n_tokens, 4) AS stop_ratio,
+           CASE WHEN sc.n_tokens < 10 THEN 'short'
+                WHEN sc.n_tokens < 50 THEN 'medium' ELSE 'long' END AS bucket
+         FROM documents d JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+    "q32_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q34_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q35_dedup_norm_hash" ->
+      """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY h ORDER BY h""")
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{NearDup, Similarity}
+
+/** Semantics of the non-SQL-expressible EXT operators (rows-only under
+  * the driver gate): MinHash/LSH near-dup recall, SimHash hamming
+  * behavior, Jaccard exactness, cosine top-k ground truth.
+  */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " extra"), // near-dup of 1
+    (3L, base.replace("quick", "rapid")), // near-dup of 1
+    (4L, "completely different content about spark shuffles and parquet files"),
+    (5L, "another unrelated document that talks about volcanoes and geology")
+  ).toDF("doc_id", "text")
+
+  test("minhash: near-dups found, unrelated pairs absent") {
+    val pairs = NearDup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+    assert(!pairs.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
+  test("jaccard: exact value on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(NearDup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("simhash: identical text → identical hash; near text → small hamming") {
+    val sims = docs
+      .select(col("doc_id"), NearDup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(4L)))
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(5L)))
+    // deterministic across evaluations
+    val again = docs.select(NearDup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(again.toSeq == docs.select(col("doc_id")).collect()
+      .map(r => sims(r.getLong(0))).toSeq)
+  }
+
+  test("simhashNearDups: exact duplicate collapses to hamming 0") {
+    val dup = Seq((1L, base), (2L, base), (3L, "something else entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.simhashNearDups(dup, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("cosine top-k: exact neighbors on constructed vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)), // closest to 0
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f)), // closest to 2
+      (4L, Array(-1f, 0f, 0f)) // opposite of 0
+    ).toDF("id", "vec")
+    val qs = vecs.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteTopK(qs, vecs, 4).orderBy(col("rank")).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(top.last.getDouble(3) == -1.0) // cosine to the opposite vector
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Events, Ext, Relational, Text}
+import graft.queries.{Advanced, Events, Ext, Relational, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +40,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ Text.queries ++ Ext.queries
+    Relational.queries ++ Events.queries ++ Text.queries ++ Ext.queries ++
+      Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (hash/LSH-based ops, the
@@ -48,5 +49,6 @@ object SparkEntry {
     * their semantics are pinned by ScalaTest specs.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ Text.oracles ++ Ext.oracles
+    Relational.oracles ++ Events.oracles ++ Text.oracles ++ Ext.oracles ++
+      Advanced.oracles
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of ("most recent prior event") join (SURVEY.md §2.4 J3).
+  *
+  * Implemented as the scale-friendly union+window plan rather than a
+  * range join: tag both sides, union, ONE shuffle by key, sort within
+  * partition by (time, tiebreak), and carry the latest right-side row
+  * forward with `last_value(ignoreNulls)`. Cost is one exchange of
+  * left+right (same as a sort-merge join) with no range-condition row
+  * explosion — this is the plan that survives 100 TB, unlike a
+  * BroadcastNestedLoop/theta-join formulation.
+  */
+object AsOf {
+
+  /** For each left row, attach the most recent right row with
+    * `right.timeCol <= left.timeCol` and equal `keyCol`. Ties on time
+    * break by each side's own `tieCol`/`rightTieCol` (larger wins),
+    * making the result deterministic under any partitioning.
+    *
+    * @param valueCols right-side columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, tieCol: String, rightTieCol: String,
+               valueCols: Map[String, String]): DataFrame = {
+    val leftTagged = left.withColumn("_side", lit(1))
+      .withColumn("_tie", col(tieCol))
+    val rightTagged = right.withColumn("_side", lit(0))
+      .withColumn("_tie", col(rightTieCol))
+    val leftCols = left.columns.toSeq
+    // align schemas: union needs same columns
+    val allValueSrc = valueCols.keys.toSeq
+    val l2 = allValueSrc.foldLeft(leftTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val r2 = leftCols.foldLeft(rightTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val cols = leftCols ++ allValueSrc ++ Seq("_side", "_tie")
+    val unioned = l2.select(cols.map(col): _*)
+      .unionByName(r2.select(cols.map(col): _*))
+    // right rows sort before left rows at the same timestamp (side 0 < 1):
+    // a right row with time == left time IS visible to that left row.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { case (df, (src, dst)) =>
+      df.withColumn(dst,
+        last(when(col("_side") === 0, col(src)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((leftCols ++ valueCols.values.toSeq).map(col): _*)
+  }
+
+  /** Range join of a fact column against a small banded dimension
+    * `(band, lo, hi)` with `lo <= v < hi` semantics. The dimension is
+    * broadcast; Catalyst plans a BroadcastNestedLoopJoin, which is the
+    * right physical plan when the build side is a handful of bands.
+    */
+  def bandJoin(fact: DataFrame, bands: DataFrame, v: Column): DataFrame =
+    fact.join(broadcast(bands), v >= col("lo") && v < col("hi"))
+}

@@ -71,6 +71,22 @@ object Ext {
         .orderBy(col("label"))
     }),
 
+    // Multimodal plumbing over synthetic binary payloads (documents text
+    // bytes as stand-in media; decode/resize/features are deterministic
+    // stubs — see graft.ext.Multimodal). Rows-only.
+    "q51_multimodal" -> ((s, d) => {
+      val media = table(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
+          concat(lit("text/plain;src="), col("source")).as("mtype"))
+      graft.ext.Multimodal.enrich(media, "doc_id", "bytes", "mtype")
+        .select(col("media_id"), col("media_type"),
+          col("resized.width").as("width"), col("resized.height").as("height"),
+          col("decoded.n_bytes").as("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          size(col("frames")).cast("long").as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     // The reference dataflow end-to-end on built-in wire fixtures
     // (SURVEY.md §7.2 minimum slice; golden parity in Active911Spec).
     "q50_active911_features" -> ((s, d) => {

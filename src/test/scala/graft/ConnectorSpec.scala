@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.{Active911, Fixtures}
+import graft.sinks.CloudTakSink
+import graft.sources.{Active911Config, Active911Connector, Active911Transport}
+
+/** Connector ring semantics (reference task.ts:98-152, 238-279): login
+  * parse, agency validation throw, window arithmetic, HTTP-error
+  * accumulation, and the submit-then-fail ordering of the sink.
+  */
+class ConnectorSpec extends SparkSpec {
+
+  private val loginResponse =
+    """({"result":"success","message":{"jwt":"tok-abc","agencies":[{"id":101},{"id":102},{"id":103}]}})"""
+
+  private class MockTransport(failing: Set[Int] = Set.empty) extends Active911Transport {
+    var fetched: List[Int] = Nil
+    def login(u: String, p: String): String = loginResponse
+    def fetchAlerts(token: String, agencyId: Int, fromMs: Long, toMs: Long): String = {
+      assert(token == "tok-abc")
+      assert(toMs - fromMs == 6L * 3600 * 1000) // the 6h window, task.ts:134-135
+      fetched = agencyId :: fetched
+      if (failing.contains(agencyId)) throw new RuntimeException(s"http 500 for $agencyId")
+      Fixtures.envelopes.toMap.apply(agencyId)
+    }
+  }
+
+  test("login parses jwt + agency ids (task.ts:267-278)") {
+    val c = new Active911Connector(new MockTransport)
+    val (tok, ids) = c.login(Active911Config("u", "p"))
+    assert(tok == "tok-abc" && ids == Seq(101, 102, 103))
+  }
+
+  test("agency validation: subset ok, inaccessible throws, empty = all (task.ts:105-114)") {
+    val c = new Active911Connector(new MockTransport)
+    assert(c.validateAgencies(Seq("102"), Seq(101, 102)) == Seq(102))
+    assert(c.validateAgencies(Nil, Seq(101, 102)) == Seq(101, 102))
+    val e = intercept[IllegalStateException](c.validateAgencies(Seq("999"), Seq(101)))
+    assert(e.getMessage.contains("999"))
+  }
+
+  test("fetch: per-agency failures accumulate, batch continues (task.ts:150-152)") {
+    val t = new MockTransport(failing = Set(102))
+    val c = new Active911Connector(t)
+    val res = c.fetch("tok-abc", Seq(101, 102, 103), nowMs = 1765200000000L)
+    assert(res.envelopes.map(_._1) == Seq(101, 103)) // 102 skipped, not fatal
+    assert(res.errors == Seq("http 500 for 102"))
+    assert(t.fetched.reverse == List(101, 102, 103))
+  }
+
+  test("end-to-end: read → pipeline → submit-then-fail ordering (task.ts:238-242)") {
+    val c = new Active911Connector(new MockTransport)
+    val (envelopes, fetchErrs) = c.read(spark, Active911Config("u", "p"), 1765200000000L)
+    val features = Active911.pipeline(envelopes)
+    val apiErrs = Active911.envelopeErrors(envelopes)
+      .collect().map(_.getAs[String]("error")).toSeq
+
+    var posted: Option[String] = None
+    val sink = new CloudTakSink(body => posted = Some(body))
+    val errs = fetchErrs ++ apiErrs
+    val thrown = intercept[RuntimeException](sink.submit(features, errs))
+    // delivery happened BEFORE the failure signal
+    assert(posted.isDefined)
+    val body = posted.get
+    assert(body.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(body.contains(""""id":"active911-9001""""))
+    // absent production_time serialized as omitted (JS undefined), not null
+    assert(!body.contains(""""production_time":null"""))
+    assert(thrown.getMessage == """["Agency not available"]""")
+  }
+
+  test("sink with no errors does not throw") {
+    val c = new Active911Connector(new MockTransport)
+    val (envelopes, _) = c.read(spark, Active911Config("u", "p"), 1765200000000L)
+    var posted = 0
+    new CloudTakSink(_ => posted += 1).submit(Active911.pipeline(envelopes), Nil)
+    assert(posted == 1)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Multimodal plumbing: schema shape, determinism of the stub decode,
+  * resize invariants, frame-sample batch shape (SURVEY.md §2.14).
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "hello world of binary payloads", "image/png"),
+    (2L, (0 until 440).map(i => ('a' + i % 26).toChar).mkString
+      + "0123456789", "video/mp4"),
+    (3L, "x", "audio/wav"))
+    .toDF("id", "text", "mtype")
+    .select(col("id"), encode(col("text"), "UTF-8").as("bytes"), col("mtype"))
+
+  test("enrich: schema + determinism") {
+    val out = Multimodal.enrich(media, "id", "bytes", "mtype")
+    val fields = out.schema.fieldNames.toSet
+    assert(Set("media_id", "media_type", "media", "decoded", "resized",
+      "features", "frames").subsetOf(fields))
+    val a = out.select("features").collect().map(_.getSeq[Double](0))
+    val b = Multimodal.enrich(media, "id", "bytes", "mtype")
+      .select("features").collect().map(_.getSeq[Double](0))
+    assert(a.toSeq == b.toSeq) // hash-stub is deterministic
+    assert(a.forall(v => v.size == 8 && v.forall(x => x >= 0 && x < 1)))
+  }
+
+  test("resize stub: never exceeds max dim, preserves small media") {
+    val out = Multimodal.enrich(media, "id", "bytes", "mtype")
+      .select(col("decoded.width").as("w0"), col("decoded.height").as("h0"),
+        col("resized.width").as("w1"), col("resized.height").as("h1"))
+      .collect()
+    out.foreach { r =>
+      val (w0, h0, w1, h1) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(w1, h1) <= 512)
+      if (math.max(w0, h0) <= 512) assert((w1, h1) == (w0, h0))
+    }
+  }
+
+  test("frame sample: n frames of bounded size from byte ranges") {
+    val frames = Multimodal.enrich(media, "id", "bytes", "mtype")
+      .select(col("media_id"), col("frames")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    assert(frames(2L).size == 4)
+    assert(frames(2L).forall(_.length <= 16))
+    // frames come from distinct offsets of the payload
+    assert(frames(2L).map(_.toSeq).distinct.size > 1)
+  }
+}

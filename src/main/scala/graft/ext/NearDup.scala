@@ -89,12 +89,15 @@ object NearDup {
                       threshold: Double = 0.7, k: Int = 16,
                       bands: Int = 8): DataFrame = {
     val s = signed(docs, idCol, textCol, k, bands)
-    val sh = s.select(col("doc_id"), col("sh"))
+    val sh = s.select(col("doc_id"),
+      array_distinct(col("sh")).as("shd"), size(array_distinct(col("sh"))).as("n"))
     candidatePairs(s)
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sh.toDF("id_a", "sh_a", "n_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b", "n_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -154,15 +157,27 @@ object NearDup {
     * to rank the most-similar pairs, not to scan all pairs.
     */
   def blockedJaccardPairs(docs: DataFrame, topK: Int = 50): DataFrame = {
+    // distinct shingle set + its size computed ONCE per doc per side;
+    // repartition spreads the quadratic per-block work across cores
+    // (a single parquet file otherwise pins all pairs to one task).
+    // shingles hashed to 64-bit before the pairwise phase: long-array
+    // intersections are far cheaper than string-array ones, and a 64-bit
+    // collision is negligible at corpus scale.
     val base = docs.select(col("doc_id"), col("lang"),
-      (col("n_chars") / 50).cast("long").as("lenb"),
-      array_distinct(shingles(col("text"), 3)).as("sh"))
-    val a = base.toDF("id_a", "lang", "lenb", "sh_a")
-    val b = base.toDF("id_b", "lang", "lenb", "sh_b")
+        (col("n_chars") / 50).cast("long").as("lenb"),
+        array_distinct(transform(shingles(col("text"), 3), x => xxhash64(x)))
+          .as("sh"))
+      .withColumn("n", size(col("sh")))
+      .repartition(col("doc_id"))
+    val a = base.toDF("id_a", "lang", "lenb", "sh_a", "n_a")
+    val b = base.toDF("id_b", "lang", "lenb", "sh_b", "n_b")
     a.join(b, Seq("lang", "lenb"))
       .filter(col("id_a") < col("id_b"))
+      // one intersection per pair; |A∪B| = |A|+|B|−|A∩B|
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }

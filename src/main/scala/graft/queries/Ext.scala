@@ -18,7 +18,7 @@ object Ext {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash signatures + LSH candidate pressure per document.
     "q36_minhash" -> ((s, d) => {
-      val signed = NearDup.signed(table(s, d, "documents"), "doc_id", "text")
+      val signed = NearDup.signed(table(s, d, "documents").repartition(col("doc_id")), "doc_id", "text")
       val pairs = NearDup.candidatePairs(signed)
       val touched = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id")))
@@ -32,7 +32,7 @@ object Ext {
 
     // SimHash per document (two-step so token hashes are computed once).
     "q37_simhash" -> ((s, d) => {
-      table(s, d, "documents")
+      table(s, d, "documents").repartition(col("doc_id"))
         .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), NearDup.simhashFromHashes(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))
@@ -48,7 +48,8 @@ object Ext {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
@@ -57,7 +58,8 @@ object Ext {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
     }),
 
@@ -75,7 +77,7 @@ object Ext {
     // bytes as stand-in media; decode/resize/features are deterministic
     // stubs — see graft.ext.Multimodal). Rows-only.
     "q51_multimodal" -> ((s, d) => {
-      val media = table(s, d, "documents")
+      val media = table(s, d, "documents").repartition(col("doc_id"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
           concat(lit("text/plain;src="), col("source")).as("mtype"))
       graft.ext.Multimodal.enrich(media, "doc_id", "bytes", "mtype")

@@ -19,6 +19,13 @@ object Text {
     */
   private def tokens(c: Column): Column = split(lower(c), " ")
 
+  /** documents arrives as one parquet file per sf dir → one input split;
+    * repartition spreads per-doc compute across cores. (At real scale the
+    * source is many files and this shuffle disappears.)
+    */
+  private def docs(s: SparkSession, d: String) =
+    table(s, d, "documents").repartition(col("doc_id"))
+
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
     * heuristic. Deterministic and SQL-expressible — not a real model.
     */
@@ -37,7 +44,7 @@ object Text {
     // Explode to a token relation + frequency (the G1 explode pattern on
     // harness data, SURVEY.md §2.5).
     "q18_token_freq" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .select(explode(tokens(col("text"))).as("token"))
         .filter(length(col("token")) > 3)
         .groupBy(col("token"))
@@ -49,7 +56,7 @@ object Text {
     // Per-document vocabulary profile (collect + sort + join back into a
     // deterministic scalar — array order pinned for oracle parity).
     "q20_token_profile" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_toks"),
           array_join(array_sort(array_distinct(tokens(col("text")))), "|")
@@ -60,7 +67,7 @@ object Text {
     // Stopword-scored language ID with a fixed tie-break order.
     "q30_lang_id" -> ((s, d) => {
       val t = tokens(col("text"))
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"), col("lang"),
           hits(t, StopEn).as("s_en"), hits(t, StopEs).as("s_es"),
           hits(t, StopDe).as("s_de"), hits(t, StopFr).as("s_fr"))
@@ -77,7 +84,7 @@ object Text {
     // bucket label. Ratios derive from exact ints (single division+round).
     "q31_quality_score" -> ((s, d) => {
       val t = tokens(col("text"))
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           size(t).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("text_len"),
@@ -94,7 +101,7 @@ object Text {
     // Token counting two ways: whitespace and a BPE-ish regex, rolled up
     // per source.
     "q32_token_count" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("source"),
           size(tokens(col("text"))).cast("long").as("ws"),
           size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
@@ -108,7 +115,7 @@ object Text {
     // Document fingerprint: md5 over the sorted distinct vocabulary —
     // robust to token order/duplication, cheap to compare at scale.
     "q33_fingerprint" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
             .as("fp"))
@@ -119,7 +126,7 @@ object Text {
     // (hash-shuffle on the text key; at 100 TB you'd group on
     // sha2(text) to shrink shuffle rows — see q35).
     "q34_dedup_exact" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
@@ -130,7 +137,7 @@ object Text {
     // with sha256; the shuffle key is the 64-char digest, not the
     // document body — the scale-friendly variant.
     "q35_dedup_norm_hash" -> ((s, d) => {
-      table(s, d, "documents")
+      docs(s, d)
         .select(col("doc_id"),
           sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
             .as("h"))

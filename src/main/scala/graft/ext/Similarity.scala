@@ -28,7 +28,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Higher-order-function cosine — works on any numeric array type. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused cosine over `array<float>` (graft.expr.CosineSimilarity,
+    * codegen'd, zero per-pair allocation) — requires [[graft.expr
+    * .GraftFunctions.register]] on the session; bit-identical to
+    * [[cosine]] (same left-to-right accumulation).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function(graft.expr.GraftFunctions.CosineSimName, a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -37,9 +46,10 @@ object Similarity {
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val joined = corpus.join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        cosineNative(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
@@ -69,12 +79,13 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val bq = queries.withColumn("bucket", lshBucket(col("qvec"), nPlanes))
     val bc = corpus.withColumn("bucket", lshBucket(col("vec"), nPlanes))
     val joined = bc.join(broadcast(bq), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        cosineNative(col("qvec"), col("vec")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast("long"))

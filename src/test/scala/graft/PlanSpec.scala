@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan shape assertions — the properties that matter at 100 TB
+  * (pushdown reaching the scan, broadcast for small dims, top-k instead
+  * of global sort, partial aggregation) must hold structurally, not by
+  * luck. Guards against regressions that stay correct but stop scaling.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter + projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(l_quantity")),
+      s"no pushed filters in:\n$p")
+    // pruned read schema: only the 4 referenced columns
+    assert(!p.contains("l_extendedprice"), "scan reads unused columns")
+  }
+
+  test("q06: tiny dims join via broadcast, not shuffle") {
+    val p = plan("q06_dim_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q04/q05: semi and anti joins planned as such") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q08: global top-k is TakeOrderedAndProject, not full sort+limit") {
+    assert(plan("q08_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q40: plans the native CosineSimilarity expression") {
+    val df = SparkEntry.queries("q40_cosine_topk")(spark, d)
+    def hasCosine(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =
+      p.expressions.exists(_.exists(_.isInstanceOf[graft.expr.CosineSimilarity])) ||
+        p.children.exists(c =>
+          hasCosine(c.asInstanceOf[org.apache.spark.sql.catalyst.plans.QueryPlan[_]]))
+    assert(hasCosine(df.queryExecution.optimizedPlan),
+      "native cosine expression not in the optimized plan")
+    assert(df.count() > 0) // and it executes (codegen path compiles)
+  }
+
+  test("active911 pipeline: zero exchanges end-to-end") {
+    import spark.implicits._
+    val env = graft.ops.Fixtures.envelopes.toDF("agency_id", "raw")
+    val p = graft.ops.Active911.pipeline(env).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"))
+  }
+}

@@ -25,6 +25,11 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Checkpoint-file checksums deadlock under many concurrent state-store
+      // commits in local mode (tasks block in ChecksumCancellableFSDataOutputStream
+      // .close awaiting the checksum writer pool); corruption detection is for
+      // remote checkpoint stores, not local-disk test checkpoints.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.{Active911, Fixtures}
+import graft.sinks.CloudTakSink
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.Event
+
+/** Streaming end-to-end: (a) the Active911 pipeline running AS a stream
+  * (envelopes arrive per micro-batch → features POSTed per batch via
+  * foreachBatch — the production shape of the reference's scheduled
+  * runs), and (b) custom state with flatMapGroupsWithState.
+  */
+class StatefulStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Active911 pipeline runs under Structured Streaming with foreachBatch sink") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val features = Active911.pipeline(mem.toDF.toDF("agency_id", "raw"))
+    var posts = List.empty[String]
+    val sink = new CloudTakSink(body => posts ::= body)
+    val q = features.writeStream
+      .outputMode("append")
+      .foreachBatch(sink.foreachBatchSink)
+      .start()
+    try {
+      // run 1: agency 101; run 2 (next schedule tick): agency 102
+      mem.addData(101 -> Fixtures.envelopes.toMap.apply(101))
+      q.processAllAvailable()
+      mem.addData(102 -> Fixtures.envelopes.toMap.apply(102))
+      q.processAllAvailable()
+      val batches = posts.reverse.filter(_.contains("\"features\":[{"))
+      assert(batches.size == 2)
+      assert(batches(0).contains("active911-9001"))
+      assert(batches(1).contains("active911-9101"))
+      // per-batch FeatureCollection envelope, same wire shape as batch mode
+      assert(batches.forall(_.startsWith("""{"type":"FeatureCollection"""")))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: sessions close on gap or watermark timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StatefulSessions.sessions(spark, mem.toDS())
+    val name = "sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      def ev(user: Long, hhmm: String) =
+        Event(user, Timestamp.valueOf(s"2025-12-08 $hhmm:00"))
+      // batch 1 — user 1: burst at 10:00-10:10; user 2: lone event at
+      // 09:00. processAllAvailable also runs the follow-up timeout batch
+      // after the watermark advances to 10:10, which already passes user
+      // 2's 09:00+30m horizon → user 2's session closes by event-time
+      // timeout here; user 1's stays open (horizon 10:40).
+      mem.addData(ev(1, "10:00"), ev(1, "10:10"), ev(2, "09:00"))
+      q.processAllAvailable()
+      // batch 2 — user 1 returns past the 30m gap: the arrival itself
+      // closes session (10:00,10:10); the 12:00 burst stays open.
+      mem.addData(ev(1, "12:00"), ev(1, "12:05"))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[StatefulSessions.SessionOut].collect().sortBy(_.user_id)
+      assert(rows.length == 2)
+      val s1 = rows(0)
+      assert(s1.user_id == 1 && s1.n_events == 2)
+      assert(s1.end_ms - s1.start_ms == 10 * 60 * 1000)
+      val s2 = rows(1)
+      assert(s2.user_id == 2 && s2.n_events == 1 && s2.start_ms == s2.end_ms)
+    } finally q.stop()
+  }
+}

@@ -75,6 +75,116 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Exact embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    * cosine ≥ tau. The all-pairs baseline (O(n²) — the verification
+    * reference for [[lshNearDupPairs]], which is the 100 TB path).
+    */
+  def cosinePairsExact(emb: DataFrame, tau: Double): DataFrame = {
+    graft.expr.GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = emb.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** Banded sign-bit keys for near-dup candidate generation: `nPlanes`
+    * hyperplane sign bits split into bands of `bandBits`; two vectors are
+    * candidates iff they agree on ALL bits of ≥1 band (same OR-of-ANDs
+    * construction as MinHash banding, with hyperplane signs as the hash).
+    */
+  def lshBandKeys(vec: Column, nPlanes: Int, bandBits: Int): Column = {
+    val sig = lshBucket(vec, nPlanes)
+    val keys = (0 until nPlanes / bandBits).map { band =>
+      struct(lit(band).as("band"),
+        pmod(shiftright(sig, band * bandBits), lit(1L << bandBits)).as("bits"))
+    }
+    array(keys: _*)
+  }
+
+  /** Approximate near-dup pairs at scale: candidates from banded
+    * hyperplane LSH (equi-join on band key — no cross join), then exact
+    * cosine verification ≥ tau. Precision 1.0 by construction; recall
+    * governed by (nPlanes, bandBits) — pinned against
+    * [[cosinePairsExact]] in SimilaritySpec.
+    */
+  def lshNearDupPairs(emb: DataFrame, tau: Double, nPlanes: Int = 16,
+                      bandBits: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.register(emb.sparkSession)
+    val keyed = emb.select(col("id"), col("vec"),
+        explode(lshBandKeys(col("vec"), nPlanes, bandBits)).as("bk"))
+    val a = keyed.select(col("bk"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = keyed.select(col("bk"), col("id").as("id_b"), col("vec").as("vec_b"))
+    // verify BEFORE dedup: a pair surfacing in b bands costs b cheap
+    // codegen'd cosines, but the dedup shuffle then moves only ids+cos6
+    // (24 bytes) instead of two full vectors per candidate
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    *  1. coarse quantizer: `nlist` centroids from a deterministic seed
+    *     (first `nlist` corpus vectors by id) refined by `lloydIters`
+    *     rounds of spherical k-means (assign by max cosine, recenter by
+    *     coordinate mean) — all DataFrame ops, centroids broadcast;
+    *  2. inverted lists: each corpus vector assigned to its nearest
+    *     centroid (narrow map with broadcast centroids — at scale,
+    *     `repartition(list_id)` colocates each list);
+    *  3. probe: each query scans only its `nprobe` nearest lists —
+    *     an equi-join on `list_id` replaces the full corpus scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+
+    var centroids = corpus.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+    def nearestCid(df: DataFrame, vecCol: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__cos").desc, col("cid"))
+      df.join(broadcast(centroids))
+        .withColumn("__cos", cosineNative(col(vecCol), col("cvec")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__cos", "__rn", "cvec")
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val assigned = nearestCid(
+        corpus.select(col("id").as("__rid"), col("vec")), "vec")
+      centroids = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+    }
+
+    val lists = nearestCid(corpus.select(col("id").as("__rid"), col("vec")), "vec")
+      .select(col("cid").as("list_id"), col("__rid").as("id"), col("vec"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("__cos", cosineNative(col("qvec"), col("cvec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("list_id"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        cosineNative(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+  }
+
   /** Approximate top-k: probe only the query's own LSH bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 8): DataFrame = {

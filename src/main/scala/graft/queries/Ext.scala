@@ -42,6 +42,26 @@ object Ext {
     "q38_jaccard_pairs" -> ((s, d) =>
       NearDup.blockedJaccardPairs(table(s, d, "documents"), 50)),
 
+    // Embedding-cosine near-dup pairs (exact all-pairs baseline at
+    // verify scale; graft.ext.Similarity.lshNearDupPairs is the banded
+    // 100 TB path, recall-pinned against this in SimilaritySpec).
+    "q39_embedding_neardup" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosinePairsExact(emb, 0.4).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF approximate top-3 (coarse-quantizer + inverted-list probe).
+    // Rows-only: recall vs brute force pinned in SimilaritySpec.
+    "q44_ann_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
+    }),
+
     // Exact cosine top-5 for the first 10 vectors (brute force, double
     // precision) — DuckDB oracle recomputes with the same math.
     "q40_cosine_topk" -> ((s, d) => {
@@ -106,6 +126,22 @@ object Ext {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q39_embedding_neardup" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         sims AS (
+           SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                       JOIN norms nb ON d.id_b = nb.vec_id)
+         SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sims
+         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "q40_cosine_topk" ->
       """WITH f AS (
            SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.ext.Similarity
+
+/** Pins the approximate similarity paths against their exact baselines
+  * on the sf0.001 embeddings fixture (500 × 64-dim float vectors).
+  * The approximate operators are the 100 TB paths (no cross join); the
+  * exact ones are the verification references the driver oracle-checks.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = table(spark, dir, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("lshNearDupPairs: subset of exact pairs (precision 1.0), recall pinned") {
+    val tau = 0.35
+    val exact = Similarity.cosinePairsExact(emb, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearDupPairs(emb, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact-verify step makes false positives impossible
+    assert(approx.subsetOf(exact))
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall (approx ${approx.size}/${exact.size})")
+  }
+
+  test("ivfTopK: recall@3 vs brute force pinned; no self-matches") {
+    val qs = emb.filter(col("id") < 50)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(qs, emb, 3))
+    val ivf = Similarity.ivfTopK(qs, emb, 3)
+    val ivfPairs = pairs(ivf)
+    assert(brute.size == 150 && ivfPairs.size == 150)
+    assert(!ivfPairs.exists(p => p._1 == p._2))
+    val recall = (brute intersect ivfPairs).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@3 $recall")
+  }
+}

@@ -12,14 +12,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Graft.session: checksum writer pool deadlocks local state-store commits
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen and the parquet footer reads once, so the
-    // first measured query doesn't absorb session startup cost.
-    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm-up pass: execute every query once untimed. A cold JVM pays
+    // lazy classloading, codegen compilation, and page-cache faults on
+    // its first touch of each operator path — 2-10x per-query inflation
+    // that measures the host, not the engine. The timed pass then sees
+    // steady-state throughput, which is what a long-lived cluster runs at.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -88,9 +88,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineSimName = "graft_cosine_sim"
+  val ShingleHashesName = "graft_shingle_hashes"
+  val MinHashSigName = "graft_minhash_sig"
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineSimName,
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(CosineSimName,
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(ShingleHashesName,
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(MinHashSigName,
+      exprs => SeededMinHash(exprs(0), litInt(exprs(1))), "built-in")
+  }
 }

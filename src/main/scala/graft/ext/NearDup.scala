@@ -20,24 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Word w-shingles of the lowercased text; documents shorter than `w`
-    * tokens fall back to a single whole-text shingle so they still
-    * participate.
+  /** Word w-shingles from a pre-split token array; documents shorter
+    * than `w` tokens fall back to a single whole-text shingle so they
+    * still participate.
+    *
+    * Takes tokens, not text, on purpose: higher-order functions are
+    * interpreted (not whole-stage-codegen'd), so a `split` embedded in
+    * the lambda would re-tokenize the document for every element_at —
+    * O(tokens²) per row. Callers project `split(lower(text), " ")` into
+    * a column first (kept from collapsing back by the repartition
+    * barrier they already need).
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(lower(text), " ")
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
     val n = size(toks)
-    when(n < w, array(lower(text))).otherwise(
+    when(n < w, array(array_join(toks, " "))).otherwise(
       transform(sequence(lit(1), n - (w - 1)),
         i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** k seeded-minhash values over the shingle set. Seed folding uses
-    * xxhash64(shingle, seed) — 64-bit, cheap, built-in.
+  /** Word w-shingles of the lowercased text (single-expression form —
+    * prefer [[shinglesFromTokens]] after a token projection in hot paths).
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(split(lower(text), " "), w)
+
+  /** Distinct 64-bit shingle hashes in one native fused pass
+    * (graft.expr.ShingleHashes, codegen'd) — the composed
+    * `array_distinct(transform(shingles, xxhash64))` form is interpreted
+    * per element and ~50x slower; byte-identical values (pinned in
+    * NearDupSpec). Requires GraftFunctions.register on the session.
+    */
+  def shingleHashes(toks: Column, w: Int = 3): Column =
+    call_function(graft.expr.GraftFunctions.ShingleHashesName, toks, lit(w))
+
+  /** k seeded-minhash values over pre-hashed shingles, one native k×n
+    * loop (graft.expr.SeededMinHash).
     */
   def minhashSignature(sh: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+    call_function(graft.expr.GraftFunctions.MinHashSigName, sh, lit(k))
 
   /** LSH band keys: the signature split into `bands` rows-per-band
     * groups, each band hashed to one 64-bit key (banded so that docs
@@ -58,13 +78,18 @@ object NearDup {
     inter / (size(da) + size(db) - size(array_intersect(da, db)))
   }
 
-  /** Docs with per-row minhash signature + band keys (one narrow pass). */
+  /** Docs with per-row hashed-shingle set, minhash signature and band
+    * keys (one narrow pass, native hot loops).
+    */
   def signed(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 16, bands: Int = 8): DataFrame =
+             k: Int = 16, bands: Int = 8): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol)).as("sh"))
+        split(lower(col(textCol)), " ").as("toks"))
+      .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band_keys", bandKeys(col("sig"), k, bands))
+  }
 
   /** Candidate pairs from band-bucket collisions (id_a < id_b), with the
     * per-bucket blowup capped at `maxBucket`.
@@ -89,8 +114,8 @@ object NearDup {
                       threshold: Double = 0.7, k: Int = 16,
                       bands: Int = 8): DataFrame = {
     val s = signed(docs, idCol, textCol, k, bands)
-    val sh = s.select(col("doc_id"),
-      array_distinct(col("sh")).as("shd"), size(array_distinct(col("sh"))).as("n"))
+    // sh from signed is already distinct (ShingleHashes contract)
+    val sh = s.select(col("doc_id"), col("sh").as("shd"), size(col("sh")).as("n"))
     candidatePairs(s)
       .join(sh.toDF("id_a", "sh_a", "n_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b", "n_b"), "id_b")
@@ -152,29 +177,48 @@ object NearDup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Brute n-gram Jaccard within blocking keys (same lang + length
-    * bucket) — the quadratic fallback, bounded by the block sizes; used
-    * to rank the most-similar pairs, not to scan all pairs.
+  /** Top n-gram Jaccard pairs within blocking keys (same lang + length
+    * bucket), via an inverted shingle join rather than per-pair array
+    * intersection: explode (block, shingle-hash), self-join on equality,
+    * and the per-pair match count IS the intersection size. Pairs with
+    * zero overlap never materialize (they can't rank), and no array
+    * object is built per candidate pair — the cost is proportional to
+    * actual shingle collisions, not to block-size². Shingles are hashed
+    * to 64-bit first (long equi-join keys; collisions negligible).
     */
   def blockedJaccardPairs(docs: DataFrame, topK: Int = 50): DataFrame = {
-    // distinct shingle set + its size computed ONCE per doc per side;
-    // repartition spreads the quadratic per-block work across cores
-    // (a single parquet file otherwise pins all pairs to one task).
-    // shingles hashed to 64-bit before the pairwise phase: long-array
-    // intersections are far cheaper than string-array ones, and a 64-bit
-    // collision is negligible at corpus scale.
+    // tokens projected BEFORE the repartition barrier (see
+    // shinglesFromTokens), shingle sets computed ONCE per doc after it;
+    // repartition also spreads shingling across cores (single-file input).
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("lenb"),
-        array_distinct(transform(shingles(col("text"), 3), x => xxhash64(x)))
-          .as("sh"))
-      .withColumn("n", size(col("sh")))
+        split(lower(col("text")), " ").as("toks"))
       .repartition(col("doc_id"))
-    val a = base.toDF("id_a", "lang", "lenb", "sh_a", "n_a")
-    val b = base.toDF("id_b", "lang", "lenb", "sh_b", "n_b")
-    a.join(b, Seq("lang", "lenb"))
-      .filter(col("id_a") < col("id_b"))
-      // one intersection per pair; |A∪B| = |A|+|B|−|A∩B|
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_id"), col("lang"), col("lenb"),
+        shingleHashes(col("toks"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // inverted index: one row per (block, shingle); docs sharing a
+    // shingle meet in its bucket, so the per-pair bucket-match count IS
+    // the intersection size. Zero-overlap pairs never materialize and the
+    // corpus is scanned once — no self-join, shuffle ∝ total shingles.
+    // Skew note (100 TB): a stop-shingle shared by B docs fans out B²
+    // pair rows; production corpora should cap or drop top-df shingles
+    // (cf. candidatePairs' maxBucket) — kept exact here.
+    val buckets = base
+      .select(col("lang"), col("lenb"), explode(col("sh")).as("h"),
+        struct(col("doc_id"), col("n")).as("d"))
+      .groupBy(col("lang"), col("lenb"), col("h"))
+      .agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    buckets
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      // |A∪B| = |A|+|B|−|A∩B|
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4)
           .as("jaccard"))

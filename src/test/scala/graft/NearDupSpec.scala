@@ -69,4 +69,22 @@ class NearDupSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(top.last.getDouble(3) == -1.0) // cosine to the opposite vector
   }
+
+  test("ShingleHashes: byte-identical to composed array_distinct/transform/xxhash64") {
+    graft.expr.GraftFunctions.register(spark)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short one"),
+      (3L, "x"),
+      (4L, "a a a a a repeated repeated a a a"),
+      (5L, "unicode \u00fc\u00f1\u00ee tokens mixed in \u00fc\u00f1\u00ee text here")
+    ).toDF("id", "text").select(col("id"), split(lower(col("text")), " ").as("toks"))
+    val composed = texts.select(col("id"),
+      array_distinct(transform(NearDup.shinglesFromTokens(col("toks"), 3),
+        x => xxhash64(x))).as("sh"))
+    val native = texts.select(col("id"), NearDup.shingleHashes(col("toks"), 3).as("sh"))
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c == n)
+  }
 }

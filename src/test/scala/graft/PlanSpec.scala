@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0) // and it executes (codegen path compiles)
   }
 
+  test("q38: inverted shingle index — native ShingleHashes, no cartesian/NL join") {
+    val df = SparkEntry.queries("q38_jaccard_pairs")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise phase degenerated to a product join:\n$p")
+    def hasShingle(pl: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =
+      pl.expressions.exists(_.exists(_.isInstanceOf[graft.expr.ShingleHashes])) ||
+        pl.children.exists(c =>
+          hasShingle(c.asInstanceOf[org.apache.spark.sql.catalyst.plans.QueryPlan[_]]))
+    assert(hasShingle(df.queryExecution.optimizedPlan),
+      "native ShingleHashes not in the optimized plan")
+  }
+
+  test("q41: LSH probe is an equi-join on the bucket key, no product join") {
+    val p = plan("q41_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH probe degenerated to a product join:\n$p")
+  }
+
   test("active911 pipeline: zero exchanges end-to-end") {
     import spark.implicits._
     val env = graft.ops.Fixtures.envelopes.toDF("agency_id", "raw")

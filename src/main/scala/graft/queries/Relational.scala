@@ -208,6 +208,45 @@ object Relational {
         .orderBy(col("o_year"), col("o_month"))
     }),
 
+    // Left outer join preserving unmatched left rows (suppliers with no
+    // lineitems keep n_items = 0).
+    "q29_outer_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      table(s, d, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_outer")
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(coalesce(col("cnt"), lit(0L))).as("n_items"),
+          sum(when(col("cnt").isNull, 1).otherwise(0)).cast("long")
+            .as("n_idle_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Cross join of two tiny broadcast dims (explicit cartesian).
+    "q45_cross_join" -> ((s, d) => {
+      val r = table(s, d, "region").select(col("r_name"))
+      val n = table(s, d, "nation").select(col("n_name"))
+      r.crossJoin(broadcast(n))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Scalar-subquery pattern: rows above the global average — computed
+    // as a 1-row broadcast join, not a driver-side collect.
+    "q46_scalar_subquery" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val avgQty = li.agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(avgQty))
+        .filter(col("l_quantity") > col("avg_qty") * 1.9)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // String scalar functions + LIKE pushdown.
     "q16_strings" -> ((s, d) => {
       table(s, d, "part")
@@ -313,6 +352,25 @@ object Relational {
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY o_year, o_month ORDER BY o_year, o_month""",
+    "q29_outer_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         COUNT(*) AS n_suppliers,
+         CAST(SUM(coalesce(cnt, 0)) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_idle_suppliers
+         FROM supplier LEFT OUTER JOIN (
+           SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+         ) li ON s_suppkey = l_suppkey
+         GROUP BY nationkey ORDER BY nationkey""",
+    "q45_cross_join" ->
+      """SELECT r_name, COUNT(*) AS n_pairs, MIN(n_name) AS first_nation
+         FROM region CROSS JOIN nation
+         GROUP BY r_name ORDER BY r_name""",
+    "q46_scalar_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem) * 1.9
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q16_strings" ->
       """SELECT p_partkey, upper(p_name) AS uname,
          CAST(length(p_name) AS BIGINT) AS namelen,

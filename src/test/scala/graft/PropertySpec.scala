@@ -1,0 +1,140 @@
+package graft
+
+import java.time.{LocalDateTime, ZoneId}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Active911
+
+/** Property-based pinning of the reference semantics (SURVEY.md §5.4):
+  * random inputs, engine output compared against a driver-side Scala
+  * model of the JS behavior. Deterministic: fixed ScalaCheck seed, all
+  * cases batched into one DataFrame per property (one Spark job, not one
+  * per case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
+
+  // --- S6: CSV record split with quoted cells (embedded newlines/quotes) --
+
+  test("csvRecords: quoted newlines, quotes and commas never break record framing") {
+    val cell = Gen.listOfN(6, Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.const(','), 1 -> Gen.const('"'),
+      1 -> Gen.const('\n'), 1 -> Gen.oneOf('é', 'ñ', '中'))).map(_.mkString)
+    val row = Gen.listOfN(3, cell)
+    val blobGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, row))
+    val cases = sample(blobGen, 60, seed = 7L).zipWithIndex
+    def quote(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
+    val df = cases.map { case (rows, i) =>
+      (i.toLong, rows.map(_.map(quote).mkString(",")).mkString("\n"), rows.length.toLong,
+        rows.head.head, rows.head(1), rows.head(2))
+    }.toDF("case_id", "blob", "expect_n", "c0", "c1", "c2")
+    val schema = "a string, b string, c string"
+    val got = df.select(col("case_id"), col("expect_n"), col("c0"), col("c1"), col("c2"),
+        size(Active911.csvRecords(col("blob"))).cast("long").as("got_n"),
+        from_csv(element_at(Active911.csvRecords(col("blob")), 1),
+          org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map("quote" -> "\"", "escape" -> "\"")).as("r1"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("got_n") == r.getAs[Long]("expect_n"),
+        s"case ${r.getAs[Long]("case_id")}: record count")
+      val rec = r.getAs[org.apache.spark.sql.Row]("r1")
+      assert(rec.getString(0) == r.getAs[String]("c0")
+        && rec.getString(1) == r.getAs[String]("c1")
+        && rec.getString(2) == r.getAs[String]("c2"),
+        s"case ${r.getAs[Long]("case_id")}: first-record cells")
+    }
+  }
+
+  // --- F6: parseTime is total and matches a java.time model -------------
+
+  test("parseTime: total on garbage, exact instant for every tz abbreviation") {
+    val validGen = for {
+      mo <- Gen.choose(1, 12); da <- Gen.choose(1, 28)
+      yr <- Gen.choose(1995, 2030)
+      // hours >= 6 keep clear of 2-3am DST transitions, whose gap
+      // resolution is implementation-defined
+      h <- Gen.choose(6, 23); mi <- Gen.choose(0, 59); se <- Gen.choose(0, 59)
+      abbr <- Gen.oneOf(Active911.TimezoneMappings.keys.toSeq ++ Seq("XST", ""))
+    } yield (f"$mo/$da/$yr $h:$mi%02d:$se%02d" + (if (abbr.isEmpty) "" else s" $abbr"), abbr)
+    val garbageGen = Gen.listOfN(12,
+      Gen.frequency(4 -> Gen.alphaNumChar, 1 -> Gen.oneOf('/', ':', ' ', '.')))
+      .map(l => (l.mkString, "#garbage#"))
+    val cases = (sample(validGen, 150, 11L) ++ sample(garbageGen, 50, 12L)).zipWithIndex
+    val df = cases.map { case ((s, abbr), i) => (i.toLong, s, abbr) }
+      .toDF("case_id", "raw", "abbr")
+    val got = df.select(col("case_id"),
+        unix_micros(Active911.parseTime(col("raw"))).as("us")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val fmt = DateTimeFormatter.ofPattern("M/d/yyyy H:mm:ss")
+    cases.foreach { case ((s, abbr), i) =>
+      val expect: Option[Long] = Active911.TimezoneMappings.get(abbr) match {
+        case Some(zone) =>
+          val local = LocalDateTime.parse(s.stripSuffix(s" $abbr"), fmt)
+          Some(local.atZone(ZoneId.of(zone)).toInstant.toEpochMilli * 1000L)
+        case None =>
+          val m = "^(\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}:\\d{2})".r
+            .findFirstIn(s)
+          m.map(d => LocalDateTime.parse(d, fmt)
+            .atZone(ZoneId.of("UTC")).toInstant.toEpochMilli * 1000L)
+      }
+      assert(got(i.toLong) == expect, s"case $i: '$s'")
+    }
+  }
+
+  // --- A1: last-wins dedup, first-occurrence key order ------------------
+
+  test("responseLinks: last-wins per callsign, keys in first-appearance order") {
+    val names = Seq("Alice", "Bob Smith", "Carol")
+    val resps = Seq("Responding", "Unavailable", "On Scene")
+    val lineGen = Gen.frequency(
+      5 -> (for {
+        n <- Gen.oneOf(names); r <- Gen.oneOf(resps)
+        id <- Gen.choose(100, 999); mi <- Gen.choose(0, 59)
+      } yield f"Got a response of $r to $n($id) at 12/8/2025 10:$mi%02d:00 EST."),
+      1 -> Gen.const("Got a response of malformed line without the shape"),
+      1 -> Gen.const("random chatter that is filtered out"))
+    val logGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, lineGen))
+    val cases = sample(logGen, 80, 21L).zipWithIndex
+    val df = cases.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      .toDF("case_id", "responses")
+    val got = df.select(col("case_id"),
+        to_json(Active911.responseLinks(col("responses"))).as("links"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val rx = Active911.ResponseRegex.r
+    val estFmt = DateTimeFormatter.ofPattern("M/d/yyyy H:mm:ss")
+    cases.foreach { case (ls, i) =>
+      // driver-side model of the reference's Map.set loop (task.ts:187-209)
+      val entries = ls.filter(_.startsWith("Got a response of ")).map { l =>
+        rx.findFirstMatchIn(l) match {
+          case Some(m) =>
+            val t = LocalDateTime.parse(m.group(4).trim.stripSuffix(" EST"), estFmt)
+              .atZone(ZoneId.of("America/New_York")).toInstant
+            val iso = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .withZone(ZoneId.of("UTC")).format(t)
+            (m.group(2).trim, m.group(1).trim, Some(iso))
+          case None => ("Unknown", "Unknown", None)
+        }
+      }
+      val keyOrder = entries.map(_._1).distinct
+      val lastByKey = entries.groupBy(_._1).map { case (k, es) => k -> es.last }
+      val expected = keyOrder.map { k =>
+        val (_, remarks, time) = lastByKey(k)
+        Seq(Some("t-s"), Some(k), Some(remarks), time)
+      }
+      val expJson = expected.map(f =>
+        Seq("relation", "callsign", "remarks", "production_time").zip(f)
+          .collect { case (n, Some(v)) => s""""$n":"$v"""" }
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
+      assert(got(i.toLong) == expJson, s"case $i:\n${ls.mkString("\n")}")
+    }
+  }
+}

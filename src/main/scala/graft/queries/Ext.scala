@@ -83,6 +83,24 @@ object Ext {
       Similarity.lshTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
     }),
 
+    // Hybrid retrieval: metadata-filtered vector search (the RAG shape) —
+    // corpus restricted to English documents via a doc_id=vec_id join
+    // BEFORE the similarity scan, then exact cosine top-3 per query.
+    // At scale the lang predicate prunes the corpus ahead of any
+    // distance math; the filter composes with the IVF/LSH paths the same
+    // way.
+    "q47_hybrid_search" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val en = table(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.join(en, col("vec_id") === col("doc_id"))
+        .repartition(col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
+    }),
+
     // Per-label embedding stats (norms in deterministic double math).
     "q42_embedding_stats" -> ((s, d) => {
       table(s, d, "embeddings")
@@ -142,6 +160,29 @@ object Ext {
                        JOIN norms nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    "q47_hybrid_search" ->
+      """WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND b.vec_id <> a.vec_id
+           JOIN en ON b.vec_id = en.doc_id
+           WHERE a.vec_id < 5 GROUP BY a.vec_id, b.vec_id),
+         sims AS (
+           SELECT d.qid, d.nid, d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON d.qid = na.vec_id
+                       JOIN norms nb ON d.nid = nb.vec_id),
+         ranked AS (
+           SELECT qid, nid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+             round(cos, 6) AS cos6
+           FROM sims)
+         SELECT qid, nid, rank, cos6 FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
     "q40_cosine_topk" ->
       """WITH f AS (
            SELECT vec_id, generate_subscripts(embedding, 1) AS i,

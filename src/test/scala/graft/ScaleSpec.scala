@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Salt
+
+/** Scale-mechanics specs: the techniques that only matter past one
+  * machine — salted skew joins and bucketed (pre-shuffled) co-located
+  * joins — proven on small data by result equality and plan shape.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewJoin: same result as plain join on a 90%-one-key distribution") {
+    val big = (1L to 10000L).map(i => (if (i % 10 == 0) i else 1L, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (9990L, "z"))
+      .toDF("k2", "v")
+    val plain = big.join(small, col("k") === col("k2"))
+      .select(col("payload"), col("v"))
+    val salted = Salt.skewJoin(big, small, "k", "k2", buckets = 8)
+      .select(col("payload"), col("v"))
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // the hot key actually spreads: its rows carry >1 distinct salt
+    val spread = big.filter(col("k") === 1L)
+      .select(Salt.saltCol(8, big.columns.map(col).toSeq: _*).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"salt did not spread the hot key (distinct salts = $spread)")
+  }
+
+  test("saltedAgg: equals plain aggregation") {
+    val df = (1L to 5000L).map(i => (if (i % 100 == 0) i else 7L, i.toDouble))
+      .toDF("k", "x")
+    val plain = df.groupBy(col("k")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val salted = Salt.saltedAgg(df, col("k"), buckets = 8,
+        partial = Seq(sum(col("x")) -> "s", count(lit(1)) -> "n"),
+        merge = Seq("s" -> (c => sum(c)), "n" -> (c => sum(c))))
+      .withColumnRenamed("__key", "k")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle (pre-partitioned co-location)") {
+    // external tables with explicit paths — the in-memory catalog only
+    // tracks metadata, nothing lands in the default warehouse dir
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    val d = "/root/testdata/sf0.001"
+    val nBuckets = 8
+    Graft.table(spark, d, "orders")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Graft.table(spark, d, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinRegion = plan.substring(0, plan.length) // whole plan
+      // the equi-join itself must not introduce a shuffle: both sides are
+      // pre-partitioned on the join key by bucketing. (The final small
+      // aggregation may still exchange.)
+      val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)"
+        .r.findAllIn(joinRegion).size
+      assert(exchanges == 0, s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

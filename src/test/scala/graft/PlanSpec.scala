@@ -74,6 +74,29 @@ class PlanSpec extends SparkSpec {
       s"LSH probe degenerated to a product join:\n$p")
   }
 
+  test("plan lint: product joins only where intentional, across ALL queries") {
+    // non-equi / all-pairs by design:
+    //   q39/q40/q47: exact similarity baselines (id_a < id_b, qid != id)
+    //   q44: broadcast centroid assignment (corpus x nlist, nlist tiny)
+    //   q45: explicit cross join
+    //   q46: 1-row broadcast scalar
+    //   q28: band join (range predicate against a broadcast dim)
+    val productOk = Set("q28_range_join", "q39_embedding_neardup",
+      "q40_cosine_topk", "q44_ann_ivf", "q45_cross_join",
+      "q46_scalar_subquery", "q47_hybrid_search")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(productOk)
+      .filterNot(_ == "q52_stream_window_agg") // starts a streaming query
+      .flatMap { q =>
+        val p = plan(q)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unintentional product join in: ${offenders.mkString(", ")}")
+  }
+
   test("active911 pipeline: zero exchanges end-to-end") {
     import spark.implicits._
     val env = graft.ops.Fixtures.envelopes.toDF("agency_id", "raw")

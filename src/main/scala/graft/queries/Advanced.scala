@@ -81,6 +81,13 @@ object Advanced {
     "q52_stream_window_agg" -> ((s, d) => {
       val name = "stream_agg_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val schema = table(s, d, "events").schema
+      // state-store count is fixed at query start from shuffle.partitions;
+      // size it to the state's cardinality (a few hundred window×type
+      // groups), not the relational default — every store is a per-batch
+      // commit (and at scale, a per-batch snapshot upload)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       // file-stream sources watch a directory — stage the single parquet
       // file into one (in production this IS a directory of arriving files)
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -102,6 +109,7 @@ object Advanced {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("cents"))
         .orderBy(col("win_start_us"), col("event_type"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }))
 
   val oracles: Map[String, String] = Map(

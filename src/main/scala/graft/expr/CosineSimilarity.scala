@@ -89,6 +89,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineSimName = "graft_cosine_sim"
   val ShingleHashesName = "graft_shingle_hashes"
+  val ShingleHashesAllName = "graft_shingle_hashes_all"
   val MinHashSigName = "graft_minhash_sig"
 
   private def litInt(e: Expression): Int =
@@ -100,6 +101,9 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesName,
       exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(ShingleHashesAllName,
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1)), distinct = false),
+      "built-in")
     reg.createOrReplaceTempFunction(MinHashSigName,
       exprs => SeededMinHash(exprs(0), litInt(exprs(1))), "built-in")
   }

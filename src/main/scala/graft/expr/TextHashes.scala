@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native fused pass: word w-shingles of a token array → DISTINCT
-  * xxhash64 values (seed 42, byte-identical to the built-in `xxhash64`
-  * over the space-joined shingle string), first-occurrence order.
+/** Native fused pass: word w-shingles of a token array → xxhash64
+  * values (seed 42, byte-identical to the built-in `xxhash64` over the
+  * space-joined shingle string). `distinct = true` (default) dedups in
+  * first-occurrence order (set semantics for Jaccard/minhash);
+  * `distinct = false` keeps the full positional sequence (rolling-hash
+  * consumers like winnowing).
   *
   * Replaces `array_distinct(transform(shingles(toks), xxhash64))`:
   * higher-order functions are interpreted per element, so the composed
@@ -18,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * shorter than `w` tokens hash the whole token sequence as one shingle
   * (same fallback as the composed form).
   */
-case class ShingleHashes(child: Expression, w: Int)
+case class ShingleHashes(child: Expression, w: Int,
+                         distinct: Boolean = true)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -53,12 +57,16 @@ case class ShingleHashes(child: Expression, w: Int)
       while (j < width) { parts(j) = toks(i + j); j += 1 }
       val s = UTF8String.concatWs(space, parts: _*)
       val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      // distinct, first-occurrence order; shingle sets are small (≈ token
-      // count), so a linear containment scan beats hash-set allocation
-      var seen = false
-      var k = 0
-      while (k < m && !seen) { seen = out(k) == h; k += 1 }
-      if (!seen) { out(m) = h; m += 1 }
+      if (distinct) {
+        // first-occurrence order; shingle sets are small (≈ token count),
+        // so a linear containment scan beats hash-set allocation
+        var seen = false
+        var k = 0
+        while (k < m && !seen) { seen = out(k) == h; k += 1 }
+        if (!seen) { out(m) = h; m += 1 }
+      } else {
+        out(m) = h; m += 1
+      }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))

@@ -53,6 +53,12 @@ object NearDup {
   def shingleHashes(toks: Column, w: Int = 3): Column =
     call_function(graft.expr.GraftFunctions.ShingleHashesName, toks, lit(w))
 
+  /** Full positional shingle-hash sequence (no dedup) — the rolling-hash
+    * stream for winnowing-style fingerprints.
+    */
+  def shingleHashesOrdered(toks: Column, w: Int = 3): Column =
+    call_function(graft.expr.GraftFunctions.ShingleHashesAllName, toks, lit(w))
+
   /** k seeded-minhash values over pre-hashed shingles, one native k×n
     * loop (graft.expr.SeededMinHash).
     */

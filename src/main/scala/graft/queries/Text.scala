@@ -122,6 +122,29 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprint (rolling-hash selection): k-gram hashes of
+    // the token stream, sliding window of w hashes, keep each window's
+    // minimum — the classic document-fingerprint scheme whose selected
+    // hashes are stable under local edits (two docs sharing a long run
+    // share fingerprints). Emitted as count + xxhash64 digest of the
+    // selected set for a compact per-doc row.
+    "q48_winnow_fingerprint" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val w = 4
+      val docsDf = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          graft.ext.NearDup.shingleHashesOrdered(col("toks"), 3).as("hs"))
+      docsDf.select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+            i => array_min(slice(col("hs"), i, lit(w))))).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("long").as("n_fp"),
+          xxhash64(col("fp")).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: group identical raw text, keep the lowest doc_id
     // (hash-shuffle on the text key; at 100 TB you'd group on
     // sha2(text) to shrink shuffle rows — see q35).

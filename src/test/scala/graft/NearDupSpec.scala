@@ -87,4 +87,30 @@ class NearDupSpec extends SparkSpec {
     val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(c == n)
   }
+
+  test("winnowing: stable under local edits (shared-run fingerprints survive)") {
+    graft.expr.GraftFunctions.register(spark)
+    val w = 4
+    def fp(text: String): Set[Long] = {
+      val df = Seq(Tuple1(text)).toDF("text")
+        .select(split(lower(col("text")), " ").as("toks"))
+        .select(NearDup.shingleHashesOrdered(col("toks"), 3).as("hs"))
+        .select(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fp"))
+      df.collect()(0).getSeq[Long](0).toSet
+    }
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val same = fp(doc)
+    assert(same == fp(doc))
+    // appending text must not disturb fingerprints selected early in the doc
+    val edited = fp(doc + " appended tail of new words here")
+    val shared = (same intersect edited).size.toDouble / same.size
+    assert(shared >= 0.6, s"local edit destroyed fingerprints (shared=$shared)")
+    // unrelated text shares (essentially) nothing
+    val other = fp("one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    assert((same intersect other).isEmpty)
+  }
 }

@@ -91,6 +91,7 @@ object GraftFunctions {
   val ShingleHashesName = "graft_shingle_hashes"
   val ShingleHashesAllName = "graft_shingle_hashes_all"
   val MinHashSigName = "graft_minhash_sig"
+  val WordShinglesName = "graft_word_shingles"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -106,5 +107,7 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(MinHashSigName,
       exprs => SeededMinHash(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(WordShinglesName,
+      exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
   }
 }

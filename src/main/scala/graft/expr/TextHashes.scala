@@ -84,6 +84,62 @@ case class ShingleHashes(child: Expression, w: Int,
     copy(child = newChild)
 }
 
+/** Native fused pass: word w-shingles of a token array as STRINGS, in
+  * positional order (no dedup) — value-identical to
+  * `transform(sequence(1, n-w+1), i -> concat_ws(" ", toks[i..i+w-1]))`
+  * with the same shorter-than-w fallback as [[ShingleHashes]]. Exists for
+  * the oracle-checkable fingerprint paths (DuckDB recomputes string
+  * shingles exactly; it cannot recompute xxhash64) without paying the
+  * interpreted higher-order-function cost per element.
+  */
+case class WordShingles(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(toksRaw: ArrayData): ArrayData = {
+    val n = toksRaw.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = toksRaw.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    val count = if (n < w) 1 else n - w + 1
+    val width = if (n < w) n else w
+    val out = new Array[AnyRef](count)
+    i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](width)
+      var j = 0
+      while (j < width) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native k-seed minhash signature over pre-hashed shingles: element s of
   * the output is min over the input of xxhash64(h, seed = s) — one tight
   * k×n loop instead of k interpreted array traversals.

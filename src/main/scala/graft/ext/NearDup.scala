@@ -59,6 +59,14 @@ object NearDup {
   def shingleHashesOrdered(toks: Column, w: Int = 3): Column =
     call_function(graft.expr.GraftFunctions.ShingleHashesAllName, toks, lit(w))
 
+  /** Positional STRING shingle sequence (native, no dedup) — same shape
+    * as [[shinglesFromTokens]] but one fused codegen'd pass. Used where
+    * the shingles must stay DuckDB-recomputable (the oracle-checked
+    * fingerprint query) instead of hashed.
+    */
+  def shingleStrings(toks: Column, w: Int = 3): Column =
+    call_function(graft.expr.GraftFunctions.WordShinglesName, toks, lit(w))
+
   /** k seeded-minhash values over pre-hashed shingles, one native k×n
     * loop (graft.expr.SeededMinHash).
     */

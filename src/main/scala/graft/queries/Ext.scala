@@ -17,6 +17,10 @@ object Ext {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash signatures + LSH candidate pressure per document.
+    // No oracle BY NECESSITY: every output column derives from xxhash64
+    // (signature mins, band keys), which DuckDB cannot recompute
+    // (SparkEntry.scala:46-50 exemption). Semantics pinned in
+    // NearDupSpec (byte-equality of native vs composed hashes, recall).
     "q36_minhash" -> ((s, d) => {
       val signed = NearDup.signed(table(s, d, "documents").repartition(col("doc_id")), "doc_id", "text")
       val pairs = NearDup.candidatePairs(signed)
@@ -31,6 +35,9 @@ object Ext {
     }),
 
     // SimHash per document (two-step so token hashes are computed once).
+    // No oracle BY NECESSITY: the 64 bit-votes are over xxhash64 token
+    // hashes — not DuckDB-recomputable. Pinned in NearDupSpec
+    // (determinism, hamming ordering, exact-dup collapse).
     "q37_simhash" -> ((s, d) => {
       table(s, d, "documents").repartition(col("doc_id"))
         .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
@@ -52,7 +59,10 @@ object Ext {
     }),
 
     // IVF approximate top-3 (coarse-quantizer + inverted-list probe).
-    // Rows-only: recall vs brute force pinned in SimilaritySpec.
+    // No oracle: the result depends on the spherical k-means training
+    // loop (iterative float-cast recentering) — reproducing it in SQL
+    // would be a second implementation, not an independent check.
+    // Recall vs brute force pinned in SimilaritySpec instead.
     "q44_ann_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
@@ -74,6 +84,8 @@ object Ext {
     }),
 
     // Approximate top-3 via random-hyperplane LSH bucket probe.
+    // No oracle BY NECESSITY: bucket membership depends on xxhash64-
+    // derived hyperplanes; recall vs bruteTopK pinned in SimilaritySpec.
     "q41_ann_lsh" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
@@ -113,7 +125,10 @@ object Ext {
 
     // Multimodal plumbing over synthetic binary payloads (documents text
     // bytes as stand-in media; decode/resize/features are deterministic
-    // stubs — see graft.ext.Multimodal). Rows-only.
+    // stubs — see graft.ext.Multimodal). No oracle BY NECESSITY: the
+    // stub decode is engine-defined (no codec in the container), so
+    // there is no independent ground truth to recompute; the plumbing
+    // (schema, batch shape, determinism) is pinned in MultimodalSpec.
     "q51_multimodal" -> ((s, d) => {
       val media = table(s, d, "documents").repartition(col("doc_id"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
@@ -129,21 +144,103 @@ object Ext {
 
     // The reference dataflow end-to-end on built-in wire fixtures
     // (SURVEY.md §7.2 minimum slice; golden parity in Active911Spec).
+    // Oracle-checked on the non-tz columns: DuckDB RE-DERIVES the id
+    // prefixing, JS-Number coordinate fix/fallback/drop, and the exact
+    // remarks template from the fixture alert FIELDS (transcribed as
+    // VALUES — the JSONP/base64/CSV framing is not SQL-expressible and
+    // is spec-pinned instead). `start` and `links` need the tz-abbrev
+    // parse (no ICU in offline DuckDB) — byte-pinned by the golden
+    // FeatureCollection in Active911Spec and exercised end-to-end by
+    // the streaming entry q53.
     "q50_active911_features" -> ((s, d) => {
       import s.implicits._
       val env = Fixtures.envelopes.toDF("agency_id", "raw")
       Active911.pipeline(env)
         .select(col("id"), col("type"),
           col("properties.callsign").as("callsign"),
-          col("properties.start").as("start"),
-          to_json(col("properties.links")).as("links_json"),
-          col("properties.remarks").as("remarks"),
           element_at(col("geometry.coordinates"), 1).as("lon"),
-          element_at(col("geometry.coordinates"), 2).as("lat"))
+          element_at(col("geometry.coordinates"), 2).as("lat"),
+          col("properties.remarks").as("remarks"))
         .orderBy(col("id"))
     }))
 
+  /** JS `Number(x)` semantics in DuckDB SQL (''→0, numeric-shape cast,
+    * otherwise NaN) — mirrors [[graft.ops.Active911.jsNumber]].
+    */
+  private def jsnumSql(x: String): String =
+    s"""CASE WHEN trim($x) = '' THEN 0.0
+        WHEN regexp_matches(trim($x), '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$$')
+          THEN CAST(trim($x) AS DOUBLE)
+        ELSE CAST('nan' AS DOUBLE) END"""
+
+  /** The q50/q53 oracle: the feature assembly re-derived in SQL from the
+    * fixture alert FIELDS (Fixtures.agency101Csv/agency102Csv transcribed
+    * as VALUES; agency 103 is the API-error envelope and never reaches
+    * the feature output) — JS Number() semantics, the zero-coordinate
+    * predicate, the lat-first place fallback with silent drop
+    * (task.ts:172-184), id prefixing (task.ts:215), and the exact remarks
+    * whitespace template (task.ts:221-225). The JSONP/base64/CSV framing
+    * is not SQL-expressible and is spec-pinned instead; q53's dedup of
+    * the redelivered batch must collapse to these same rows.
+    */
+  val active911FeaturesOracle: String =
+    s"""WITH alerts(id, description, lat, lon, place, units, source, details) AS (VALUES
+         ('9001','Structure Fire','39.7392','-104.9903','Station 4','E4 L2','CAD','Two story residential'),
+         ('9002','MVA','40.0150','-105.2705','','M1','Dispatch','Highway 36 at exit 12'),
+         ('9003','Medical','21.3069','-157.8583','','A7','CAD','Chest pain'),
+         ('9101','Grass Fire','0','0','41.8781,-87.6298','B2','CAD','North field'),
+         ('9102','Alarm','','','48.8566, 2.3522, Paris','E9','Panel','Panel zone 3'),
+         ('9103','Dropped Alert','0','-122.4','Corner of 5th and Main','E1','CAD','No usable location')),
+       n AS (
+         SELECT *, ${jsnumSql("lat")} AS lat_n, ${jsnumSql("lon")} AS lon_n,
+                string_split(trim(place), ',') AS pp
+         FROM alerts),
+       c AS (
+         SELECT *, (lon_n = 0 OR lat_n = 0) AS needfix,
+                ${jsnumSql("pp[1]")} AS p1,
+                CASE WHEN len(pp) >= 2 THEN ${jsnumSql("pp[2]")} END AS p2
+         FROM n)
+       SELECT 'active911-' || id AS id, 'Feature' AS "type",
+         description AS callsign,
+         CASE WHEN needfix THEN p2 ELSE lon_n END AS lon,
+         CASE WHEN needfix THEN p1 ELSE lat_n END AS lat,
+         chr(10) || repeat(' ', 32) || 'Groups: ' || units ||
+         chr(10) || repeat(' ', 32) || 'Author: ' || source ||
+         chr(10) || repeat(' ', 32) || details ||
+         chr(10) || repeat(' ', 28) AS remarks
+       FROM c
+       WHERE NOT needfix
+          OR (len(pp) >= 2 AND NOT isnan(p1) AND NOT isnan(p2))
+       ORDER BY id"""
+
   val oracles: Map[String, String] = Map(
+    // q38 recomputed hash-free: the Spark side intersects 64-bit hashed
+    // shingles (native ShingleHashes — the scale path's equi-join key);
+    // DuckDB intersects the string shingles themselves. Values agree
+    // exactly unless xxhash64 collides within a document pair's shingle
+    // sets (~2⁻⁶⁴ per pair). Blocking (lang, n_chars//50) mirrored.
+    "q38_jaccard_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars // 50 AS lenb,
+                  string_split(lower(text), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang, lenb,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in generate_series(1, len(toks)-2)])
+             END AS sh
+           FROM d),
+         e AS (SELECT doc_id, lang, lenb, len(sh) AS n, unnest(sh) AS h FROM s),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+                  COUNT(*) AS inter
+           FROM e a JOIN e b ON a.h = b.h AND a.lang = b.lang
+                             AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 4) AS jaccard
+         FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
     "q39_embedding_neardup" ->
       """WITH f AS (
            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -204,6 +301,14 @@ object Ext {
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // q50 re-derived in SQL from the fixture alert fields (Fixtures
+    // .agency101Csv/agency102Csv transcribed as VALUES; agency 103 is the
+    // API-error envelope and never reaches the feature output): JS
+    // Number() semantics (''→0, non-numeric→NaN), the zero-coordinate
+    // predicate, the lat-first place fallback with silent drop
+    // (task.ts:172-184), id prefixing (task.ts:215), and the exact
+    // remarks whitespace template (task.ts:221-225).
+    "q50_active911_features" -> active911FeaturesOracle,
     "q42_embedding_stats" ->
       """WITH f AS (
            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v

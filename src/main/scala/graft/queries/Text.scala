@@ -122,26 +122,31 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
-    // Winnowing fingerprint (rolling-hash selection): k-gram hashes of
-    // the token stream, sliding window of w hashes, keep each window's
-    // minimum — the classic document-fingerprint scheme whose selected
-    // hashes are stable under local edits (two docs sharing a long run
-    // share fingerprints). Emitted as count + xxhash64 digest of the
-    // selected set for a compact per-doc row.
+    // Winnowing fingerprint: k-gram shingles of the token stream, sliding
+    // window of w shingles, keep each window's minimum — the classic
+    // document-fingerprint scheme whose selected grams are stable under
+    // local edits (two docs sharing a long run share fingerprints).
+    // Winnowing only needs a total order on the grams; this entry orders
+    // them lexicographically so DuckDB can recompute the selection
+    // exactly (hash-ordered selection via the native xxhash64 stream —
+    // NearDup.shingleHashesOrdered, the uniform-sampling production
+    // variant — is not SQL-expressible; it stays pinned by
+    // NearDupSpec's winnowing test). Shingling itself is one native
+    // codegen'd pass (graft.expr.WordShingles), not an interpreted HOF.
     "q48_winnow_fingerprint" -> ((s, d) => {
       graft.expr.GraftFunctions.register(s)
       val w = 4
       val docsDf = docs(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .select(col("doc_id"),
-          graft.ext.NearDup.shingleHashesOrdered(col("toks"), 3).as("hs"))
+          graft.ext.NearDup.shingleStrings(col("toks"), 3).as("sh"))
       docsDf.select(col("doc_id"),
           array_distinct(transform(
-            sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-            i => array_min(slice(col("hs"), i, lit(w))))).as("fp"))
+            sequence(lit(1), greatest(size(col("sh")) - (w - 1), lit(1))),
+            i => array_min(slice(col("sh"), i, lit(w))))).as("fp"))
         .select(col("doc_id"),
           size(col("fp")).cast("long").as("n_fp"),
-          xxhash64(col("fp")).as("fp_digest"))
+          md5(array_join(array_sort(col("fp")), "|")).as("fp_digest"))
         .orderBy(col("doc_id"))
     }),
 
@@ -221,6 +226,33 @@ object Text {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    // Winnowing recomputed from first principles: 3-gram string shingles
+    // (with the shorter-than-w whole-text fallback), window-min of 4
+    // consecutive shingles (ROWS CURRENT..3 FOLLOWING ≡ slice(sh, i, 4)),
+    // window starts 1..max(n-3, 1), distinct selected grams per doc.
+    "q48_winnow_fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks)-2)]
+             END AS sh
+           FROM d),
+         e AS (
+           SELECT doc_id, len(sh) AS n, generate_subscripts(sh, 1) AS i,
+                  unnest(sh) AS g
+           FROM s),
+         m AS (
+           SELECT doc_id, n, i,
+             min(g) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+           FROM e),
+         sel AS (SELECT DISTINCT doc_id, wmin FROM m WHERE i <= greatest(n - 3, 1))
+         SELECT doc_id, COUNT(*) AS n_fp,
+           md5(array_to_string(list_sort(list(wmin)), '|')) AS fp_digest
+         FROM sel GROUP BY doc_id ORDER BY doc_id""",
     "q34_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",

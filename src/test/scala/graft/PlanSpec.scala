@@ -86,7 +86,7 @@ class PlanSpec extends SparkSpec {
       "q46_scalar_subquery", "q47_hybrid_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
-      .filterNot(_ == "q52_stream_window_agg") // starts a streaming query
+      .filterNot(Set("q52_stream_window_agg", "q53_stream_active911")) // start streaming queries
       .flatMap { q =>
         val p = plan(q)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -69,6 +69,32 @@ class ConnectorSpec extends SparkSpec {
     assert(thrown.getMessage == """["Agency not available"]""")
   }
 
+  test("sink chunks large results into size-capped POSTs, all before the throw") {
+    val c = new Active911Connector(new MockTransport)
+    val (envelopes, _) = c.read(spark, Active911Config("u", "p"), 1765200000000L)
+    val features = Active911.pipeline(envelopes)
+    val n = features.count() // 5 fixture features
+    var bodies: List[String] = Nil
+    val sink = new CloudTakSink(body => bodies ::= body, maxFeaturesPerPost = 2)
+    intercept[RuntimeException](sink.submit(features, Seq("boom")))
+    // ceil(5/2) = 3 capped collections, every one a valid wrapper
+    assert(bodies.length == math.ceil(n / 2.0).toInt)
+    assert(bodies.forall(_.startsWith("""{"type":"FeatureCollection","features":[""")))
+    // no chunk exceeds the cap; union covers every feature exactly once
+    val perChunk = bodies.map(_.sliding("\"type\":\"Feature\"".length)
+      .count(_ == "\"type\":\"Feature\""))
+    assert(perChunk.forall(_ <= 2) && perChunk.sum == n)
+  }
+
+  test("error body JSON-escapes control characters (task.ts:241 JSON.stringify)") {
+    val sink = new CloudTakSink(_ => ())
+    val msg = "line1\nline2\t\"quoted\" back\\slash " + '\u0001'
+    val e = intercept[RuntimeException](
+      sink.submit(spark.emptyDataFrame, Seq(msg)))
+    assert(e.getMessage ==
+      "[\"line1\\nline2\\t\\\"quoted\\\" back\\\\slash \\u0001\"]")
+  }
+
   test("sink with no errors does not throw") {
     val c = new Active911Connector(new MockTransport)
     val (envelopes, _) = c.read(spark, Active911Config("u", "p"), 1765200000000L)

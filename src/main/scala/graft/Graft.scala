@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared helpers: session defaults + harness-table loader.
   *
@@ -41,4 +41,17 @@ object Graft {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Spread per-row compute across cores ONLY when the input arrives
+    * narrower than the cluster — the harness tables are one parquet file
+    * each, i.e. a single split, so without this every per-document
+    * expression runs on one core. At real scale the source is thousands
+    * of splits and this is a no-op: an unconditional `repartition` there
+    * would shuffle full document text for nothing. `.rdd.getNumPartitions`
+    * plans but does not execute the input, so the probe is driver-only.
+    */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(key) else df
+  }
 }

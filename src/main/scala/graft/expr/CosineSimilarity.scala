@@ -92,6 +92,7 @@ object GraftFunctions {
   val ShingleHashesAllName = "graft_shingle_hashes_all"
   val MinHashSigName = "graft_minhash_sig"
   val WordShinglesName = "graft_word_shingles"
+  val HyperplaneBitsName = "graft_hyperplane_bits"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -109,5 +110,7 @@ object GraftFunctions {
       exprs => SeededMinHash(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(WordShinglesName,
       exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(HyperplaneBitsName,
+      exprs => HyperplaneSignBits(exprs(0), litInt(exprs(1))), "built-in")
   }
 }

@@ -201,14 +201,16 @@ object NearDup {
     * to 64-bit first (long equi-join keys; collisions negligible).
     */
   def blockedJaccardPairs(docs: DataFrame, topK: Int = 50): DataFrame = {
-    // tokens projected BEFORE the repartition barrier (see
-    // shinglesFromTokens), shingle sets computed ONCE per doc after it;
-    // repartition also spreads shingling across cores (single-file input).
+    // spreadIfNarrow fans shingling across cores at harness scale
+    // (single-file input) and is a no-op on a many-split source; the
+    // native ShingleHashes expression evaluates its token input once per
+    // row, so no projection barrier is needed for single evaluation.
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val base = docs.select(col("doc_id"), col("lang"),
-        (col("n_chars") / 50).cast("long").as("lenb"),
-        split(lower(col("text")), " ").as("toks"))
-      .repartition(col("doc_id"))
+    val base = graft.Graft.spreadIfNarrow(
+        docs.select(col("doc_id"), col("lang"),
+          (col("n_chars") / 50).cast("long").as("lenb"),
+          split(lower(col("text")), " ").as("toks")),
+        col("doc_id"))
       .select(col("doc_id"), col("lang"), col("lenb"),
         shingleHashes(col("toks"), 3).as("sh"))
       .withColumn("n", size(col("sh")))

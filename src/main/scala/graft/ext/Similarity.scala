@@ -65,8 +65,20 @@ object Similarity {
     (pmod(xxhash64(lit("plane"), lit(p), j), lit(20000L)).cast("double")
       / 10000.0) - 1.0
 
-  /** Sign-pattern bucket id of a vector under `nPlanes` hyperplanes. */
+  /** Sign-pattern bucket id of a vector under `nPlanes` hyperplanes —
+    * native fused pass (graft.expr.HyperplaneSignBits: cached component
+    * table, one nPlanes×dim loop, codegen'd). Bit-identical to
+    * [[lshBucketHof]] (pinned in SimilaritySpec); requires
+    * GraftFunctions.register on the session.
+    */
   def lshBucket(vec: Column, nPlanes: Int = 8): Column =
+    call_function(graft.expr.GraftFunctions.HyperplaneBitsName, vec, lit(nPlanes))
+
+  /** Higher-order-function form of [[lshBucket]] — the readable spec of
+    * the bucket function, kept as the equality reference for the native
+    * expression. Interpreted per plane per row: do NOT use in hot paths.
+    */
+  def lshBucketHof(vec: Column, nPlanes: Int = 8): Column =
     (0 until nPlanes).map { p =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

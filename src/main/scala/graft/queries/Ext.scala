@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Graft.table
+import graft.Graft.{spreadIfNarrow, table}
 import graft.ext.{NearDup, Similarity}
 import graft.ops.{Active911, Fixtures}
 
@@ -22,7 +22,7 @@ object Ext {
     // (SparkEntry.scala:46-50 exemption). Semantics pinned in
     // NearDupSpec (byte-equality of native vs composed hashes, recall).
     "q36_minhash" -> ((s, d) => {
-      val signed = NearDup.signed(table(s, d, "documents").repartition(col("doc_id")), "doc_id", "text")
+      val signed = NearDup.signed(spreadIfNarrow(table(s, d, "documents"), col("doc_id")), "doc_id", "text")
       val pairs = NearDup.candidatePairs(signed)
       val touched = pairs.select(col("id_a").as("doc_id"))
         .union(pairs.select(col("id_b").as("doc_id")))
@@ -39,7 +39,7 @@ object Ext {
     // hashes — not DuckDB-recomputable. Pinned in NearDupSpec
     // (determinism, hamming ordering, exact-dup collapse).
     "q37_simhash" -> ((s, d) => {
-      table(s, d, "documents").repartition(col("doc_id"))
+      spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), NearDup.simhashFromHashes(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))
@@ -53,7 +53,7 @@ object Ext {
     // verify scale; graft.ext.Similarity.lshNearDupPairs is the banded
     // 100 TB path, recall-pinned against this in SimilaritySpec).
     "q39_embedding_neardup" -> ((s, d) => {
-      val emb = table(s, d, "embeddings").repartition(col("vec_id"))
+      val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.cosinePairsExact(emb, 0.4).orderBy(col("id_a"), col("id_b"))
     }),
@@ -67,7 +67,7 @@ object Ext {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.repartition(col("vec_id"))
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.ivfTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
     }),
@@ -78,7 +78,7 @@ object Ext {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.repartition(col("vec_id"))
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
@@ -90,7 +90,7 @@ object Ext {
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.repartition(col("vec_id"))
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
     }),
@@ -107,8 +107,8 @@ object Ext {
         .select(col("doc_id"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = emb.join(en, col("vec_id") === col("doc_id"))
-        .repartition(col("vec_id"))
+      val corpus = spreadIfNarrow(
+        emb.join(en, col("vec_id") === col("doc_id")), col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
     }),
@@ -130,7 +130,7 @@ object Ext {
     // there is no independent ground truth to recompute; the plumbing
     // (schema, batch shape, determinism) is pinned in MultimodalSpec.
     "q51_multimodal" -> ((s, d) => {
-      val media = table(s, d, "documents").repartition(col("doc_id"))
+      val media = spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
           concat(lit("text/plain;src="), col("source")).as("mtype"))
       graft.ext.Multimodal.enrich(media, "doc_id", "bytes", "mtype")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Graft.table
+import graft.Graft.{spreadIfNarrow, table}
 
 /** Text-analysis operators for a training-data pipeline over `documents`
   * (north-star EXT, SURVEY.md §2.14): tokenization/explode, language-ID
@@ -20,11 +20,11 @@ object Text {
   private def tokens(c: Column): Column = split(lower(c), " ")
 
   /** documents arrives as one parquet file per sf dir → one input split;
-    * repartition spreads per-doc compute across cores. (At real scale the
-    * source is many files and this shuffle disappears.)
+    * spreadIfNarrow fans per-doc compute across cores at harness scale
+    * and vanishes at real scale where the source is many splits.
     */
   private def docs(s: SparkSession, d: String) =
-    table(s, d, "documents").repartition(col("doc_id"))
+    spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
     * heuristic. Deterministic and SQL-expressible — not a real model.

@@ -69,9 +69,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q41: LSH probe is an equi-join on the bucket key, no product join") {
-    val p = plan("q41_ann_lsh")
+    val df = SparkEntry.queries("q41_ann_lsh")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH probe degenerated to a product join:\n$p")
+    // bucket keys come from the native fused expression, not the HOF form
+    def hasBits(pl: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =
+      pl.expressions.exists(_.exists(_.isInstanceOf[graft.expr.HyperplaneSignBits])) ||
+        pl.children.exists(c =>
+          hasBits(c.asInstanceOf[org.apache.spark.sql.catalyst.plans.QueryPlan[_]]))
+    assert(hasBits(df.queryExecution.optimizedPlan),
+      "native HyperplaneSignBits not in the optimized plan")
   }
 
   test("plan lint: product joins only where intentional, across ALL queries") {

@@ -40,6 +40,17 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("spreadIfNarrow: repartitions a single-split scan, no-op on a wide input") {
+    val narrow = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    val spread = Graft.spreadIfNarrow(narrow, col("doc_id"))
+    assert(spread.queryExecution.analyzed.toString.contains("RepartitionByExpression"))
+    // already at cluster width → identity, no shuffle inserted
+    val wide = narrow.repartition(spark.sparkContext.defaultParallelism)
+    val kept = Graft.spreadIfNarrow(wide, col("doc_id"))
+    assert(kept eq wide)
+  }
+
   test("bucketed tables join without a shuffle (pre-partitioned co-location)") {
     // external tables with explicit paths — the in-memory catalog only
     // tracks metadata, nothing lands in the default warehouse dir

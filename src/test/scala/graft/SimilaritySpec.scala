@@ -30,6 +30,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall (approx ${approx.size}/${exact.size})")
   }
 
+  test("HyperplaneSignBits: bit-identical to the HOF bucket form (8 and 16 planes)") {
+    graft.expr.GraftFunctions.register(spark)
+    for (nPlanes <- Seq(8, 16)) {
+      val diff = emb.select(
+          Similarity.lshBucket(col("vec"), nPlanes).as("native"),
+          Similarity.lshBucketHof(col("vec"), nPlanes).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(diff == 0, s"native/HOF bucket mismatch on $diff rows at nPlanes=$nPlanes")
+    }
+    // buckets actually discriminate (not all vectors in one bucket)
+    val distinct = emb.select(Similarity.lshBucket(col("vec"), 8)).distinct().count()
+    assert(distinct > 1)
+  }
+
   test("ivfTopK: recall@3 vs brute force pinned; no self-matches") {
     val qs = emb.filter(col("id") < 50)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -30,6 +30,15 @@ object Salt {
   def skewJoin(big: DataFrame, small: DataFrame,
                bigKey: String, smallKey: String,
                buckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    // the small side is replicated once per bucket, so join types that
+    // emit unmatched SMALL-side rows (right/full outer) would duplicate
+    // each such row `buckets` times — only inner/left variants are sound
+    val canonical = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(canonical),
+      s"skewJoin supports inner/left join types only (small side is " +
+        s"replicated per bucket; right/full outer would emit unmatched " +
+        s"small-side rows $buckets times) — got '$joinType'")
     val saltCols = big.columns.map(col).toSeq
     val b = big.withColumn("__salt", saltCol(buckets, saltCols: _*))
     val s = small.withColumn("__salt",

@@ -62,6 +62,43 @@ object Advanced {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // Explicit GROUPING SETS — a non-hierarchy set ((a),(b)) that neither
+    // rollup (q10) nor cube (q17) exercises (SURVEY.md §2.6 A4).
+    "q54_grouping_sets" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Salted two-stage aggregation (the static skew remedy, SURVEY.md
+    // §7.5): the rewrite must be invisible in the result, so the oracle
+    // is the PLAIN aggregation — the driver machine-checks semantics
+    // preservation. Partials are exact longs, so the split-then-merge
+    // introduces no float reordering.
+    "q55_salted_agg" -> ((s, d) => {
+      graft.ops.Salt.saltedAgg(
+          table(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_quantity"),
+              col("l_orderkey"), col("l_linenumber")),
+          col("l_returnflag"), buckets = 16,
+          partial = Seq(
+            sum(col("l_quantity")).cast("long") -> "sum_qty",
+            count(lit(1)) -> "n"),
+          merge = Seq(
+            "sum_qty" -> (c => sum(c).cast("long")),
+            "n" -> (c => sum(c))))
+        .withColumnRenamed("__key", "returnflag")
+        .orderBy(col("returnflag"))
+    }),
+
     // Approximate distinct (HLL++) vs exact. The raw HLL estimate is not
     // DuckDB-recomputable (different sketch), so the oracle pins the
     // exact column plus the accuracy CONTRACT: `approx_ok` must be
@@ -208,6 +245,18 @@ object Advanced {
          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q54_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         coalesce(l_linestatus, '(all)') AS linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY returnflag, linestatus""",
+    // the salted rewrite must equal the plain aggregation
+    "q55_salted_agg" ->
+      """SELECT l_returnflag AS returnflag,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""",
     "q43_approx_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,

@@ -29,6 +29,16 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 1, s"salt did not spread the hot key (distinct salts = $spread)")
   }
 
+  test("skewJoin: rejects join types that replicate unmatched small-side rows") {
+    val big = Seq((1L, "x")).toDF("k", "payload")
+    val small = Seq((1L, "v")).toDF("k2", "v")
+    val e = intercept[IllegalArgumentException](
+      Salt.skewJoin(big, small, "k", "k2", buckets = 4, joinType = "full_outer"))
+    assert(e.getMessage.contains("inner/left"))
+    // left variants stay allowed
+    assert(Salt.skewJoin(big, small, "k", "k2", joinType = "left_semi").count() == 1)
+  }
+
   test("saltedAgg: equals plain aggregation") {
     val df = (1L to 5000L).map(i => (if (i % 100 == 0) i else 7L, i.toDouble))
       .toDF("k", "x")

@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  private def md5_8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -22,24 +27,39 @@ object Bench {
     // its first touch of each operator path — 2-10x per-query inflation
     // that measures the host, not the engine. The timed pass then sees
     // steady-state throughput, which is what a long-lived cluster runs at.
+    // The warm-up also records an 8-hex canonicalized-plan hash per query
+    // so successive rounds can diff PLANS, not just times.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    ordered.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        plans(name) = md5_8(df.queryExecution.optimizedPlan.canonicalized.toString)
+        df.count()
+      } catch { case _: Throwable => () }
     }
-    // best-of-2 timed passes: single-sample local[32] timings carry
+    // median of 3 timed passes: single-sample local[32] timings carry
     // multi-second scheduler/GC noise that would swamp real regressions
+    // (best-of-N hides a systematic slowdown; median resists one outlier
+    // in either direction). A query that throws in ANY pass is reported
+    // under "failed" and excluded from the totals — a broken query must
+    // not read as a fast success.
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) None else Some(times.sorted.apply(1)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (n, Some(t)) => n -> t }
+    val failed = results.collect { case (n, None) => n }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ps = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"plans":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

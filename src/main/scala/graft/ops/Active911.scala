@@ -67,14 +67,29 @@ object Active911 {
 
   /** JS `Number(x)` semantics on a string column (reference `task.ts:172,
     * 176, 229`): whitespace-trimmed; empty → 0 (the JS `Number('') === 0`
-    * quirk, SURVEY.md §7.5#4); non-numeric → NaN (never null). ANSI-safe:
-    * the cast only runs behind the numeric-shape rlike guard.
+    * quirk, SURVEY.md §7.5#4); `±Infinity` (exact case, sign allowed) →
+    * ±∞; unsigned `0x`/`0b`/`0o` radix literals → their value (signs make
+    * them NaN in JS, and do here); non-numeric → NaN (never null).
+    * ANSI-safe: every cast runs behind a shape guard. Radix values are
+    * exact to 2⁶³ (`conv`'s unsigned-long window) — beyond JS's own 2⁵³
+    * double-exact range, so any divergence needs a >19-digit hex literal
+    * in a coordinate field.
     */
   def jsNumber(c: Column): Column = {
     val t = trim(coalesce(c, lit("")))
+    def radix(prefix: String, digits: String, base: Int) =
+      t.rlike(s"^0[$prefix][$digits]+$$") ->
+        conv(substring(t, 3, 1000000), base, 10).cast(DoubleType)
+    val (isHex, hexVal) = radix("xX", "0-9a-fA-F", 16)
+    val (isBin, binVal) = radix("bB", "01", 2)
+    val (isOct, octVal) = radix("oO", "0-7", 8)
     when(t === "", lit(0.0))
-      .otherwise(when(t.rlike(NumberRegex), t.cast(DoubleType))
-        .otherwise(lit(Double.NaN)))
+      .when(t.rlike("^[+-]?Infinity$"),
+        when(t.startsWith("-"), Double.NegativeInfinity)
+          .otherwise(Double.PositiveInfinity))
+      .when(isHex, hexVal).when(isBin, binVal).when(isOct, octVal)
+      .when(t.rlike(NumberRegex), t.cast(DoubleType))
+      .otherwise(lit(Double.NaN))
   }
 
   /** Strip a JSONP wrapper: drop everything up to the first '(' and a
@@ -90,6 +105,18 @@ object Active911 {
     * unknown trailing abbreviation). Unparseable → null (moment's
     * `Invalid date → toISOString() = null`). Returns TimestampType (UTC
     * instant); serialize with [[isoUtc]].
+    *
+    * DELIBERATE DIVERGENCE (pinned in PropertySpec): the reference's
+    * fallback is moment NON-STRICT against 'MM/DD/YYYY HH:mm:ss z'
+    * (task.ts:75), whose fuzzy matcher coerces inputs that merely
+    * contain digit runs — an ISO string like `2024-03-01T12:00:00`
+    * yields a garbage-but-valid instant (digits bind positionally to
+    * MM, DD, YYYY…, overflow wraps). Replicating the fuzz would mean
+    * re-implementing moment's token scanner to reproduce garbage; this
+    * engine instead requires the `M/d/yyyy H:mm:ss` shape and returns
+    * null for anything else. Identical on every shape the Active911
+    * export emits; divergent only where the reference's answer is
+    * wrong anyway.
     */
   def parseTime(c: Column): Column = {
     val t = trim(coalesce(c, lit("")))

@@ -54,6 +54,26 @@ class Active911Spec extends SparkSpec {
     assert(got(6) == 100.0)
   }
 
+  test("jsNumber: Infinity and radix literals match JS Number() exactly") {
+    val cases = Seq(
+      "Infinity" -> Double.PositiveInfinity,
+      "+Infinity" -> Double.PositiveInfinity,
+      "-Infinity" -> Double.NegativeInfinity,
+      " Infinity " -> Double.PositiveInfinity, // JS trims first
+      "infinity" -> Double.NaN,                // case-sensitive in JS
+      "InfinityX" -> Double.NaN,
+      "0x10" -> 16.0, "0XfF" -> 255.0,
+      "0b101" -> 5.0, "0o17" -> 15.0,
+      "+0x10" -> Double.NaN,                   // JS: signed radix → NaN
+      "-0b1" -> Double.NaN,
+      "0xZZ" -> Double.NaN, "0b2" -> Double.NaN, "0o8" -> Double.NaN)
+    val got = cases.map(_._1).toDF("s")
+      .select(Active911.jsNumber(col("s")).as("n")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(if (want.isNaN) g.isNaN else g == want, s"Number('$in'): got $g, want $want")
+    }
+  }
+
   test("pipeline: coordinate fallback, drop, swap, error routing") {
     val env = Fixtures.envelopes.toDF("agency_id", "raw")
     val feats = Active911.pipeline(env).collect()

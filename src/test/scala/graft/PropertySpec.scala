@@ -89,6 +89,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- F6: ISO-ish fallback inputs — the documented divergence ----------
+
+  test("parseTime: ISO-shaped input → null (deliberate divergence from moment fuzz)") {
+    // The reference's non-strict moment fallback (task.ts:75) binds digit
+    // runs positionally to MM/DD/YYYY…, turning ISO strings into
+    // garbage-but-valid instants. This engine pins them to null — see
+    // Active911.parseTime scaladoc. Any change to that decision must
+    // consciously edit this test.
+    val isoGen = for {
+      yr <- Gen.choose(1995, 2030); mo <- Gen.choose(1, 12)
+      da <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
+      mi <- Gen.choose(0, 59); se <- Gen.choose(0, 59)
+      suffix <- Gen.oneOf("", "Z", ".000Z", "+02:00")
+    } yield f"$yr-$mo%02d-$da%02dT$h%02d:$mi%02d:$se%02d$suffix"
+    val cases = sample(isoGen, 60, seed = 31L).zipWithIndex
+    val nulls = cases.map { case (s, i) => (i.toLong, s) }.toDF("case_id", "raw")
+      .select(Active911.parseTime(col("raw")).as("ts"))
+      .filter(col("ts").isNotNull).count()
+    assert(nulls == 0, s"$nulls ISO-shaped inputs parsed non-null")
+  }
+
   // --- A1: last-wins dedup, first-occurrence key order ------------------
 
   test("responseLinks: last-wins per callsign, keys in first-appearance order") {

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+/** Pins the corpus-curation operators (ext.Corpus) on constructed data
+  * where the expected values are hand-computable, plus the scale
+  * contracts (sampling is a scan predicate; packing never splits a doc).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: exact counts on constructed docs") {
+    val docs = Seq(
+      (1L, "a a b c"),        // 4 tokens, 3 distinct, top 2
+      (2L, "x"),              // 1 token
+      (3L, "Y y y y")         // lowercased: 4 tokens, 1 distinct, top 4
+    ).toDF("doc_id", "text")
+    val got = Corpus.tokenStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 3L, 2L), (2L, 1L, 1L, 1L), (3L, 4L, 1L, 4L)))
+  }
+
+  test("repetitionFilter: keep decision matches the ratio thresholds") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // distinct 1.0, top 0.1 → kept
+      (2L, "a a a a a a a a b c")    // distinct 0.3, top 0.8 → dropped
+    ).toDF("doc_id", "text")
+    val kept = Corpus.repetitionFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Boolean]("kept"))
+    assert(kept.toSeq == Seq(true, false))
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, a pure scan predicate") {
+    val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    def run() = Corpus.stratifiedSample(df, col("doc_id"), col("lang"),
+      Map("en" -> 300L), 150L)
+    val a = run().select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = run().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty) // identical sample across runs
+    // rate lands in a loose band around the target (multiplicative hash
+    // on sequential ids is near-uniform)
+    val en = df.filter(col("lang") === "en").count().toDouble
+    val enSampled = run().filter(col("lang") === "en").count().toDouble
+    assert(enSampled / en > 0.15 && enSampled / en < 0.45,
+      s"en rate ${enSampled / en} far from 0.30")
+    // no shuffle: the predicate evaluates at the scan
+    assert(!run().queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("packShards: budget respected, docs never split, strata independent") {
+    val docs = Seq(
+      ("en", 1L, 900L), ("en", 2L, 900L), ("en", 3L, 900L), // cum 900/1800/2700
+      ("de", 10L, 2500L),                                   // oversized → own shard 0
+      ("de", 11L, 100L)
+    ).toDF("lang", "doc_id", "w")
+    val got = Corpus.packShards(docs, col("lang"), col("doc_id"), col("w"), 2000L)
+      .select("lang", "doc_id", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // en start offsets 0/900/1800, all < 2000 → shard 0 (a doc may
+    // overflow the budget it STARTS under, but is never split);
+    // de row 11 starts at 2500 → shard 1
+    assert(got == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L),
+      ("de", 10L, 0L), ("de", 11L, 1L)))
+  }
+
+  test("scrubPii: global replacement of emails and phones, text otherwise intact") {
+    val got = Seq(
+      "mail a@b.co and c.d+e@f-g.org end",
+      "call 555-123-4567 or 555.987.6543",
+      "no pii here 12345",
+      "almost@nope and 55-123-4567"
+    ).toDF("t").select(Corpus.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail <EMAIL> and <EMAIL> end")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "no pii here 12345")
+    assert(got(3) == "almost@nope and 55-123-4567")
+  }
+}

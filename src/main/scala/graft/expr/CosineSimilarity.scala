@@ -93,6 +93,7 @@ object GraftFunctions {
   val MinHashSigName = "graft_minhash_sig"
   val WordShinglesName = "graft_word_shingles"
   val HyperplaneBitsName = "graft_hyperplane_bits"
+  val ArgMaxCosName = "graft_argmax_cosine"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -112,5 +113,7 @@ object GraftFunctions {
       exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(HyperplaneBitsName,
       exprs => HyperplaneSignBits(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(ArgMaxCosName,
+      exprs => ArgMaxCosine(exprs(0), exprs(1)), "built-in")
   }
 }

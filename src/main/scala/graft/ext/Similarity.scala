@@ -138,57 +138,70 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Nearest-centroid index of a vector against a driver-side centroid
+    * matrix — one narrow native pass (graft.expr.ArgMaxCosine), no join,
+    * no shuffle. The matrix rides into executors as a foldable literal
+    * (nlist×dim floats — the broadcast-dim analogue).
+    */
+  def argMaxCosine(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    call_function(graft.expr.GraftFunctions.ArgMaxCosName, vec,
+      typedlit(centroids))
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
     *  1. coarse quantizer: `nlist` centroids from a deterministic seed
     *     (first `nlist` corpus vectors by id) refined by `lloydIters`
-    *     rounds of spherical k-means (assign by max cosine, recenter by
-    *     coordinate mean) — all DataFrame ops, centroids broadcast;
-    *  2. inverted lists: each corpus vector assigned to its nearest
-    *     centroid (narrow map with broadcast centroids — at scale,
-    *     `repartition(list_id)` colocates each list);
-    *  3. probe: each query scans only its `nprobe` nearest lists —
-    *     an equi-join on `list_id` replaces the full corpus scan.
+    *     rounds of spherical k-means; the matrix lives driver-side
+    *     (nlist×dim floats — KBs) like any broadcast dim;
+    *  2. inverted lists: each corpus vector tagged with its nearest
+    *     centroid via the native [[argMaxCosine]] — a NARROW map. The
+    *     corpus×centroids join + per-row window this replaces shuffled
+    *     n×nlist rows just to rank them, which at corpus scale was the
+    *     whole IVF cost;
+    *  3. probe: each query scans only its `nprobe` nearest lists — an
+    *     equi-join on `list_id` replaces the full corpus scan.
+    * Recentering (training only) still shuffles n×dim (pos, v) pairs;
+    * at 100 TB train the quantizer on a sample, then step 2 stays one
+    * narrow pass over the full corpus.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
 
-    var centroids = corpus.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    var cmat: Seq[Seq[Float]] = corpus.orderBy(col("id")).limit(nlist)
+      .select(col("vec")).collect().map(_.getSeq[Float](0)).toSeq
 
-    def nearestCid(df: DataFrame, vecCol: String): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__cos").desc, col("cid"))
-      df.join(broadcast(centroids))
-        .withColumn("__cos", cosineNative(col(vecCol), col("cvec")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__cos", "__rn", "cvec")
-    }
+    def assigned: DataFrame =
+      corpus.withColumn("list_id", argMaxCosine(col("vec"), cmat))
 
     for (_ <- 0 until lloydIters) {
-      val assigned = nearestCid(
-        corpus.select(col("id").as("__rid"), col("vec")), "vec")
-      centroids = assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cid"))
+      // recenter: coordinate mean per (list, pos). Indices are rebuilt
+      // from scratch each round (empty lists drop out); consistency only
+      // needs assignment and probe to share the SAME final matrix.
+      cmat = assigned
+        .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+        .select(expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+        .collect().map(_.getSeq[Float](0)).toSeq
     }
 
-    val lists = nearestCid(corpus.select(col("id").as("__rid"), col("vec")), "vec")
-      .select(col("cid").as("list_id"), col("__rid").as("id"), col("vec"))
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid"))
-    val probes = queries.join(broadcast(centroids))
+    val cdf = cmat.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("list_id", "cvec")
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("list_id"))
+    val probes = queries.join(broadcast(cdf))
       .withColumn("__cos", cosineNative(col("qvec"), col("cvec")))
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid").as("list_id"))
+      .select(col("qid"), col("qvec"), col("list_id"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    lists.join(broadcast(probes), Seq("list_id"))
+    assigned.select(col("list_id"), col("id"), col("vec"))
+      .join(broadcast(probes), Seq("list_id"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"),
         cosineNative(col("qvec"), col("vec")).as("cos"))

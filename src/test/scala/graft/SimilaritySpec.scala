@@ -45,6 +45,30 @@ class SimilaritySpec extends SparkSpec {
     assert(distinct > 1)
   }
 
+  test("ArgMaxCosine: matches driver-side argmax on all vectors; assignment is narrow") {
+    graft.expr.GraftFunctions.register(spark)
+    val rows = emb.orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val cmat: Seq[Seq[Float]] = rows.take(8).map(_._2.toSeq).toSeq
+    def expected(v: Seq[Float]): Int = {
+      val scores = cmat.map { c =>
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val nc = c.map(x => x.toDouble * x.toDouble).sum
+        dot / math.sqrt(nc)
+      }
+      scores.indexOf(scores.max)
+    }
+    val df = emb.withColumn("list_id", Similarity.argMaxCosine(col("vec"), cmat))
+    val got = df.orderBy("id").collect().map(_.getAs[Int]("list_id"))
+    rows.zip(got).foreach { case ((id, v), g) =>
+      assert(g == expected(v.toSeq), s"vec $id assigned $g")
+    }
+    // the whole assignment is one narrow map: no join, no exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"centroid assignment is not narrow:\n$plan")
+  }
+
   test("ivfTopK: recall@3 vs brute force pinned; no self-matches") {
     val qs = emb.filter(col("id") < 50)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Advanced, Corpus, Events, Ext, Relational, Text}
+import graft.queries.{Advanced, Corpus, Events, Ext, Relational, Sources, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +41,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++ Ext.queries ++
-      Advanced.queries ++ Corpus.queries
+      Advanced.queries ++ Corpus.queries ++ Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (hash/LSH-based ops, the
@@ -50,5 +50,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Ext.oracles ++
-      Advanced.oracles ++ Corpus.oracles
+      Advanced.oracles ++ Corpus.oracles ++ Sources.oracles
 }

@@ -91,6 +91,20 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // Time-RANGE frame (vs q23's ROWS frame): per-user 10-minute
+    // trailing sum on exact integer microseconds. RANGE includes ties as
+    // peers, so the value is a function of (user, ts) and shuffles can't
+    // change it.
+    "q61_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600L * 1000000L, Window.currentRow)
+      events(s, d)
+        .withColumn("w_cents", sum(cents(col("value"))).over(w))
+        .select(col("event_id"), col("user_id"), col("w_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // Pivot: event_type → columns (explicit value list keeps the plan to
     // one pass and the output schema deterministic).
     "q24_pivot" -> ((s, d) => {
@@ -167,6 +181,12 @@ object Events {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
+         FROM events ORDER BY event_id""",
+    "q61_range_frame" ->
+      """SELECT event_id, user_id,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS w_cents
          FROM events ORDER BY event_id""",
     "q24_pivot" ->
       """SELECT user_id,

@@ -1,0 +1,122 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Graft.table
+
+/** File-source coverage beyond parquet (SURVEY.md §2.1): schema-on-read
+  * JSONL and quoted/multi-line CSV — the two ingest formats every
+  * training-data pipeline meets — with PERMISSIVE corrupt-record
+  * routing. Each query round-trips the documents table through the
+  * format (plus injected malformed/adversarial records), so the oracle
+  * is the plain parquet aggregation UNION the injected rows: a lossy or
+  * misframed read cannot hash-match.
+  *
+  * Scale notes: JSONL is line-splittable — executors scan it in
+  * parallel like parquet (minus pushdown: readers prune columns only
+  * after parse). CSV with multiLine=true is NOT splittable (quoted
+  * newlines break line framing) — one task per file, so at 100 TB keep
+  * multi-line CSV in many small files or convert on ingest; that
+  * trade-off is exactly what this entry documents.
+  */
+object Sources {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Materialize a small result so the staging dir can be deleted before
+    * returning (the driver re-executes returned frames lazily).
+    */
+  private def materialize(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSONL source: schema-on-read with PERMISSIVE corrupt routing. Two
+    // malformed lines are injected; they must surface as a '(corrupt)'
+    // group, not vanish and not poison valid rows.
+    "q62_jsonl_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_jsonl_")
+      try {
+        table(s, d, "documents")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$stage/data")
+        Files.write(Paths.get(s"$stage/data/corrupt.txt"),
+          "this is not json\n{\"doc_id\": oops,}\n".getBytes("UTF-8"))
+        val read = s.read
+          .schema(docSchema.add("_corrupt_record", StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$stage/data")
+        materialize(s, read
+          .groupBy(when(col("_corrupt_record").isNotNull, lit("(corrupt)"))
+            .otherwise(col("lang")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
+    // CSV source: header + quoted fields with embedded newline, comma
+    // and doubled quotes (multiLine read). The injected adversarial row
+    // must parse to exactly one 'xx' document with its fields intact.
+    "q63_csv_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_csv_")
+      try {
+        table(s, d, "documents")
+          .coalesce(1).write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .option("quote", "\"").option("escape", "\"")
+          .csv(s"$stage/data")
+        Files.write(Paths.get(s"$stage/data/extra.csv"),
+          ("doc_id,text,lang,source,n_chars\n" +
+            "\"9999001\",\"line1\nline2, with \"\"quotes\"\"\",\"xx\",\"srcX\",\"42\"\n")
+            .getBytes("UTF-8"))
+        val read = s.read
+          .schema(docSchema)
+          .option("header", "true").option("multiLine", "true")
+          .option("quote", "\"").option("escape", "\"")
+          .csv(s"$stage/data")
+        materialize(s, read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(length(col("text"))).cast("long").as("text_len"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  val oracles: Map[String, String] = Map(
+    // valid rows must aggregate exactly like the parquet table; the two
+    // injected malformed lines form the '(corrupt)' group
+    "q62_jsonl_source" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY lang
+         UNION ALL SELECT '(corrupt)', 2, NULL
+         ORDER BY lang""",
+    // parquet groups plus the injected row; its text length is computed
+    // from the same literal, so misparsed framing cannot hash-match
+    "q63_csv_source" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(len(text)) AS BIGINT) AS text_len
+         FROM documents GROUP BY lang
+         UNION ALL SELECT 'xx', 1, 42,
+           len('line1' || chr(10) || 'line2, with "quotes"')
+         ORDER BY lang""")
+}

@@ -65,6 +65,25 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Partitioned parquet sink → pruned re-read: the training-corpus
+    // output layout (partition column = the downstream filter column).
+    // The lang-IN filter must prune at the PARTITION level on re-read
+    // (asserted in SourcesSpec); the oracle pins the round-trip values.
+    "q64_partitioned_sink" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_psink_")
+      try {
+        table(s, d, "documents")
+          .write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$stage/out")
+        val read = s.read.parquet(s"$stage/out")
+          .filter(col("lang").isin("en", "de"))
+        materialize(s, read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // CSV source: header + quoted fields with embedded newline, comma
     // and doubled quotes (multiLine read). The injected adversarial row
     // must parse to exactly one 'xx' document with its fields intact.
@@ -103,6 +122,11 @@ object Sources {
   }
 
   val oracles: Map[String, String] = Map(
+    // the partitioned round-trip must preserve values exactly
+    "q64_partitioned_sink" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY lang""",
     // valid rows must aggregate exactly like the parquet table; the two
     // injected malformed lines form the '(corrupt)' group
     "q62_jsonl_source" ->

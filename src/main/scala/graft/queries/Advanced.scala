@@ -160,6 +160,54 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Stream-stream interval join (SURVEY.md §2.10): each click joined
+    // to the same user's purchases within the following 12 hours, both
+    // sides unbounded streams. The event-time range predicate plus the
+    // two watermarks is what BOUNDS THE JOIN STATE — without them every
+    // click would be retained forever; with them state is O(12h of
+    // traffic) per side regardless of total volume. Inner join in
+    // append mode emits exactly the batch-join pairs, which is what the
+    // DuckDB oracle recomputes.
+    "q65_stream_interval_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_ij_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_ij_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        def side(tpe: String) = s.readStream.schema(schema)
+          .parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = side("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 12 hours"))
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+          .orderBy(col("click_id"), col("purchase_id"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // The reference pipeline under Structured Streaming, end-to-end
     // (SURVEY.md §2.10 T1/T2/T4): the SAME envelope batch is delivered
     // twice in two micro-batches (maxFilesPerTrigger=1) — the
@@ -268,6 +316,16 @@ object Advanced {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY win_start_us, event_type
          ORDER BY win_start_us, event_type""",
+    // the streamed interval join must emit exactly the batch-join pairs
+    "q65_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+         ORDER BY click_id, purchase_id""",
     // the streaming dedup of the redelivered batch must land exactly on
     // the batch pipeline's rows — same re-derivation as q50
     "q53_stream_active911" -> Ext.active911FeaturesOracle)

@@ -51,6 +51,29 @@ object Corpus {
             typedlit(Seq(0.5, 0.9, 0.99))), 3), 4).as("p99"))
         .orderBy(col("lang"))),
 
+    // Approximate quantiles (the 100 TB form of q58): percentile_approx
+    // is a mergeable sketch — map-side partials, no sort, no full
+    // materialization of the column. The sketch value itself is not
+    // DuckDB-recomputable, so (like q43) the oracle pins the accuracy
+    // CONTRACT: the approx p50/p90 must land inside the exact
+    // [p40,p60]/[p80,p95] rank brackets — far looser than the sketch's
+    // guarantee at accuracy=10000, so deterministic; a sketch
+    // regression flips the booleans red in CORRECTNESS.
+    "q66_approx_quantiles" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("n_chars"), typedlit(Seq(0.5, 0.9)),
+            lit(10000)).as("ap"),
+          percentile(col("n_chars"),
+            typedlit(Seq(0.4, 0.6, 0.8, 0.95))).as("ex"))
+        .select(col("lang"), col("n"),
+          (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ex"), 2)).as("p50_ok"),
+          (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("ex"), 4)).as("p90_ok"))
+        .orderBy(col("lang"))),
+
     // Shard packing: documents → fixed-token-budget training shards,
     // cumsum per language stratum (parallel across strata; a global
     // ordered cumsum would serialize the corpus through one partition).
@@ -114,6 +137,9 @@ object Corpus {
          round(quantile_cont(n_chars, 0.5), 4) AS p50,
          round(quantile_cont(n_chars, 0.9), 4) AS p90,
          round(quantile_cont(n_chars, 0.99), 4) AS p99
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q66_approx_quantiles" ->
+      """SELECT lang, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
          FROM documents GROUP BY lang ORDER BY lang""",
     "q59_shard_packing" ->
       """WITH w AS (

@@ -94,7 +94,8 @@ class PlanSpec extends SparkSpec {
       "q46_scalar_subquery", "q47_hybrid_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
-      .filterNot(Set("q52_stream_window_agg", "q53_stream_active911")) // start streaming queries
+      .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",
+        "q65_stream_interval_join")) // start streaming queries
       .flatMap { q =>
         val p = plan(q)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -241,4 +241,53 @@ object NearDup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** Connected components over a near-dup pair list — the step that
+    * turns PAIRS into dedup CLUSTERS (pick one canonical doc per
+    * component, drop the rest). Component id = min vertex id reachable.
+    *
+    * Algorithm: iterative hash-min label propagation. Each round is one
+    * equi-join shuffle on vertex id (labels × symmetrized edges →
+    * min neighbor label), so a round costs O(|E|) shuffled rows;
+    * convergence needs O(graph diameter) rounds — near-dup clusters are
+    * shallow (dups of dups), so this is a handful. `localCheckpoint`
+    * truncates lineage each round (iterative plans otherwise double in
+    * depth per iteration and overwhelm the optimizer). At larger
+    * diameters the alternating large-star/small-star formulation
+    * (Kiveris et al., "Connected Components in MapReduce") halves round
+    * count; hash-min is the right trade for shallow dup graphs.
+    *
+    * Vertices are those appearing in `edges` — singleton docs (no dup)
+    * are not emitted; callers union them back as their own component if
+    * needed. Throws if not converged within `maxIter` (a silent
+    * non-converged result would be wrong, not approximate).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among each vertex's neighbors
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("id"), col("comp"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

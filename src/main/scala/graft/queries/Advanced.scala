@@ -160,6 +160,68 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Custom bounded top-k UDAF (graft.expr.TopKByScore, §2.13): top-5
+    // orders by value per priority class through a typed Aggregator —
+    // O(k) state per group at every stage (vs collect_list's O(n)),
+    // partial+final ObjectHashAggregate asserted in AggregatorSpec.
+    // Oracle: the row_number window formulation must agree exactly.
+    "q68_topk_aggregator" -> ((s, d) => {
+      val topk = udaf(new graft.expr.TopKByScore(5),
+        graft.expr.TopKByScore.inputEncoder)
+      table(s, d, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("score"),
+          col("o_orderkey").as("id"))
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("score"), col("id")).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "row")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("row.id").as("o_orderkey"),
+          col("row.score").as("cents"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
+    // MERGE INTO (upsert/delete) as a batch operator (graft.ops.Merge):
+    // base = customer balances; change feed derived deterministically
+    // from post-1995 orders — custkey%10==0 deletes, the rest increment
+    // the balance, and key-shifted copies insert as new accounts. The
+    // oracle replays the same merge relationally in DuckDB. All money
+    // in exact integer cents (oracle determinism rules).
+    "q67_merge_upsert" -> ((s, d) => {
+      val base = table(s, d, "customer").select(
+        col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"),
+        col("c_mktsegment").as("segment"))
+      val delta = table(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")))
+        .groupBy(col("o_custkey").as("key"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("delta"))
+      val upd = delta.filter(pmod(col("key"), lit(10)) =!= 0)
+        .select(col("key"), lit("U").as("op"), col("delta"),
+          lit(null).cast("string").as("segment"))
+      val del = delta.filter(pmod(col("key"), lit(10)) === 0)
+        .select(col("key"), lit("D").as("op"),
+          lit(null).cast("long").as("delta"),
+          lit(null).cast("string").as("segment"))
+      val ins = delta.select((col("key") + 10000000L).as("key"),
+        lit("I").as("op"), col("delta"), lit("(new)").as("segment"))
+      graft.ops.Merge.merge(
+          base.withColumnRenamed("bal_cents", "bal"),
+          upd.unionByName(del).unionByName(ins)
+            .withColumnRenamed("delta", "bal"),
+          keyCol = "key", opCol = "op", valueCols = Seq("bal", "segment"),
+          onUpdate = Map(
+            "bal" -> (col("b.bal") + coalesce(col("c.bal"), lit(0L))),
+            "segment" -> col("b.segment")),
+          onInsert = Map(
+            "bal" -> col("c.bal"),
+            "segment" -> col("c.segment")))
+        .withColumnRenamed("bal", "bal_cents")
+        .orderBy(col("key"))
+    }),
+
     // Stream-stream interval join (SURVEY.md §2.10): each click joined
     // to the same user's purchases within the following 12 hours, both
     // sides unbounded streams. The event-time range predicate plus the
@@ -316,6 +378,40 @@ object Advanced {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY win_start_us, event_type
          ORDER BY win_start_us, event_type""",
+    // the bounded-heap aggregate must equal the window top-k exactly
+    "q68_topk_aggregator" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+                        o_orderkey) AS rnk
+           FROM orders)
+         SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank,
+           o_orderkey, cents
+         FROM r WHERE rnk <= 5
+         ORDER BY o_orderpriority, rank""",
+    // relational replay of the merge: base minus deletes with updates
+    // applied, plus the key-shifted inserts
+    "q67_merge_upsert" ->
+      """WITH d AS (
+           SELECT o_custkey AS key,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           GROUP BY 1),
+         b AS (
+           SELECT c_custkey AS key,
+             CAST(round(c_acctbal*100) AS BIGINT) AS bal, c_mktsegment AS segment
+           FROM customer)
+         SELECT b.key, b.bal + COALESCE(u.delta, 0) AS bal_cents, b.segment
+         FROM b
+         LEFT JOIN (SELECT key, delta FROM d WHERE key % 10 <> 0) u
+           ON b.key = u.key
+         WHERE b.key NOT IN (SELECT key FROM d WHERE key % 10 = 0)
+         UNION ALL
+         SELECT key + 10000000 AS key, delta AS bal_cents, '(new)' AS segment
+         FROM d
+         ORDER BY key""",
     // the streamed interval join must emit exactly the batch-join pairs
     "q65_stream_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

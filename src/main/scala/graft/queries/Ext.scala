@@ -58,6 +58,22 @@ object Ext {
       Similarity.cosinePairsExact(emb, 0.4).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup pairs → dedup CLUSTERS: connected components by
+    // iterative hash-min propagation (NearDup.connectedComponents) over
+    // the same exact-cosine edge set as q39; canonical = min id per
+    // component. The oracle recomputes components independently with a
+    // recursive CTE (min reachable id), so a propagation bug — not just
+    // an edge bug — flips the row. At 100 TB the edge input swaps to
+    // lshNearDupPairs; the component step is unchanged.
+    "q69_dedup_clusters" -> ((s, d) => {
+      val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val edges = Similarity.cosinePairsExact(emb, 0.4)
+      NearDup.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id"), col("comp"), (col("id") === col("comp")).as("canonical"))
+        .orderBy(col("id"))
+    }),
+
     // IVF approximate top-3 (coarse-quantizer + inverted-list probe).
     // No oracle: the result depends on the spherical k-means training
     // loop (iterative float-cast recentering) — reproducing it in SQL
@@ -257,6 +273,31 @@ object Ext {
                        JOIN norms nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // recursive-CTE reachability: comp = min reachable id over the same
+    // exact-cosine edges as q39
+    "q69_dedup_clusters" ->
+      """WITH RECURSIVE f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id),
+         pairs AS (
+           SELECT d.id_a, d.id_b
+           FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                       JOIN norms nb ON d.id_b = nb.vec_id
+           WHERE d.dot / (na.nrm * nb.nrm) >= 0.4),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, comp) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id)
+         SELECT id, MIN(comp) AS comp, (id = MIN(comp)) AS canonical
+         FROM reach GROUP BY id ORDER BY id""",
     "q47_hybrid_search" ->
       """WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
          f AS (

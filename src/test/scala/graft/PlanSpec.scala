@@ -91,7 +91,8 @@ class PlanSpec extends SparkSpec {
     //   q28: band join (range predicate against a broadcast dim)
     val productOk = Set("q28_range_join", "q39_embedding_neardup",
       "q40_cosine_topk", "q44_ann_ivf", "q45_cross_join",
-      "q46_scalar_subquery", "q47_hybrid_search")
+      "q46_scalar_subquery", "q47_hybrid_search",
+      "q69_dedup_clusters") // q69: exact-cosine edge derivation (q39's)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -58,6 +58,33 @@ object Ext {
       Similarity.cosinePairsExact(emb, 0.4).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Blocked fuzzy match (entity resolution): edit-distance pairs
+    // within a blocking key (first name token). Blocking is what makes
+    // fuzzy matching scale — candidate pairs come from an equi-join on
+    // the block key, never an all-pairs product; levenshtein runs only
+    // inside blocks. At 100 TB: several complementary blocking keys
+    // (token + length bucket + phonetic) unioned, and a block-size cap
+    // for degenerate keys (cf. NearDup.candidatePairs' maxBucket).
+    // Output aggregates per block so EVERY pair's distance feeds the
+    // oracle check (a single wrong distance shifts sum_dist).
+    "q70_fuzzy_match" -> ((s, d) => {
+      val p = table(s, d, "part")
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), 1).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("blk").as("blk_b"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"))
+      a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_close"),
+          sum(col("dist")).cast("long").as("sum_dist"))
+        .orderBy(col("blk"))
+    }),
+
     // Near-dup pairs → dedup CLUSTERS: connected components by
     // iterative hash-min propagation (NearDup.connectedComponents) over
     // the same exact-cosine edge set as q39; canonical = min id per
@@ -273,6 +300,19 @@ object Ext {
                        JOIN norms nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // block-level aggregates over the same blocked levenshtein pairs
+    "q70_fuzzy_match" ->
+      """WITH p AS (
+           SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+           FROM part),
+         pr AS (
+           SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+           FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3)
+         SELECT blk, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+         FROM pr GROUP BY blk ORDER BY blk""",
     // recursive-CTE reachability: comp = min reachable id over the same
     // exact-cosine edges as q39
     "q69_dedup_clusters" ->

@@ -130,6 +130,30 @@ object Relational {
     }),
 
     // Global top-k (TakeOrderedAndProject, not a full sort).
+    // Ranking-window-function suite (§2.9 completeness): ntile,
+    // percent_rank, cume_dist, nth_value over a total (cents, orderkey)
+    // order within each priority class. Explicit full-row frame on
+    // nth_value (engines differ on the default frame); rank-fraction
+    // doubles rounded to 6 — exact ties are impossible since the order
+    // key is unique.
+    "q71_rank_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      table(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-03-01"))
+          && col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("second_cheapest",
+          nth_value(col("o_orderkey"), 2).over(wFull))
+        .orderBy(col("o_orderpriority"), col("cents"), col("o_orderkey"))
+    }),
+
     "q08_topk_global" -> ((s, d) => {
       table(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -315,6 +339,24 @@ object Relational {
              CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q71_rank_suite" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+             AND o_orderdate < TIMESTAMP '1995-04-01')
+         SELECT o_orderkey, o_orderpriority, cents,
+           CAST(ntile(4) OVER w AS BIGINT) AS bucket,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest
+         FROM o
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+         ORDER BY o_orderpriority, cents, o_orderkey""",
     "q08_topk_global" ->
       """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

@@ -84,6 +84,22 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // ORC round-trip: the second columnar format Spark ships natively.
+    // Same splittable/pushdown properties as parquet (stripe-level
+    // stats); a lossy round-trip cannot hash-match the parquet oracle.
+    "q72_orc_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_orc_")
+      try {
+        table(s, d, "documents")
+          .write.mode("overwrite").orc(s"$stage/out")
+        materialize(s, s.read.orc(s"$stage/out")
+          .filter(col("n_chars") >= 200)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // CSV source: header + quoted fields with embedded newline, comma
     // and doubled quotes (multiLine read). The injected adversarial row
     // must parse to exactly one 'xx' document with its fields intact.
@@ -122,6 +138,11 @@ object Sources {
   }
 
   val oracles: Map[String, String] = Map(
+    // the ORC round-trip must preserve values exactly
+    "q72_orc_source" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE n_chars >= 200
+         GROUP BY lang ORDER BY lang""",
     // the partitioned round-trip must preserve values exactly
     "q64_partitioned_sink" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars

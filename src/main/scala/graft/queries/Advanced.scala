@@ -160,6 +160,25 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Bloom-filtered join (graft.ops.BloomJoin): urgent orders join
+    // lineitem with the fact side pruned through a Bloom filter of the
+    // selective dim's keys before the shuffle. Result must equal the
+    // plain join (no false negatives) — that IS the oracle.
+    "q74_bloom_join" -> ((s, d) => {
+      val urgent = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      graft.ops.BloomJoin.join(li, urgent, "l_orderkey", "o_orderkey",
+          expectedDimRows = 200000L)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+        .orderBy(col("o_year"))
+    }),
+
     // Custom bounded top-k UDAF (graft.expr.TopKByScore, §2.13): top-5
     // orders by value per priority class through a typed Aggregator —
     // O(k) state per group at every stage (vs collect_list's O(n)),
@@ -378,6 +397,15 @@ object Advanced {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY win_start_us, event_type
          ORDER BY win_start_us, event_type""",
+    // the bloom-pruned join must equal the plain join exactly
+    "q74_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           COUNT(*) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_year ORDER BY o_year""",
     // the bounded-heap aggregate must equal the window top-k exactly
     "q68_topk_aggregator" ->
       """WITH r AS (

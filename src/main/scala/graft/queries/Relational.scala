@@ -130,6 +130,22 @@ object Relational {
     }),
 
     // Global top-k (TakeOrderedAndProject, not a full sort).
+    // Unpivot/melt (the inverse of q24's pivot): wide per-flag metrics
+    // → long (flag, metric, value). A narrow per-row transform — no
+    // shuffle beyond the feeding aggregation. All measures cast to
+    // BIGINT (unpivot requires a common value type).
+    "q73_unpivot" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("n_lines"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_cents"), col("n_lines")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // Ranking-window-function suite (§2.9 completeness): ntile,
     // percent_rank, cume_dist, nth_value over a total (cents, orderkey)
     // order within each priority class. Explicit full-row frame on
@@ -339,6 +355,22 @@ object Relational {
              CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // portable relational form of unpivot: one UNION ALL branch per measure
+    "q73_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
+             COUNT(*) AS n_lines
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+           UNION ALL
+           SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM w
+           UNION ALL
+           SELECT l_returnflag, 'n_lines', n_lines FROM w)
+         ORDER BY l_returnflag, metric""",
     "q71_rank_suite" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderpriority,

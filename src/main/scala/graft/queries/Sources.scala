@@ -103,10 +103,15 @@ object Sources {
     // CSV source: header + quoted fields with embedded newline, comma
     // and doubled quotes (multiLine read). The injected adversarial row
     // must parse to exactly one 'xx' document with its fields intact.
+    // Deterministic 10% subset: multiLine parsing is single-task by
+    // nature (quoted newlines break line framing — the trade-off this
+    // entry documents), so round-tripping the full corpus only scales
+    // the serial segment without adding correctness content.
     "q63_csv_source" -> ((s, d) => {
       val stage = Files.createTempDirectory("graft_csv_")
       try {
         table(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
           .coalesce(1).write.mode("overwrite")
           .option("header", "true").option("quoteAll", "true")
           .option("quote", "\"").option("escape", "\"")
@@ -160,7 +165,7 @@ object Sources {
     "q63_csv_source" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
            CAST(SUM(len(text)) AS BIGINT) AS text_len
-         FROM documents GROUP BY lang
+         FROM documents WHERE doc_id % 10 = 0 GROUP BY lang
          UNION ALL SELECT 'xx', 1, 42,
            len('line1' || chr(10) || 'line2, with "quotes"')
          ORDER BY lang""")

@@ -264,25 +264,51 @@ object NearDup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
+    // The pair graph is orders of magnitude smaller than the corpus that
+    // produced it; every round shuffles it, so iteration parallelism must
+    // track |E|, not the session default sized for corpus scans (tiny
+    // rounds on wide shuffles are pure scheduler overhead). Scope the
+    // conf to a cloned session — never mutate the shared one.
+    val nEdges = sym0.count()
+    val parentP =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L, math.min(parentP.toLong, nEdges / 1000000L + 1)).toInt
+    val s = edges.sparkSession.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", p.toString)
+    val sym = s.createDataFrame(sym0.rdd, sym0.schema)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // sum(comp) is strictly decreasing until fixpoint (labels only ever
+    // shrink), so an unchanged sum IS convergence — one tiny aggregate
+    // action per round instead of a changed-flag scan.
+    def compSum(l: DataFrame): Long =
+      l.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = compSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among each vertex's neighbors
-      val nbrMin = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+      // message pass: every vertex offers its comp to each neighbor;
+      // min over (own comp ∪ offers) is the hash-min step
+      val msgs = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val minned = labels.select(col("id"), col("comp")).union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // pointer jump: also adopt comp(comp) — labels chase shortcuts,
+      // collapsing chains in O(log diameter) rounds instead of O(diameter)
+      val jumpSrc = minned
+        .select(col("id").as("jid"), col("comp").as("jcomp"))
+      val jumped = minned.join(jumpSrc, col("comp") === col("jid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (coalesce(col("nbr"), col("comp")) < col("comp")).as("changed"))
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.select(col("id"), col("comp"))
+      val s = compSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
       iter += 1
     }
     if (!converged)

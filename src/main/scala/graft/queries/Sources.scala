@@ -84,6 +84,35 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Schema evolution on read: corpus v1 (no `quality` column) and v2
+    // (adds it) live in one dataset; mergeSchema=true unifies them,
+    // v1 rows surface NULL quality. This is how a long-lived training
+    // corpus actually evolves — old shards are never rewritten. Scale
+    // note: mergeSchema reads every file's FOOTER at planning time; at
+    // 100 TB pin the merged schema explicitly (or keep it in a
+    // catalog) and pass it to `.schema(...)` instead.
+    "q75_schema_evolution" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_evo_")
+      try {
+        val docs = table(s, d, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$stage/out/v1")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (col("n_chars") > 500).as("quality"))
+          .write.mode("overwrite").parquet(s"$stage/out/v2")
+        val read = s.read.option("mergeSchema", "true")
+          .parquet(s"$stage/out/v1", s"$stage/out/v2")
+        materialize(s, read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("quality")).as("n_with_quality"),
+            sum(when(col("quality"), 1L).otherwise(0L)).as("n_good"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // ORC round-trip: the second columnar format Spark ships natively.
     // Same splittable/pushdown properties as parquet (stripe-level
     // stats); a lossy round-trip cannot hash-match the parquet oracle.
@@ -143,6 +172,14 @@ object Sources {
   }
 
   val oracles: Map[String, String] = Map(
+    // v1 rows (even ids) contribute NULL quality; v2 rows carry the flag
+    "q75_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 AND n_chars > 500
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+         FROM documents GROUP BY lang ORDER BY lang""",
     // the ORC round-trip must preserve values exactly
     "q72_orc_source" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars

@@ -98,22 +98,24 @@ object GraftFunctions {
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  /** name → expression builder, the single source of truth shared by
+    * per-session [[register]] and config-time [[graft.GraftExtensions]].
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    CosineSimName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ShingleHashesName -> (exprs => ShingleHashes(exprs(0), litInt(exprs(1)))),
+    ShingleHashesAllName ->
+      (exprs => ShingleHashes(exprs(0), litInt(exprs(1)), distinct = false)),
+    MinHashSigName -> (exprs => SeededMinHash(exprs(0), litInt(exprs(1)))),
+    WordShinglesName -> (exprs => WordShingles(exprs(0), litInt(exprs(1)))),
+    HyperplaneBitsName ->
+      (exprs => HyperplaneSignBits(exprs(0), litInt(exprs(1)))),
+    ArgMaxCosName -> (exprs => ArgMaxCosine(exprs(0), exprs(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(CosineSimName,
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(ShingleHashesName,
-      exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(ShingleHashesAllName,
-      exprs => ShingleHashes(exprs(0), litInt(exprs(1)), distinct = false),
-      "built-in")
-    reg.createOrReplaceTempFunction(MinHashSigName,
-      exprs => SeededMinHash(exprs(0), litInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(WordShinglesName,
-      exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(HyperplaneBitsName,
-      exprs => HyperplaneSignBits(exprs(0), litInt(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(ArgMaxCosName,
-      exprs => ArgMaxCosine(exprs(0), exprs(1)), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -96,6 +96,106 @@ object Corpus {
       .drop("__w")
   }
 
+  /** Deterministic train/test split on a hash of the key: same pure
+    * per-row predicate machinery as [[stratifiedSample]], so assignment
+    * is stable across retries/re-runs and never shuffles. Split by
+    * DOCUMENT IDENTITY (an id, a URL), never by row position — position
+    * is partitioning-dependent and would reassign rows on re-layout.
+    */
+  def trainTestSplit(df: DataFrame, key: Column, testPermille: Long): DataFrame =
+    df.withColumn("split",
+      when(sampleBucket(key) < testPermille, lit("test")).otherwise(lit("train")))
+
+  /** Cross-split leakage detection: a fingerprint (e.g. a hash of the
+    * normalized text) that appears in more than one split means the
+    * test set leaks into training. One hash-partitioned aggregation on
+    * the fingerprint — both the count-distinct-splits and the join back
+    * shuffle on the fingerprint key, so the work spreads by content, not
+    * by document count per split. Returns the input plus `n_splits`
+    * (how many distinct splits this row's fingerprint occurs in) and
+    * `leaked` (n_splits > 1).
+    */
+  def crossSplitLeakage(df: DataFrame, splitCol: Column,
+                        fingerprint: Column): DataFrame = {
+    val tagged = df.withColumn("__fp", fingerprint)
+    val spread = tagged.groupBy(col("__fp"))
+      .agg(countDistinct(splitCol).as("n_splits"))
+    tagged.join(spread, Seq("__fp"))
+      .withColumn("leaked", col("n_splits") > 1)
+      .drop("__fp")
+  }
+
+  /** Word n-grams of an already-split words array, as space-joined
+    * strings (engine-portable — any SQL engine can rebuild them, unlike
+    * hashed shingles). Empty array when the document is shorter than n.
+    */
+  def wordNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Benchmark-contamination screen: flag corpus documents sharing any
+    * word n-gram with a benchmark/eval set. Returns one row per corpus
+    * document with `n_ngrams` (distinct n-grams), `n_hit` (n-grams also
+    * present in the benchmark), and `overlap` (= n_hit / n_ngrams).
+    *
+    * Scale design: the benchmark set is small by nature (eval suites,
+    * not corpora) — its distinct n-grams BROADCAST, so the corpus side
+    * is a scan + generate + map-side semi probe with one aggregation
+    * shuffled on doc id; the 100 TB corpus never shuffles its text. For
+    * benchmark sets too large to broadcast, swap the join for
+    * [[graft.ops.BloomJoin]] on hashed n-grams.
+    */
+  def contaminationScreen(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol),
+          explode(wordNgrams(split(lower(col(textCol)), " "), n)).as("ng"))
+        .distinct()
+    val benchGrams = broadcast(grams(bench).select(col("ng")).distinct())
+    val corpusGrams = grams(corpus)
+    val hits = corpusGrams.join(benchGrams, Seq("ng"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_ngrams"), 4)
+          .as("overlap"))
+  }
+
+  /** Rebalance a corpus to target stratum SHARES (domain-mixture
+    * control: "make the training mix 50% en / 30% de / 20% zh") by
+    * deterministic downsampling. The largest feasible total is
+    * T = min over strata of nₛ/tₛ (downsample-only — no stratum can be
+    * upsampled); each stratum then keeps ≈ T·tₛ rows via a permille
+    * threshold on the [[sampleBucket]] hash. Strata absent from
+    * `targetShares` are dropped (share 0).
+    *
+    * Scale design: one tiny counts aggregate, then the keep decision is
+    * a broadcast-joined per-row predicate — the 100 TB corpus is
+    * scanned once and never shuffled; re-runs/retries keep the
+    * identical sample (no rand()).
+    */
+  def rebalanceMixture(df: DataFrame, stratum: Column, key: Column,
+                       targetShares: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(stratum.as("__st")).agg(count(lit(1)).as("__n"))
+    val withT = counts
+      .withColumn("__t", element_at(typedlit(targetShares), col("__st")))
+      .filter(col("__t").isNotNull)
+      .withColumn("__cap", col("__n") / col("__t"))
+    val tMin = withT.agg(min(col("__cap")).as("__T"))
+    val rates = withT.crossJoin(broadcast(tMin))
+      .withColumn("__permille",
+        floor(lit(1000.0) * col("__T") * col("__t") / col("__n")))
+      .select(col("__st"), col("__permille"))
+    df.join(broadcast(rates), stratum === col("__st"))
+      .filter(sampleBucket(key) < col("__permille"))
+      .drop("__st", "__permille")
+  }
+
   /** Email addresses → `<EMAIL>`, hyphen/dot-delimited US phone numbers
     * → `<PHONE>`. Patterns restricted to RE2-compatible constructs
     * (character classes + \b) so any engine reproduces them; replace is

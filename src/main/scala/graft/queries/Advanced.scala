@@ -116,6 +116,72 @@ object Advanced {
         .orderBy(col("l_returnflag"))
     }),
 
+    // DataSketches HLL with explicit shard-level sketches UNIONED into
+    // the group total — the 100 TB pattern where per-partition/per-day
+    // sketches are stored compact and merged on demand instead of
+    // re-scanning raw data. Contract oracle (like q43): exact distinct
+    // is DuckDB-recomputable; the merged-across-shards estimate and the
+    // single-pass global estimate must each land within 5% of exact
+    // (lgK=14 → rse ≈ 0.8%, so 5% is deterministic slack; shard-merge
+    // and global sketches may differ by a hair — both are pinned).
+    "q76_hll_mergeability" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val shards = li
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)).as("sh"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      val merged = shards.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_merged"))
+      val global = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+          .as("est_global"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+      merged.join(global, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("est_merged") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("merged_ok"),
+          (abs(col("est_global") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("global_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Stream-STATIC broadcast join (the reference's agency-config shape
+    // at cluster scale: a small dimension joined into every micro-batch
+    // without state). The dim is broadcast per batch — no stream-side
+    // shuffle for the join, no watermark needed on the static side;
+    // unmatched stream rows survive via left join + coalesce. Oracle =
+    // the same join in batch SQL.
+    "q82_stream_static_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_ssj_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        import s.implicits._
+        val dim = Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "revenue"), ("signup", "acquisition"))
+          .toDF("event_type", "category")
+        val stream = s.readStream.schema(schema).parquet(stage.toString)
+          .join(broadcast(dim), Seq("event_type"), "left")
+          .withColumn("category", coalesce(col("category"), lit("(other)")))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name).orderBy(col("category"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Tumbling-window aggregation executed through Structured Streaming
     // (AvailableNow over the parquet dir, memory sink), oracle-checked
     // against the equivalent batch SQL — proves the streaming engine
@@ -340,6 +406,20 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q82_stream_static_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+           ('click', 'engagement'), ('view', 'engagement'),
+           ('purchase', 'revenue'), ('signup', 'acquisition'))
+         SELECT coalesce(category, '(other)') AS category,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events LEFT JOIN dim USING (event_type)
+         GROUP BY 1 ORDER BY category""",
+    "q76_hll_mergeability" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+         TRUE AS merged_ok, TRUE AS global_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q27_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
            FROM events),

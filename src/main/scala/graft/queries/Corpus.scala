@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{spreadIfNarrow, table}
+import graft.expr.HeavyHitterSketch
 import graft.ext.{Corpus => CorpusOps}
 
 /** Corpus-curation query entries (EXT, SURVEY.md §2.14): repetition
@@ -108,7 +109,85 @@ object Corpus {
             length(replace(col("scrubbed"), lit("<PHONE>"), lit("")))) / 7)
             .cast("long"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // Train/test split + leakage audit. The fixture has no duplicate
+    // texts, so deterministic duplicates are injected first (doc_id%17
+    // docs get a copy at doc_id+100000 — both engines reproduce the
+    // injection): the copies land in whichever split their own id
+    // hashes to, so some fingerprints straddle the split boundary =
+    // leakage the audit must surface. Fingerprint = md5 of normalized
+    // text (portable across engines).
+    "q77_split_leakage" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val dup = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val corpus = docs.unionByName(dup)
+      val split = CorpusOps.trainTestSplit(corpus, col("doc_id"), 200L)
+      CorpusOps.crossSplitLeakage(split, col("split"),
+          md5(lower(col("text"))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+        .orderBy(col("split"))
+    }),
+
+    // Benchmark-contamination screen: docs with doc_id%97==0 act as the
+    // benchmark; contamination is injected deterministically (docs with
+    // doc_id%23==7 get benchmark doc 0's first 15 words appended) so
+    // the screen has true positives to find. Output = contaminated docs
+    // only, with n-gram overlap counts.
+    "q78_contamination" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val snippet = broadcast(docs.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(lower(col("text")), " "), 1, 15), " ")
+          .as("snip")))
+      val corpus = docs.crossJoin(snippet)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(23)) === 7,
+            concat(lower(col("text")), lit(" "), col("snip")))
+            .otherwise(lower(col("text"))))
+        .drop("snip")
+      val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val scanned = corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      CorpusOps.contaminationScreen(scanned, bench, "doc_id", "text", n = 8)
+        .filter(col("n_hit") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heavy-hitter tokens, two-pass: pass 1 is the Misra-Gries sketch
+    // (bounded O(k) state per partition, mergeable partials — no full
+    // token histogram in the shuffle); pass 2 exact-counts ONLY the ≤ k
+    // candidates via a broadcast semi join. MG guarantees every token
+    // with frequency > n/(k+1) survives pass 1 (k=64 ≫ 1/frac here), so
+    // the final filter on exact counts is deterministic and equals the
+    // plain GROUP BY ... HAVING the oracle runs.
+    "q81_heavy_hitters" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+      val hh = udaf(new HeavyHitterSketch(64), HeavyHitterSketch.inputEncoder)
+      val cands = toks.agg(hh(col("tok")).as("cands"))
+        .select(explode(col("cands")).as("tok"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") >= ceil(col("n_total") * 0.03))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
+    // (es/fr dropped — share 0). The achieved per-stratum counts are
+    // deterministic (hash-threshold sampling), so DuckDB recomputes
+    // them exactly from the same integer math.
+    "q83_mixture_rebalance" -> ((s, d) =>
+      CorpusOps.rebalanceMixture(
+          table(s, d, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -172,5 +251,56 @@ object Corpus {
          SELECT doc_id, scrubbed,
            CAST((len(scrubbed) - len(replace(scrubbed, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
            CAST((len(scrubbed) - len(replace(scrubbed, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone
-         FROM s ORDER BY doc_id""")
+         FROM s ORDER BY doc_id""",
+    "q77_split_leakage" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 0),
+         sp AS (
+           SELECT md5(lower(text)) AS fp,
+             CASE WHEN (doc_id * 2654435761) % 1000 < 200
+                  THEN 'test' ELSE 'train' END AS split
+           FROM corpus),
+         spread AS (
+           SELECT fp, COUNT(DISTINCT split) AS n_splits FROM sp GROUP BY 1)
+         SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+         FROM sp JOIN spread USING (fp)
+         GROUP BY split ORDER BY split""",
+    "q78_contamination" ->
+      """WITH snip AS (
+           SELECT array_to_string(string_split(lower(text), ' ')[1:15], ' ') AS s
+           FROM documents WHERE doc_id = 0),
+         corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 23 = 7
+                  THEN lower(text) || ' ' || (SELECT s FROM snip)
+                  ELSE lower(text) END AS t
+           FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS ng
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) ix
+           WHERE len(w) >= 8),
+         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+         cand AS (SELECT doc_id, ng FROM g WHERE doc_id % 97 <> 0),
+         hit AS (
+           SELECT c.doc_id, COUNT(*) AS n_hit
+           FROM cand c JOIN bench b USING (ng) GROUP BY 1),
+         tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM cand GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           round(h.n_hit * 1.0 / t.n_ngrams, 4) AS overlap
+         FROM tot t JOIN hit h USING (doc_id)
+         WHERE h.n_hit > 0 ORDER BY t.doc_id""",
+    // MG candidates then exact-count = plain GROUP BY ... HAVING
+    "q81_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM toks)
+         SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+         HAVING COUNT(*) >= (SELECT ceil(n * 0.03) FROM tot)
+         ORDER BY cnt DESC, tok""")
 }

@@ -139,6 +139,25 @@ object Ext {
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
+    // Int8 embedding quantization with exact reconstruction-error
+    // audit: scale, L1 mass of the quantized vector, and worst-case
+    // per-element error — the compression step before a 100 TB ANN
+    // index. Pure narrow math (codegen'd HOFs, round-half-up), so
+    // DuckDB recomputes every value from the same floats.
+    "q79_embedding_quantize" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("qz", Similarity.quantizeInt8(col("v")))
+        .select(col("vec_id"),
+          round(col("qz.scale"), 6).as("scale_r"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + abs(x)).as("l1"),
+          round(array_max(
+            Similarity.dequantError(col("v"), col("qz.q"), col("qz.scale"))),
+            6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Approximate top-3 via random-hyperplane LSH bucket probe.
     // No oracle BY NECESSITY: bucket membership depends on xxhash64-
     // derived hyperplanes; recall vs bruteTopK pinned in SimilaritySpec.
@@ -270,6 +289,24 @@ object Ext {
        ORDER BY id"""
 
   val oracles: Map[String, String] = Map(
+    "q79_embedding_quantize" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e),
+         q AS (
+           SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) AS qv
+           FROM s)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+           round(list_max(list_transform(list_zip(v, qv),
+             p -> abs(p[1] - p[2]*scale))), 6) AS max_err
+         FROM q ORDER BY vec_id""",
     // q38 recomputed hash-free: the Spark side intersects 64-bit hashed
     // shingles (native ShingleHashes — the scale path's equi-join key);
     // DuckDB intersects the string shingles themselves. Values agree

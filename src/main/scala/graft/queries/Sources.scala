@@ -84,6 +84,38 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Range-partitioned + sorted parquet layout: repartitionByRange on
+    // (lang, doc_id) then sortWithinPartitions — the zone-map layout
+    // that lets parquet row-group min/max stats prune point/range scans
+    // at 100 TB. The contract, proven on the READ-BACK files: per-file
+    // (min,max) key ranges are pairwise disjoint (files_disjoint), and
+    // no content was lost (rows / sum_doc_id vs the oracle). Range
+    // boundary sampling is seeded → deterministic across re-runs.
+    "q80_sorted_layout" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stage = Files.createTempDirectory("graft_layout_")
+      try {
+        table(s, d, "documents")
+          .repartitionByRange(8, col("lang"), col("doc_id"))
+          .sortWithinPartitions(col("lang"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$stage/out")
+        val back = s.read.parquet(s"$stage/out")
+          .select(col("doc_id"), col("lang"), input_file_name().as("f"))
+        val perFile = back.groupBy(col("f"))
+          .agg(min(struct(col("lang"), col("doc_id"))).as("lo"),
+            max(struct(col("lang"), col("doc_id"))).as("hi"),
+            count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        val flags = perFile
+          .withColumn("prev_hi", lag(col("hi"), 1).over(Window.orderBy(col("lo"))))
+          .select((col("prev_hi").isNull || col("lo") > col("prev_hi")).as("ok"),
+            col("n"), col("sum_id"))
+        materialize(s, flags.agg(
+          sum(col("n")).as("rows"),
+          sum(col("sum_id")).as("sum_doc_id"),
+          min(col("ok")).as("files_disjoint")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -190,6 +222,14 @@ object Sources {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY lang ORDER BY lang""",
+    // content conservation is DuckDB-checkable; disjointness is a
+    // file-layout contract (TRUE by construction of a correct range
+    // repartition — a misrouted row flips it red)
+    "q80_sorted_layout" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         TRUE AS files_disjoint
+         FROM documents""",
     // valid rows must aggregate exactly like the parquet table; the two
     // injected malformed lines form the '(corrupt)' group
     "q62_jsonl_source" ->

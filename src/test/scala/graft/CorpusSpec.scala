@@ -79,4 +79,54 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) == "no pii here 12345")
     assert(got(3) == "almost@nope and 55-123-4567")
   }
+
+  test("trainTestSplit: deterministic, keyed by identity, roughly rate-proportional") {
+    val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    def run() = Corpus.trainTestSplit(df, col("doc_id"), 200L)
+    val a = run().filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = run().filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "split must be identical across re-runs")
+    val n = df.count()
+    assert(a.size > n / 10 && a.size < n * 3 / 10,
+      s"test fraction ${a.size}/$n should be near 20%")
+  }
+
+  test("crossSplitLeakage: flags exactly the fingerprints present in both splits") {
+    val rows = Seq(
+      (1L, "train", "dup"), (2L, "test", "dup"),   // leaked both ways
+      (3L, "train", "only_train"), (4L, "test", "only_test"),
+      (5L, "train", "dup2"), (6L, "train", "dup2") // same split twice: NOT leaked
+    ).toDF("id", "split", "fp")
+    val got = Corpus.crossSplitLeakage(rows, col("split"), col("fp"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("leaked")))
+    assert(got.toSeq == Seq(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+  }
+
+  test("wordNgrams: positions, joining, and the short-doc empty case") {
+    val got = Seq("a b c d", "a b", "").toDF("t")
+      .select(Corpus.wordNgrams(split(col("t"), " "), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("contaminationScreen: hit counts and overlap against a tiny benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares "the quick brown fox" window? n=4
+      (2L, "totally unrelated text goes here now"),
+      (3L, "the quick brown fox jumps high today") // superset of doc 1's grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Corpus.contaminationScreen(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+        r.getAs[Long]("n_hit")))
+    // doc1: 3 4-grams, 1 hit; doc2: 3, 0; doc3: 4, 1
+    assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 0L), (3L, 4L, 1L)))
+  }
 }

@@ -82,4 +82,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect ivfPairs).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@3 $recall")
   }
+
+  test("quantizeInt8: hand-computed codes, error bound, zero-vector guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.quantizeInt8(col("vec")).as("qz"))
+      .select(col("id"), col("qz.scale"), col("qz.q"))
+      .orderBy("id").collect()
+    val scale = got(0).getDouble(1)
+    assert(math.abs(scale - 1.0 / 127) < 1e-15)
+    // floor(v/scale + 0.5) = floor(127 v + 0.5): 127, -63, 32, 0
+    assert(got(0).getSeq[Long](2) == Seq(127L, -63L, 32L, 0L))
+    assert(got(1).isNullAt(2), "zero vector must yield null codes, not a crash")
+
+    // reconstruction: |v - q*scale| <= scale/2 element-wise
+    val errs = df.filter(col("id") === 1)
+      .select(Similarity.quantizeInt8(col("vec")).as("qz"), col("vec"))
+      .select(Similarity.dequantError(col("vec"), col("qz.q"), col("qz.scale"))
+        .as("e"))
+      .head.getSeq[Double](0)
+    assert(errs.forall(_ <= scale / 2 + 1e-15), errs.toString)
+    assert(math.abs(errs(1) - 0.003937) < 1e-4)
+  }
 }

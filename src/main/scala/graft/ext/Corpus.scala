@@ -186,10 +186,14 @@ object Corpus {
       .withColumn("__t", element_at(typedlit(targetShares), col("__st")))
       .filter(col("__t").isNotNull)
       .withColumn("__cap", col("__n") / col("__t"))
-    val tMin = withT.agg(min(col("__cap")).as("__T"))
-    val rates = withT.crossJoin(broadcast(tMin))
+    // global min over the per-stratum counts table (rows = #strata, a
+    // handful — the unpartitioned window never sees corpus-sized data).
+    // NB: "__tmin", not "__T" — column resolution is case-insensitive
+    // by default, so "__T" would capture references to "__t".
+    val rates = withT
+      .withColumn("__tmin", min(col("__cap")).over(Window.partitionBy()))
       .withColumn("__permille",
-        floor(lit(1000.0) * col("__T") * col("__t") / col("__n")))
+        floor(lit(1000.0) * col("__tmin") * col("__t") / col("__n")))
       .select(col("__st"), col("__permille"))
     df.join(broadcast(rates), stratum === col("__st"))
       .filter(sampleBucket(key) < col("__permille"))

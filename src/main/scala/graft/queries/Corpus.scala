@@ -302,5 +302,21 @@ object Corpus {
          tot AS (SELECT COUNT(*) AS n FROM toks)
          SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
          HAVING COUNT(*) >= (SELECT ceil(n * 0.03) FROM tot)
-         ORDER BY cnt DESC, tok""")
+         ORDER BY cnt DESC, tok""",
+    // same double-precision rate math, same multiplicative-hash predicate
+    "q83_mixture_rebalance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         t(lang, share) AS (VALUES
+           ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
+           ('zh', CAST(0.2 AS DOUBLE))),
+         j AS (SELECT c.lang, n, share, n / share AS cap
+               FROM c JOIN t USING (lang)),
+         m AS (SELECT MIN(cap) AS tt FROM j),
+         r AS (SELECT lang, floor(1000.0 * tt * share / n) AS permille
+               FROM j, m)
+         SELECT d.lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents d JOIN r USING (lang)
+         WHERE (doc_id * 2654435761) % 1000 < permille
+         GROUP BY 1 ORDER BY d.lang""")
 }

@@ -51,4 +51,37 @@ class AggregatorSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(out === Seq(1L, 2L))
   }
+
+  test("HeavyHitterSketch: MG guarantee holds under any split/merge shape") {
+    import graft.expr.HeavyHitterSketch
+    // 3 heavy items (freq > n/(k+1)) buried in a long tail, k = 10
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(350)("beta") ++
+      Seq.fill(300)("gamma")
+    val tail = (0 until 900).map(i => s"t$i")
+    val data = new scala.util.Random(7).shuffle(heavy ++ tail)
+    val agg = new HeavyHitterSketch(10)
+    val n = data.size
+    for (nParts <- Seq(1, 2, 7, 32)) {
+      val partials = data.grouped(math.max(1, n / nParts)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      partials.foreach(p => assert(p.size <= 10))
+      val out = agg.finish(partials.reduce(agg.merge))
+      assert(out.size <= 10)
+      for (h <- Seq("alpha", "beta", "gamma"))
+        assert(out.contains(h), s"$h missing with $nParts partitions")
+    }
+  }
+
+  test("HeavyHitterSketch end-to-end: two-pass q81 equals exact HAVING") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q81_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .filter(col("count") >= math.ceil(total * 0.03))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(df.nonEmpty && df.toSet == exact)
+  }
 }

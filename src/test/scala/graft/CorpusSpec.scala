@@ -129,4 +129,26 @@ class CorpusSpec extends SparkSpec {
     // doc1: 3 4-grams, 1 hit; doc2: 3, 0; doc3: 4, 1
     assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 0L), (3L, 4L, 1L)))
   }
+
+  test("rebalanceMixture: achieved mix near target, zero-share strata dropped, deterministic") {
+    val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    def run() = Corpus.rebalanceMixture(df, col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+    val counts = run().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("en", "de", "zh")),
+      s"zero-share strata must be dropped: $counts")
+    val raw = df.filter(col("lang").isin("en", "de", "zh"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum < raw.values.sum,
+      s"rebalance must actually downsample: kept $counts of $raw")
+    val total = counts.values.sum.toDouble
+    // hash-threshold sampling is approximate: shares within ±10 points
+    assert(math.abs(counts("en") / total - 0.5) < 0.10, counts.toString)
+    assert(math.abs(counts("de") / total - 0.3) < 0.10, counts.toString)
+    val again = run().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts, "sample must be identical across re-runs")
+  }
 }

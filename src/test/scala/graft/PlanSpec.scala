@@ -92,11 +92,14 @@ class PlanSpec extends SparkSpec {
     val productOk = Set("q28_range_join", "q39_embedding_neardup",
       "q40_cosine_topk", "q44_ann_ivf", "q45_cross_join",
       "q46_scalar_subquery", "q47_hybrid_search",
-      "q69_dedup_clusters") // q69: exact-cosine edge derivation (q39's)
+      "q69_dedup_clusters", // q69: exact-cosine edge derivation (q39's)
+      "q78_contamination",  // 1-row broadcast snippet injection
+      "q81_heavy_hitters")  // 1-row broadcast total for the threshold
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",
-        "q65_stream_interval_join")) // start streaming queries
+        "q65_stream_interval_join",
+        "q82_stream_static_join")) // start streaming queries
       .flatMap { q =>
         val p = plan(q)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -150,20 +150,26 @@ object Corpus {
   def contaminationScreen(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
+    // distinct + join run on the 64-bit xxhash of each n-gram, not the
+    // string: the dedup shuffle carries 8 bytes per gram instead of the
+    // n-word text (same trade q38 makes; counts identical up to ~2⁻⁶⁴
+    // within-document collisions)
     def grams(df: DataFrame) =
       df.select(col(idCol),
           explode(wordNgrams(split(lower(col(textCol)), " "), n)).as("ng"))
+        .select(col(idCol), xxhash64(col("ng")).as("ngh"))
         .distinct()
-    val benchGrams = broadcast(grams(bench).select(col("ng")).distinct())
-    val corpusGrams = grams(corpus)
-    val hits = corpusGrams.join(benchGrams, Seq("ng"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / col("n_ngrams"), 4)
-          .as("overlap"))
+    // single pass over the corpus grams: mark hits via the broadcast
+    // bench set (left join), then one aggregation produces totals AND
+    // hit counts — not two scans of the exploded corpus
+    val benchGrams = broadcast(
+      grams(bench).select(col("ngh")).distinct().withColumn("__hit", lit(1L)))
+    grams(corpus).join(benchGrams, Seq("ngh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_ngrams"), col("n_hit"),
+        round(col("n_hit") / col("n_ngrams"), 4).as("overlap"))
   }
 
   /** Rebalance a corpus to target stratum SHARES (domain-mixture

@@ -142,7 +142,7 @@ object Corpus {
       val snippet = broadcast(docs.filter(col("doc_id") === 0)
         .select(array_join(slice(split(lower(col("text")), " "), 1, 15), " ")
           .as("snip")))
-      val corpus = docs.crossJoin(snippet)
+      val corpus = spreadIfNarrow(docs, col("doc_id")).crossJoin(snippet)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(23)) === 7,
             concat(lower(col("text")), lit(" "), col("snip")))

@@ -94,9 +94,13 @@ object GraftFunctions {
   val WordShinglesName = "graft_word_shingles"
   val HyperplaneBitsName = "graft_hyperplane_bits"
   val ArgMaxCosName = "graft_argmax_cosine"
+  val NormalizeName = "graft_normalize"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
+
+  private def litForm(e: Expression): java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(e.eval().toString.toUpperCase)
 
   /** name → expression builder, the single source of truth shared by
     * per-session [[register]] and config-time [[graft.GraftExtensions]].
@@ -110,7 +114,11 @@ object GraftFunctions {
     WordShinglesName -> (exprs => WordShingles(exprs(0), litInt(exprs(1)))),
     HyperplaneBitsName ->
       (exprs => HyperplaneSignBits(exprs(0), litInt(exprs(1)))),
-    ArgMaxCosName -> (exprs => ArgMaxCosine(exprs(0), exprs(1))))
+    ArgMaxCosName -> (exprs => ArgMaxCosine(exprs(0), exprs(1))),
+    NormalizeName ->
+      (exprs => NfcNormalize(exprs(0),
+        if (exprs.length > 1) litForm(exprs(1))
+        else java.text.Normalizer.Form.NFC)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -206,6 +206,25 @@ object Corpus {
       .drop("__st", "__permille")
   }
 
+  /** Boilerplate/markup strip for scraped corpora: drop
+    * script/style elements WITH their content, strip remaining tags,
+    * decode the common entities, collapse whitespace. RE2-compatible
+    * patterns (no backrefs/lookahead) so any engine — and the DuckDB
+    * oracle — reproduces them; per-row regexp chain, shuffle-free and
+    * codegen'd like [[scrubPii]].
+    */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "<(script|style)[^>]*>[^<]*</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTags, "&amp;", "&"),
+        "&lt;", "<"),
+      "&gt;", ">")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Email addresses → `<EMAIL>`, hyphen/dot-delimited US phone numbers
     * → `<PHONE>`. Patterns restricted to RE2-compatible constructs
     * (character classes + \b) so any engine reproduces them; replace is

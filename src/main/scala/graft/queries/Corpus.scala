@@ -177,6 +177,42 @@ object Corpus {
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
+    // Markup/boilerplate strip over synthetically-wrapped docs (the
+    // fixture is clean text, so HTML wrapping is injected
+    // deterministically — both engines reproduce it): script bodies
+    // die with their tags, entities decode, whitespace collapses.
+    "q84_markup_strip" -> ((s, d) => {
+      val wrapped = docs(s, d).withColumn("t",
+        when(pmod(col("doc_id"), lit(11)) === 3,
+          concat(lit("<div class=\"post\"><h1>T</h1><p>"), col("text"),
+            lit("</p><script>track();</script> &amp; more &lt;tail&gt;</div>")))
+          .otherwise(col("text")))
+      wrapped.select(col("doc_id"),
+          CorpusOps.stripMarkup(col("t")).as("cleaned"))
+        .withColumn("n_clean", length(col("cleaned")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC canonicalization via the native graft_normalize
+    // expression (ASCII fast path; java.text.Normalizer tail). The
+    // fixture is ASCII, so DECOMPOSED sequences are injected: e +
+    // U+0301 must collapse to U+00E9 before fingerprints compare equal
+    // — DuckDB's nfc_normalize recomputes the same strings.
+    "q85_nfc_normalize" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val injected = docs(s, d).withColumn("t",
+        when(pmod(col("doc_id"), lit(13)) === 4,
+          concat(col("text"),
+            lit(" cafe\u0301 nai\u0308ve")))  // combining acute, diaeresis
+          .otherwise(col("text")))
+      injected.select(col("doc_id"),
+          call_function(graft.expr.GraftFunctions.NormalizeName,
+            col("t")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("n_norm"),
+          md5(col("norm")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -303,6 +339,39 @@ object Corpus {
          SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
          HAVING COUNT(*) >= (SELECT ceil(n * 0.03) FROM tot)
          ORDER BY cnt DESC, tok""",
+    // injection + strip chain mirrored step for step (same regexes,
+    // same order); 'g' flags since Spark regexp_replace is global
+    "q84_markup_strip" ->
+      """WITH w AS (
+           SELECT doc_id, CASE WHEN doc_id % 11 = 3
+             THEN '<div class="post"><h1>T</h1><p>' || text ||
+                  '</p><script>track();</script> &amp; more &lt;tail&gt;</div>'
+             ELSE text END AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(t,
+                  '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g') AS t
+                FROM w),
+         s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS t
+                FROM s2),
+         s4 AS (SELECT doc_id,
+                  trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned
+                FROM s3)
+         SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_clean
+         FROM s4 ORDER BY doc_id""",
+    // chr(769)/chr(776) = the combining marks the Spark side injects
+    "q85_nfc_normalize" ->
+      """WITH inj AS (
+           SELECT doc_id, CASE WHEN doc_id % 13 = 4
+             THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+             ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(nfc_normalize(t)) AS INT) AS n_norm,
+           md5(nfc_normalize(t)) AS fp
+         FROM inj ORDER BY doc_id""",
     // same double-precision rate math, same multiplicative-hash predicate
     "q83_mixture_rebalance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),

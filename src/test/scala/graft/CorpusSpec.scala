@@ -130,6 +130,37 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 0L), (3L, 4L, 1L)))
   }
 
+  test("stripMarkup: script bodies die with tags, entities decode, whitespace collapses") {
+    val got = Seq(
+      "<div><p>hello  world</p><script>var x=1;</script></div>",
+      "a &amp; b &lt;c&gt;",
+      "plain text",
+      "<style type=\"text/css\">.x{color:red}</style>after"
+    ).toDF("t").select(Corpus.stripMarkup(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "hello world")
+    assert(got(1) == "a & b <c>")
+    assert(got(2) == "plain text")
+    assert(got(3) == "after")
+  }
+
+  test("graft_normalize: NFC composes decomposed marks, ASCII passes through, NFD expands") {
+    graft.expr.GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301"        // e + COMBINING ACUTE (5 cp)
+    val composed = "caf\u00e9"           // U+00E9 (4 cp)
+    val df = Seq(decomposed, "ascii only", composed).toDF("t")
+      .selectExpr("graft_normalize(t) AS nfc", "graft_normalize(t, 'NFD') AS nfd",
+        "length(t) AS n_raw", "length(graft_normalize(t)) AS n_nfc")
+    val rows = df.collect()
+    // decomposed e+COMBINING ACUTE -> single U+00E9 under NFC
+    assert(rows(0).getString(0) == composed && rows(0).getInt(3) == 4
+      && rows(0).getInt(2) == 5)
+    // ASCII unchanged under every form
+    assert(rows(1).getString(0) == "ascii only" && rows(1).getString(1) == "ascii only")
+    // pre-composed input: NFC identity, NFD expands back to 5 codepoints
+    assert(rows(2).getString(0) == composed && rows(2).getString(1) == decomposed)
+  }
+
   test("rebalanceMixture: achieved mix near target, zero-share strata dropped, deterministic") {
     val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
     def run() = Corpus.rebalanceMixture(df, col("lang"), col("doc_id"),

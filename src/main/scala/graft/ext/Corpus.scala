@@ -206,6 +206,33 @@ object Corpus {
       .drop("__st", "__permille")
   }
 
+  /** Pack documents into fixed-length training SEQUENCES, splitting
+    * documents across sequence boundaries (the packing step before
+    * tokenized examples — [[packShards]] is the file-level sibling that
+    * never splits). Per-stratum token cumsum gives each doc its global
+    * offset; a doc spanning [st, st+n) yields one row per overlapped
+    * sequence with the token sub-range `[tok_start, tok_end)`. Every
+    * sequence is exactly `seqLen` tokens except each stratum's last.
+    *
+    * Scale: cumsum parallelizes across strata (one window shuffle on
+    * the stratum key); the explode emits ⌈n/seqLen⌉+1 rows per doc —
+    * integer math only, no token materialization.
+    */
+  def sliceSequences(df: DataFrame, stratum: Column, order: Column,
+                     nTokens: Column, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", nTokens)
+      .withColumn("__st", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__st") / seqLen),
+          floor((col("__st") + col("__n") - 1) / seqLen))))
+      .withColumn("tok_start", greatest(col("__st"), col("seq_id") * seqLen))
+      .withColumn("tok_end",
+        least(col("__st") + col("__n"), (col("seq_id") + 1) * seqLen))
+      .drop("__n", "__st")
+  }
+
   /** Boilerplate/markup strip for scraped corpora: drop
     * script/style elements WITH their content, strip remaining tags,
     * decode the common entities, collapse whitespace. RE2-compatible

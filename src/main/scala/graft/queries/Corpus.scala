@@ -213,6 +213,41 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Fixed-length sequence packing WITH doc splitting: every training
+    // sequence is exactly 512 tokens (except each stratum's last) and
+    // records how many docs contribute to it. Pure integer/offset math
+    // over a per-lang cumsum — DuckDB reproduces it exactly.
+    "q86_sequence_slices" -> ((s, d) => {
+      val w = docs(s, d).withColumn("n_tok",
+        size(split(lower(col("text")), " ")).cast("long"))
+      CorpusOps.sliceSequences(w, col("lang"), col("doc_id"),
+          col("n_tok"), 512L)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_end") - col("tok_start")).as("n_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    // Character-distribution entropy per doc — the cheap gibberish
+    // filter (low-entropy = repeated chars, high = uniform noise). Char
+    // histogram via explode + two-stage agg (map-side combine), exact
+    // integer counts; only the final -Σp·log₂p is floating-point,
+    // rounded to 4 for engine-portable comparison.
+    "q87_char_entropy" -> ((s, d) => {
+      val cnt = docs(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("."), lit(0)))
+            .as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      val n = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+      cnt.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum((col("k") / col("n")) *
+          log(2.0, col("k") / col("n"))), 4).as("entropy"))
+        .withColumn("keep", col("entropy") >= 3.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -372,6 +407,36 @@ object Corpus {
            CAST(length(nfc_normalize(t)) AS INT) AS n_norm,
            md5(nfc_normalize(t)) AS fp
          FROM inj ORDER BY doc_id""",
+    "q86_sequence_slices" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             len(string_split(lower(text), ' ')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tok AS st
+           FROM w),
+         sl AS (
+           SELECT lang, i AS seq_id,
+             greatest(st, i*512) AS s0,
+             least(st + n_tok, (i+1)*512) AS s1
+           FROM c, LATERAL (SELECT unnest(generate_series(
+               CAST(floor(st/512) AS BIGINT),
+               CAST(floor((st + n_tok - 1)/512.0) AS BIGINT))) AS i) t)
+         SELECT lang, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
+         FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    "q87_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS c
+           FROM documents),
+         cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+         n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+         SELECT cnt.doc_id,
+           round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) AS entropy,
+           round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) >= 3.0 AS keep
+         FROM cnt JOIN n USING (doc_id) GROUP BY 1 ORDER BY cnt.doc_id""",
     // same double-precision rate math, same multiplicative-hash predicate
     "q83_mixture_rebalance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),

@@ -130,6 +130,35 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 0L), (3L, 4L, 1L)))
   }
 
+  test("sliceSequences: exact boundaries, docs split across sequences, strata independent") {
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), // offsets 0/300/600
+      ("de", 10L, 1200L)                                    // spans 3 sequences alone
+    ).toDF("lang", "doc_id", "n_tok")
+    val got = Corpus.sliceSequences(docs, col("lang"), col("doc_id"),
+        col("n_tok"), 512L)
+      .select("lang", "doc_id", "seq_id", "tok_start", "tok_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("en", 1L, 0L, 0L, 300L),      // fits in seq 0
+      ("en", 2L, 0L, 300L, 512L),    // split: head fills seq 0...
+      ("en", 2L, 1L, 512L, 600L),    // ...tail opens seq 1
+      ("en", 3L, 1L, 600L, 1024L),   // split across 1 and 2
+      ("en", 3L, 2L, 1024L, 1100L),
+      ("de", 10L, 0L, 0L, 512L),     // one doc, three sequences
+      ("de", 10L, 1L, 512L, 1024L),
+      ("de", 10L, 2L, 1024L, 1200L)))
+    // every interior sequence is exactly 512 tokens
+    val seqTotals = Corpus.sliceSequences(docs, col("lang"), col("doc_id"),
+        col("n_tok"), 512L)
+      .groupBy("lang", "seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(seqTotals(("en", 0L)) == 512L && seqTotals(("en", 1L)) == 512L
+      && seqTotals(("en", 2L)) == 76L)
+  }
+
   test("stripMarkup: script bodies die with tags, entities decode, whitespace collapses") {
     val got = Seq(
       "<div><p>hello  world</p><script>var x=1;</script></div>",

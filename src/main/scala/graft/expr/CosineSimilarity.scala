@@ -95,6 +95,7 @@ object GraftFunctions {
   val HyperplaneBitsName = "graft_hyperplane_bits"
   val ArgMaxCosName = "graft_argmax_cosine"
   val NormalizeName = "graft_normalize"
+  val ZOrderName = "graft_zorder"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -118,7 +119,10 @@ object GraftFunctions {
     NormalizeName ->
       (exprs => NfcNormalize(exprs(0),
         if (exprs.length > 1) litForm(exprs(1))
-        else java.text.Normalizer.Form.NFC)))
+        else java.text.Normalizer.Form.NFC)),
+    ZOrderName ->
+      (exprs => ZOrderKey(exprs(0), exprs(1),
+        if (exprs.length > 2) litInt(exprs(2)) else 16)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

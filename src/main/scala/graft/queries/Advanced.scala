@@ -145,6 +145,24 @@ object Advanced {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-order (Morton) clustering key over (user, hour) via the native
+    // graft_zorder expression — the multi-dimensional layout key: range-
+    // partitioning by zkey co-locates rows close in BOTH dimensions so
+    // row-group stats prune user×time predicates (q80 proves the
+    // file-layout side; this pins the key math). Oracle recomputes the
+    // interleave arithmetically (no bit ops needed in SQL).
+    "q88_zorder_key" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      table(s, d, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(65536L)).as("x"),
+          pmod(expr("ts div 3600000000000"), lit(65536L)).as("y"))
+        .withColumn("zkey",
+          call_function(graft.expr.GraftFunctions.ZOrderName,
+            col("x"), col("y")))
+        .orderBy(col("event_id"))
+    }),
+
     // Stream-STATIC broadcast join (the reference's agency-config shape
     // at cluster scale: a small dimension joined into every micro-batch
     // without state). The dim is broadcast per batch — no stream-side
@@ -406,6 +424,18 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q88_zorder_key" ->
+      """WITH e AS (
+           SELECT event_id, user_id % 65536 AS x,
+             (epoch_ns(ts) // 3600000000000) % 65536 AS y
+           FROM events)
+         SELECT event_id, x, y,
+           CAST(SUM(
+             (CAST(floor(x / power(2, i)) AS BIGINT) % 2) * power(2, 2*i)
+           + (CAST(floor(y / power(2, i)) AS BIGINT) % 2) * power(2, 2*i+1)
+           ) AS BIGINT) AS zkey
+         FROM e, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) t
+         GROUP BY 1, 2, 3 ORDER BY event_id""",
     "q82_stream_static_join" ->
       """WITH dim(event_type, category) AS (VALUES
            ('click', 'engagement'), ('view', 'engagement'),

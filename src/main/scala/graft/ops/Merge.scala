@@ -29,6 +29,59 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Slowly-Changing-Dimension Type 2 apply: history-preserving upsert.
+    * `dim` carries (key, attrs..., valid_from, valid_to, is_current);
+    * `updates` carries (key, attrs...) as of version `batchVer`.
+    *
+    *   - key in updates, current attrs DIFFER → current row closes
+    *     (valid_to = batchVer, is_current = false) and a new open row
+    *     starts (valid_from = batchVer);
+    *   - key in updates, attrs equal → unchanged (idempotent re-apply);
+    *   - new key → new open row;
+    *   - absent key and all closed history → pass through untouched.
+    *
+    * Attribute comparison is null-safe (`<=>`). One key-partitioned
+    * shuffle joins ONLY the current slice against the update feed —
+    * closed history never joins, so cost scales with |current| +
+    * |updates|, not with accumulated history (the dominant term in a
+    * years-old 100 TB dimension).
+    */
+  def scd2(dim: DataFrame, updates: DataFrame, keyCol: String,
+           attrCols: Seq[String], batchVer: Long): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val joined = cur.alias("b").join(updates.alias("c"),
+      col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+    val matched = col(s"b.$keyCol").isNotNull && col(s"c.$keyCol").isNotNull
+    val differs = attrCols
+      .map(a => !(col(s"b.$a") <=> col(s"c.$a")))
+      .reduce(_ || _)
+    val dimCols = (Seq(keyCol) ++ attrCols ++
+      Seq("valid_from", "valid_to", "is_current")).map(col)
+    // current rows surviving as-is: untouched, or update carried no change
+    val kept = joined.filter(col(s"c.$keyCol").isNull || (matched && !differs))
+      .select(Seq(col(s"b.$keyCol").as(keyCol)) ++
+        attrCols.map(a => col(s"b.$a").as(a)) ++
+        Seq(col(s"b.valid_from").as("valid_from"),
+          col(s"b.valid_to").as("valid_to"),
+          col(s"b.is_current").as("is_current")): _*)
+    val closed = joined.filter(matched && differs)
+      .select(Seq(col(s"b.$keyCol").as(keyCol)) ++
+        attrCols.map(a => col(s"b.$a").as(a)) ++
+        Seq(col(s"b.valid_from").as("valid_from"),
+          lit(batchVer).as("valid_to"),
+          lit(false).as("is_current")): _*)
+    val opened = joined
+      .filter((matched && differs) || col(s"b.$keyCol").isNull)
+      .select(Seq(col(s"c.$keyCol").as(keyCol)) ++
+        attrCols.map(a => col(s"c.$a").as(a)) ++
+        Seq(lit(batchVer).as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current")): _*)
+    hist.select(dimCols: _*)
+      .unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,
             opCol: String, valueCols: Seq[String],
             onUpdate: Map[String, Column],

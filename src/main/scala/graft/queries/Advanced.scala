@@ -325,6 +325,34 @@ object Advanced {
         .orderBy(col("key"))
     }),
 
+    // SCD Type-2 (history-preserving dimension upsert): customers as a
+    // versioned dimension at version 1; a deterministic update feed
+    // (custkey%7==2 moves segment, %31==0 key-shifted rows are brand-new
+    // accounts, %11==3 re-sends the CURRENT segment → must be a no-op).
+    // The engine closes changed rows, opens new versions, and passes
+    // no-op updates through untouched — the idempotency the reference's
+    // upsert sink contracts on, with history kept. Oracle replays the
+    // same transitions relationally.
+    "q89_scd2_dimension" -> ((s, d) => {
+      val dim = table(s, d, "customer").select(
+        col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = table(s, d, "customer")
+        .filter(pmod(col("c_custkey"), lit(7)) === 2 ||
+          pmod(col("c_custkey"), lit(31)) === 0 ||
+          pmod(col("c_custkey"), lit(11)) === 3)
+        .select(
+          when(pmod(col("c_custkey"), lit(31)) === 0,
+            col("c_custkey") + 10000000L).otherwise(col("c_custkey"))
+            .as("key"),
+          when(pmod(col("c_custkey"), lit(7)) === 2,
+            concat(lit("SEG_"), pmod(col("c_custkey"), lit(3))))
+            .otherwise(col("c_mktsegment")).as("segment"))
+      graft.ops.Merge.scd2(dim, updates, "key", Seq("segment"), batchVer = 2L)
+        .orderBy(col("key"), col("valid_from"))
+    }),
+
     // Stream-stream interval join (SURVEY.md §2.10): each click joined
     // to the same user's purchases within the following 12 hours, both
     // sides unbounded streams. The event-time range predicate plus the
@@ -424,6 +452,28 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q89_scd2_dimension" ->
+      """WITH dim AS (
+           SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),
+         upd AS (
+           SELECT CASE WHEN c_custkey % 31 = 0 THEN c_custkey + 10000000
+                       ELSE c_custkey END AS key,
+             CASE WHEN c_custkey % 7 = 2 THEN 'SEG_' || (c_custkey % 3)
+                  ELSE c_mktsegment END AS segment
+           FROM customer
+           WHERE c_custkey % 7 = 2 OR c_custkey % 31 = 0 OR c_custkey % 11 = 3)
+         SELECT d.key, d.segment, CAST(1 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM dim d LEFT JOIN upd u USING (key)
+         WHERE u.key IS NULL OR d.segment = u.segment
+         UNION ALL
+         SELECT d.key, d.segment, 1, 2, FALSE
+         FROM dim d JOIN upd u USING (key) WHERE d.segment <> u.segment
+         UNION ALL
+         SELECT u.key, u.segment, 2, NULL, TRUE
+         FROM upd u LEFT JOIN dim d USING (key)
+         WHERE d.key IS NULL OR d.segment <> u.segment
+         ORDER BY key, valid_from""",
     "q88_zorder_key" ->
       """WITH e AS (
            SELECT event_id, user_id % 65536 AS x,

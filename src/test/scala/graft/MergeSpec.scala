@@ -37,4 +37,38 @@ class MergeSpec extends SparkSpec {
       .orderBy(col("key")).as[(Long, Long)].collect().toSeq
     assert(out === Seq((1L, 10L), (2L, 20L), (9L, 90L)))
   }
+
+  test("scd2: close+open on change, no-op on equal, insert, history untouched, idempotent") {
+    import spark.implicits._
+    def dim(rows: Seq[(Long, String, Long, Option[Long], Boolean)]) =
+      rows.toDF("key", "segment", "valid_from", "valid_to", "is_current")
+    val base = dim(Seq(
+      (1L, "A", 1L, Some(2L), false), (1L, "B", 2L, None, true), // has history
+      (2L, "C", 1L, None, true),                                 // will change
+      (3L, "D", 1L, None, true)))                                // untouched
+    val updates = Seq(
+      (1L, "B"),   // same as current → no-op
+      (2L, "X"),   // change → close + open
+      (9L, "N")    // brand-new key
+    ).toDF("key", "segment")
+    def apply(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Merge.scd2(d, updates, "key", Seq("segment"), batchVer = 3L)
+    val out = apply(base)
+      .orderBy(col("key"), col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "A", 1L, 2L, false),  // closed history passes through
+      (1L, "B", 2L, -1L, true),  // no-op update: still open from v2
+      (2L, "C", 1L, 3L, false),  // closed at this batch
+      (2L, "X", 3L, -1L, true),  // new open version
+      (3L, "D", 1L, -1L, true),  // untouched
+      (9L, "N", 3L, -1L, true))) // insert
+    // idempotency: re-applying the same batch changes nothing
+    val twice = apply(apply(base))
+      .orderBy(col("key"), col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(twice == out)
+  }
 }

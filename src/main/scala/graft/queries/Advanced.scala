@@ -325,6 +325,27 @@ object Advanced {
         .orderBy(col("key"))
     }),
 
+    // Pure-SQL gateway path: the whole query is ONE spark.sql() string
+    // over registered temp views, using a graft native function from
+    // SQL — how a SQL-only user (JDBC/Thrift gateway, notebook) drives
+    // this library. Exercises view registration + the SQL parser over
+    // the same Catalyst plans the DataFrame entries produce.
+    "q90_sql_gateway" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      table(s, d, "documents").createOrReplaceTempView("g_documents")
+      s.sql("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN length(graft_normalize(text)) = length(text)
+                        THEN 1 ELSE 0 END) AS n_nfc_clean,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(floor(percentile(n_chars, 0.5)) AS BIGINT) AS p50
+        FROM g_documents
+        WHERE n_chars > 100
+        GROUP BY lang
+        ORDER BY lang""")
+    }),
+
     // SCD Type-2 (history-preserving dimension upsert): customers as a
     // versioned dimension at version 1; a deterministic update feed
     // (custkey%7==2 moves segment, %31==0 key-shifted rows are brand-new
@@ -452,6 +473,17 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    // nfc_normalize is DuckDB's spelling of graft_normalize; floor()
+    // before the BIGINT cast on both sides (DuckDB's double->int cast
+    // rounds, Spark's truncates)
+    "q90_sql_gateway" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN length(nfc_normalize(text)) = length(text)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nfc_clean,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50
+         FROM documents WHERE n_chars > 100
+         GROUP BY lang ORDER BY lang""",
     "q89_scd2_dimension" ->
       """WITH dim AS (
            SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),

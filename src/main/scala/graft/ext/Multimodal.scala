@@ -75,6 +75,48 @@ object Multimodal {
     }: _*)
   }
 
+  /** Input/output rows of the batched decoder. */
+  case class MediaIn(media_id: Long, media: Array[Byte])
+  case class MediaOut(media_id: Long, width: Int, height: Int, n_bytes: Long)
+
+  /** "Header parse" of the stub codec: width/height from the first four
+    * payload bytes (big-endian pairs, mod display dims) — the shape of a
+    * real header read, deterministic, and recomputable by any engine
+    * (for ASCII payloads: `ascii(substr(...))` arithmetic).
+    */
+  private[ext] def parseHeader(bytes: Array[Byte]): (Int, Int) = {
+    def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    ((b(0) * 256 + b(1)) % 1920 + 1, (b(2) * 256 + b(3)) % 1080 + 1)
+  }
+
+  /** Batched per-partition decode — the execution shape a REAL codec
+    * needs: one codec context per batch (JNI/native init amortized over
+    * `batchSize` payloads), iterator-in/iterator-out so a partition
+    * never materializes, and no row-level UDF boundary. The stub
+    * "codec" is [[parseHeader]]; a libjpeg/ffmpeg-backed context slots
+    * into `newContext`/`decode` without touching the Spark plumbing.
+    * `batchCounter`, when set, counts context inits (spec observability:
+    * inits track batches, not rows).
+    */
+  def decodeBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                    batchSize: Int = 64,
+                    batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[MediaOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[MediaOut] =
+      org.apache.spark.sql.Encoders.product[MediaOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // REAL impl: val ctx = Codec.newContext(); batch.map(ctx.decode)
+        batchCounter.foreach(_.add(1)) // one "context init" per batch
+        batch.iterator.map { m =>
+          val (w, h) = parseHeader(m.media)
+          MediaOut(m.media_id, w, h, m.media.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Assemble a media DataFrame from any (id, bytes, type) source with
     * decode+features applied — one narrow, codegen'd pass; partition by
     * size bucket first when payload skew matters (large blobs hash to

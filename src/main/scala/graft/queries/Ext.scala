@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{spreadIfNarrow, table}
-import graft.ext.{NearDup, Similarity}
+import graft.ext.{Multimodal, NearDup, Similarity}
 import graft.ops.{Active911, Fixtures}
 
 /** EXT query entries: near-dup detection, vector similarity, embedding
@@ -137,6 +137,20 @@ object Ext {
       val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
+    }),
+
+    // Batched per-partition media decode (the mapPartitions shape a
+    // real codec needs — context per batch, iterator through). The stub
+    // codec header-parses the leading bytes, so with text-as-bytes
+    // payloads DuckDB recomputes every value from ascii() arithmetic —
+    // this pins the BATCHED path end-to-end, not just column stubs.
+    "q91_media_batch_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("media"))
+        .as[Multimodal.MediaIn]
+      Multimodal.decodeBatched(media).toDF().orderBy(col("media_id"))
     }),
 
     // Int8 embedding quantization with exact reconstruction-error
@@ -289,6 +303,15 @@ object Ext {
        ORDER BY id"""
 
   val oracles: Map[String, String] = Map(
+    // ASCII payloads: byte k == ascii(char k); header parse is plain math
+    "q91_media_batch_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST((ascii(substr(text, 1, 1))*256 + ascii(substr(text, 2, 1)))
+           % 1920 + 1 AS INT) AS width,
+         CAST((ascii(substr(text, 3, 1))*256 + ascii(substr(text, 4, 1)))
+           % 1080 + 1 AS INT) AS height,
+         CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
     "q79_embedding_quantize" ->
       """WITH e AS (
            SELECT vec_id,

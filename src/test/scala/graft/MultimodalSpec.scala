@@ -51,4 +51,32 @@ class MultimodalSpec extends SparkSpec {
     // frames come from distinct offsets of the payload
     assert(frames(2L).map(_.toSeq).distinct.size > 1)
   }
+
+  test("decodeBatched: header parse exact, short/binary payloads safe, inits per batch") {
+    import spark.implicits._
+    val rows = (0L until 100L).map { i =>
+      // payloads include non-ASCII bytes and a too-short header
+      val bytes =
+        if (i == 7L) Array[Byte](5)
+        else Array[Byte]((i % 256).toByte, 0x41, (255 - i % 256).toByte, 0x7f) ++
+          Array.fill(i.toInt % 13)(0x61.toByte)
+      Multimodal.MediaIn(i, bytes)
+    }
+    val acc = spark.sparkContext.longAccumulator("codecInits")
+    val ds = spark.createDataset(rows).repartition(4)
+    val out = Multimodal.decodeBatched(ds, batchSize = 16, Some(acc))
+      .collect().map(o => o.media_id -> o).toMap
+    // exact header math, short payload zero-padded
+    rows.foreach { m =>
+      def b(i: Int) = if (i < m.media.length) m.media(i) & 0xff else 0
+      val o = out(m.media_id)
+      assert(o.width == (b(0) * 256 + b(1)) % 1920 + 1, m.media_id)
+      assert(o.height == (b(2) * 256 + b(3)) % 1080 + 1, m.media_id)
+      assert(o.n_bytes == m.media.length.toLong)
+    }
+    // context inits track BATCHES, not rows: 100 rows / 4 partitions /
+    // batchSize 16 → between ceil(100/16)=7 and 4 partitions' worth of
+    // ragged tails (≤ 4 + 100/16), never 100
+    assert(acc.value >= 7 && acc.value <= 11, s"inits = ${acc.value}")
+  }
 }

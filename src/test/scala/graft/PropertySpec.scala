@@ -158,4 +158,35 @@ class PropertySpec extends SparkSpec {
       assert(got(i.toLong) == expJson, s"case $i:\n${ls.mkString("\n")}")
     }
   }
+
+  // --- EXT: int8 quantization invariants over random float vectors ------
+
+  test("quantizeInt8: codes bounded by ±127, reconstruction within scale/2, round-trip stable") {
+    val vecGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e3f, 1e3f).suchThat(f => !f.isNaN)))
+      .suchThat(_.exists(_ != 0f))
+    val cases = sample(vecGen, 80, seed = 21L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = cases.toDF("id", "vec")
+      .select(col("id"), graft.ext.Similarity.quantizeInt8(col("vec")).as("qz"),
+        col("vec"))
+    val rows = df.select(col("id"), col("qz.scale"), col("qz.q"),
+        graft.ext.Similarity.dequantError(col("vec"), col("qz.q"), col("qz.scale"))
+          .as("err"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Long](2)
+      val err = r.getSeq[Double](3)
+      assert(q.forall(x => x >= -127L && x <= 127L),
+        s"case ${r.getLong(0)}: code out of int8 range: $q")
+      assert(err.forall(_ <= scale / 2 + 1e-9),
+        s"case ${r.getLong(0)}: reconstruction error ${err.max} > scale/2 $scale")
+    }
+    // determinism: quantizing twice yields identical codes
+    val again = cases.toDF("id", "vec")
+      .select(col("id"), graft.ext.Similarity.quantizeInt8(col("vec")).getField("q").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Long](2)))
+  }
 }

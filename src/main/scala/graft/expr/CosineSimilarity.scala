@@ -96,6 +96,7 @@ object GraftFunctions {
   val ArgMaxCosName = "graft_argmax_cosine"
   val NormalizeName = "graft_normalize"
   val ZOrderName = "graft_zorder"
+  val ShingleRowsName = "graft_shingle_rows"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -122,7 +123,9 @@ object GraftFunctions {
         else java.text.Normalizer.Form.NFC)),
     ZOrderName ->
       (exprs => ZOrderKey(exprs(0), exprs(1),
-        if (exprs.length > 2) litInt(exprs(2)) else 16)))
+        if (exprs.length > 2) litInt(exprs(2)) else 16)),
+    ShingleRowsName ->
+      (exprs => ShingleGenerate(exprs(0), litInt(exprs(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -139,6 +139,24 @@ object Ext {
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
+    // Lazy shingle UDTF: graft_shingle_rows streams one row per window
+    // straight out of GenerateExec — no per-doc shingle array ever
+    // materializes (the explode(graft_word_shingles(...)) form's cost on
+    // huge documents). Aggregated per doc so DuckDB recomputes counts
+    // and lexicographic extremes from plain string n-grams.
+    "q92_shingle_generator" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("wr"))
+        .select(col("doc_id"),
+          call_function(graft.expr.GraftFunctions.ShingleRowsName,
+            col("wr"), lit(3)).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          min(col("shingle")).as("min_sh"), max(col("shingle")).as("max_sh"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batched per-partition media decode (the mapPartitions shape a
     // real codec needs — context per batch, iterator through). The stub
     // codec header-parses the leading bytes, so with text-as-bytes
@@ -303,6 +321,18 @@ object Ext {
        ORDER BY id"""
 
   val oracles: Map[String, String] = Map(
+    // every fixture doc has ≥ 3 words, so count = len-2 and the
+    // windowed string n-grams match the generator's rows exactly
+    "q92_shingle_generator" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) ix)
+         SELECT doc_id, COUNT(*) AS n_shingles,
+           MIN(sh) AS min_sh, MAX(sh) AS max_sh
+         FROM g GROUP BY 1 ORDER BY doc_id""",
     // ASCII payloads: byte k == ascii(char k); header parse is plain math
     "q91_media_batch_decode" ->
       """SELECT doc_id AS media_id,

@@ -113,4 +113,31 @@ class NearDupSpec extends SparkSpec {
       "eleven twelve thirteen fourteen fifteen sixteen seventeen")
     assert((same intersect other).isEmpty)
   }
+
+  test("ShingleGenerate: row stream byte-identical to explode(WordShingles), incl. short docs") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y"),          // shorter than the window → one whole-doc shingle
+      (3L, "only"),
+      (4L, "p q r")).toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("w"))
+    def rows(sql: String) = docs.selectExpr("id", sql)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val gen = rows("graft_shingle_rows(w, 3) AS s")
+    val arr = rows("explode(graft_word_shingles(w, 3)) AS s")
+    assert(gen == arr && gen.nonEmpty)
+    assert(gen.filter(_._1 == 2L).map(_._2) == Seq("x y"))
+    // fixture cross-check: same equality over real documents
+    val fix = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val a = fix.selectExpr("doc_id", "graft_shingle_rows(w, 3) AS s")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = fix.selectExpr("doc_id", "explode(graft_word_shingles(w, 3)) AS s")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

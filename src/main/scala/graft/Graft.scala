@@ -54,4 +54,16 @@ object Graft {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(key) else df
   }
+
+  /** Depth-first delete of a staging directory (shared by the queries
+    * and specs that round-trip through temp files — one definition, not
+    * a copy per file).
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

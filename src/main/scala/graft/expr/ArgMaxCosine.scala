@@ -63,8 +63,13 @@ object ArgMaxCosine {
     * shared mutable state.
     */
   def compute(vec: ArrayData, mat: Array[Array[Float]]): Int = {
+    // -1 would flow silently into downstream equi-joins as a phantom
+    // list id: an empty matrix is a caller configuration error (fail
+    // fast); if every centroid has zero norm (all scores -Inf) the
+    // deterministic fallback is index 0, never an invalid index.
+    require(mat.length > 0, "argmax over an empty centroid matrix")
     val n = vec.numElements()
-    var best = -1
+    var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < mat.length) {

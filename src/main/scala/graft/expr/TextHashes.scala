@@ -94,6 +94,7 @@ case class ShingleHashes(child: Expression, w: Int,
   */
 case class WordShingles(child: Expression, w: Int)
     extends UnaryExpression {
+  require(w > 0, s"window must be positive, got $w") // same guard as ShingleGenerate
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

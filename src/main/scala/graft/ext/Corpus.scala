@@ -120,7 +120,11 @@ object Corpus {
     val tagged = df.withColumn("__fp", fingerprint)
     val spread = tagged.groupBy(col("__fp"))
       .agg(countDistinct(splitCol).as("n_splits"))
-    tagged.join(spread, Seq("__fp"))
+    // left join + coalesce: a NULL fingerprint never equi-joins, but the
+    // row must still come back (contract: input + columns). Null
+    // fingerprints are unmatchable content → n_splits 1, never leaked.
+    tagged.join(spread, Seq("__fp"), "left")
+      .withColumn("n_splits", coalesce(col("n_splits"), lit(1L)))
       .withColumn("leaked", col("n_splits") > 1)
       .drop("__fp")
   }
@@ -137,8 +141,12 @@ object Corpus {
 
   /** Benchmark-contamination screen: flag corpus documents sharing any
     * word n-gram with a benchmark/eval set. Returns one row per corpus
-    * document with `n_ngrams` (distinct n-grams), `n_hit` (n-grams also
-    * present in the benchmark), and `overlap` (= n_hit / n_ngrams).
+    * document THAT HAS AT LEAST ONE n-gram (documents shorter than `n`
+    * words produce none, cannot be n-gram-contaminated, and are absent —
+    * callers computing corpus-wide rates should take the denominator
+    * from the input, not this output), with `n_ngrams` (distinct
+    * n-grams), `n_hit` (n-grams also present in the benchmark), and
+    * `overlap` (= n_hit / n_ngrams).
     *
     * Scale design: the benchmark set is small by nature (eval suites,
     * not corpora) — its distinct n-grams BROADCAST, so the corpus side
@@ -224,9 +232,14 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__n", nTokens)
       .withColumn("__st", sum(col("__n")).over(w) - col("__n"))
+      // zero-weight docs emit NO slice rows: unguarded, sequence(a, a-1)
+      // would count DOWN ([a, a-1]) and fabricate a seq_id = -1 row at
+      // stratum start; explode of the empty array drops the row instead
       .withColumn("seq_id",
-        explode(sequence(floor(col("__st") / seqLen),
-          floor((col("__st") + col("__n") - 1) / seqLen))))
+        explode(when(col("__n") > 0,
+          sequence(floor(col("__st") / seqLen),
+            floor((col("__st") + col("__n") - 1) / seqLen)))
+          .otherwise(typedlit(Seq.empty[Long]))))
       .withColumn("tok_start", greatest(col("__st"), col("seq_id") * seqLen))
       .withColumn("tok_end",
         least(col("__st") + col("__n"), (col("seq_id") + 1) * seqLen))
@@ -244,11 +257,13 @@ object Corpus {
     val noScript = regexp_replace(text,
       "<(script|style)[^>]*>[^<]*</(script|style)>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    // entity order matters: &amp; must decode LAST, or doubly-escaped
+    // text ("&amp;lt;" = the literal string "&lt;") double-unescapes
     val decoded = regexp_replace(
       regexp_replace(
-        regexp_replace(noTags, "&amp;", "&"),
-        "&lt;", "<"),
-      "&gt;", ">")
+        regexp_replace(noTags, "&lt;", "<"),
+        "&gt;", ">"),
+      "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

@@ -48,8 +48,11 @@ object Merge {
     */
   def scd2(dim: DataFrame, updates: DataFrame, keyCol: String,
            attrCols: Seq[String], batchVer: Long): DataFrame = {
-    val cur = dim.filter(col("is_current"))
-    val hist = dim.filter(!col("is_current"))
+    // null-safe: a row with is_current = NULL (never-backfilled flag)
+    // must not vanish — it routes to the history passthrough, because
+    // `filter(col)` and `filter(!col)` BOTH drop null predicates
+    val cur = dim.filter(col("is_current") <=> true)
+    val hist = dim.filter(!(col("is_current") <=> true))
     val joined = cur.alias("b").join(updates.alias("c"),
       col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
     val matched = col(s"b.$keyCol").isNotNull && col(s"c.$keyCol").isNotNull

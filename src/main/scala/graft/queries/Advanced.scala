@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.Graft.table
+import graft.Graft.{deleteRecursively, table}
 import graft.ops.{Active911, AsOf, Fixtures}
 import graft.streaming.Lookback
 
@@ -464,13 +464,6 @@ object Advanced {
       } finally deleteRecursively(stage)
     }))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
 
   val oracles: Map[String, String] = Map(
     // nfc_normalize is DuckDB's spelling of graft_normalize; floor()

@@ -389,7 +389,7 @@ object Corpus {
          s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id,
                   regexp_replace(regexp_replace(regexp_replace(t,
-                    '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS t
+                    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&amp;', '&', 'g') AS t
                 FROM s2),
          s4 AS (SELECT doc_id,
                   trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned

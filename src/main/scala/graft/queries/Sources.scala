@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Graft.table
+import graft.Graft.{deleteRecursively, table}
 
 /** File-source coverage beyond parquet (SURVEY.md §2.1): schema-on-read
   * JSONL and quoted/multi-line CSV — the two ingest formats every
@@ -195,13 +195,6 @@ object Sources {
       } finally deleteRecursively(stage)
     }))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
-  }
 
   val oracles: Map[String, String] = Map(
     // v1 rows (even ids) contribute NULL quality; v2 rows carry the flag

@@ -95,15 +95,16 @@ class CorpusSpec extends SparkSpec {
 
   test("crossSplitLeakage: flags exactly the fingerprints present in both splits") {
     val rows = Seq(
-      (1L, "train", "dup"), (2L, "test", "dup"),   // leaked both ways
-      (3L, "train", "only_train"), (4L, "test", "only_test"),
-      (5L, "train", "dup2"), (6L, "train", "dup2") // same split twice: NOT leaked
+      (1L, "train", Some("dup")), (2L, "test", Some("dup")), // leaked both ways
+      (3L, "train", Some("only_train")), (4L, "test", Some("only_test")),
+      (5L, "train", Some("dup2")), (6L, "train", Some("dup2")), // same split: NOT leaked
+      (7L, "test", None)  // null fingerprint: kept in output, never leaked
     ).toDF("id", "split", "fp")
     val got = Corpus.crossSplitLeakage(rows, col("split"), col("fp"))
       .orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("leaked")))
     assert(got.toSeq == Seq(1L -> true, 2L -> true, 3L -> false,
-      4L -> false, 5L -> false, 6L -> false))
+      4L -> false, 5L -> false, 6L -> false, 7L -> false))
   }
 
   test("wordNgrams: positions, joining, and the short-doc empty case") {
@@ -132,6 +133,7 @@ class CorpusSpec extends SparkSpec {
 
   test("sliceSequences: exact boundaries, docs split across sequences, strata independent") {
     val docs = Seq(
+      ("en", 0L, 0L),                                       // zero-weight at stratum start
       ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 500L), // offsets 0/300/600
       ("de", 10L, 1200L)                                    // spans 3 sequences alone
     ).toDF("lang", "doc_id", "n_tok")
@@ -164,13 +166,16 @@ class CorpusSpec extends SparkSpec {
       "<div><p>hello  world</p><script>var x=1;</script></div>",
       "a &amp; b &lt;c&gt;",
       "plain text",
-      "<style type=\"text/css\">.x{color:red}</style>after"
+      "<style type=\"text/css\">.x{color:red}</style>after",
+      "x &amp;lt;b&amp;gt; y"  // doubly-escaped: must decode ONE level
     ).toDF("t").select(Corpus.stripMarkup(col("t")).as("s"))
       .collect().map(_.getString(0))
     assert(got(0) == "hello world")
     assert(got(1) == "a & b <c>")
     assert(got(2) == "plain text")
     assert(got(3) == "after")
+    assert(got(4) == "x &lt;b&gt; y",
+      "&amp; must decode LAST or double-escapes double-unescape")
   }
 
   test("graft_normalize: NFC composes decomposed marks, ASCII passes through, NFD expands") {

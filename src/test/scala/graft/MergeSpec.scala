@@ -71,4 +71,18 @@ class MergeSpec extends SparkSpec {
         if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
     assert(twice == out)
   }
+
+  test("scd2: rows with NULL is_current route to history passthrough, never vanish") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "A", 1L, Option.empty[Long], Option.empty[Boolean]), // null flag
+      (2L, "B", 1L, Option.empty[Long], Some(true))
+    ).toDF("key", "segment", "valid_from", "valid_to", "is_current")
+    val updates = Seq((2L, "B2")).toDF("key", "segment")
+    val out = graft.ops.Merge.scd2(base, updates, "key", Seq("segment"), 9L)
+      .orderBy(col("key"), col("valid_from"), col("segment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // key 1 survives untouched (null flag = history), key 2 closed+opened
+    assert(out.toSeq == Seq(1L -> "A", 2L -> "B", 2L -> "B2"))
+  }
 }

@@ -139,5 +139,10 @@ class NearDupSpec extends SparkSpec {
       .groupBy("doc_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+    // both expressions reject a non-positive window identically
+    intercept[IllegalArgumentException](graft.expr.WordShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 0))
+    intercept[IllegalArgumentException](graft.expr.ShingleGenerate(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 0))
   }
 }

@@ -346,6 +346,38 @@ object Advanced {
         ORDER BY lang""")
     }),
 
+    // Typed cogroup (KeyValueGroupedDataset.cogroup, §2.13): per-order
+    // reconciliation of the order header against its lineitems with
+    // arbitrary per-key Scala logic — the typed escape hatch when a
+    // join + agg can't express the per-group program. One co-partitioned
+    // shuffle on the key (same cost shape as a join); both sides filter
+    // BEFORE grouping so the predicate reaches the scans. Oracle = the
+    // relational equivalent (left join + group).
+    "q93_cogroup_reconcile" -> ((s, d) => {
+      import s.implicits._
+      val orders = table(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val items = table(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select(col("l_orderkey").as("k"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .as[(Long, Long)]
+      orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+        (k, os, is) =>
+          val header = os.map(_._2).toSeq
+          if (header.isEmpty) Iterator.empty // orphan lineitems: none in TPC-H
+          else {
+            var sum = 0L; var n = 0L
+            is.foreach { i => sum += i._2; n += 1 }
+            Iterator((k, header.head, sum, n))
+          }
+      }.toDF("k", "o_cents", "item_cents", "n_items")
+        .orderBy(col("k"))
+    }),
+
     // SCD Type-2 (history-preserving dimension upsert): customers as a
     // versioned dimension at version 1; a deterministic update feed
     // (custkey%7==2 moves segment, %31==0 key-shifted rows are brand-new
@@ -477,6 +509,15 @@ object Advanced {
          CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50
          FROM documents WHERE n_chars > 100
          GROUP BY lang ORDER BY lang""",
+    "q93_cogroup_reconcile" ->
+      """SELECT o_orderkey AS k,
+         CAST(round(o_totalprice*100) AS BIGINT) AS o_cents,
+         CAST(coalesce(SUM(CAST(round(l_extendedprice*100) AS BIGINT)), 0)
+           AS BIGINT) AS item_cents,
+         CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+         FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 100 = 0
+         GROUP BY 1, 2 ORDER BY k""",
     "q89_scd2_dimension" ->
       """WITH dim AS (
            SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),

@@ -246,6 +246,47 @@ object Corpus {
       .drop("__n", "__st")
   }
 
+  /** Deterministic dense ids 0..n-1 in `order`-column order — the
+    * distributed zipWithIndex: training pipelines need stable dense ids
+    * (example ids, vocab ids) and `row_number() OVER (ORDER BY ...)` is
+    * a single-partition serialization of the corpus at 100 TB. Instead:
+    * range-partition by the order column, rank WITHIN each partition
+    * (parallel windows), then add broadcast cumulative partition
+    * offsets — three tiny metadata steps and one data shuffle, output
+    * identical to the global window. `order` must be unique (ids are
+    * deterministic only if the total order is).
+    */
+  def denseIds(df: DataFrame, order: Column, partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.repartitionByRange(n, order)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parts.groupBy(col("__pid")).count()
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order)
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("dense_id",
+        row_number().over(w).cast("long") + col("__offset") - 1L)
+      .drop("__pid", "__offset")
+  }
+
+  /** Canonical-document selection: given duplicate-cluster assignments
+    * (e.g. [[graft.ext.NearDup.connectedComponents]] output), keep ONE
+    * representative per cluster — the highest-`quality` row, ties broken
+    * by smallest `order` (deterministic). One hash-partitioned window
+    * per cluster key; no shuffle of non-cluster rows if pre-filtered.
+    */
+  def keepCanonical(df: DataFrame, cluster: Column, quality: Column,
+                    order: Column): DataFrame = {
+    val w = Window.partitionBy(cluster).orderBy(quality.desc, order.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
   /** Boilerplate/markup strip for scraped corpora: drop
     * script/style elements WITH their content, strip remaining tags,
     * decode the common entities, collapse whitespace. RE2-compatible

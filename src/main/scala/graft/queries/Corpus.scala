@@ -248,6 +248,33 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed dense-id assignment: 0..n-1 in doc_id order WITHOUT a
+    // single-partition global window (range partitions ranked in
+    // parallel + broadcast cumulative offsets). Output must equal the
+    // serial row_number() the oracle computes.
+    "q94_dense_ids" -> ((s, d) =>
+      CorpusOps.denseIds(table(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("dense_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Canonical selection after dup clustering: duplicates injected
+    // deterministically (doc_id%19==1 docs get a copy at +200000 with
+    // shorter text), clusters keyed by md5 of the ORIGINAL text; the
+    // canonical pick is highest n_chars, ties to smallest doc_id — so
+    // originals must win over their truncated copies.
+    "q95_keep_canonical" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val dup = docs.filter(pmod(col("doc_id"), lit(19)) === 1)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("n_chars", floor(col("n_chars") / 2).cast("long"))
+      val corpus = docs.unionByName(dup)
+        .withColumn("cluster", md5(lower(col("text"))))
+      CorpusOps.keepCanonical(corpus, col("cluster"),
+          col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -407,6 +434,25 @@ object Corpus {
            CAST(length(nfc_normalize(t)) AS INT) AS n_norm,
            md5(nfc_normalize(t)) AS fp
          FROM inj ORDER BY doc_id""",
+    // the parallel two-phase ranking must equal the serial window
+    "q94_dense_ids" ->
+      """SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id,
+         lang
+         FROM documents ORDER BY doc_id""",
+    "q95_keep_canonical" ->
+      """WITH corpus AS (
+           SELECT doc_id, lang, lower(text) AS t, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, lang, lower(text),
+             CAST(floor(n_chars / 2) AS BIGINT)
+           FROM documents WHERE doc_id % 19 = 1),
+         r AS (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY md5(t)
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM corpus)
+         SELECT doc_id, lang, n_chars FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q86_sequence_slices" ->
       """WITH w AS (
            SELECT doc_id, lang,

@@ -195,6 +195,32 @@ class CorpusSpec extends SparkSpec {
     assert(rows(2).getString(0) == composed && rows(2).getString(1) == decomposed)
   }
 
+  test("denseIds: equals the serial global window, ids dense 0..n-1, parallel partitions") {
+    val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = Corpus.denseIds(df, col("doc_id"), partitions = 7)
+      .select("doc_id", "dense_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = df.count()
+    // serial reference: rank of doc_id in sorted order
+    val sorted = df.select("doc_id").collect().map(_.getLong(0)).sorted
+    sorted.zipWithIndex.foreach { case (id, i) =>
+      assert(got(id) == i.toLong, s"doc $id")
+    }
+    assert(got.values.min == 0L && got.values.max == n - 1
+      && got.values.toSeq.distinct.size == n.toInt)
+  }
+
+  test("keepCanonical: highest quality wins, ties break to smallest order") {
+    val rows = Seq(
+      (1L, "c1", 100L), (2L, "c1", 300L), (3L, "c1", 300L), // tie: 2 beats 3
+      (4L, "c2", 50L),                                      // singleton
+      (5L, "c3", 10L), (6L, "c3", 20L)
+    ).toDF("id", "cluster", "q")
+    val kept = Corpus.keepCanonical(rows, col("cluster"), col("q"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("rebalanceMixture: achieved mix near target, zero-share strata dropped, deterministic") {
     val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
     def run() = Corpus.rebalanceMixture(df, col("lang"), col("doc_id"),

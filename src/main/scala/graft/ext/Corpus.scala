@@ -214,6 +214,21 @@ object Corpus {
       .drop("__st", "__permille")
   }
 
+  /** EXACT-k deterministic sample per stratum (eval/holdout sets want
+    * exact sizes; [[stratifiedSample]]'s rate predicate gives binomial
+    * counts). Rank rows inside each stratum by their sample-bucket hash
+    * (ties by the key itself) and keep the first k — stable under
+    * re-runs and additive: growing the corpus only swaps rows whose
+    * hash rank crosses the k boundary. One window shuffle, strata rank
+    * in parallel.
+    */
+  def exactKSample(df: DataFrame, key: Column, stratum: Column,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(sampleBucket(key), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Pack documents into fixed-length training SEQUENCES, splitting
     * documents across sequence boundaries (the packing step before
     * tokenized examples — [[packShards]] is the file-level sibling that

@@ -275,6 +275,15 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-k per-stratum sample: exactly 20 docs per language (or all
+    // of a smaller stratum), chosen by deterministic hash rank — the
+    // eval-set construction shape, vs q57's rate-based binomial counts.
+    "q96_exact_k_sample" -> ((s, d) =>
+      CorpusOps.exactKSample(table(s, d, "documents"),
+          col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -434,6 +443,13 @@ object Corpus {
            CAST(length(nfc_normalize(t)) AS INT) AS n_norm,
            md5(nfc_normalize(t)) AS fp
          FROM inj ORDER BY doc_id""",
+    "q96_exact_k_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 1000, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""",
     // the parallel two-phase ranking must equal the serial window
     "q94_dense_ids" ->
       """SELECT doc_id,

@@ -265,10 +265,21 @@ object Corpus {
     * distributed zipWithIndex: training pipelines need stable dense ids
     * (example ids, vocab ids) and `row_number() OVER (ORDER BY ...)` is
     * a single-partition serialization of the corpus at 100 TB. Instead:
-    * range-partition by the order column, rank WITHIN each partition
-    * (parallel windows), then add broadcast cumulative partition
-    * offsets — three tiny metadata steps and one data shuffle, output
-    * identical to the global window. `order` must be unique (ids are
+    * range-partition by the order column ONCE, rank within partitions
+    * in parallel, add broadcast cumulative partition offsets.
+    *
+    * The checkpoint after the range exchange is load-bearing, not a
+    * cache hint: the offsets branch and the ranking branch both consume
+    * `parts`, and two independent re-evaluations would run two
+    * RangePartitioners whose boundary SAMPLING is seeded by each
+    * exchange's RDD id — at any scale where the sampler sees a subset,
+    * the branches could disagree on boundaries and emit duplicate +
+    * missing ids. One materialization = one sampling = one truth.
+    *
+    * Shuffle profile: the range exchange moves the data once; the
+    * per-partition window adds a hash exchange on __pid (cheap keys,
+    * already clustered). The win over a global window is parallelism —
+    * no stage runs on one partition. `order` must be unique (ids are
     * deterministic only if the total order is).
     */
   def denseIds(df: DataFrame, order: Column, partitions: Int = 0): DataFrame = {
@@ -276,6 +287,7 @@ object Corpus {
       else df.sparkSession.sparkContext.defaultParallelism
     val parts = df.repartitionByRange(n, order)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = parts.groupBy(col("__pid")).count()
       .withColumn("__offset",
         coalesce(sum(col("count")).over(

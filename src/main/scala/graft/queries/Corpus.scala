@@ -272,7 +272,9 @@ object Corpus {
       CorpusOps.keepCanonical(corpus, col("cluster"),
           col("n_chars"), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
+        // n_chars tiebreak keeps the ORDER BY total even at scale
+        // factors where doc_id+200000 collides with a real doc_id
+        .orderBy(col("doc_id"), col("n_chars"))
     }),
 
     // Exact-k per-stratum sample: exactly 20 docs per language (or all
@@ -468,7 +470,8 @@ object Corpus {
              row_number() OVER (PARTITION BY md5(t)
                ORDER BY n_chars DESC, doc_id ASC) AS rk
            FROM corpus)
-         SELECT doc_id, lang, n_chars FROM r WHERE rk = 1 ORDER BY doc_id""",
+         SELECT doc_id, lang, n_chars FROM r WHERE rk = 1
+         ORDER BY doc_id, n_chars""",
     "q86_sequence_slices" ->
       """WITH w AS (
            SELECT doc_id, lang,

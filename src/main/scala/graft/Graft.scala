@@ -55,6 +55,14 @@ object Graft {
     if (df.rdd.getNumPartitions < cores) df.repartition(key) else df
   }
 
+  /** 8-hex md5 prefix — the canonicalized-plan fingerprint used by Bench
+    * (and by Sources for pre-materialize plans) so successive rounds can
+    * diff PLANS, not just times.
+    */
+  def md5_8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Depth-first delete of a staging directory (shared by the queries
     * and specs that round-trip through temp files — one definition, not
     * a copy per file).

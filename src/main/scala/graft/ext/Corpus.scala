@@ -281,13 +281,25 @@ object Corpus {
     * already clustered). The win over a global window is parallelism —
     * no stage runs on one partition. `order` must be unique (ids are
     * deterministic only if the total order is).
+    *
+    * Durability trade-off: the default `localCheckpoint` stores the
+    * materialized partitions on EXECUTOR-LOCAL storage with lineage
+    * truncated — fast, but an executor loss/decommission after the
+    * checkpoint makes those partitions unrecoverable and fails the job.
+    * Right for short interactive jobs; for long-running 1000-executor
+    * runs pass `reliableCheckpoint = true` (requires
+    * `sparkContext.setCheckpointDir` to a cluster-visible path) to pay
+    * one write to reliable storage for fault-tolerant re-reads.
     */
-  def denseIds(df: DataFrame, order: Column, partitions: Int = 0): DataFrame = {
+  def denseIds(df: DataFrame, order: Column, partitions: Int = 0,
+               reliableCheckpoint: Boolean = false): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.repartitionByRange(n, order)
+    val ranged = df.repartitionByRange(n, order)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val parts =
+      if (reliableCheckpoint) ranged.checkpoint(true)
+      else ranged.localCheckpoint(true)
     val offsets = parts.groupBy(col("__pid")).count()
       .withColumn("__offset",
         coalesce(sum(col("count")).over(
@@ -319,7 +331,10 @@ object Corpus {
     * decode the common entities, collapse whitespace. RE2-compatible
     * patterns (no backrefs/lookahead) so any engine — and the DuckDB
     * oracle — reproduces them; per-row regexp chain, shuffle-free and
-    * codegen'd like [[scrubPii]].
+    * codegen'd like [[scrubPii]]. Whitespace is an EXPLICIT class, not
+    * `\s`: Java's `\s` includes \x0B where RE2's does not, so the
+    * shorthand silently diverges across engines on vertical-tab input —
+    * explicit classes mean both engines run the identical automaton.
     */
   def stripMarkup(text: Column): Column = {
     val noScript = regexp_replace(text,
@@ -332,7 +347,7 @@ object Corpus {
         regexp_replace(noTags, "&lt;", "<"),
         "&gt;", ">"),
       "&amp;", "&")
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Email addresses → `<EMAIL>`, hyphen/dot-delimited US phone numbers

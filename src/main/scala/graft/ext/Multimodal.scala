@@ -27,15 +27,31 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** STUB decode: dimensions/properties a real codec would read from the
-    * header, here derived deterministically from the bytes (length +
-    * seeded hash) so plumbing and tests are stable. Real impl: a
-    * vectorized batch UDF decoding per partition.
+  /** Code point of the `pos`-th (1-indexed) character of the payload's
+    * string view, 0 past the end — for ASCII payloads this IS the byte,
+    * matching [[parseHeader]]'s `b(i)`, and any engine recomputes it
+    * with `ascii(substr(...))`. (A real codec reads raw bytes; the stub
+    * documents the ASCII-payload assumption instead of hiding behind a
+    * hash.)
     */
-  def decodeStub(media: Column): Column = struct(
-    (pmod(xxhash64(media, lit(1)), lit(1920)) + 1).cast("int").as("width"),
-    (pmod(xxhash64(media, lit(2)), lit(1080)) + 1).cast("int").as("height"),
-    length(media).cast("long").as("n_bytes"))
+  private def byteAt(s: Column, pos: Int): Column =
+    when(length(s) >= pos, ascii(substring(s, pos, 1))).otherwise(lit(0))
+
+  /** STUB decode: dimensions a real codec would read from the header,
+    * here parsed from the leading payload bytes (big-endian pairs, mod
+    * display dims) — the same math as the batched path's
+    * [[parseHeader]], so the columnar and mapPartitions decoders agree
+    * byte-for-byte on ASCII payloads (pinned in MultimodalSpec), and
+    * the DuckDB oracle recomputes every value with ascii() arithmetic.
+    * Real impl: a vectorized batch UDF decoding per partition.
+    */
+  def decodeStub(media: Column): Column = {
+    val s = media.cast("string")
+    struct(
+      ((byteAt(s, 1) * 256 + byteAt(s, 2)) % 1920 + 1).cast("int").as("width"),
+      ((byteAt(s, 3) * 256 + byteAt(s, 4)) % 1080 + 1).cast("int").as("height"),
+      length(media).cast("long").as("n_bytes"))
+  }
 
   /** STUB resize: metadata-level scale of the decoded dimensions (a real
     * impl rewrites pixels; the plumbing — a struct→struct column map —
@@ -53,14 +69,18 @@ object Multimodal {
       decoded.getField("n_bytes").as("n_bytes"))
   }
 
-  /** STUB feature extraction: fixed-dim pseudo-embedding from seeded
-    * hashes of the bytes, values in [0, 1). Deterministic, columnar, no
-    * UDF — the real codec-backed extractor would slot in at the same
-    * signature (binary → array<double>).
+  /** STUB feature extraction: fixed-dim pseudo-embedding from the
+    * payload bytes after the 4-byte "header" (byte value / 256 → values
+    * in [0, 1)). Deterministic, columnar, no UDF, and — unlike the
+    * previous hash-seeded form — independently recomputable by the
+    * DuckDB oracle. The real codec-backed extractor slots in at the
+    * same signature (binary → array<double>).
     */
-  def featuresStub(media: Column, dim: Int = 8): Column =
+  def featuresStub(media: Column, dim: Int = 8): Column = {
+    val s = media.cast("string")
     array((0 until dim).map(i =>
-      (pmod(xxhash64(media, lit(100 + i)), lit(100000)).cast("double") / 100000.0)): _*)
+      byteAt(s, 5 + i).cast("double") / 256.0): _*)
+  }
 
   /** Frame/segment sampling: split the payload into `n` byte ranges and
     * take each range's prefix — the batch-shape analogue of sampling n

@@ -200,7 +200,8 @@ object NearDup {
     * actual shingle collisions, not to block-size². Shingles are hashed
     * to 64-bit first (long equi-join keys; collisions negligible).
     */
-  def blockedJaccardPairs(docs: DataFrame, topK: Int = 50): DataFrame = {
+  def blockedJaccardPairs(docs: DataFrame, topK: Int = 50,
+                          maxBucket: Int = 256): DataFrame = {
     // spreadIfNarrow fans shingling across cores at harness scale
     // (single-file input) and is a no-op on a many-split source; the
     // native ShingleHashes expression evaluates its token input once per
@@ -218,15 +219,19 @@ object NearDup {
     // shingle meet in its bucket, so the per-pair bucket-match count IS
     // the intersection size. Zero-overlap pairs never materialize and the
     // corpus is scanned once — no self-join, shuffle ∝ total shingles.
-    // Skew note (100 TB): a stop-shingle shared by B docs fans out B²
-    // pair rows; production corpora should cap or drop top-df shingles
-    // (cf. candidatePairs' maxBucket) — kept exact here.
+    // Skew guard (100 TB): a stop-shingle shared by B docs in one block
+    // would fan out B² pair rows — a boilerplate footer shared by every
+    // page makes that THE job-killer partition. Buckets over `maxBucket`
+    // are dropped (a shingle that common carries no near-dup signal
+    // anyway — it's a stop-shingle by definition); the default sits ~35×
+    // above the harness corpus' max per-block df (7 at sf0.1), so the
+    // exact result is untouched there. NearDupSpec pins both properties.
     val buckets = base
       .select(col("lang"), col("lenb"), explode(col("sh")).as("h"),
         struct(col("doc_id"), col("n")).as("d"))
       .groupBy(col("lang"), col("lenb"), col("h"))
       .agg(collect_list(col("d")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
     buckets
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))

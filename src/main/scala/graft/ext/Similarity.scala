@@ -210,12 +210,33 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
 
-  /** Approximate top-k: probe only the query's own LSH bucket. */
+  /** Approximate top-k via LSH bucket probing. With `maxProbeHamming`
+    * = 0 each query scans only its own bucket (maximum pruning); with
+    * h > 0 it MULTI-PROBES every bucket within hamming distance h of
+    * its own sign pattern (Lv et al., "Multi-Probe LSH", VLDB'07) —
+    * the standard recall lever when the embedding space has weak
+    * neighborhood structure: a near neighbor differing on a few sign
+    * bits is still found, at the cost of Σ C(nPlanes, i), i ≤ h probe
+    * buckets per query (37 of 256 at nPlanes=8, h=2 ⇒ ~14% of the
+    * corpus scanned instead of 100%).
+    *
+    * Scale shape: the probe fan-out explodes only the (small,
+    * broadcast) QUERY side — the corpus is bucketed once, narrow, and
+    * joined by bucket equality; probe keys are distinct, so a corpus
+    * vector meets a query at most once and no dedup is needed.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8): DataFrame = {
+              nPlanes: Int = 8, maxProbeHamming: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxProbeHamming >= 0 && maxProbeHamming <= nPlanes)
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val bq = queries.withColumn("bucket", lshBucket(col("qvec"), nPlanes))
+    val masks: Seq[Long] = (0 to maxProbeHamming).flatMap(h =>
+      (0 until nPlanes).combinations(h)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))))
+    val bq = queries.withColumn("__b0", lshBucket(col("qvec"), nPlanes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0")
     val bc = corpus.withColumn("bucket", lshBucket(col("vec"), nPlanes))
     val joined = bc.join(broadcast(bq), Seq("bucket"))
       .filter(col("id") =!= col("qid"))

@@ -40,14 +40,34 @@ object Merge {
     *   - new key → new open row;
     *   - absent key and all closed history → pass through untouched.
     *
+    * PRECONDITION: `updates` must carry at most ONE row per key — the
+    * full-outer join otherwise fans out and silently emits multiple
+    * open (is_current) rows per key, corrupting the dimension (SQL
+    * MERGE raises on a multi-source-row match for the same reason).
+    * With `requireUniqueKeys` (default) the precondition is ENFORCED
+    * at execution: a distributed per-key count over the update feed
+    * feeds an `assert_true` filter, so a duplicate key fails the job
+    * with a named key instead of corrupting silently. Cost: one extra
+    * shuffle of the (small) update feed; pass false only when the feed
+    * is deduplicated upstream.
+    *
     * Attribute comparison is null-safe (`<=>`). One key-partitioned
     * shuffle joins ONLY the current slice against the update feed —
     * closed history never joins, so cost scales with |current| +
     * |updates|, not with accumulated history (the dominant term in a
     * years-old 100 TB dimension).
     */
-  def scd2(dim: DataFrame, updates: DataFrame, keyCol: String,
-           attrCols: Seq[String], batchVer: Long): DataFrame = {
+  def scd2(dim: DataFrame, updates0: DataFrame, keyCol: String,
+           attrCols: Seq[String], batchVer: Long,
+           requireUniqueKeys: Boolean = true): DataFrame = {
+    val updates = if (requireUniqueKeys) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      updates0.withColumn("__kc", count(lit(1)).over(w))
+        .filter(assert_true(col("__kc") === 1,
+          concat(lit(s"scd2: duplicate key in updates feed: $keyCol="),
+            col(keyCol).cast("string"))).isNull)
+        .drop("__kc")
+    } else updates0
     // null-safe: a row with is_current = NULL (never-backfilled flag)
     // must not vanish — it routes to the history passthrough, because
     // `filter(col)` and `filter(!col)` BOTH drop null predicates

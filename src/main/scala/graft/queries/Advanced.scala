@@ -99,6 +99,25 @@ object Advanced {
         .orderBy(col("returnflag"))
     }),
 
+    // Skew-resistant equi-join (Salt.skewJoin): the big side is split
+    // into sub-keys by a deterministic row hash, the small side
+    // replicated once per bucket — the static remedy when one hot probe
+    // key floods a single task and AQE can't rewrite (broadcast-hash
+    // path). The rewrite must be invisible in the result, so the oracle
+    // is the PLAIN join + aggregation, mirroring q55's treatment of
+    // saltedAgg; ScaleSpec asserts the salt actually spreads a hot key.
+    "q98_skew_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val pt = table(s, d, "part").filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_size"))
+      graft.ops.Salt.skewJoin(li, pt, "l_partkey", "p_partkey", buckets = 8)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("p_size"))
+    }),
+
     // Approximate distinct (HLL++) vs exact. The raw HLL estimate is not
     // DuckDB-recomputable (different sketch), so the oracle pins the
     // exact column plus the accuracy CONTRACT: `approx_ok` must be
@@ -612,6 +631,12 @@ object Advanced {
       """SELECT l_returnflag AS returnflag,
          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY returnflag""",
+    // the salted join rewrite must equal the plain join
+    "q98_skew_join" ->
+      """SELECT p_size, COUNT(*) AS n,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10 GROUP BY p_size ORDER BY p_size""",
     "q43_approx_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,

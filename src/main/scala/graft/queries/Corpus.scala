@@ -163,16 +163,24 @@ object Corpus {
     // the final filter on exact counts is deterministic and equals the
     // plain GROUP BY ... HAVING the oracle runs.
     "q81_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val toks = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("tok"))
       val hh = udaf(new HeavyHitterSketch(64), HeavyHitterSketch.inputEncoder)
       val cands = toks.agg(hh(col("tok")).as("cands"))
         .select(explode(col("cands")).as("tok"))
-      val tot = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(broadcast(cands), Seq("tok"), "left_semi")
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
-        .filter(col("cnt") >= ceil(col("n_total") * 0.03))
+      // pass 2 folds the corpus total into the exact-count scan: tokens
+      // outside the candidate set collapse into one NULL group (map-side
+      // combined like any other key) whose count completes n_total — the
+      // token relation is scanned twice (sketch + counts), never a third
+      // time just for the denominator. The window runs over ≤ k+1 rows.
+      val counted = toks
+        .join(broadcast(cands.withColumn("__cand", lit(1))), Seq("tok"), "left")
+        .groupBy(when(col("__cand").isNotNull, col("tok")).as("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      counted
+        .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+        .filter(col("tok").isNotNull && col("cnt") >= ceil(col("n_total") * 0.03))
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
@@ -232,11 +240,13 @@ object Corpus {
     // filter (low-entropy = repeated chars, high = uniform noise). Char
     // histogram via explode + two-stage agg (map-side combine), exact
     // integer counts; only the final -Σp·log₂p is floating-point,
-    // rounded to 4 for engine-portable comparison.
+    // rounded to 4 for engine-portable comparison. The char pattern is
+    // an explicit [^\n\r] class, not '.': Java's dot excludes \r where
+    // RE2's matches it — explicit means both engines agree on CR input.
     "q87_char_entropy" -> ((s, d) => {
       val cnt = docs(s, d)
         .select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")), lit("."), lit(0)))
+          explode(regexp_extract_all(lower(col("text")), lit("[^\\n\\r]"), lit(0)))
             .as("c"))
         .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
       val n = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
@@ -430,7 +440,7 @@ object Corpus {
                     '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&amp;', '&', 'g') AS t
                 FROM s2),
          s4 AS (SELECT doc_id,
-                  trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned
+                  trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS cleaned
                 FROM s3)
          SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_clean
          FROM s4 ORDER BY doc_id""",
@@ -494,7 +504,7 @@ object Corpus {
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
     "q87_char_entropy" ->
       """WITH ch AS (
-           SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS c
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^\n\r]')) AS c
            FROM documents),
          cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
          n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)

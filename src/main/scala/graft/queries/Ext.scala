@@ -9,40 +9,77 @@ import graft.ops.{Active911, Fixtures}
 
 /** EXT query entries: near-dup detection, vector similarity, embedding
   * stats, and the full Active911 reference pipeline over built-in wire
-  * fixtures. Entries without an oracle are non-SQL-expressible in DuckDB
-  * (hash functions / LSH) — the driver records a rows-only check; their
-  * semantics are pinned by ScalaTest specs instead.
+  * fixtures. Every entry carries a DuckDB oracle: hash/LSH-derived
+  * values that DuckDB cannot recompute are checked via CONTRACT
+  * booleans instead (invariants on injected exact duplicates, in-job
+  * recall vs brute force — the q43/q66/q76 pattern), so a regression in
+  * any pipeline stage still flips the driver row red; byte-level
+  * semantics additionally pinned by ScalaTest specs.
   */
 object Ext {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // MinHash signatures + LSH candidate pressure per document.
-    // No oracle BY NECESSITY: every output column derives from xxhash64
-    // (signature mins, band keys), which DuckDB cannot recompute
-    // (SparkEntry.scala:46-50 exemption). Semantics pinned in
-    // NearDupSpec (byte-equality of native vs composed hashes, recall).
+    // MinHash + LSH banding, CONTRACT-ORACLE form: the signatures/band
+    // keys are xxhash64-derived (DuckDB cannot recompute a value), so
+    // the oracle instead pins hash-free INVARIANTS the pipeline must
+    // satisfy on deterministically injected exact duplicates (doc_id%21
+    // == 5 → copy at +500000, reproducible in SQL): an exact dup has the
+    // identical shingle-hash set, hence identical signature, identical
+    // band keys, and MUST surface as a candidate pair. A regression in
+    // shingling, signing, banding, or bucket-join flips a boolean red.
+    // Byte-level semantics stay pinned in NearDupSpec.
     "q36_minhash" -> ((s, d) => {
-      val signed = NearDup.signed(spreadIfNarrow(table(s, d, "documents"), col("doc_id")), "doc_id", "text")
+      val docs = table(s, d, "documents")
+      val dup = docs.filter(pmod(col("doc_id"), lit(21)) === 5)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      val corpus = spreadIfNarrow(docs.unionByName(dup), col("doc_id"))
+      val signed = NearDup.signed(corpus, "doc_id", "text")
       val pairs = NearDup.candidatePairs(signed)
-      val touched = pairs.select(col("id_a").as("doc_id"))
-        .union(pairs.select(col("id_b").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-      signed.select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
-        .join(touched, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("sig_hash"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-        .orderBy(col("doc_id"))
+      val origs = signed
+        .filter(pmod(col("doc_id"), lit(21)) === 5 && col("doc_id") < 500000L)
+        .select(col("doc_id").as("orig_id"),
+          col("sig").as("sig_o"), col("band_keys").as("bk_o"))
+      val copies = signed.filter(col("doc_id") >= 500000L)
+        .select((col("doc_id") - 500000L).as("orig_id"),
+          col("sig").as("sig_c"), col("band_keys").as("bk_c"))
+      val found = pairs.filter(col("id_b") === col("id_a") + 500000L)
+        .select(col("id_a").as("orig_id"), lit(true).as("__found"))
+      origs.join(copies, Seq("orig_id"))
+        .join(found, Seq("orig_id"), "left")
+        .select(col("orig_id"),
+          (col("sig_o") === col("sig_c")).as("sig_equal"),
+          (col("bk_o") === col("bk_c")).as("bands_equal"),
+          coalesce(col("__found"), lit(false)).as("candidate_found"))
+        .orderBy(col("orig_id"))
     }),
 
-    // SimHash per document (two-step so token hashes are computed once).
-    // No oracle BY NECESSITY: the 64 bit-votes are over xxhash64 token
-    // hashes — not DuckDB-recomputable. Pinned in NearDupSpec
-    // (determinism, hamming ordering, exact-dup collapse).
+    // SimHash, CONTRACT-ORACLE form (same injection as q36): an exact
+    // dup has identical token hashes → identical bit votes → hamming 0,
+    // and the 16-bit-band blocking path must emit the pair. The hashes
+    // themselves stay non-recomputable; the invariants are not.
+    // Determinism/ordering semantics pinned in NearDupSpec.
     "q37_simhash" -> ((s, d) => {
-      spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
+      val docs = table(s, d, "documents")
+      val dup = docs.filter(pmod(col("doc_id"), lit(21)) === 5)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      val corpus = spreadIfNarrow(docs.unionByName(dup), col("doc_id"))
+      val sims = corpus
         .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), NearDup.simhashFromHashes(col("hs")).as("simhash"))
-        .orderBy(col("doc_id"))
+      val o = sims.filter(pmod(col("doc_id"), lit(21)) === 5 &&
+          col("doc_id") < 500000L)
+        .select(col("doc_id").as("orig_id"), col("simhash").as("sim_o"))
+      val c = sims.filter(col("doc_id") >= 500000L)
+        .select((col("doc_id") - 500000L).as("orig_id"), col("simhash").as("sim_c"))
+      val banded = NearDup.simhashNearDups(corpus, "doc_id", "text", maxDist = 3)
+        .filter(col("id_b") === col("id_a") + 500000L)
+        .select(col("id_a").as("orig_id"), lit(true).as("__found"))
+      o.join(c, Seq("orig_id"))
+        .join(banded, Seq("orig_id"), "left")
+        .select(col("orig_id"),
+          (NearDup.hamming(col("sim_o"), col("sim_c")) === 0).as("hamming_zero"),
+          coalesce(col("__found"), lit(false)).as("band_pair_found"))
+        .orderBy(col("orig_id"))
     }),
 
     // Top blocked n-gram-Jaccard pairs (lang + length-bucket blocking).
@@ -56,6 +93,31 @@ object Ext {
       val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.cosinePairsExact(emb, 0.4).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The PRODUCTION near-dup path at 100 TB: banded hyperplane-LSH
+    // candidates verified by exact cosine (Similarity.lshNearDupPairs) —
+    // q39's designated scale replacement, now driver-watched, not just
+    // spec-pinned. The pair set is hyperplane-hash-derived, so the
+    // oracle pins the CONTRACT vs the exact all-pairs baseline computed
+    // in the same job: precision is 1.0 by construction (every
+    // candidate is re-verified on true vectors), recall governed by
+    // (nPlanes=24, bandBits=3): 8 bands of 3 bits ⇒ ~0.90 match prob
+    // for a pair AT the tau=0.4 boundary, higher above it. n_exact is
+    // DuckDB-recomputable (q39's SQL, counted).
+    "q97_lsh_neardup" -> ((s, d) => {
+      import s.implicits._
+      val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val approx = Similarity.lshNearDupPairs(emb, 0.4, nPlanes = 24, bandBits = 3)
+        .select(col("id_a"), col("id_b"))
+      val exact = Similarity.cosinePairsExact(emb, 0.4)
+        .select(col("id_a"), col("id_b"))
+      val nExact = exact.count()
+      val nApprox = approx.count()
+      val nCommon = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      Seq((nExact, nCommon == nApprox, nCommon.toDouble / nExact >= 0.7))
+        .toDF("n_exact", "precision_ok", "recall_ok")
     }),
 
     // Blocked fuzzy match (entity resolution): all row pairs within a
@@ -114,18 +176,30 @@ object Ext {
         .orderBy(col("id"))
     }),
 
-    // IVF approximate top-3 (coarse-quantizer + inverted-list probe).
-    // No oracle: the result depends on the spherical k-means training
-    // loop (iterative float-cast recentering) — reproducing it in SQL
-    // would be a second implementation, not an independent check.
-    // Recall vs brute force pinned in SimilaritySpec instead.
+    // IVF approximate top-3 (coarse-quantizer + inverted-list probe),
+    // CONTRACT-ORACLE form: the neighbor ids depend on the k-means
+    // training loop (reproducing it in SQL would be a second
+    // implementation, not a check), so the query measures ITSELF against
+    // the exact brute-force top-k in the same job and emits the accuracy
+    // contract as booleans the oracle pins TRUE. Recall is aggregate
+    // over the query set (per-query probe recall is stochastic by
+    // design); the threshold sits ~2x under measured (see SURVEY §9.3).
+    // no_self_ok pins the qid≠nid exclusion; per-path recall is also
+    // spec-pinned in SimilaritySpec.
     "q44_ann_ivf" -> ((s, d) => {
+      import s.implicits._
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.ivfTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
+      val ivf = Similarity.ivfTopK(qs, corpus, 3).select(col("qid"), col("nid"))
+      val brute = Similarity.bruteTopK(qs, corpus, 3).select(col("qid"), col("nid"))
+      val nBrute = brute.count()
+      val nHit = ivf.join(brute, Seq("qid", "nid"), "left_semi").count()
+      val nSelf = ivf.filter(col("qid") === col("nid")).count()
+      Seq((qs.count(), 3, nHit.toDouble / nBrute >= 0.3, nSelf == 0L))
+        .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),
 
     // Exact cosine top-5 for the first 10 vectors (brute force, double
@@ -190,16 +264,31 @@ object Ext {
         .orderBy(col("vec_id"))
     }),
 
-    // Approximate top-3 via random-hyperplane LSH bucket probe.
-    // No oracle BY NECESSITY: bucket membership depends on xxhash64-
-    // derived hyperplanes; recall vs bruteTopK pinned in SimilaritySpec.
+    // Approximate top-3 via multi-probe random-hyperplane LSH (each
+    // query scans buckets within hamming 3 of its sign pattern — ~36%
+    // of the corpus; the fixture embeddings have weak neighbor
+    // structure, avg top-3 cos ≈ 0.37, so tighter probing is
+    // legitimately blind here — measured recall 0.59-0.70 at h=3
+    // across SFs, threshold pinned >2x under). CONTRACT-ORACLE form (same construction
+    // as q44): bucket membership is xxhash64-derived, so the oracle
+    // pins the accuracy contract computed in-job vs bruteTopK —
+    // aggregate recall over the query set (per-query probe recall is
+    // stochastic by design), plus the self-exclusion invariant.
     "q41_ann_lsh" -> ((s, d) => {
+      import s.implicits._
       val emb = table(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(qs, corpus, 3).orderBy(col("qid"), col("rank"))
+      val lsh = Similarity.lshTopK(qs, corpus, 3, nPlanes = 8, maxProbeHamming = 3)
+        .select(col("qid"), col("nid"))
+      val brute = Similarity.bruteTopK(qs, corpus, 3).select(col("qid"), col("nid"))
+      val nBrute = brute.count()
+      val nHit = lsh.join(brute, Seq("qid", "nid"), "left_semi").count()
+      val nSelf = lsh.filter(col("qid") === col("nid")).count()
+      Seq((qs.count(), 3, nHit.toDouble / nBrute >= 0.25, nSelf == 0L))
+        .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),
 
     // Hybrid retrieval: metadata-filtered vector search (the RAG shape) —
@@ -232,10 +321,12 @@ object Ext {
 
     // Multimodal plumbing over synthetic binary payloads (documents text
     // bytes as stand-in media; decode/resize/features are deterministic
-    // stubs — see graft.ext.Multimodal). No oracle BY NECESSITY: the
-    // stub decode is engine-defined (no codec in the container), so
-    // there is no independent ground truth to recompute; the plumbing
-    // (schema, batch shape, determinism) is pinned in MultimodalSpec.
+    // stubs — see graft.ext.Multimodal). Oracle-checked since the stubs
+    // moved to header-parse math (the q91 trick): with ASCII payloads
+    // every output value is plain `ascii(substr(...))` arithmetic DuckDB
+    // recomputes independently — decode dims, the 512-cap resize, the
+    // byte-derived f0 feature, the frame count. Batch-shape/partitioning
+    // semantics remain pinned in MultimodalSpec.
     "q51_multimodal" -> ((s, d) => {
       val media = spreadIfNarrow(table(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
@@ -320,7 +411,73 @@ object Ext {
           OR (len(pp) >= 2 AND NOT isnan(p1) AND NOT isnan(p2))
        ORDER BY id"""
 
+  /** The exact-cosine pair count CTE chain shared by q39/q69/q97 —
+    * q97's oracle re-derives the baseline pair count independently.
+    */
+  private val exactPairCountSql: String =
+    """WITH f AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+       dots AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+         FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+       sims AS (
+         SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
+         FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                     JOIN norms nb ON d.id_b = nb.vec_id)"""
+
   val oracles: Map[String, String] = Map(
+    // invariants of the injected exact duplicates (doc_id%21=5 → copy):
+    // identical shingle set ⇒ identical signature ⇒ identical bands ⇒
+    // candidate pair MUST surface; any pipeline regression flips a bool
+    "q36_minhash" ->
+      """SELECT doc_id AS orig_id, TRUE AS sig_equal, TRUE AS bands_equal,
+           TRUE AS candidate_found
+         FROM documents WHERE doc_id % 21 = 5 ORDER BY orig_id""",
+    "q37_simhash" ->
+      """SELECT doc_id AS orig_id, TRUE AS hamming_zero,
+           TRUE AS band_pair_found
+         FROM documents WHERE doc_id % 21 = 5 ORDER BY orig_id""",
+    // accuracy contracts computed in-job vs brute force, pinned TRUE
+    "q41_ann_lsh" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+           AS n_queries,
+         CAST(3 AS INT) AS k, TRUE AS recall_ok, TRUE AS no_self_ok""",
+    "q44_ann_ivf" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+           AS n_queries,
+         CAST(3 AS INT) AS k, TRUE AS recall_ok, TRUE AS no_self_ok""",
+    "q97_lsh_neardup" ->
+      (exactPairCountSql +
+        """
+         SELECT (SELECT COUNT(*) FROM sims WHERE cos >= 0.4) AS n_exact,
+           TRUE AS precision_ok, TRUE AS recall_ok"""),
+    // every value is header-parse arithmetic over ASCII payloads:
+    // decode dims from the first four bytes, the 512-cap resize, the
+    // byte-5 feature, the constant frame count
+    "q51_multimodal" ->
+      """WITH b AS (
+           SELECT doc_id,
+             'text/plain;src=' || source AS media_type,
+             (ascii(substr(text, 1, 1))*256 + ascii(substr(text, 2, 1)))
+               % 1920 + 1 AS w,
+             (ascii(substr(text, 3, 1))*256 + ascii(substr(text, 4, 1)))
+               % 1080 + 1 AS h,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             ascii(substr(text, 5, 1)) / 256.0 AS f0
+           FROM documents)
+         SELECT doc_id AS media_id, media_type,
+           CASE WHEN greatest(w, h) <= 512 THEN w
+                ELSE CAST(floor(w * (512.0 / greatest(w, h))) AS INT)
+           END AS width,
+           CASE WHEN greatest(w, h) <= 512 THEN h
+                ELSE CAST(floor(h * (512.0 / greatest(w, h))) AS INT)
+           END AS height,
+           n_bytes, f0, CAST(4 AS BIGINT) AS n_frames
+         FROM b ORDER BY media_id""",
     // every fixture doc has ≥ 3 words, so count = len-2 and the
     // windowed string n-grams match the generator's rows exactly
     "q92_shingle_generator" ->
@@ -353,7 +510,9 @@ object Ext {
            FROM e),
          q AS (
            SELECT vec_id, v, scale,
-             list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) AS qv
+             CASE WHEN scale > 0 THEN
+               list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT))
+             END AS qv
            FROM s)
          SELECT vec_id, round(scale, 6) AS scale_r,
            CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,

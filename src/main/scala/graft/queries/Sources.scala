@@ -30,12 +30,33 @@ object Sources {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Materialize a small result so the staging dir can be deleted before
-    * returning (the driver re-executes returned frames lazily).
+  /** Pre-materialize optimized-plan hashes per query name — the
+    * LocalRelation a [[materialize]] returns erases the real plan, which
+    * blinded cross-round plan diffing for exactly the Sources queries
+    * (q62/q64/q72 all reported one hash). Bench reads this map to report
+    * the plan that actually executed.
     */
-  private def materialize(s: SparkSession, df: DataFrame): DataFrame = {
+  val planHashes: scala.collection.concurrent.TrieMap[String, String] =
+    scala.collection.concurrent.TrieMap.empty
+
+  /** Materialize a small result so the staging dir can be deleted before
+    * returning (the driver re-executes returned frames lazily). Guarded:
+    * every caller here is a per-language aggregate (≤ dozens of rows); the
+    * bound makes that contract explicit so a future caller can't quietly
+    * turn this into a driver-side OOM — collect is capped at `maxRows`+1
+    * and anything over throws instead of ballooning.
+    */
+  private def materialize(s: SparkSession, name: String, df: DataFrame,
+                          maxRows: Int = 10000): DataFrame = {
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    planHashes(name) =
+      graft.Graft.md5_8(df.queryExecution.optimizedPlan.canonicalized.toString)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Sources.materialize($name): result exceeds $maxRows rows — " +
+        "materialize is for small aggregates only; write large results " +
+        "to a sink instead of collecting them")
+    s.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,7 +77,7 @@ object Sources {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .json(s"$stage/data")
-        materialize(s, read
+        materialize(s, "q62_jsonl_source", read
           .groupBy(when(col("_corrupt_record").isNotNull, lit("(corrupt)"))
             .otherwise(col("lang")).as("lang"))
           .agg(count(lit(1)).as("n_docs"),
@@ -77,7 +98,7 @@ object Sources {
           .parquet(s"$stage/out")
         val read = s.read.parquet(s"$stage/out")
           .filter(col("lang").isin("en", "de"))
-        materialize(s, read
+        materialize(s, "q64_partitioned_sink", read
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
           .orderBy(col("lang")))
@@ -109,7 +130,7 @@ object Sources {
           .withColumn("prev_hi", lag(col("hi"), 1).over(Window.orderBy(col("lo"))))
           .select((col("prev_hi").isNull || col("lo") > col("prev_hi")).as("ok"),
             col("n"), col("sum_id"))
-        materialize(s, flags.agg(
+        materialize(s, "q80_sorted_layout", flags.agg(
           sum(col("n")).as("rows"),
           sum(col("sum_id")).as("sum_doc_id"),
           min(col("ok")).as("files_disjoint")))
@@ -136,7 +157,7 @@ object Sources {
           .write.mode("overwrite").parquet(s"$stage/out/v2")
         val read = s.read.option("mergeSchema", "true")
           .parquet(s"$stage/out/v1", s"$stage/out/v2")
-        materialize(s, read
+        materialize(s, "q75_schema_evolution", read
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             count(col("quality")).as("n_with_quality"),
@@ -153,7 +174,7 @@ object Sources {
       try {
         table(s, d, "documents")
           .write.mode("overwrite").orc(s"$stage/out")
-        materialize(s, s.read.orc(s"$stage/out")
+        materialize(s, "q72_orc_source", s.read.orc(s"$stage/out")
           .filter(col("n_chars") >= 200)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
@@ -186,7 +207,7 @@ object Sources {
           .option("header", "true").option("multiLine", "true")
           .option("quote", "\"").option("escape", "\"")
           .csv(s"$stage/data")
-        materialize(s, read
+        materialize(s, "q63_csv_source", read
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("chars"),

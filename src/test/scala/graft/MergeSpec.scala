@@ -72,6 +72,23 @@ class MergeSpec extends SparkSpec {
     assert(twice == out)
   }
 
+  test("scd2: duplicate key in the updates feed fails loudly, not silently fans out") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 1L, Option.empty[Long], Some(true)))
+      .toDF("key", "segment", "valid_from", "valid_to", "is_current")
+    val dupUpdates = Seq((1L, "X"), (1L, "Y")).toDF("key", "segment")
+    val e = intercept[Exception] {
+      graft.ops.Merge.scd2(base, dupUpdates, "key", Seq("segment"), 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate key")), msgs(e).mkString("; "))
+    // guard off: caller explicitly accepts the precondition
+    val out = graft.ops.Merge.scd2(base, dupUpdates.limit(1), "key",
+      Seq("segment"), 2L, requireUniqueKeys = false).collect()
+    assert(out.length == 2) // closed A + opened X
+  }
+
   test("scd2: rows with NULL is_current route to history passthrough, never vanish") {
     import spark.implicits._
     val base = Seq(

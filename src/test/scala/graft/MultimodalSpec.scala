@@ -52,6 +52,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).map(_.toSeq).distinct.size > 1)
   }
 
+  test("columnar decodeStub == batched parseHeader on ASCII payloads; f0 is byte 5") {
+    val cols = Multimodal.enrich(media, "id", "bytes", "mtype")
+      .select(col("media_id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.n_bytes"), element_at(col("features"), 1))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val ds = media.select(col("id").as("media_id"), col("bytes").as("media"))
+      .as[Multimodal.MediaIn]
+    val batched = Multimodal.decodeBatched(ds).collect()
+      .map(o => o.media_id -> (o.width, o.height, o.n_bytes)).toMap
+    cols.foreach { case (id, (w, h, n, _)) =>
+      assert(batched(id) == ((w, h, n)), s"columnar vs batched diverge for $id")
+    }
+    // f0 = 5th byte / 256 ('hello' → 'o' = 111), 0 past the end
+    assert(cols(1L)._4 == 111.0 / 256.0)
+    assert(cols(3L)._4 == 0.0)
+  }
+
   test("decodeBatched: header parse exact, short/binary payloads safe, inits per batch") {
     import spark.implicits._
     val rows = (0L until 100L).map { i =>

@@ -114,6 +114,21 @@ class NearDupSpec extends SparkSpec {
     assert((same intersect other).isEmpty)
   }
 
+  test("blockedJaccardPairs: degenerate shared shingle can't produce B² rows") {
+    // every doc shares exactly one stop-shingle ("common shared footer")
+    // and nothing else — the worst case for the inverted index: one
+    // bucket holding all B docs, B² candidate fanout if uncapped
+    val n = 10
+    val degenerate = (1 to n).map(i =>
+      (i.toLong, "en", 10L, s"unique$i token$i word$i common shared footer"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val full = NearDup.blockedJaccardPairs(degenerate, topK = 100)
+    assert(full.count() == n.toLong * (n - 1) / 2) // under the cap: exact
+    // a bucket over maxBucket is dropped whole — its B² pairs never exist
+    val capped = NearDup.blockedJaccardPairs(degenerate, topK = 100, maxBucket = 5)
+    assert(capped.count() == 0)
+  }
+
   test("ShingleGenerate: row stream byte-identical to explode(WordShingles), incl. short docs") {
     import spark.implicits._
     graft.expr.GraftFunctions.register(spark)

@@ -68,8 +68,16 @@ class PlanSpec extends SparkSpec {
       "native ShingleHashes not in the optimized plan")
   }
 
-  test("q41: LSH probe is an equi-join on the bucket key, no product join") {
-    val df = SparkEntry.queries("q41_ann_lsh")(spark, d)
+  test("lshTopK (q41's probe path): equi-join on the bucket key, no product join") {
+    // q41's ENTRY returns a contract summary (LocalRelation); the probe
+    // pipeline shape is asserted on the operator itself, multi-probe on
+    import org.apache.spark.sql.functions._
+    val emb = Graft.table(spark, d, "embeddings")
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = graft.ext.Similarity.lshTopK(qs, corpus, 3,
+      nPlanes = 8, maxProbeHamming = 2)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH probe degenerated to a product join:\n$p")
@@ -85,16 +93,19 @@ class PlanSpec extends SparkSpec {
   test("plan lint: product joins only where intentional, across ALL queries") {
     // non-equi / all-pairs by design:
     //   q39/q40/q47: exact similarity baselines (id_a < id_b, qid != id)
-    //   q44: broadcast centroid assignment (corpus x nlist, nlist tiny)
     //   q45: explicit cross join
     //   q46: 1-row broadcast scalar
     //   q28: band join (range predicate against a broadcast dim)
+    // q41/q44/q97 run their accuracy contract in-job and RETURN a
+    // LocalRelation summary, so this lint sees no join; their pipeline
+    // shapes are asserted by the dedicated lshTopK test above and
+    // SimilaritySpec (the brute baseline inside them is a deliberate
+    // broadcast NL join, same as q40's).
     val productOk = Set("q28_range_join", "q39_embedding_neardup",
-      "q40_cosine_topk", "q44_ann_ivf", "q45_cross_join",
+      "q40_cosine_topk", "q45_cross_join",
       "q46_scalar_subquery", "q47_hybrid_search",
       "q69_dedup_clusters", // q69: exact-cosine edge derivation (q39's)
-      "q78_contamination",  // 1-row broadcast snippet injection
-      "q81_heavy_hitters")  // 1-row broadcast total for the threshold
+      "q78_contamination")  // 1-row broadcast snippet injection
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

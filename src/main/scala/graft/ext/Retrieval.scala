@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword / lexical retrieval over a document corpus, and rank fusion
+  * with the vector side ([[graft.ext.Similarity]]) — the missing half of
+  * hybrid search (EXT, SURVEY.md §2.14): BM25 scoring via an inverted
+  * postings join, set-overlap ranking, and reciprocal-rank fusion.
+  *
+  * Scale design (100 TB stance):
+  *  - the corpus is tokenized ONCE into a postings relation
+  *    (term, doc, tf) — a single explode + two-stage hash aggregate;
+  *    document text never joins anything;
+  *  - the query set (keyword queries are human-issued: thousands, not
+  *    billions) broadcasts; scoring touches only postings whose term
+  *    appears in some query — a broadcast semi probe on the postings
+  *    scan, so corpus-side work is proportional to matching postings,
+  *    never to |corpus| × |queries|;
+  *  - document frequencies are computed for QUERY terms only (a
+  *    handful of rows) and broadcast back — the full-vocabulary df
+  *    table is never materialized;
+  *  - all ordering keys are rounded scores with id tiebreaks, so
+  *    rankings are deterministic and engine-portable.
+  */
+object Retrieval {
+
+  /** Okapi BM25 scores for every (query, document) pair with at least
+    * one matching term. `queries` is a small DataFrame (qid, qtext);
+    * `docs` provides (idCol, textCol). Tokenization = split on single
+    * spaces, lowercased (the corpus convention used by every text
+    * operator here).
+    *
+    * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the
+    * non-negative Robertson–Spärck-Jones form.
+    *
+    * Returns (qid, doc id, score) — unrounded; rank with
+    * [[bm25TopK]] for the deterministic rounded ordering.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      split(lower(col(textCol)), " ").as("__toks"))
+    // postings (term, doc, tf) + per-doc length: ONE corpus pass; both
+    // aggregates map-side combine
+    val postings = toks
+      .select(col("__id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("__id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = queries
+      .select(col("qid"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .distinct()
+    // corpus stats: one tiny aggregate, broadcast everywhere
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__toks"))).as("avgdl"))
+    // df for QUERY terms only — the postings scan is probed by the
+    // broadcast term set, grouped on term: rows out = |query vocab|
+    val dfq = postings
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"),
+        col("avgdl"))
+    postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("__w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + k1 * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("__id"))
+      .agg(sum(col("__w")).as("score"))
+      .select(col("qid"), col("__id").as(idCol), col("score"))
+  }
+
+  /** Top-k BM25 per query, ranked by the ROUNDED score (4 decimals)
+    * with doc-id tiebreak — rounding first makes the ordering
+    * engine-portable: two engines whose float sums differ in the last
+    * ulp still agree on the rounded key, and equal rounded scores
+    * resolve by id on both sides.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, queries, k1, b)
+      .withColumn("score_r", round(col("score"), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_r").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("rank"), col("score_r"))
+  }
+
+  /** Distinct-token-overlap top-k: rank documents by |Q ∩ D| (distinct
+    * tokens shared with the query), ties by id. An INTEGER-keyed
+    * lexical ranking — no floats anywhere, so the rank numbers are
+    * bit-portable across engines; the cheap recall-oriented lexical leg
+    * for rank fusion. Same broadcast-probe shape as [[bm25Scores]].
+    */
+  def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, k: Int): DataFrame = {
+    val docTerms = docs.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .distinct()
+    val qterms = queries
+      .select(col("qid"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("inter").desc, col("__id"))
+    docTerms.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col("__id"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("__id").as(idCol), col("rank"), col("inter"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    * lists keyed (qid, id, rank): rrf = Σ 1/(c + rank) over the lists
+    * containing the item. Input ranks are integers, each 1/(c+rank) is
+    * a correctly-rounded IEEE division, and the two-term sum is written
+    * in a fixed order — so the fused score is bit-identical on any
+    * engine, and the fused ORDERING (score desc, id) is deterministic
+    * without rounding tricks.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    val left = a.select(col("qid"), col(idCol), col("rank").as("rank_a"))
+    val right = b.select(col("qid"), col(idCol), col("rank").as("rank_b"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col(idCol))
+    left.join(right, Seq("qid", idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("rank"),
+        col("rank_a"), col("rank_b"), round(col("rrf"), 6).as("rrf6"))
+  }
+}

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * postings join, set-overlap ranking, and reciprocal-rank fusion.
   *
   * Scale design (100 TB stance):
-  *  - the corpus is tokenized ONCE into a postings relation
-  *    (term, doc, tf) — a single explode + two-stage hash aggregate;
-  *    document text never joins anything;
+  *  - the corpus is tokenized in exactly TWO passes: one tiny
+  *    count/avg aggregate for (N, avgdl) — map-side combined, no
+  *    shuffle of text — and one postings pass (term, doc, tf) that is
+  *    immediately probed by the broadcast query vocabulary, so only
+  *    matching postings survive; document text never joins anything.
+  *    (A deployment that runs many query batches over one corpus
+  *    would persist the postings relation; a function can't own that
+  *    lifecycle, so the stats pass stays explicit here.)
   *  - the query set (keyword queries are human-issued: thousands, not
   *    billions) broadcasts; scoring touches only postings whose term
   *    appears in some query — a broadcast semi probe on the postings
@@ -36,43 +41,56 @@ object Retrieval {
     * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the
     * non-negative Robertson–Spärck-Jones form.
     *
+    * Documents with null or whitespace-only text are excluded from the
+    * corpus BEFORE any statistic, so N, avgdl, df and tf are all
+    * computed over the same population; empty tokens produced by
+    * consecutive/leading/trailing spaces are dropped (they would
+    * otherwise inflate dl/df and form a matchable "" term).
+    *
     * Returns (qid, doc id, score) — unrounded; rank with
     * [[bm25TopK]] for the deterministic rounded ordering.
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      split(lower(col(textCol)), " ").as("__toks"))
-    // postings (term, doc, tf) + per-doc length: ONE corpus pass; both
-    // aggregates map-side combine
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+          .as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
+    // corpus stats: one tiny map-side-combined aggregate over the SAME
+    // filtered population as the postings, broadcast everywhere
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__toks"))).as("avgdl"))
+    // postings (term, doc, tf) + per-doc length; two-stage hash agg
     val postings = toks
       .select(col("__id"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
       .groupBy(col("__id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val qterms = queries
-      .select(col("qid"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .select(col("qid"),
+        explode(filter(split(lower(col("qtext")), " "), t => t =!= lit("")))
+          .as("term"))
       .distinct()
-    // corpus stats: one tiny aggregate, broadcast everywhere
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("__toks"))).as("avgdl"))
-    // df for QUERY terms only — the postings scan is probed by the
-    // broadcast term set, grouped on term: rows out = |query vocab|
-    val dfq = postings
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = dfq.crossJoin(broadcast(stats))
-      .select(col("term"),
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-          .as("idf"),
-        col("avgdl"))
-    postings
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
+    // ONE pass over postings: probe with the broadcast query VOCAB
+    // (qid-free, so (term, __id) stays unique), then df(term) =
+    // row-count per term over the surviving slice — an exact distinct
+    // doc count because postings is grouped, computed by a window on
+    // the already-tiny matched relation instead of a second postings
+    // branch (which would re-tokenize the corpus).
+    val qvocab = qterms.select(col("term")).distinct()
+    val matched = postings
+      .join(broadcast(qvocab), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    matched
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("__w",
         col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + k1 * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qterms), Seq("term"))
       .groupBy(col("qid"), col("__id"))
       .agg(sum(col("__w")).as("score"))
       .select(col("qid"), col("__id").as(idCol), col("score"))
@@ -105,10 +123,13 @@ object Retrieval {
   def overlapTopK(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, k: Int): DataFrame = {
     val docTerms = docs.select(col(idCol).as("__id"),
-        explode(split(lower(col(textCol)), " ")).as("term"))
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
+          .as("term"))
       .distinct()
     val qterms = queries
-      .select(col("qid"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .select(col("qid"),
+        explode(filter(split(lower(col("qtext")), " "), t => t =!= lit("")))
+          .as("term"))
       .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("inter").desc, col("__id"))

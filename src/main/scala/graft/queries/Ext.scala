@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{spreadIfNarrow, table}
-import graft.ext.{Multimodal, NearDup, Similarity}
+import graft.ext.{Multimodal, NearDup, Retrieval, Similarity}
 import graft.ops.{Active911, Fixtures}
 
 /** EXT query entries: near-dup detection, vector similarity, embedding
@@ -118,6 +118,34 @@ object Ext {
       val nCommon = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
       Seq((nExact, nCommon == nApprox, nCommon.toDouble / nExact >= 0.7))
         .toDF("n_exact", "precision_ok", "recall_ok")
+    }),
+
+    // Okapi BM25 keyword retrieval (graft.ext.Retrieval): inverted
+    // postings probed by the broadcast query vocabulary — corpus-side
+    // work is proportional to MATCHING postings, never |corpus|×|q|.
+    // All math is SQL arithmetic over integer tf/df/dl, so the oracle
+    // recomputes the full pipeline (tokenize → postings → df → idf →
+    // score → rounded rank) in DuckDB. Fixed literal query set shared
+    // verbatim with the oracle VALUES clause.
+    "q99_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val qs = retrievalQueries(s)
+      Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text", qs, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Hybrid lexical fusion: BM25 top-10 and distinct-token-overlap
+    // top-10 fused by reciprocal-rank fusion (1/(60+rank), full outer).
+    // Ranks are integers and each RRF term is a single IEEE division in
+    // fixed order, so DuckDB recomputes everything bit-identically.
+    "q100_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      val qs = retrievalQueries(s)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      val ov = Retrieval.overlapTopK(docs, "doc_id", "text", qs, k = 10)
+      Retrieval.rrfFuse(bm, ov, "doc_id", k = 5)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Blocked fuzzy match (entity resolution): all row pairs within a
@@ -411,6 +439,72 @@ object Ext {
           OR (len(pp) >= 2 AND NOT isnan(p1) AND NOT isnan(p2))
        ORDER BY id"""
 
+  /** Fixed literal retrieval query set — shared verbatim between the
+    * Spark entries (q99/q100) and the oracle VALUES clauses so both
+    * engines rank exactly the same queries. Terms drawn from the
+    * synthetic documents vocabulary; "nosuchterm" deliberately matches
+    * nothing (df=0 ⇒ no postings row ⇒ contributes no score).
+    */
+  private val retrievalQuerySet: Seq[(Long, String)] = Seq(
+    (1L, "spark join merge"),
+    (2L, "hash table scan"),
+    (3L, "stream window batch"),
+    (4L, "vector customer nosuchterm"))
+
+  private def retrievalQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    retrievalQuerySet.toDF("qid", "qtext")
+  }
+
+  /** BM25 top-10 fully recomputed in DuckDB, ending in CTE `bm`.
+    * Every numeric literal is cast to DOUBLE: DuckDB would otherwise
+    * type `0.5`/`1.2` as DECIMAL and evaluate the idf/tf ratios in
+    * decimal arithmetic, whose rounding diverges from Spark's IEEE
+    * doubles. Operation order mirrors Retrieval.bm25Scores exactly.
+    */
+  private val bm25TopKSql: String = {
+    val queryValues = retrievalQuerySet
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH qs(qid, qtext) AS (VALUES $queryValues),
+       toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         FROM documents WHERE text IS NOT NULL),
+       toks2 AS (SELECT * FROM toks WHERE len(tk) > 0),
+       stats AS (SELECT COUNT(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks2),
+       post AS (
+         SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+           SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks2)
+         GROUP BY doc_id, dl, term),
+       qt AS (SELECT DISTINCT qid, term FROM (
+           SELECT qid, unnest(list_filter(string_split(lower(qtext), ' '),
+                                          t -> t <> '')) AS term FROM qs)),
+       dfq AS (SELECT term, COUNT(*) AS df FROM post
+               WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       scored AS (
+         SELECT qt.qid, post.doc_id,
+           sum(ln(CAST(1.0 AS DOUBLE)
+                  + (post.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+                    / (dfq.df + CAST(0.5 AS DOUBLE)))
+               * (post.tf * CAST(2.2 AS DOUBLE))
+               / (post.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * post.dl / post.avgdl))) AS score
+         FROM (SELECT p.*, s.n_docs, s.avgdl FROM post p CROSS JOIN stats s)
+           AS post
+         JOIN dfq ON post.term = dfq.term
+         JOIN qt ON post.term = qt.term
+         GROUP BY qt.qid, post.doc_id),
+       bm AS (
+         SELECT qid, doc_id, rank, score_r FROM (
+           SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 4) DESC, doc_id) AS rank,
+             round(score, 4) AS score_r
+           FROM scored)
+         WHERE rank <= 10)"""
+  }
+
   /** The exact-cosine pair count CTE chain shared by q39/q69/q97 —
     * q97's oracle re-derives the baseline pair count independently.
     */
@@ -455,6 +549,49 @@ object Ext {
         """
          SELECT (SELECT COUNT(*) FROM sims WHERE cos >= 0.4) AS n_exact,
            TRUE AS precision_ok, TRUE AS recall_ok"""),
+    // full BM25 recompute: tokenize → postings → df → idf → score →
+    // rounded rank, all in DuckDB (see bm25TopKSql for the DOUBLE-cast
+    // rationale)
+    "q99_bm25_topk" ->
+      (bm25TopKSql +
+        """
+         SELECT qid, doc_id, rank, score_r FROM bm ORDER BY qid, rank"""),
+    // BM25 ∪ token-overlap fused by RRF; ranks are integers and each
+    // RRF term is one IEEE division, so the fused score is recomputed
+    // bit-identically
+    "q100_rrf_fusion" ->
+      (bm25TopKSql +
+        """,
+       dt AS (SELECT DISTINCT doc_id, term FROM (
+           SELECT doc_id, unnest(tk) AS term FROM toks)),
+       ovs AS (
+         SELECT qt.qid, dt.doc_id, COUNT(*) AS inter
+         FROM dt JOIN qt ON dt.term = qt.term
+         GROUP BY qt.qid, dt.doc_id),
+       ov AS (
+         SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY inter DESC, doc_id) AS rank
+           FROM ovs)
+         WHERE rank <= 10),
+       fused AS (
+         SELECT coalesce(bm.qid, ov.qid) AS qid,
+                coalesce(bm.doc_id, ov.doc_id) AS doc_id,
+                bm.rank AS rank_a, ov.rank AS rank_b,
+                coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rank),
+                         CAST(0.0 AS DOUBLE))
+                + coalesce(CAST(1.0 AS DOUBLE) / (60 + ov.rank),
+                           CAST(0.0 AS DOUBLE)) AS rrf
+         FROM bm FULL OUTER JOIN ov
+           ON bm.qid = ov.qid AND bm.doc_id = ov.doc_id)
+         SELECT qid, doc_id, rank, rank_a, rank_b, rrf6 FROM (
+           SELECT qid, doc_id, rank_a, rank_b,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY rrf DESC, doc_id) AS rank,
+             round(rrf, 6) AS rrf6
+           FROM fused)
+         WHERE rank <= 5 ORDER BY qid, rank"""),
     // every value is header-parse arithmetic over ASCII payloads:
     // decode dims from the first four bytes, the 512-cap resize, the
     // byte-5 feature, the constant frame count

@@ -105,7 +105,11 @@ class PlanSpec extends SparkSpec {
       "q40_cosine_topk", "q45_cross_join",
       "q46_scalar_subquery", "q47_hybrid_search",
       "q69_dedup_clusters", // q69: exact-cosine edge derivation (q39's)
-      "q78_contamination")  // 1-row broadcast snippet injection
+      "q78_contamination",  // 1-row broadcast snippet injection
+      // q99/q100: BM25's (N, avgdl) corpus stats are ONE broadcast row
+      // cross-joined onto the matched postings — O(|matched|) work,
+      // scale-safe by construction (same class as q46's scalar)
+      "q99_bm25_topk", "q100_rrf_fusion")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -229,6 +229,57 @@ object Corpus {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Weighted exact-k sampling, Efraimidis–Spirakis A-Res form with
+    * DETERMINISTIC per-row uniforms from [[sampleBucket]]: priority =
+    * u^(1/w), sample = the k largest priorities (ties → key). Inclusion
+    * probability scales with weight as in the randomized original, but
+    * retries, re-runs, and other engines reproduce the identical set —
+    * the q57/q96 reproducibility story, weighted. Global top-k plans as
+    * TakeOrderedAndProject (O(k) per partition, no full sort). Rows
+    * with null or non-positive weight are excluded (u^(1/w) is
+    * undefined there, matching the A-Res precondition w > 0).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    val u = (sampleBucket(key).cast("double") + lit(0.5)) / lit(1000.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__pri", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__pri").desc, key)
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Vocabulary-coverage / OOV-rate audit: build the top-`vocabSize`
+    * vocabulary by DOCUMENT frequency (ties → lexicographic term), then
+    * score every document's out-of-vocabulary token ratio and roll up
+    * per stratum. Two corpus passes by necessity — the vocabulary is a
+    * global artifact computed before coverage; at 100 TB the df pass
+    * runs over a persisted postings relation or a stratified sample.
+    * The vocabulary (≤ vocabSize rows) broadcasts, so the coverage pass
+    * is explode → broadcast left join → two map-side-combined
+    * aggregates; document text never shuffles.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    stratum: Column, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), stratum.as("__st"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
+        .as("term"))
+    val vocab = toks.select(col("__id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("__inv"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("__id"), col("__st"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__inv"), lit(0L)).otherwise(lit(1L))).as("n_oov"))
+      .groupBy(col("__st").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_oov").cast("double") / col("n_toks")), 4)
+          .as("avg_oov"),
+        sum(when(col("n_oov") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("full_cover"))
+  }
+
   /** Pack documents into fixed-length training SEQUENCES, splitting
     * documents across sequence boundaries (the packing step before
     * tokenized examples — [[packShards]] is the file-level sibling that

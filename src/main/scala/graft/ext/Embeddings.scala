@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.GramMoments
+
+/** Covariance / PCA over an `Array[Float]` embedding column (EXT,
+  * SURVEY.md §2.14): the moment pass is a single distributed Gram
+  * aggregate ([[graft.expr.GramMoments]], O(D²) state per partition);
+  * everything after — covariance finalization, power-iteration
+  * eigensolve, basis assembly — is driver math on one D×D matrix, the
+  * classic RowMatrix/PCA split. Projection back onto the corpus is a
+  * narrow codegen'd map (no shuffle, no UDF).
+  */
+object Embeddings {
+
+  /** Result of the distributed moment pass, finalized on the driver:
+    * population mean and covariance (row-major `cov(i)(j)`).
+    */
+  final case class Moments(n: Long, mean: Array[Double],
+                           cov: Array[Array[Double]]) {
+    def dim: Int = mean.length
+    def trace: Double = {
+      var t = 0.0; var i = 0
+      while (i < dim) { t += cov(i)(i); i += 1 }
+      t
+    }
+  }
+
+  /** Top eigenpairs of the covariance, eigenvalue-descending. */
+  final case class Eigen(values: Array[Double], vectors: Array[Array[Double]])
+
+  /** ONE distributed pass: n, Σv, Σvvᵀ via the GramMoments aggregator,
+    * then cov(i,j) = gram(i,j)/n − mean_i·mean_j on the driver.
+    * Population (1/n) covariance — the convention the oracle recomputes.
+    */
+  def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
+    val agg = udaf(new GramMoments(dim), GramMoments.inputEncoder)
+    val row = df.select(agg(col(vecCol)).as("m")).select("m.*").head()
+    val n = row.getAs[Long]("n")
+    require(n > 0, "moments of an empty relation")
+    val sum = row.getAs[Seq[Double]]("sum").toArray
+    val gram = row.getAs[Seq[Double]]("gram").toArray
+    val mean = sum.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = gram(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    Moments(n, mean, cov)
+  }
+
+  /** Top-r eigenpairs by cyclic Jacobi rotations — the right solver for
+    * a small symmetric driver-side matrix: quadratically convergent
+    * with NO eigengap dependence (power/deflation iteration stalls when
+    * λ₁ ≈ λ₂, which is the normal case for near-isotropic embedding
+    * covariances), machine-precision residuals and exact-to-rounding
+    * orthogonality (V is a product of rotations). Deterministic: fixed
+    * cyclic sweep order, data-independent convergence threshold, and a
+    * canonical sign convention (largest-|component| entry positive).
+    * D is an embedding dim, so driver O(sweeps·D³) is microseconds; a
+    * huge-D case would swap in a distributed Lanczos, not this.
+    */
+  def symEigen(cov: Array[Array[Double]], r: Int,
+               maxSweeps: Int = 64): Eigen = {
+    val d = cov.length
+    require(r > 0 && r <= d, s"r=$r out of range for dim $d")
+    val b = cov.map(_.clone())
+    val vmat = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+
+    def offNorm(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += 2 * b(i)(j) * b(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    val scale = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = 0; while (j < d) { s += b(i)(j) * b(i)(j); j += 1 }; i += 1 }
+      math.max(math.sqrt(s), Double.MinPositiveValue)
+    }
+
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm() > 1e-14 * scale) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = b(p)(q)
+          if (apq != 0.0) {
+            // classic Jacobi rotation zeroing b(p)(q)
+            val tau = (b(q)(q) - b(p)(p)) / (2.0 * apq)
+            val t = math.signum(tau) match {
+              case 0.0 => 1.0
+              case s0  => s0 / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            }
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s0 = t * c
+            var k = 0
+            while (k < d) {
+              val bkp = b(k)(p); val bkq = b(k)(q)
+              b(k)(p) = c * bkp - s0 * bkq
+              b(k)(q) = s0 * bkp + c * bkq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val bpk = b(p)(k); val bqk = b(q)(k)
+              b(p)(k) = c * bpk - s0 * bqk
+              b(q)(k) = s0 * bpk + c * bqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = vmat(k)(p); val vkq = vmat(k)(q)
+              vmat(k)(p) = c * vkp - s0 * vkq
+              vmat(k)(q) = s0 * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+
+    // top-r by eigenvalue desc, index-asc tiebreak; canonical sign
+    val order = (0 until d).sortBy(i => (-b(i)(i), i)).take(r)
+    val values = order.map(i => b(i)(i)).toArray
+    val vectors = order.map { ci =>
+      val v = Array.tabulate(d)(k => vmat(k)(ci))
+      var best = 0; var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      if (v(best) < 0) v.map(x => -x) else v
+    }.toArray
+    Eigen(values, vectors)
+  }
+
+  /** ‖Cv − λv‖∞ — the eigenpair residual used by the q101 contract. */
+  def eigenResidual(cov: Array[Array[Double]], value: Double,
+                    vector: Array[Double]): Double = {
+    val d = cov.length
+    var worst = 0.0
+    var i = 0
+    while (i < d) {
+      var s = 0.0; var j = 0
+      while (j < d) { s += cov(i)(j) * vector(j); j += 1 }
+      worst = math.max(worst, math.abs(s - value * vector(i)))
+      i += 1
+    }
+    worst
+  }
+
+  /** Project (and optionally whiten) the corpus onto a driver-computed
+    * basis: mean-center, dot with each component, divide by √λ when
+    * whitening. A NARROW map over broadcast literal arrays — codegen'd
+    * HOF arithmetic, no shuffle, no UDF; at 100 TB this is a pure scan.
+    */
+  def project(df: DataFrame, vecCol: String, mean: Array[Double],
+              eigen: Eigen, whiten: Boolean = false,
+              outCol: String = "proj"): DataFrame = {
+    val meanLit = array(mean.map(lit): _*)
+    val centered = zip_with(col(vecCol), meanLit,
+      (x, m) => x.cast("double") - m)
+    val comps = eigen.vectors.zip(eigen.values).map { case (vec, lam) =>
+      val vLit = array(vec.map(lit): _*)
+      val d = aggregate(zip_with(centered, vLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      if (whiten) d / math.sqrt(math.max(lam, 1e-300)) else d
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
+  /** Convenience: moments → top-r eigen → projected corpus. */
+  def pca(df: DataFrame, vecCol: String, dim: Int, r: Int,
+          whiten: Boolean = false): (Moments, Eigen, DataFrame) = {
+    val m = moments(df, vecCol, dim)
+    val e = symEigen(m.cov, r)
+    (m, e, project(df, vecCol, m.mean, e, whiten))
+  }
+}

@@ -118,6 +118,16 @@ object Advanced {
         .orderBy(col("p_size"))
     }),
 
+    // Join-key skew diagnostic (ops/Diagnose): the measurement that
+    // picks between a plain shuffle join and q98's salted rewrite.
+    // Per-key histogram = the join's own shuffle minus the payload
+    // (two-stage hash agg); top-K = TakeOrderedAndProject; the one-row
+    // summary broadcasts over the K result rows.
+    "q104_skew_diagnostic" -> ((s, d) =>
+      graft.ops.Diagnose.keyHistogram(table(s, d, "orders"),
+          col("o_custkey"), topK = 15)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // Approximate distinct (HLL++) vs exact. The raw HLL estimate is not
     // DuckDB-recomputable (different sketch), so the oracle pins the
     // exact column plus the accuracy CONTRACT: `approx_ok` must be
@@ -637,6 +647,17 @@ object Advanced {
          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 10 GROUP BY p_size ORDER BY p_size""",
+    "q104_skew_diagnostic" ->
+      """WITH c AS (
+           SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders
+           GROUP BY o_custkey),
+         s AS (SELECT COUNT(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                      max(cnt) AS max_cnt FROM c)
+         SELECT c.key, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) / s.n_rows, 6) AS share, s.n_keys,
+           round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 4)
+             AS skew_factor
+         FROM c CROSS JOIN s ORDER BY c.cnt DESC, c.key LIMIT 15""",
     "q43_approx_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,

@@ -296,6 +296,27 @@ object Corpus {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Weighted exact-k sample (A-Res with deterministic hash uniforms:
+    // priority = u^(1/w), w = document length): longer docs are
+    // proportionally likelier, yet the set is bit-reproducible across
+    // retries and engines — DuckDB recomputes the identical priorities.
+    // Plans as TakeOrderedAndProject: no full sort at 100 TB.
+    "q102_weighted_sample" -> ((s, d) =>
+      CorpusOps.weightedSample(table(s, d, "documents"),
+          col("doc_id"), col("n_chars"), k = 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Vocabulary coverage / OOV-rate audit vs the corpus' own top-30
+    // df vocabulary: global vocab pass (TakeOrdered, ties →
+    // lexicographic), broadcast membership join, per-doc OOV ratio,
+    // per-lang rollup — text never shuffles.
+    "q103_vocab_coverage" -> ((s, d) =>
+      CorpusOps.vocabCoverage(table(s, d, "documents"),
+          "doc_id", "text", col("lang"), vocabSize = 30)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"))),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -462,6 +483,38 @@ object Corpus {
                ORDER BY (doc_id * 2654435761) % 1000, doc_id) AS rk
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    // identical A-Res priorities: pow of the same hash-uniform and
+    // weight (all-DOUBLE math), ties by doc_id
+    "q102_weighted_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY
+               pow(((doc_id * 2654435761) % 1000 + CAST(0.5 AS DOUBLE))
+                     / CAST(1000.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE) / n_chars) DESC, doc_id) AS rk
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25
+         ORDER BY doc_id""",
+    "q103_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         vocab AS (
+           SELECT term FROM (
+             SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+             GROUP BY term ORDER BY df DESC, term LIMIT 30)),
+         per_doc AS (
+           SELECT doc_id, any_value(lang) AS lang, COUNT(*) AS n_toks,
+             sum(CASE WHEN term IN (SELECT term FROM vocab)
+                 THEN 0 ELSE 1 END) AS n_oov
+           FROM toks GROUP BY doc_id)
+         SELECT lang, COUNT(*) AS n_docs,
+           round(avg(CAST(n_oov AS DOUBLE) / n_toks), 4) AS avg_oov,
+           CAST(sum(CASE WHEN n_oov = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS full_cover
+         FROM per_doc GROUP BY lang ORDER BY lang""",
     // the parallel two-phase ranking must equal the serial window
     "q94_dense_ids" ->
       """SELECT doc_id,

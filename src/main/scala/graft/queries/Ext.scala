@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{spreadIfNarrow, table}
-import graft.ext.{Multimodal, NearDup, Retrieval, Similarity}
+import graft.ext.{Embeddings, Multimodal, NearDup, Retrieval, Similarity}
 import graft.ops.{Active911, Fixtures}
 
 /** EXT query entries: near-dup detection, vector similarity, embedding
@@ -118,6 +118,38 @@ object Ext {
       val nCommon = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
       Seq((nExact, nCommon == nApprox, nCommon.toDouble / nExact >= 0.7))
         .toDF("n_exact", "precision_ok", "recall_ok")
+    }),
+
+    // PCA over embeddings (graft.ext.Embeddings): ONE distributed Gram
+    // pass (GramMoments UDAF — O(D²) buffer per partition, element-wise
+    // merge; the only scalable covariance shape), then driver-side
+    // finalization + deterministic cyclic-Jacobi eigensolve. Output =
+    // the full upper-triangle covariance, which DuckDB recomputes
+    // independently via the slow exploded-coordinate join (2M products
+    // at verify scale — exactly what you must NOT do at 100 TB, which
+    // is why it makes a good independent oracle), plus eigen contracts
+    // (residual, orthogonality, λ bounds) pinned TRUE.
+    "q101_pca_covariance" -> ((s, d) => {
+      import s.implicits._
+      val m = Embeddings.moments(table(s, d, "embeddings"), "embedding", 64)
+      val e = Embeddings.symEigen(m.cov, 2)
+      val resid = math.max(
+        Embeddings.eigenResidual(m.cov, e.values(0), e.vectors(0)),
+        Embeddings.eigenResidual(m.cov, e.values(1), e.vectors(1)))
+      val ortho = math.abs(
+        e.vectors(0).zip(e.vectors(1)).map { case (a, b) => a * b }.sum)
+      val residOk = resid < 1e-8 * math.max(1.0, math.abs(e.values(0)))
+      val orthoOk = ortho < 1e-8
+      val evrOk = e.values(0) > 0 &&
+        e.values(1) <= e.values(0) &&
+        e.values(0) <= m.trace * (1 + 1e-12)
+      val tri = for { i <- 0 until 64; j <- i until 64 }
+        yield (i, j, m.cov(i)(j))
+      tri.toDF("i", "j", "cov")
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov_r"),
+          lit(residOk).as("resid_ok"), lit(orthoOk).as("ortho_ok"),
+          lit(evrOk).as("evr_ok"))
+        .orderBy(col("i"), col("j"))
     }),
 
     // Okapi BM25 keyword retrieval (graft.ext.Retrieval): inverted
@@ -549,6 +581,25 @@ object Ext {
         """
          SELECT (SELECT COUNT(*) FROM sims WHERE cos >= 0.4) AS n_exact,
            TRUE AS precision_ok, TRUE AS recall_ok"""),
+    // covariance recomputed the slow independent way (exploded
+    // coordinates, vec-aligned self-join); eigen facts are in-job
+    // contracts
+    "q101_pca_covariance" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         m AS (SELECT i, avg(v) AS mu FROM f GROUP BY i),
+         g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sp
+               FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY a.i, b.i)
+         SELECT CAST(g.i - 1 AS INT) AS i, CAST(g.j - 1 AS INT) AS j,
+           round(g.sp / nn.n - mi.mu * mj.mu, 6) AS cov_r,
+           TRUE AS resid_ok, TRUE AS ortho_ok, TRUE AS evr_ok
+         FROM g CROSS JOIN nn
+           JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+         ORDER BY i, j""",
     // full BM25 recompute: tokenize → postings → df → idf → score →
     // rounded rank, all in DuckDB (see bm25TopKSql for the DOUBLE-cast
     // rationale)

@@ -242,4 +242,61 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == counts, "sample must be identical across re-runs")
   }
+
+  test("weightedSample: A-Res priorities — heavier rows likelier, reproducible, w≤0 excluded") {
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 1L else 100L))
+      .toDF("id", "w")
+      .unionByName(Seq((401L, 0L), (402L, -5L)).toDF("id", "w"))
+    val got = Corpus.weightedSample(df, col("id"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(401L) && !got.contains(402L),
+      "non-positive weights must be excluded")
+    // the 100×-weight half must dominate the sample
+    val heavy = got.count(_ > 200)
+    assert(heavy > 35, s"heavy rows in sample: $heavy/50")
+    // deterministic across re-runs
+    val again = Corpus.weightedSample(df, col("id"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got)
+    // matches a local recomputation of the exact same priorities
+    val expected = (1L to 400L).map { i =>
+      val u = (math.floorMod(i * 2654435761L, 1000L) + 0.5) / 1000.0
+      val w = if (i <= 200) 1.0 else 100.0
+      (i, math.pow(u, 1.0 / w))
+    }.sortBy { case (i, p) => (-p, i) }.take(50).map(_._1).toSet
+    assert(got === expected)
+  }
+
+  test("vocabCoverage: OOV ratios against a hand-built vocabulary") {
+    val docs = Seq(
+      (1L, "a b c", "en"),     // all in vocab(2) iff vocab = {a, b}? c is oov
+      (2L, "a a a", "en"),     // fully covered by {a,..}
+      (3L, "z q", "de")        // fully oov vs {a, b}
+    ).toDF("doc_id", "text", "lang")
+    // df: a→2 docs, b→1, c→1, z→1, q→1; top-2 by (df desc, term) = a, b
+    val got = Corpus.vocabCoverage(docs, "doc_id", "text", col("lang"), 2)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // en: doc1 oov 1/3, doc2 oov 0 → avg (0.3333+0)/2 = 0.1667, full_cover 1
+    // de: doc3 oov 2/2 = 1.0, full_cover 0
+    assert(got.toSeq === Seq(("de", 1L, 1.0, 0L), ("en", 2L, 0.1667, 1L)))
+  }
+
+  test("keyHistogram: counts, shares, and skew factor on a constructed skew") {
+    import graft.ops.Diagnose
+    // key 7 → 60 rows, keys 1..20 → 2 rows each: 100 rows, 21 keys(?) no:
+    // 7 also in 1..20 → 62 rows for key 7? keep keys disjoint: 21..40
+    val df = (Seq.fill(60)(7L) ++ (21L to 40L).flatMap(k => Seq(k, k)))
+      .toDF("k")
+    val got = Diagnose.keyHistogram(df, col("k"), topK = 3)
+      .orderBy(col("cnt").desc, col("key")).collect()
+    assert(got.length === 3)
+    val top = got.head
+    assert(top.getAs[Long]("key") === 7L && top.getAs[Long]("cnt") === 60L)
+    assert(math.abs(top.getAs[Double]("share") - 0.6) < 1e-9)
+    assert(top.getAs[Long]("n_keys") === 21L)
+    // skew = max/mean = 60 / (100/21) = 12.6
+    assert(math.abs(top.getAs[Double]("skew_factor") - 12.6) < 1e-9)
+    assert(got(1).getAs[Long]("cnt") === 2L && got(1).getAs[Long]("key") === 21L)
+  }
 }

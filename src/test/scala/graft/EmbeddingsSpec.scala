@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Embeddings
+
+/** Pins the distributed moment pass (GramMoments UDAF) and the
+  * driver-side Jacobi eigensolve against hand-computable fixtures:
+  * known covariance of tiny vector sets, partition-count invariance of
+  * the aggregator merge, eigenpair residual/orthogonality at machine
+  * precision even with a DEGENERATE spectrum (the case power iteration
+  * cannot handle), and the projection/whitening contract (component
+  * variance equals the eigenvalue; whitened variance equals 1).
+  */
+class EmbeddingsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def toDF(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "vec")
+
+  test("moments: known covariance of a 2-D cross (degenerate spectrum)") {
+    // (±1, 0), (0, ±1): mean 0, cov = I/2 — both eigenvalues 0.5
+    val df = toDF(Seq(Array(1f, 0f), Array(-1f, 0f),
+      Array(0f, 1f), Array(0f, -1f)))
+    val m = Embeddings.moments(df, "vec", 2)
+    assert(m.n === 4)
+    assert(m.mean.forall(x => math.abs(x) < 1e-15))
+    assert(math.abs(m.cov(0)(0) - 0.5) < 1e-15)
+    assert(math.abs(m.cov(1)(1) - 0.5) < 1e-15)
+    assert(math.abs(m.cov(0)(1)) < 1e-15)
+    // Jacobi handles the EXACTLY degenerate spectrum: residual and
+    // orthogonality still at machine precision
+    val e = Embeddings.symEigen(m.cov, 2)
+    assert(math.abs(e.values(0) - 0.5) < 1e-12 &&
+      math.abs(e.values(1) - 0.5) < 1e-12)
+    assert(Embeddings.eigenResidual(m.cov, e.values(0), e.vectors(0)) < 1e-12)
+    val dot = e.vectors(0).zip(e.vectors(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  test("moments: non-zero mean is subtracted (anisotropic fixture)") {
+    // points along (1,1) around mean (10, 20): cov = s²·[[1,1],[1,1]]/n
+    val pts = Seq(-3f, -1f, 1f, 3f).map(t => Array(10f + t, 20f + t))
+    val m = Embeddings.moments(toDF(pts), "vec", 2)
+    assert(math.abs(m.mean(0) - 10.0) < 1e-12)
+    assert(math.abs(m.mean(1) - 20.0) < 1e-12)
+    val s2 = (9.0 + 1 + 1 + 9) / 4
+    for (i <- 0 to 1; j <- 0 to 1)
+      assert(math.abs(m.cov(i)(j) - s2) < 1e-12, s"cov($i)($j)")
+    // top eigenvector is (1,1)/√2 with canonical positive sign
+    val e = Embeddings.symEigen(m.cov, 2)
+    assert(math.abs(e.values(0) - 2 * s2) < 1e-12)
+    assert(math.abs(e.values(1)) < 1e-12)
+    assert(math.abs(e.vectors(0)(0) - 1 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(e.vectors(0)(1) - 1 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("GramMoments: partition-count invariant (merge associativity)") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val m1 = Embeddings.moments(emb.repartition(1), "embedding", 64)
+    val m7 = Embeddings.moments(emb.repartition(7), "embedding", 64)
+    assert(m1.n === m7.n)
+    val worst = (for (i <- 0 until 64; j <- 0 until 64)
+      yield math.abs(m1.cov(i)(j) - m7.cov(i)(j))).max
+    assert(worst < 1e-10, s"cov drift across partitionings: $worst")
+  }
+
+  test("project: component variance = eigenvalue; whitened variance = 1") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val (m, e, projected) = Embeddings.pca(emb, "embedding", 64, r = 2)
+    val stats = projected
+      .select(element_at(col("proj"), 1).as("p0"),
+        element_at(col("proj"), 2).as("p1"))
+      .agg(avg(col("p0")).as("m0"), avg(col("p0") * col("p0")).as("s0"),
+        avg(col("p1") * col("p1")).as("s1"),
+        avg(col("p0") * col("p1")).as("cross"))
+      .head()
+    // projections are mean-centered → E[p]≈0, E[p²] = λ, E[p0·p1] ≈ 0
+    assert(math.abs(stats.getAs[Double]("m0")) < 1e-9)
+    assert(math.abs(stats.getAs[Double]("s0") - e.values(0)) < 1e-9 * (1 + e.values(0)))
+    assert(math.abs(stats.getAs[Double]("s1") - e.values(1)) < 1e-9 * (1 + e.values(1)))
+    assert(math.abs(stats.getAs[Double]("cross")) < 1e-9)
+    // whitening rescales each component to unit variance
+    val w = Embeddings.project(emb, "embedding", m.mean, e, whiten = true)
+      .select(element_at(col("proj"), 1).as("p0"))
+      .agg(avg(col("p0") * col("p0")).as("s0")).head().getAs[Double]("s0")
+    assert(math.abs(w - 1.0) < 1e-9)
+  }
+
+  test("symEigen: residuals at machine precision on the real covariance") {
+    val emb = Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = Embeddings.moments(emb, "embedding", 64)
+    val e = Embeddings.symEigen(m.cov, 4)
+    for (k <- 0 until 4) {
+      val r = Embeddings.eigenResidual(m.cov, e.values(k), e.vectors(k))
+      assert(r < 1e-10 * math.max(1.0, e.values(0)), s"residual($k)=$r")
+    }
+    // eigenvalue sum bounded by trace; descending order
+    assert(e.values.sameElements(e.values.sorted(Ordering[Double].reverse)))
+    assert(e.values.sum <= m.trace * (1 + 1e-12))
+  }
+}

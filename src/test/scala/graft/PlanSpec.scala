@@ -109,7 +109,11 @@ class PlanSpec extends SparkSpec {
       // q99/q100: BM25's (N, avgdl) corpus stats are ONE broadcast row
       // cross-joined onto the matched postings — O(|matched|) work,
       // scale-safe by construction (same class as q46's scalar)
-      "q99_bm25_topk", "q100_rrf_fusion")
+      "q99_bm25_topk", "q100_rrf_fusion",
+      // q104: the (n_keys, n_rows, max_cnt) summary is ONE broadcast
+      // row cross-joined onto the top-K histogram rows — O(K) work,
+      // same class as q46's scalar subquery
+      "q104_skew_diagnostic")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -97,6 +97,7 @@ object GraftFunctions {
   val NormalizeName = "graft_normalize"
   val ZOrderName = "graft_zorder"
   val ShingleRowsName = "graft_shingle_rows"
+  val SimHashName = "graft_simhash64"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -125,7 +126,8 @@ object GraftFunctions {
       (exprs => ZOrderKey(exprs(0), exprs(1),
         if (exprs.length > 2) litInt(exprs(2)) else 16)),
     ShingleRowsName ->
-      (exprs => ShingleGenerate(exprs(0), litInt(exprs(1)))))
+      (exprs => ShingleGenerate(exprs(0), litInt(exprs(1)))),
+    SimHashName -> (exprs => SimHash64(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -141,6 +141,61 @@ case class WordShingles(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over pre-hashed tokens: per-bit majority vote
+  * (bit b of the result is 1 iff more than half the hashes have bit b
+  * set), byte-identical to the composed column form it replaces
+  * (64 × `size(filter(hs, …))` interpreted array traversals per row —
+  * this is ONE pass: 64 counters bumped per hash). The simhash scan is
+  * a per-corpus-row hot loop at 100 TB, same class as [[ShingleHashes]].
+  * Null elements count toward n but vote for no bit, matching
+  * `size(hs)` / `filter` semantics of the composed form.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  def compute(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native k-seed minhash signature over pre-hashed shingles: element s of
   * the output is min over the input of xxhash64(h, seed = s) — one tight
   * k×n loop instead of k interpreted array traversals.

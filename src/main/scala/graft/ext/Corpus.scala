@@ -161,12 +161,19 @@ object Corpus {
     // distinct + join run on the 64-bit xxhash of each n-gram, not the
     // string: the dedup shuffle carries 8 bytes per gram instead of the
     // n-word text (same trade q38 makes; counts identical up to ~2⁻⁶⁴
-    // within-document collisions)
+    // within-document collisions). The grams come from the native
+    // ShingleHashes pass (byte-identical to xxhash64 of the space-joined
+    // gram, per-doc-distinct inside the expression) — no interpreted
+    // HOF string building and no cross-corpus (doc, gram) dedup
+    // shuffle; the pre-filter preserves the shorter-than-n absence
+    // contract (ShingleHashes would otherwise hash short docs whole).
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     def grams(df: DataFrame) =
-      df.select(col(idCol),
-          explode(wordNgrams(split(lower(col(textCol)), " "), n)).as("ng"))
-        .select(col(idCol), xxhash64(col("ng")).as("ngh"))
-        .distinct()
+      df.select(col(idCol), split(lower(col(textCol)), " ").as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col(idCol),
+          explode(graft.ext.NearDup.shingleHashes(col("__toks"), n))
+            .as("ngh"))
     // single pass over the corpus grams: mark hits via the broadcast
     // bench set (left join), then one aggregation produces totals AND
     // hit counts — not two scans of the exploded corpus

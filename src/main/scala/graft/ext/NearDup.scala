@@ -146,11 +146,18 @@ object NearDup {
   def tokenHashes(text: Column): Column =
     transform(split(lower(text), " "), t => xxhash64(t))
 
-  /** 64-bit SimHash: per-bit majority vote over the token hashes, folded
-    * MSB-first into one long. Bit positions are Scala-level constants so
-    * every shift is codegen'd with a literal amount. Shuffle-free.
+  /** 64-bit SimHash: per-bit majority vote over the token hashes, one
+    * native fused pass (graft.expr.SimHash64, codegen'd). Shuffle-free.
+    * Requires GraftFunctions.register on the session.
     */
-  def simhashFromHashes(hs: Column): Column = {
+  def simhashFromHashes(hs: Column): Column =
+    call_function(graft.expr.GraftFunctions.SimHashName, hs)
+
+  /** Composed column form of [[simhashFromHashes]] — 64 interpreted
+    * array traversals per row; kept ONLY as the independent reference
+    * the spec pins the native expression against byte-for-byte.
+    */
+  def simhashFromHashesComposed(hs: Column): Column = {
     val n = size(hs)
     val bits = (63 to 0 by -1).map { b =>
       val ones = size(filter(hs,
@@ -174,6 +181,7 @@ object NearDup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val withSim = docs
       .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sim"))

@@ -59,6 +59,7 @@ object Ext {
     // themselves stay non-recomputable; the invariants are not.
     // Determinism/ordering semantics pinned in NearDupSpec.
     "q37_simhash" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
       val docs = table(s, d, "documents")
       val dup = docs.filter(pmod(col("doc_id"), lit(21)) === 5)
         .withColumn("doc_id", col("doc_id") + 500000L)
@@ -110,12 +111,17 @@ object Ext {
       val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val approx = Similarity.lshNearDupPairs(emb, 0.4, nPlanes = 24, bandBits = 3)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1L).as("__a"))
       val exact = Similarity.cosinePairsExact(emb, 0.4)
-        .select(col("id_a"), col("id_b"))
-      val nExact = exact.count()
-      val nApprox = approx.count()
-      val nCommon = approx.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+        .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+      // ONE job for all three counts (exact/approx each execute once —
+      // the separate count()/semi-join form ran both legs twice)
+      val r = approx.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(col("__e")).as("n_exact"), sum(col("__a")).as("n_approx"),
+          sum(col("__a") * col("__e")).as("n_common"))
+        .head()
+      val (nExact, nApprox, nCommon) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((nExact, nCommon == nApprox, nCommon.toDouble / nExact >= 0.7))
         .toDF("n_exact", "precision_ok", "recall_ok")
     }),

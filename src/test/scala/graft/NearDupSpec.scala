@@ -34,7 +34,27 @@ class NearDupSpec extends SparkSpec {
     assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-12)
   }
 
+  test("simhash: native SimHash64 byte-identical to the composed column form") {
+    graft.expr.GraftFunctions.register(spark)
+    val edge = docs.unionByName(Seq(
+      (6L, ""),              // split("") = [""] — one token
+      (7L, "one"),           // single token: simhash = its hash
+      (8L, "a a a b")        // majority vote with repeats
+    ).toDF("doc_id", "text"))
+    val both = edge
+      .select(col("doc_id"), NearDup.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        NearDup.simhashFromHashes(col("hs")).as("native"),
+        NearDup.simhashFromHashesComposed(col("hs")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"simhash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash: identical text → identical hash; near text → small hamming") {
+    graft.expr.GraftFunctions.register(spark)
     val sims = docs
       .select(col("doc_id"), NearDup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -259,11 +259,17 @@ object Ext {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val ivf = Similarity.ivfTopK(qs, corpus, 3).select(col("qid"), col("nid"))
-      val brute = Similarity.bruteTopK(qs, corpus, 3).select(col("qid"), col("nid"))
-      val nBrute = brute.count()
-      val nHit = ivf.join(brute, Seq("qid", "nid"), "left_semi").count()
-      val nSelf = ivf.filter(col("qid") === col("nid")).count()
+      val ivf = Similarity.ivfTopK(qs, corpus, 3)
+        .select(col("qid"), col("nid"), lit(1L).as("__l"))
+      val brute = Similarity.bruteTopK(qs, corpus, 3)
+        .select(col("qid"), col("nid"), lit(1L).as("__b"))
+      // ONE job for all three contract counts (each leg executes once)
+      val r = ivf.join(brute, Seq("qid", "nid"), "full_outer")
+        .agg(sum(col("__b")).as("nb"), sum(col("__l") * col("__b")).as("nh"),
+          sum(when(col("__l") === 1L && col("qid") === col("nid"), 1L)
+            .otherwise(0L)).as("ns"))
+        .head()
+      val (nBrute, nHit, nSelf) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((qs.count(), 3, nHit.toDouble / nBrute >= 0.3, nSelf == 0L))
         .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),
@@ -348,11 +354,16 @@ object Ext {
       val corpus = spreadIfNarrow(emb, col("vec_id"))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val lsh = Similarity.lshTopK(qs, corpus, 3, nPlanes = 8, maxProbeHamming = 3)
-        .select(col("qid"), col("nid"))
-      val brute = Similarity.bruteTopK(qs, corpus, 3).select(col("qid"), col("nid"))
-      val nBrute = brute.count()
-      val nHit = lsh.join(brute, Seq("qid", "nid"), "left_semi").count()
-      val nSelf = lsh.filter(col("qid") === col("nid")).count()
+        .select(col("qid"), col("nid"), lit(1L).as("__l"))
+      val brute = Similarity.bruteTopK(qs, corpus, 3)
+        .select(col("qid"), col("nid"), lit(1L).as("__b"))
+      // ONE job for all three contract counts (each leg executes once)
+      val r = lsh.join(brute, Seq("qid", "nid"), "full_outer")
+        .agg(sum(col("__b")).as("nb"), sum(col("__l") * col("__b")).as("nh"),
+          sum(when(col("__l") === 1L && col("qid") === col("nid"), 1L)
+            .otherwise(0L)).as("ns"))
+        .head()
+      val (nBrute, nHit, nSelf) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((qs.count(), 3, nHit.toDouble / nBrute >= 0.25, nSelf == 0L))
         .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),

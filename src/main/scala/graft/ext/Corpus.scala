@@ -287,6 +287,81 @@ object Corpus {
           .as("full_cover"))
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet-style statistical quality
+    * filter): train add-one-smoothed bigram counts on a REFERENCE slice
+    * of the corpus, then score every candidate document by its average
+    * bigram log-probability — low-perplexity docs read like the
+    * reference; gibberish and boilerplate score high. Returns one row
+    * per candidate with ≥2 tokens: `n_bigrams`, `n_unseen` (bigrams
+    * absent from the reference — integer, bit-deterministic) and `ppl`
+    * (exp of the negated mean log-prob, rounded).
+    *
+    * P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V), V = reference unigram
+    * vocabulary size. Bigrams come from the native [[graft.expr.WordShingles]]
+    * pass (positional, no dedup).
+    *
+    * Scale design: the count tables are corpus-derived, so they are
+    * JOINED on their keys (bigram string / first word), never broadcast
+    * — at 100 TB the LM itself is tens of billions of rows and must
+    * shuffle; candidate text is tokenized once and only (doc, bigram)
+    * pairs move. V rides as a one-row broadcast (q46's scalar class).
+    */
+  def bigramLmScore(candidates: DataFrame, reference: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    graft.expr.GraftFunctions.register(candidates.sparkSession)
+    def toks(df: DataFrame) = df
+      .select(col(idCol),
+        filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+          .as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    def bigrams(df: DataFrame) = toks(df).select(col(idCol),
+      explode(graft.ext.NearDup.shingleStrings(col("__toks"), 2)).as("bg"))
+    val cBi = bigrams(reference)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val unis = toks(reference)
+      .select(explode(col("__toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_w"))
+    val vocab = unis.agg(count(lit(1)).as("v_size"))
+    bigrams(candidates)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cBi, Seq("bg"), "left")
+      .join(unis, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("c_bg"), lit(0L)) + lit(1L)) /
+          (coalesce(col("c_w"), lit(0L)) + col("v_size"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        round(exp(-avg(col("lp"))), 4).as("ppl"))
+  }
+
+  /** Linear quality-classifier INFERENCE (the fastText-style keep/drop
+    * scorer): per-token weights looked up from a hashed feature table,
+    * mean-pooled, squashed through a sigmoid, thresholded. The weight
+    * function here is a deterministic arithmetic stand-in (token length
+    * and first/last code points — an honest stub, same stance as the
+    * multimodal decode): a real model would broadcast its weight array
+    * and hash tokens into it; the SHAPE — narrow per-row HOF fold, no
+    * shuffle, no UDF — is exactly what a 100 TB inference scan needs.
+    * Output: `n_toks`, `score` (rounded sigmoid), `keep`.
+    */
+  def qualityScoreLinear(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val toksC = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    val w = (t: Column) =>
+      ((length(t) * 37 + ascii(substring(t, 1, 1)) * 17 +
+        ascii(substring(t, -1, 1))) % 201 - 100).cast("double") / 100.0
+    docs.select(col(idCol), toksC.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__s",
+        aggregate(col("__toks"), lit(0.0), (acc, t) => acc + w(t)))
+      .select(col(idCol), size(col("__toks")).as("n_toks"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__s") / size(col("__toks")))), 4)
+          .as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Pack documents into fixed-length training SEQUENCES, splitting
     * documents across sequence boundaries (the packing step before
     * tokenized examples — [[packShards]] is the file-level sibling that

@@ -317,6 +317,29 @@ object Corpus {
         .withColumnRenamed("stratum", "lang")
         .orderBy(col("lang"))),
 
+    // Bigram-LM perplexity scoring (CCNet-style): reference LM = even
+    // doc_ids, candidates = odd; add-one-smoothed P(w2|w1); count
+    // tables JOIN on their keys (an LM is corpus-sized at 100 TB —
+    // never broadcast), V rides as a one-row broadcast scalar. The
+    // top-20 highest-perplexity candidates surface.
+    "q105_bigram_lm" -> ((s, d) => {
+      val all = docs(s, d)
+      CorpusOps.bigramLmScore(
+          all.filter(pmod(col("doc_id"), lit(2)) === 1),
+          all.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text")
+        .orderBy(col("ppl").desc, col("doc_id")).limit(20)
+    }),
+
+    // Linear quality-classifier inference (fastText-shape): narrow
+    // per-row HOF fold over tokens — zero shuffles for the scoring
+    // scan; deterministic arithmetic weights stand in for a broadcast
+    // model so DuckDB recomputes the identical scores.
+    "q106_quality_classifier" -> ((s, d) =>
+      CorpusOps.qualityScoreLinear(docs(s, d), "doc_id", "text")
+        .filter(col("keep")).orderBy(col("score").desc, col("doc_id"))
+        .limit(25)),
+
     // Domain-mixture rebalance: downsample to a 50/30/20 en/de/zh mix
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
@@ -495,6 +518,60 @@ object Corpus {
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          SELECT doc_id, lang, n_chars FROM r WHERE rk <= 25
          ORDER BY doc_id""",
+    // full LM recompute: positional bigrams via aligned unnest +
+    // generate_subscripts self-join, same add-one smoothing (ln, not
+    // DuckDB's log10), identical rounding and tiebreak
+    "q105_bigram_lm" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+           FROM base WHERE len(l) >= 2),
+         bg AS (
+           SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+           FROM toks a JOIN toks b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         cbi AS (
+           SELECT bg, COUNT(*) AS c_bg FROM bg WHERE doc_id % 2 = 0
+           GROUP BY bg),
+         uni AS (
+           SELECT w AS w1, COUNT(*) AS c_w FROM toks WHERE doc_id % 2 = 0
+           GROUP BY w),
+         v AS (SELECT COUNT(*) AS v_size FROM uni)
+         SELECT c.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN cbi.c_bg IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unseen,
+           round(exp(-avg(ln(
+             CAST(coalesce(cbi.c_bg, 0) + 1 AS DOUBLE) /
+             (coalesce(uni.c_w, 0) + v.v_size)))), 4) AS ppl
+         FROM bg c LEFT JOIN cbi USING (bg)
+           LEFT JOIN uni ON uni.w1 = c.w1 CROSS JOIN v
+         WHERE c.doc_id % 2 = 1
+         GROUP BY c.doc_id
+         ORDER BY ppl DESC, doc_id LIMIT 20""",
+    // identical arithmetic weights, mean pool, sigmoid, rounding
+    "q106_quality_classifier" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+           FROM documents WHERE text IS NOT NULL),
+         tt AS (
+           SELECT doc_id, unnest(l) AS tok, len(l) AS n FROM base
+           WHERE len(l) > 0),
+         s AS (
+           SELECT doc_id, CAST(any_value(n) AS INT) AS n_toks,
+             SUM(CAST((length(tok) * 37 + ascii(tok[1:1]) * 17 +
+                       ascii(tok[-1:])) % 201 - 100 AS DOUBLE) / 100.0)
+               AS ssum
+           FROM tt GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id, n_toks,
+             round(1.0 / (1.0 + exp(-ssum / n_toks)), 4) AS score
+           FROM s)
+         SELECT doc_id, n_toks, score, TRUE AS keep FROM sc
+         WHERE score >= 0.5 ORDER BY score DESC, doc_id LIMIT 25""",
     "q103_vocab_coverage" ->
       """WITH toks AS (
            SELECT doc_id, lang,

@@ -282,6 +282,39 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq === Seq(("de", 1L, 1.0, 0L), ("en", 2L, 0.1667, 1L)))
   }
 
+  test("bigramLmScore: hand-computed add-one-smoothed perplexity") {
+    // reference doc: tokens [a,b,a,c] → bigrams {a b, b a, a c},
+    // unigrams a:2 b:1 c:1, V=3
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    // candidate [a,b,x]: lp(a b)=ln((1+1)/(2+3)), lp(b x)=ln((0+1)/(1+3))
+    // → ppl = (0.4*0.25)^(-1/2) = 3.1623; one unseen bigram
+    val cand = Seq((1L, "a b x"), (2L, "y")).toDF("doc_id", "text")
+    val got = Corpus.bigramLmScore(cand, ref, "doc_id", "text").collect()
+    assert(got.length === 1, "single-token doc must be absent")
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(math.abs(r.getDouble(3) - 3.1623) < 1e-9)
+  }
+
+  test("qualityScoreLinear: arithmetic weights, mean pool, sigmoid") {
+    // "ab": 2*37+97*17+98 = 1821 → %201 = 12 → w=-0.88
+    // "z":  1*37+122*17+122 = 2233 → %201 = 22 → w=-0.78
+    // "t":  1*37+116*17+116 = 2125 → %201 = 115 → w=+0.15
+    val df = Seq((1L, "ab z"), (2L, "t"), (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.qualityScoreLinear(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!got.contains(3L), "empty doc must be absent")
+    val s1 = 1.0 / (1.0 + math.exp(0.83))
+    assert(got(1L)._1 === 2 &&
+      math.abs(got(1L)._2 - math.rint(s1 * 1e4) / 1e4) < 1e-12 &&
+      !got(1L)._3)
+    val s2 = 1.0 / (1.0 + math.exp(-0.15))
+    assert(got(2L)._1 === 1 &&
+      math.abs(got(2L)._2 - math.rint(s2 * 1e4) / 1e4) < 1e-12 &&
+      got(2L)._3)
+  }
+
   test("keyHistogram: counts, shares, and skew factor on a constructed skew") {
     import graft.ops.Diagnose
     // key 7 → 60 rows, keys 1..20 → 2 rows each: 100 rows, 21 keys(?) no:

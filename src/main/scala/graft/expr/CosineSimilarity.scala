@@ -98,6 +98,8 @@ object GraftFunctions {
   val ZOrderName = "graft_zorder"
   val ShingleRowsName = "graft_shingle_rows"
   val SimHashName = "graft_simhash64"
+  val PqEncodeName = "graft_pq_encode"
+  val PqAdcName = "graft_pq_adc"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -127,7 +129,9 @@ object GraftFunctions {
         if (exprs.length > 2) litInt(exprs(2)) else 16)),
     ShingleRowsName ->
       (exprs => ShingleGenerate(exprs(0), litInt(exprs(1)))),
-    SimHashName -> (exprs => SimHash64(exprs(0))))
+    SimHashName -> (exprs => SimHash64(exprs(0))),
+    PqEncodeName -> (exprs => PqEncode(exprs(0), exprs(1))),
+    PqAdcName -> (exprs => PqAdcDistance(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -272,4 +272,102 @@ object Similarity {
   /** Per-element absolute reconstruction error |vᵢ − qᵢ·scale|. */
   def dequantError(vec: Column, q: Column, scale: Column): Column =
     zip_with(vec, q, (x, qi) => abs(x.cast("double") - qi * scale))
+
+  /** Train an m-subspace × k-codeword product-quantization codebook
+    * driver-side: per subspace, Lloyd k-means over the training
+    * vectors' subvector slices. Deterministic end to end — seeds are
+    * the first k training subvectors (callers pass an id-ordered
+    * sample), assignment ties break to the lowest codeword, and an
+    * emptied codeword keeps its previous position. The training sample
+    * is the IVF trade: a few thousand vectors fit on the driver; the
+    * ENCODING pass over the full corpus is the distributed part.
+    */
+  def pqTrain(train: Seq[Seq[Float]], m: Int, k: Int,
+              iters: Int = 8): Seq[Seq[Seq[Float]]] = {
+    require(train.nonEmpty, "PQ training sample is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = train.map(v => v.slice(s * dsub, (s + 1) * dsub).toArray)
+      var cents = sub.take(k).map(_.clone()).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val ns = new Array[Long](cents.length)
+        sub.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = x(t).toDouble - cents(j)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          ns(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += x(t); t += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, j) =>
+          if (ns(j) == 0) c
+          else Array.tabulate(dsub)(t => (sums(j)(t) / ns(j)).toFloat)
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ/ADC approximate top-k — the MEMORY-side ANN scale path (IVF
+    * prunes which vectors are scanned; PQ shrinks what a scan reads):
+    * the corpus is encoded ONCE into m small codes per vector (narrow
+    * native pass, 32× less scan volume at m=8/dim=64), and queries rank
+    * candidates by asymmetric distance against the codebook literal —
+    * no float vectors move for the corpus side at all. Returns
+    * (qid, nid, rank, adist) by ascending ADC distance, self excluded.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val cbLit = typedlit(codebook)
+    val enc = corpus.select(col("id"),
+      call_function(graft.expr.GraftFunctions.PqEncodeName, col("vec"), cbLit)
+        .as("codes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("nid"))
+    enc.join(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        call_function(graft.expr.GraftFunctions.PqAdcName,
+          col("codes"), col("qvec"), cbLit).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("adist"), 6).as("adist6"))
+  }
+
+  /** PQ shortlist + exact re-rank — the standard production pipeline:
+    * ADC over the 32×-smaller encoded corpus produces a `shortlist`
+    * per query, then ONLY the shortlisted vectors are fetched (the
+    * small shortlist broadcasts against the corpus — no corpus
+    * shuffle) and re-ranked by exact cosine. Quantization error
+    * affects which candidates surface, never their final order.
+    */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                   shortlist: Int,
+                   codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = pqTopK(queries, corpus, shortlist, codebook)
+      .select(col("qid").as("sqid"), col("nid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    corpus.join(broadcast(short), col("id") === col("nid"))
+      .join(broadcast(queries), col("qid") === col("sqid"))
+      .select(col("qid"), col("nid"),
+        cosineNative(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+  }
 }

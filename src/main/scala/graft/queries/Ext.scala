@@ -368,6 +368,38 @@ object Ext {
         .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),
 
+    // Product-quantization ANN (graft.ext.Similarity.pqTopKRerank +
+    // native PqEncode/PqAdcDistance): the MEMORY-side ANN scale path —
+    // corpus encoded once into m=8 codes (32× less scan volume than
+    // float32), ADC shortlist over the codes, then exact re-rank of
+    // ONLY the shortlisted vectors (broadcast — no corpus shuffle).
+    // Codebook trained driver-side on an id-ordered sample (the IVF
+    // split). Contract: recall@10 vs in-job brute force ≥ threshold +
+    // no self matches, all counts from ONE fused job.
+    "q107_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val train = emb.filter(col("vec_id") < 256).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0)).toSeq
+      val cb = Similarity.pqTrain(train, m = 8, k = 16)
+      val pq = Similarity.pqTopKRerank(qs, corpus, 10, shortlist = 100, cb)
+        .select(col("qid"), col("nid"), lit(1L).as("__l"))
+      val brute = Similarity.bruteTopK(qs, corpus, 10)
+        .select(col("qid"), col("nid"), lit(1L).as("__b"))
+      val r = pq.join(brute, Seq("qid", "nid"), "full_outer")
+        .agg(sum(col("__b")).as("nb"), sum(col("__l") * col("__b")).as("nh"),
+          sum(when(col("__l") === 1L && col("qid") === col("nid"), 1L)
+            .otherwise(0L)).as("ns"))
+        .head()
+      val (nBrute, nHit, nSelf) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq((qs.count(), 10, nHit.toDouble / nBrute >= 0.4, nSelf == 0L))
+        .toDF("n_queries", "k", "recall_ok", "no_self_ok")
+    }),
+
     // Hybrid retrieval: metadata-filtered vector search (the RAG shape) —
     // corpus restricted to English documents via a doc_id=vec_id join
     // BEFORE the similarity scan, then exact cosine top-3 per query.
@@ -593,6 +625,10 @@ object Ext {
       """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
            AS n_queries,
          CAST(3 AS INT) AS k, TRUE AS recall_ok, TRUE AS no_self_ok""",
+    "q107_ann_pq" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+           AS n_queries,
+         CAST(10 AS INT) AS k, TRUE AS recall_ok, TRUE AS no_self_ok""",
     "q97_lsh_neardup" ->
       (exactPairCountSql +
         """

@@ -107,4 +107,54 @@ class SimilaritySpec extends SparkSpec {
     assert(errs.forall(_ <= scale / 2 + 1e-15), errs.toString)
     assert(math.abs(errs(1) - 0.003937) < 1e-4)
   }
+
+  test("PQ: encode picks the nearest codeword; ADC distance exact on a hand codebook") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    // 4-dim, m=2 subspaces × 2 codewords each, hand-placed
+    val cb: Seq[Seq[Seq[Float]]] = Seq(
+      Seq(Seq(0f, 0f), Seq(1f, 1f)),
+      Seq(Seq(0f, 1f), Seq(1f, 0f)))
+    val cbLit = typedlit(cb)
+    val df = Seq(
+      (1L, Seq(0.9f, 0.8f, 0.1f, 0.9f)), // → codes (1, 0)
+      (2L, Seq(0.1f, 0.2f, 0.9f, 0.4f))  // → codes (0, 1)
+    ).toDF("id", "vec")
+    val enc = df.select(col("id"),
+        call_function("graft_pq_encode", col("vec"), cbLit).as("codes"))
+      .orderBy("id").collect()
+    assert(enc(0).getSeq[Int](1) == Seq(1, 0))
+    assert(enc(1).getSeq[Int](1) == Seq(0, 1))
+    // ADC vs a hand-computed distance: q = the id=1 vector against
+    // codes (0, 1): (0.9² + 0.8²) + ((0.1−1)² + 0.9²) = 3.07
+    val adc = df.filter(col("id") === 1)
+      .select(call_function("graft_pq_adc",
+        typedlit(Seq(0, 1)), col("vec"), cbLit))
+      .head.getDouble(0)
+    assert(math.abs(adc - 3.07) < 1e-6)
+  }
+
+  test("pqTopKRerank: with a full-corpus shortlist the re-rank equals brute force") {
+    val qs = emb.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val train = emb.filter(col("id") < 256).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Float](0)).toSeq
+    val cb = Similarity.pqTrain(train, m = 8, k = 16)
+    // deterministic training: same input → identical codebook
+    assert(cb == Similarity.pqTrain(train, m = 8, k = 16))
+    val full = Similarity.pqTopKRerank(qs, emb, 3, shortlist = 1000, cb)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteTopK(qs, emb, 3)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute,
+      "full-shortlist rerank must reproduce exact top-k (quantization only gates the shortlist)")
+    // honest-shortlist recall pinned on the fixture
+    val short = Similarity.pqTopKRerank(qs, emb, 3, shortlist = 50, cb)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (short intersect bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.4, s"recall@3 $recall")
+  }
 }

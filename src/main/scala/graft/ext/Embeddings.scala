@@ -183,6 +183,28 @@ object Embeddings {
     df.withColumn(outCol, array(comps: _*))
   }
 
+  /** Per-vector standardized outlier score — the embedding-space
+    * anomaly screen (drop corrupt/degenerate vectors before training):
+    * score = Σᵢ ((xᵢ − μᵢ)/σᵢ)², diagonal-covariance Mahalanobis.
+    * Moments come from the SAME one-pass [[moments]] aggregate as PCA
+    * (O(D²) state, one corpus pass); scoring is a narrow codegen'd
+    * zip_with fold over broadcast literal μ/σ arrays — no shuffle, no
+    * UDF, a pure scan at 100 TB. Zero-variance dimensions contribute 0
+    * (no divide-by-zero).
+    */
+  def outlierScores(df: DataFrame, vecCol: String, dim: Int,
+                    outCol: String = "score"): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val std = Array.tabulate(dim)(i => math.sqrt(math.max(m.cov(i)(i), 0.0)))
+    val meanLit = array(m.mean.map(lit): _*)
+    val stdLit = array(std.map(lit): _*)
+    val z = zip_with(
+      zip_with(col(vecCol), meanLit, (x, mu) => x.cast("double") - mu),
+      stdLit,
+      (cx, sd) => when(sd > 0, pow(cx / sd, 2)).otherwise(lit(0.0)))
+    df.withColumn(outCol, aggregate(z, lit(0.0), (acc, x) => acc + x))
+  }
+
   /** Convenience: moments → top-r eigen → projected corpus. */
   def pca(df: DataFrame, vecCol: String, dim: Int, r: Int,
           whiten: Boolean = false): (Moments, Eigen, DataFrame) = {

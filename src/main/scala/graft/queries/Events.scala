@@ -142,6 +142,28 @@ object Events {
           (unix_micros(col("ts")) - col("prev_us")).as("gap_us"),
           col("next_type"))
         .orderBy(col("event_id"))
+    }),
+
+    // Ordered funnel view→click→purchase (graft.ops.Funnel): each
+    // stage is a user-keyed aggregate joined to the previous stage's
+    // reach time — one shuffle key end to end, one timestamp of state
+    // per user per stage. Strict temporal ordering (ts, not arrival).
+    "q110_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.ops.Funnel.funnel(ev, col("user_id"), col("event_type"),
+          col("ts"), Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // Cohort retention (graft.ops.Funnel.retentionCohorts): cohort =
+    // first active day (integer epoch-day from the raw nano ts — no
+    // timezone semantics), distinct-user activity at day offsets 1 and
+    // 7. user-keyed aggregates only; the rollup is cohort-sized.
+    "q111_retention" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.ops.Funnel.retentionCohorts(ev, col("user_id"),
+          expr("ts div 86400000000000"), Seq(1, 7))
+        .orderBy(col("cohort_day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -209,5 +231,44 @@ object Events {
                  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
                FROM events) t
          WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "q110_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id),
+         n AS (
+           SELECT 0 AS stage_idx, 'view' AS stage,
+                  (SELECT COUNT(*) FROM v) AS n_users
+           UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+           UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM p))
+         SELECT stage_idx, stage, n_users,
+           round(CAST(n_users AS DOUBLE) /
+             lag(n_users) OVER (ORDER BY stage_idx), 4) AS conv
+         FROM n ORDER BY stage_idx""",
+    "q111_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d
+           FROM events),
+         coh AS (SELECT user_id, min(d) AS cd FROM a GROUP BY user_id),
+         j AS (
+           SELECT a.user_id, coh.cd, a.d - coh.cd AS off
+           FROM a JOIN coh ON a.user_id = coh.user_id),
+         pu AS (
+           SELECT user_id, cd,
+             max(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN off = 7 THEN 1 ELSE 0 END) AS h7
+           FROM j GROUP BY user_id, cd)
+         SELECT cd AS cohort_day, COUNT(*) AS n_users,
+           CAST(SUM(h1) AS BIGINT) AS n_off_1,
+           CAST(SUM(h7) AS BIGINT) AS n_off_7
+         FROM pu GROUP BY cd ORDER BY cohort_day""")
 }

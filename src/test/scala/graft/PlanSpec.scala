@@ -113,7 +113,11 @@ class PlanSpec extends SparkSpec {
       // q104: the (n_keys, n_rows, max_cnt) summary is ONE broadcast
       // row cross-joined onto the top-K histogram rows — O(K) work,
       // same class as q46's scalar subquery
-      "q104_skew_diagnostic")
+      "q104_skew_diagnostic",
+      // q105: the LM's vocabulary size V is ONE broadcast row
+      // cross-joined onto the scored bigrams (q46's scalar class);
+      // the count TABLES join on real keys, never cross
+      "q105_bigram_lm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -99,12 +99,14 @@ object Text {
     }),
 
     // Token counting two ways: whitespace and a BPE-ish regex, rolled up
-    // per source.
+    // per source. regexp_count streams the matcher without materializing
+    // a per-row match array (regexp_extract_all allocated every match
+    // just to take size() — 2x slower and GC-heavy on long documents).
     "q32_token_count" -> ((s, d) => {
       docs(s, d)
         .select(col("source"),
           size(tokens(col("text"))).cast("long").as("ws"),
-          size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          regexp_count(lower(col("text")), lit(BpePattern))
             .cast("long").as("bpe"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

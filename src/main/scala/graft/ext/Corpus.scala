@@ -51,6 +51,51 @@ object Corpus {
         col("distinct_ratio") >= minDistinctRatio &&
           col("top_frac") <= maxTopFraction)
 
+  /** Segment-level dedup — the line/paragraph dedup step of web-corpus
+    * pipelines (CCNet-style), re-expressed over fixed token windows
+    * (this corpus has no newlines): split each document's token stream
+    * into consecutive `segLen`-token segments, keep only each distinct
+    * segment's FIRST occurrence corpus-wide (ordered by (doc, position) —
+    * so within-doc repeats drop too), and reassemble the surviving text
+    * per document in original order.
+    *
+    * Scale design: segments are built in ONE narrow pass (array slices —
+    * the token stream is never exploded), so the only wide relation is
+    * (segment, doc, pos); first-occurrence marking is a single
+    * row_number window shuffle keyed by the segment. The key here is the
+    * segment TEXT so the oracle can recompute the ordering exactly — at
+    * 100 TB key the window by xxhash64(seg_text) instead (same shuffle
+    * shape, fixed-width keys) and keep the text only as a carried value.
+    * Reassembly is a hash aggregate back on the already-shuffled doc id.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segLen: Int = 3): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("__id"),
+        split(lower(col(textCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("__toks")) - 1) / segLen).cast("int")),
+          i => array_join(slice(col("__toks"), i * segLen + 1, lit(segLen)), " ")))
+          .as(Seq("seg", "seg_text")))
+    val w = Window.partitionBy(col("seg_text"))
+      .orderBy(col("__id"), col("seg"))
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves for non-kept rows;
+        // array_sort on (seg, seg_text) structs restores document order
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") === 1, struct(col("seg"), col("seg_text"))))),
+          x => x.getField("seg_text")), " ").as("kept_text"))
+      .withColumn("kept_frac", round(col("n_kept") / col("n_segs"), 4))
+      .select(col("__id").as(idCol), col("n_segs"), col("n_kept"),
+        col("kept_frac"), col("kept_text"))
+  }
+
   /** Deterministic per-row sample bucket in [0, 1000): multiplicative
     * (Knuth) hash of a key column — reproducible across retries and
     * re-runs, and recomputable by any engine (plain integer math, unlike

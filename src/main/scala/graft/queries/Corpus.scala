@@ -350,7 +350,25 @@ object Corpus {
           Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
-        .orderBy(col("lang"))))
+        .orderBy(col("lang"))),
+
+    // Segment-level (line/paragraph) dedup, CCNet-style: 3-token
+    // windows, first corpus-wide occurrence wins (by doc, then
+    // position), documents reassembled from surviving segments. One
+    // narrow slicing pass + one window shuffle; DuckDB recomputes the
+    // whole thing including the reassembled text. Shown for the first
+    // 40 docs to keep the dump small; the aggregate tail row
+    // (kept_frac over ALL docs) pins corpus-wide behavior.
+    "q112_segment_dedup" -> ((s, d) => {
+      val deduped = CorpusOps.segmentDedup(docs(s, d), "doc_id", "text")
+      val head = deduped.filter(col("doc_id") < 40)
+      val tail = deduped.agg(
+        lit(-1L).as("doc_id"),
+        sum(col("n_segs")).as("n_segs"), sum(col("n_kept")).as("n_kept"),
+        round(sum(col("n_kept")) / sum(col("n_segs")), 4).as("kept_frac"),
+        lit("").as("kept_text"))
+      head.unionByName(tail).orderBy(col("doc_id"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -657,5 +675,39 @@ object Corpus {
            CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents d JOIN r USING (lang)
          WHERE (doc_id * 2654435761) % 1000 < permille
-         GROUP BY 1 ORDER BY d.lang""")
+         GROUP BY 1 ORDER BY d.lang""",
+    // full recomputation: 3-token windows (1-based inclusive list
+    // slices clip at the end exactly like Spark's slice), first
+    // occurrence by (doc, pos), per-doc reassembly via ordered
+    // string_agg (NULL-skipping, '' for fully-deduped docs)
+    "q112_segment_dedup" ->
+      """WITH s AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) > 0),
+         segs AS (
+           SELECT doc_id, i AS seg,
+             array_to_string(toks[i*3+1 : i*3+3], ' ') AS seg_text
+           FROM s, unnest(generate_series(0,
+             CAST(floor((len(toks) - 1) / 3.0) AS BIGINT))) AS t(i)),
+         marked AS (
+           SELECT doc_id, seg, seg_text,
+             row_number() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg) AS rn
+           FROM segs),
+         per_doc AS (
+           SELECT doc_id, COUNT(*) AS n_segs,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+               ' ' ORDER BY seg), '') AS kept_text
+           FROM marked GROUP BY doc_id)
+         SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           round(n_kept * 1.0 / n_segs, 4) AS kept_frac, kept_text
+         FROM per_doc WHERE doc_id < 40
+         UNION ALL
+         SELECT -1, CAST(SUM(n_segs) AS BIGINT), CAST(SUM(n_kept) AS BIGINT),
+           round(SUM(n_kept) * 1.0 / SUM(n_segs), 4), ''
+         FROM per_doc
+         ORDER BY doc_id""")
 }

@@ -33,6 +33,33 @@ class CorpusSpec extends SparkSpec {
     assert(kept.toSeq == Seq(true, false))
   }
 
+  test("segmentDedup: first occurrence wins, within-doc repeats drop, full dedup yields empty text") {
+    val docs = Seq(
+      (1L, "a b c x y z a b c"),  // segs: "a b c", "x y z", "a b c" — 3rd repeats the 1st IN-DOC
+      (2L, "x y z q r"),          // "x y z" already seen in doc 1; "q r" (short tail) is new
+      (3L, "a b c")               // fully boilerplate — everything seen
+    ).toDF("doc_id", "text")
+    val got = Corpus.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[String]("kept_text")))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, "a b c x y z"),
+      (2L, 2L, 1L, "q r"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("segmentDedup: segment boundaries clip, single narrow pass builds segments") {
+    val docs = Seq((7L, "t1 t2 t3 t4")).toDF("doc_id", "text") // "t1 t2 t3" + "t4"
+    val out = Corpus.segmentDedup(docs, "doc_id", "text").collect().head
+    assert(out.getLong(1) == 2L && out.getAs[String]("kept_text") == "t1 t2 t3 t4")
+    // scale contract: the token stream is never exploded — the only
+    // generator in the plan explodes the (much smaller) segment array
+    val plan = Corpus.segmentDedup(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode(split"))
+  }
+
   test("stratifiedSample: deterministic, rate-proportional, a pure scan predicate") {
     val df = Graft.table(spark, "/root/testdata/sf0.001", "documents")
     def run() = Corpus.stratifiedSample(df, col("doc_id"), col("lang"),

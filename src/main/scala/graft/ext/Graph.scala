@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (EXT,
+  * SURVEY.md §2.14): weighted PageRank over an edge list — the
+  * link-quality signal web-corpus pipelines use to weight training
+  * documents (Common-Crawl-style harmonic/PageRank centrality).
+  *
+  * Scale design (100 TB stance):
+  *  - one rank iteration = ONE equi-join shuffle of the edge list with
+  *    the (much smaller) rank relation on src, then a hash aggregate on
+  *    dst — the canonical distributed PageRank round, O(|E|) shuffled
+  *    rows per round, never O(N²);
+  *  - transition probabilities (w / out-weight) are materialized ONCE
+  *    before iterating, so the per-round join carries a single double
+  *    per edge;
+  *  - the two per-round scalars (node count, dangling mass) stay
+  *    IN-PLAN as one-row broadcast cross joins (q46's scalar-subquery
+  *    class) — no driver collect inside the loop, the whole ladder
+  *    stays one lazy plan;
+  *  - a fixed iteration count keeps lineage bounded (3 rounds ≈ the
+  *    corpus-weighting use case); an unbounded convergence loop would
+  *    localCheckpoint per round like [[NearDup.connectedComponents]];
+  *  - each round's ranks are rounded to 12 decimals: float summation
+  *    order differs across engines/partitionings by last-ulp amounts,
+  *    and re-rounding every round stops drift compounding, so any
+  *    engine recomputing the ladder lands on identical keys.
+  */
+object Graph {
+
+  /** Weighted PageRank with dangling-mass redistribution.
+    *
+    * r₀(v) = 1/N;  r_{k+1}(v) = (1−d)/N + d·(Σ_{u→v} r_k(u)·w/out(u)
+    * + dangling_k/N), where dangling_k = Σ r_k over nodes with no
+    * out-edges. Returns (id, rank) — rank rounded to 12 dp per round.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // per-edge transition probability, computed once and reused by
+    // every round (at scale: persist + pre-partition by src)
+    val trans = e.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), round(lit(1.0) / col("n_nodes"), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = trans.join(ranks, trans("src") === ranks("id"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
+      val dangling = ranks
+        .join(outw, ranks("id") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left").drop("dst")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") / col("n_nodes")), 12).as("r"))
+    }
+    ranks
+  }
+
+  /** Event-stream transition edges: consecutive events per `keyCol`
+    * (ordered by `orderCols`, which must be a total order) become
+    * (prev node → node) edges with transition counts; self-loops drop.
+    * The lag window shuffles once on the entity key — the same
+    * partitioning sessionization uses.
+    */
+  def transitionEdges(events: DataFrame, keyCol: Column, nodeCol: Column,
+                      orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    events.select(nodeCol.as("dst_node"), lag(nodeCol, 1).over(w).as("src_node"))
+      .filter(col("src_node").isNotNull && col("src_node") =!= col("dst_node"))
+      .groupBy(col("src_node").as("src"), col("dst_node").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+}

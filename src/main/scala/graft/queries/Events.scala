@@ -164,6 +164,25 @@ object Events {
       graft.ops.Funnel.retentionCohorts(ev, col("user_id"),
           expr("ts div 86400000000000"), Seq(1, 7))
         .orderBy(col("cohort_day"))
+    }),
+
+    // Weighted PageRank over the event-transition graph (ext.Graph):
+    // nodes = the numeric props attribute, edges = consecutive-event
+    // transitions per user, 3 damped power-iteration rounds with
+    // dangling redistribution. Every round re-rounds to 12 dp so float
+    // summation-order drift can't compound — DuckDB recomputes the
+    // identical ladder as chained CTEs.
+    "q113_pagerank" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      // order by integer MICROS (+ event_id tiebreak), exactly the
+      // oracle's epoch_us precision — raw nanos would order same-micro
+      // events differently than an engine that reads micros
+      val edges = graft.ext.Graph.transitionEdges(ev, col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
+        expr("ts div 1000"), col("event_id"))
+      graft.ext.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+        .select(col("id"), round(col("r"), 8).as("rank8"))
+        .orderBy(col("id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +289,54 @@ object Events {
          SELECT cd AS cohort_day, COUNT(*) AS n_users,
            CAST(SUM(h1) AS BIGINT) AS n_off_1,
            CAST(SUM(h7) AS BIGINT) AS n_off_7
-         FROM pu GROUP BY cd ORDER BY cohort_day""")
+         FROM pu GROUP BY cd ORDER BY cohort_day""",
+    // full 3-round power-iteration recompute as chained CTEs; the
+    // (1.0 - 0.85) spelling reproduces Spark's binary 0.15... constant
+    "q113_pagerank" ->
+      """WITH seq AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS node
+           FROM events),
+         tr AS (
+           SELECT node AS dst,
+             lag(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src
+           FROM seq),
+         edges AS (
+           SELECT src, dst, COUNT(*) * 1.0 AS w FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+         outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+         r0 AS (SELECT id, round(1.0 / n, 12) AS r FROM nodes, nn),
+         c1 AS (SELECT e.dst AS id, SUM(r.r * (e.w / o.ow)) AS c
+                FROM edges e JOIN r0 r ON e.src = r.id
+                JOIN outw o ON e.src = o.src GROUP BY 1),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN outw o ON r.id = o.src WHERE o.src IS NULL),
+         r1 AS (SELECT n0.id,
+                  round((1.0 - 0.85) / nn.n +
+                    0.85 * (COALESCE(c1.c, 0) + d1.dm / nn.n), 12) AS r
+                FROM nodes n0 CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON n0.id = c1.id),
+         c2 AS (SELECT e.dst AS id, SUM(r.r * (e.w / o.ow)) AS c
+                FROM edges e JOIN r1 r ON e.src = r.id
+                JOIN outw o ON e.src = o.src GROUP BY 1),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN outw o ON r.id = o.src WHERE o.src IS NULL),
+         r2 AS (SELECT n0.id,
+                  round((1.0 - 0.85) / nn.n +
+                    0.85 * (COALESCE(c2.c, 0) + d2.dm / nn.n), 12) AS r
+                FROM nodes n0 CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON n0.id = c2.id),
+         c3 AS (SELECT e.dst AS id, SUM(r.r * (e.w / o.ow)) AS c
+                FROM edges e JOIN r2 r ON e.src = r.id
+                JOIN outw o ON e.src = o.src GROUP BY 1),
+         d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r2 r
+                LEFT JOIN outw o ON r.id = o.src WHERE o.src IS NULL),
+         r3 AS (SELECT n0.id,
+                  round((1.0 - 0.85) / nn.n +
+                    0.85 * (COALESCE(c3.c, 0) + d3.dm / nn.n), 12) AS r
+                FROM nodes n0 CROSS JOIN nn CROSS JOIN d3
+                LEFT JOIN c3 ON n0.id = c3.id)
+         SELECT id, round(r, 8) AS rank8 FROM r3 ORDER BY id""")
 }

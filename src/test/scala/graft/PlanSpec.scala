@@ -117,7 +117,11 @@ class PlanSpec extends SparkSpec {
       // q105: the LM's vocabulary size V is ONE broadcast row
       // cross-joined onto the scored bigrams (q46's scalar class);
       // the count TABLES join on real keys, never cross
-      "q105_bigram_lm")
+      "q105_bigram_lm",
+      // q113: each PageRank round cross-joins TWO one-row scalars
+      // (node count, dangling mass) onto the rank relation (q46's
+      // scalar class); edges × ranks joins on src, never cross
+      "q113_pagerank")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

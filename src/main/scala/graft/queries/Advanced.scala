@@ -354,6 +354,55 @@ object Advanced {
         .orderBy(col("key"))
     }),
 
+    // Deequ-style data-quality constraint suite (graft.ops.Audit): the
+    // WHOLE suite for lineitem — row count, key uniqueness, per-column
+    // null / accepted-value / bounds violations — is ONE fused
+    // aggregate over one scan, plus two anti-join referential-integrity
+    // counts. Bounds/accepted sets are chosen so both passing AND
+    // failing checks appear (an all-green audit can't catch an
+    // always-true bug).
+    "q114_quality_audit" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val suite = graft.ops.Audit.tableAudit(li,
+        uniqueKey = Seq("l_orderkey", "l_linenumber"),
+        notNull = Seq("l_orderkey", "l_partkey", "l_shipdate"),
+        accepted = Map("l_returnflag" -> Seq("A", "N", "R"),
+          "l_linestatus" -> Seq("O")),
+        bounds = Map("l_quantity" -> (1.0, 25.0), "l_discount" -> (0.0, 0.1)))
+      val ri1 = graft.ops.Audit.refIntegrity(table(s, d, "orders"),
+        "o_custkey", table(s, d, "customer"), "c_custkey", "ref_integrity")
+      val ri2 = graft.ops.Audit.refIntegrity(li, "l_orderkey",
+        table(s, d, "orders"), "o_orderkey", "ref_integrity")
+      suite.unionByName(ri1).unionByName(ri2)
+        .orderBy(col("check"), col("target"))
+    }),
+
+    // CDC snapshot diff (graft.ops.Audit.snapshotDiff): two order
+    // snapshots derived deterministically from the same table (adds,
+    // removes, price/status mutations), diffed with ONE full-outer
+    // join + null-safe per-column change flags, rolled up to
+    // per-status counts with per-column change totals.
+    "q115_snapshot_diff" -> ((s, d) => {
+      val ord = table(s, d, "orders").select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"),
+        col("o_orderstatus").as("ostatus"))
+      val oldS = ord.filter(pmod(col("key"), lit(10)) =!= 3)
+      val newS = ord.filter(pmod(col("key"), lit(10)) =!= 7)
+        .withColumn("price_cents",
+          when(pmod(col("key"), lit(5)) === 0, col("price_cents") + 100L)
+            .otherwise(col("price_cents")))
+        .withColumn("ostatus",
+          when(pmod(col("key"), lit(11)) === 0, lit("X"))
+            .otherwise(col("ostatus")))
+      graft.ops.Audit.snapshotDiff(oldS, newS, "key",
+          Seq("price_cents", "ostatus"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("chg_price_cents")).cast("long").as("n_price_chg"),
+          sum(col("chg_ostatus")).cast("long").as("n_status_chg"))
+        .orderBy(col("status"))
+    }),
+
     // Pure-SQL gateway path: the whole query is ONE spark.sql() string
     // over registered temp views, using a graft native function from
     // SQL — how a SQL-only user (JDBC/Thrift gateway, notebook) drives
@@ -724,5 +773,80 @@ object Advanced {
          ORDER BY click_id, purchase_id""",
     // the streaming dedup of the redelivered batch must land exactly on
     // the batch pipeline's rows — same re-derivation as q50
-    "q53_stream_active911" -> Ext.active911FeaturesOracle)
+    "q53_stream_active911" -> Ext.active911FeaturesOracle,
+    // every metric recomputed from plain aggregates; "check" quoted
+    // (reserved word) — the alias still compares as column `check`
+    "q114_quality_audit" ->
+      """WITH m AS (
+           SELECT COUNT(*) * 1.0 AS n,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 AS nn_ok,
+             SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) * 1.0 AS nn_pk,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) * 1.0 AS nn_sd,
+             SUM(CASE WHEN l_returnflag IS NULL
+                   OR l_returnflag NOT IN ('A','N','R')
+                 THEN 1 ELSE 0 END) * 1.0 AS av_rf,
+             SUM(CASE WHEN l_linestatus IS NULL OR l_linestatus <> 'O'
+                 THEN 1 ELSE 0 END) * 1.0 AS av_ls,
+             SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                   OR l_quantity > 25.0 THEN 1 ELSE 0 END) * 1.0 AS bd_q,
+             SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                   OR l_discount > 0.1 THEN 1 ELSE 0 END) * 1.0 AS bd_d
+           FROM lineitem),
+         dk AS (SELECT COUNT(*) * 1.0 AS dk FROM
+           (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+         ri1 AS (SELECT COUNT(*) * 1.0 AS v FROM orders o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         ri2 AS (SELECT COUNT(*) * 1.0 AS v FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+         SELECT * FROM (
+           SELECT 'row_count' AS "check", '*' AS target, n AS metric,
+             n > 0 AS ok FROM m
+           UNION ALL SELECT 'unique_key', 'l_orderkey,l_linenumber',
+             m.n - dk.dk, m.n = dk.dk FROM m, dk
+           UNION ALL SELECT 'not_null', 'l_orderkey', nn_ok, nn_ok = 0 FROM m
+           UNION ALL SELECT 'not_null', 'l_partkey', nn_pk, nn_pk = 0 FROM m
+           UNION ALL SELECT 'not_null', 'l_shipdate', nn_sd, nn_sd = 0 FROM m
+           UNION ALL SELECT 'accepted_values', 'l_linestatus', av_ls,
+             av_ls = 0 FROM m
+           UNION ALL SELECT 'accepted_values', 'l_returnflag', av_rf,
+             av_rf = 0 FROM m
+           UNION ALL SELECT 'bounds', 'l_discount', bd_d, bd_d = 0 FROM m
+           UNION ALL SELECT 'bounds', 'l_quantity', bd_q, bd_q = 0 FROM m
+           UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
+           UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
+         ORDER BY "check", target""",
+    // same deterministic snapshot derivation, one full-outer diff
+    "q115_snapshot_diff" ->
+      """WITH ord AS (
+           SELECT o_orderkey AS key,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus AS ostatus
+           FROM orders),
+         olds AS (SELECT * FROM ord WHERE key % 10 <> 3),
+         news AS (SELECT key,
+             CASE WHEN key % 5 = 0 THEN price_cents + 100
+                  ELSE price_cents END AS price_cents,
+             CASE WHEN key % 11 = 0 THEN 'X' ELSE ostatus END AS ostatus
+           FROM ord WHERE key % 10 <> 7),
+         j AS (SELECT
+             o.key IS NOT NULL AS in_o, n.key IS NOT NULL AS in_n,
+             CASE WHEN o.price_cents IS DISTINCT FROM n.price_cents
+               THEN 1 ELSE 0 END AS cp,
+             CASE WHEN o.ostatus IS DISTINCT FROM n.ostatus
+               THEN 1 ELSE 0 END AS cs
+           FROM olds o FULL OUTER JOIN news n ON o.key = n.key),
+         st AS (SELECT
+             CASE WHEN NOT in_o THEN 'added'
+                  WHEN NOT in_n THEN 'removed'
+                  WHEN cp + cs > 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CASE WHEN in_o AND in_n THEN cp ELSE 0 END AS cp,
+             CASE WHEN in_o AND in_n THEN cs ELSE 0 END AS cs
+           FROM j)
+         SELECT status, COUNT(*) AS n_rows,
+           CAST(SUM(cp) AS BIGINT) AS n_price_chg,
+           CAST(SUM(cs) AS BIGINT) AS n_status_chg
+         FROM st GROUP BY status ORDER BY status""")
 }

@@ -166,6 +166,34 @@ object Events {
         .orderBy(col("cohort_day"))
     }),
 
+    // Time-series gap fill + trailing window: per-day counts left-joined
+    // onto a generated day spine (missing days become explicit zeros —
+    // a trailing mean over sparse rows would silently skip them), then a
+    // 7-day trailing mean over the FILLED spine. The spine explodes from
+    // a one-row (min,max) aggregate — thousands of rows for years of
+    // data, so the global-ordered window is a non-issue at any corpus
+    // scale; the per-day rollup is the only real shuffle.
+    "q116_gap_fill" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        // a sparse slice (one cohort's purchases) so the spine really
+        // fills gaps at every SF — a dense slice would never exercise
+        // the zero rows
+        .filter(col("user_id") <= 2 && col("event_type") === "purchase")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val filled = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      filled
+        .withColumn("avg7",
+          round(sum(col("n")).over(w) * 1.0 / count(lit(1)).over(w), 4))
+        .orderBy(col("day"))
+    }),
+
     // Weighted PageRank over the event-transition graph (ext.Graph):
     // nodes = the numeric props attribute, edges = consecutive-event
     // transitions per user, 3 damped power-iteration rounds with
@@ -290,6 +318,30 @@ object Events {
            CAST(SUM(h1) AS BIGINT) AS n_off_1,
            CAST(SUM(h7) AS BIGINT) AS n_off_7
          FROM pu GROUP BY cd ORDER BY cohort_day""",
+    // day spine via generate_series; trailing mean = exact integer
+    // window sums divided once (identical float on any engine)
+    "q116_gap_fill" ->
+      """WITH daily AS (
+           SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+           FROM events
+           WHERE user_id <= 2 AND event_type = 'purchase'
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         filled AS (
+           SELECT s.day, COALESCE(d.n, 0) AS n,
+             COALESCE(d.value_cents, 0) AS value_cents
+           FROM spine s LEFT JOIN daily d ON s.day = d.day)
+         SELECT day, CAST(n AS BIGINT) AS n, value_cents,
+           round(CAST(SUM(n) OVER w AS BIGINT) * 1.0 /
+             COUNT(*) OVER w, 4) AS avg7
+         FROM filled
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
     // full 3-round power-iteration recompute as chained CTEs; the
     // (1.0 - 0.85) spelling reproduces Spark's binary 0.15... constant
     "q113_pagerank" ->

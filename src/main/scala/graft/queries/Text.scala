@@ -114,6 +114,35 @@ object Text {
         .orderBy(col("source"))
     }),
 
+    // Token↔language association by pointwise mutual information —
+    // the feature-selection diagnostic that surfaces lang-discriminative
+    // tokens (and leaked boilerplate) in a multilingual corpus. Document
+    // PRESENCE counts (distinct per doc), one (tok, lang) aggregate +
+    // one tok rollup; corpus size N rides in-plan as a one-row
+    // broadcast. PMI = ln((k·N)/(ktot·n_l)) — integer products, one
+    // division, one ln: engine-identical floats. Top-15 tokens by
+    // document frequency (tok tiebreak) keep the output stable.
+    "q117_token_pmi" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pres = dd.select(col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      val kl = pres.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("k"))
+      val nl = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val ktot = kl.groupBy(col("tok")).agg(sum(col("k")).as("ktot"))
+      val nTotal = dd.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ktot").desc, col("tok"))
+      val top = ktot.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 15).drop("rk")
+      kl.join(top, Seq("tok"))
+        .join(broadcast(nl), Seq("lang"))
+        .crossJoin(broadcast(nTotal))
+        .select(col("tok"), col("lang"), col("k"),
+          round(log(col("k") * col("n_total") / (col("ktot") * col("n_l"))), 6)
+            .as("pmi6"))
+        .orderBy(col("tok"), col("lang"))
+    }),
+
     // Document fingerprint: md5 over the sorted distinct vocabulary —
     // robust to token order/duplication, cheap to compare at scale.
     "q33_fingerprint" -> ((s, d) => {
@@ -228,6 +257,26 @@ object Text {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    // presence counts via per-doc list_distinct; PMI spelled with the
+    // same (k·N)/(ktot·n_l) op order so the single division and ln
+    // land on identical floats
+    "q117_token_pmi" ->
+      """WITH pres AS (
+           SELECT lang,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         kl AS (SELECT tok, lang, COUNT(*) AS k FROM pres GROUP BY 1, 2),
+         nl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+         kt AS (SELECT tok, SUM(k) AS ktot FROM kl GROUP BY 1),
+         top AS (SELECT tok, ktot FROM (
+             SELECT tok, ktot,
+               row_number() OVER (ORDER BY ktot DESC, tok) AS rk FROM kt)
+           WHERE rk <= 15),
+         nt AS (SELECT COUNT(*) AS n_total FROM documents)
+         SELECT kl.tok, kl.lang, kl.k,
+           round(ln((kl.k * nt.n_total) / (t.ktot * nl.n_l)), 6) AS pmi6
+         FROM kl JOIN top t USING (tok) JOIN nl USING (lang) CROSS JOIN nt
+         ORDER BY tok, lang""",
     // Winnowing recomputed from first principles: 3-gram string shingles
     // (with the shorter-than-w whole-text fallback), window-min of 4
     // consecutive shingles (ROWS CURRENT..3 FOLLOWING ≡ slice(sh, i, 4)),

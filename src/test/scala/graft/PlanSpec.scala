@@ -121,7 +121,11 @@ class PlanSpec extends SparkSpec {
       // q113: each PageRank round cross-joins TWO one-row scalars
       // (node count, dangling mass) onto the rank relation (q46's
       // scalar class); edges × ranks joins on src, never cross
-      "q113_pagerank")
+      "q113_pagerank",
+      // q117: corpus size N is ONE broadcast row cross-joined onto
+      // the (tok, lang) counts (q46's scalar class); every other join
+      // is keyed (tok / lang)
+      "q117_token_pmi")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

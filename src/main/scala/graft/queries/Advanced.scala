@@ -354,6 +354,23 @@ object Advanced {
         .orderBy(col("key"))
     }),
 
+    // Exact distinct counting via bitmap aggregation — the mergeable
+    // EXACT alternative to HLL (q43) and to count_distinct's single
+    // distinct-shuffle: keys bucket into 32k-bit bitmaps, per-bucket
+    // partial bitmaps OR together (map-side combinable, MV-friendly),
+    // and the count is a popcount sum. Two cheap hash aggs, no
+    // distinct expansion of the raw keys.
+    "q118_bitmap_distinct" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .select(col("c_mktsegment").as("segment"), col("c_custkey").as("key"))
+      c.groupBy(col("segment"), expr("bitmap_bucket_number(key)").as("b"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(key)))")
+          .as("cnt"))
+        .groupBy(col("segment"))
+        .agg(sum(col("cnt")).as("n_distinct"))
+        .orderBy(col("segment"))
+    }),
+
     // Deequ-style data-quality constraint suite (graft.ops.Audit): the
     // WHOLE suite for lineitem — row count, key uniqueness, per-column
     // null / accepted-value / bounds violations — is ONE fused
@@ -774,6 +791,11 @@ object Advanced {
     // the streaming dedup of the redelivered batch must land exactly on
     // the batch pipeline's rows — same re-derivation as q50
     "q53_stream_active911" -> Ext.active911FeaturesOracle,
+    // the bitmap plumbing must land exactly on plain COUNT(DISTINCT)
+    "q118_bitmap_distinct" ->
+      """SELECT c_mktsegment AS segment,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+         FROM customer GROUP BY 1 ORDER BY 1""",
     // every metric recomputed from plain aggregates; "check" quoted
     // (reserved word) — the alias still compares as column `check`
     "q114_quality_audit" ->

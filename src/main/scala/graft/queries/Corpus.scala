@@ -352,6 +352,38 @@ object Corpus {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))),
 
+    // The WHOLE curation pipeline composed end-to-end in ONE lazy plan —
+    // quality filter (Gopher repetition ratios) → exact dedup
+    // (normalized sha256, min-id canonical) → deterministic stratified
+    // sample → token-budget shard packing → per-shard manifest. This is
+    // the composition statement: every stage is the same operator the
+    // standalone queries run, chained with no materialization barriers,
+    // so Catalyst sees one tree (scan pruning + pushdown cross stage).
+    "q119_pipeline_e2e" -> ((s, d) => {
+      val base = docs(s, d)
+      val kept = CorpusOps.repetitionFilter(base, "doc_id", "text")
+        .filter(col("kept")).select(col("doc_id"))
+      val quality = base.join(kept, Seq("doc_id"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("__h",
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__h", "__rn")
+      val sampled = CorpusOps.stratifiedSample(deduped, col("doc_id"),
+        col("lang"), permille = Map("en" -> 400L), defaultPermille = 200L)
+      CorpusOps.packShards(
+          sampled.withColumn("n_tokens",
+            size(split(lower(col("text")), " ")).cast("long")),
+          stratum = col("lang"), order = col("doc_id"),
+          weight = col("n_tokens"), budget = 1500L)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard"))
+    }),
+
     // Segment-level (line/paragraph) dedup, CCNet-style: 3-token
     // windows, first corpus-wide occurrence wins (by doc, then
     // position), documents reassembled from surviving segments. One
@@ -676,6 +708,37 @@ object Corpus {
          FROM documents d JOIN r USING (lang)
          WHERE (doc_id * 2654435761) % 1000 < permille
          GROUP BY 1 ORDER BY d.lang""",
+    // the full four-stage chain replayed as CTEs: q56's rounded
+    // repetition ratios, q35's normalized-sha dedup window, q57's
+    // multiplicative-hash sample predicate, q59's per-stratum cumsum
+    "q119_pipeline_e2e" ->
+      """WITH e AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+         m AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+                 MAX(cnt) AS top_cnt FROM c GROUP BY 1),
+         q AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id
+               WHERE round(m.n_distinct * 1.0 / m.n_tokens, 4) >= 0.45
+                 AND round(m.top_cnt * 1.0 / m.n_tokens, 4) <= 0.15),
+         dd AS (SELECT *, row_number() OVER (
+                  PARTITION BY sha256(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn FROM q),
+         sm AS (SELECT * FROM dd WHERE rn = 1
+                AND (doc_id * 2654435761) % 1000 <
+                    CASE WHEN lang = 'en' THEN 400 ELSE 200 END),
+         w AS (SELECT doc_id, lang,
+                 len(string_split(lower(text), ' ')) AS n_tokens FROM sm),
+         cm AS (SELECT lang, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM w)
+         SELECT lang, CAST(floor((cum - n_tokens) / 1500.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         FROM cm GROUP BY 1, 2 ORDER BY lang, shard""",
     // full recomputation: 3-token windows (1-based inclusive list
     // slices clip at the end exactly like Spark's slice), first
     // occurrence by (doc, pos), per-doc reassembly via ordered

@@ -24,11 +24,15 @@ import graft.expr.GraftFunctions
   * clones — exactly what a long-lived 1000-executor SQL gateway needs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // optimizer surface (also public API): composed library stages
+    // normalize defensively at their boundaries — fold the no-op
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantNormalize)
+  }
 }

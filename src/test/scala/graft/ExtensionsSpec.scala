@@ -42,6 +42,36 @@ class ExtensionsSpec extends AnyFunSuite {
           |  array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 8) AS b""".stripMargin)
         .head.getLong(0)
       assert(bits >= 0L && bits < 256L)
+
+      // injected OPTIMIZER RULE: defensive double-normalization from
+      // composed stages folds to one call. Inputs must be NON-foldable
+      // (a range column) — a literal would constant-fold away entirely
+      // and the collapse assertion would pass vacuously.
+      def nNormalize(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.expressions.map(_.collect {
+          case e: graft.expr.NfcNormalize => e
+        }.size).sum
+      val doubled = s.sql(
+        """SELECT graft_normalize(graft_normalize(
+          |  concat(CAST(id AS STRING), 'Caf\u00e9'))) AS t
+          |FROM range(1)""".stripMargin)
+      assert(nNormalize(doubled) == 1, "same-form nest must collapse")
+      assert(doubled.head.getString(0) == "0Caf\u00e9")
+      // ...an outer form absorbs a CANONICAL inner form...
+      val mixed = s.sql(
+        """SELECT graft_normalize(graft_normalize(
+          |  concat(CAST(id AS STRING), 'Caf\u00e9'), 'NFC'), 'NFD') AS t
+          |FROM range(1)""".stripMargin)
+      assert(nNormalize(mixed) == 1, "canonical inner must collapse")
+      assert(mixed.head.getString(0) == "0Cafe\u0301") // NFD: decomposed
+      // ...but a compatibility inner form is information-losing and
+      // must NOT collapse (NFKC maps \u2460 to '1'; dropping it changes bytes)
+      val kept = s.sql(
+        """SELECT graft_normalize(graft_normalize(
+          |  concat(CAST(id AS STRING), '\u2460'), 'NFKC'), 'NFC') AS t
+          |FROM range(1)""".stripMargin)
+      assert(nNormalize(kept) == 2, "compat inner must be preserved")
+      assert(kept.head.getString(0) == "01")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

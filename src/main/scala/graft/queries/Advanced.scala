@@ -273,6 +273,45 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Per-key running totals on the Spark 4 arbitrary-state API
+    // (streaming.RunningTotals: transformWithState + StatefulProcessor,
+    // RocksDB state store — the successor surface to q65's
+    // flatMapGroupsWithState). Update-mode emissions are monotone per
+    // key (exact integer cents), so the final state per key is the
+    // groupBy max over the sink — which must equal the plain batch
+    // aggregate, and that equality IS the oracle.
+    "q120_stream_running_totals" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_tot_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        import s.implicits._
+        val in = s.readStream.schema(schema).parquet(stage.toString)
+          .select(col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .as[graft.streaming.RunningTotals.EventIn]
+        val q = graft.streaming.RunningTotals.totals(s, in)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("total_cents")).as("total_cents"))
+          .orderBy(col("user_id"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Bloom-filtered join (graft.ops.BloomJoin): urgent orders join
     // lineitem with the fact side pruned through a Bloom filter of the
     // selective dim's keys before the shuffle. Result must equal the
@@ -791,6 +830,12 @@ object Advanced {
     // the streaming dedup of the redelivered batch must land exactly on
     // the batch pipeline's rows — same re-derivation as q50
     "q53_stream_active911" -> Ext.active911FeaturesOracle,
+    // the streamed per-key running totals must land exactly on the
+    // batch aggregate
+    "q120_stream_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // the bitmap plumbing must land exactly on plain COUNT(DISTINCT)
     "q118_bitmap_distinct" ->
       """SELECT c_mktsegment AS segment,

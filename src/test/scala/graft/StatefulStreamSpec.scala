@@ -42,6 +42,43 @@ class StatefulStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: per-key state accumulates across micro-batches") {
+    // cloned session: transformWithState requires the RocksDB state
+    // store; scope the provider conf without mutating the shared session
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.RunningTotals
+    import graft.streaming.RunningTotals.EventIn
+    val mem = MemoryStream[EventIn]
+    val out = RunningTotals.totals(s, mem.toDS())
+    val name = "tot_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(EventIn(1L, 100L), EventIn(1L, 50L), EventIn(2L, 10L))
+      q.processAllAvailable()
+      val b1 = s.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(b1(1L) == ((2L, 150L)) && b1(2L) == ((1L, 10L)))
+      // second batch: state must CARRY, not restart
+      mem.addData(EventIn(1L, 1L), EventIn(3L, 7L))
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // latest emission per key = max n_events (monotone)
+      val last = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(last(1L) == ((1L, 3L, 151L)))
+      assert(last(2L) == ((2L, 1L, 10L)))
+      assert(last(3L) == ((3L, 1L, 7L)))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("flatMapGroupsWithState: sessions close on gap or watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -11,6 +11,18 @@ import graft.ops.Salt
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE coalesces small shuffle exchanges at runtime") {
+    // the runtime re-plan the 100 TB stance leans on: shuffle.partitions
+    // is sized for corpus-scale exchanges, and AQE shrinks the small
+    // ones instead of scheduling empty tasks
+    val df = Graft.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected a coalesced AQE shuffle read:\n$plan")
+  }
+
   test("skewJoin: same result as plain join on a 90%-one-key distribution") {
     val big = (1L to 10000L).map(i => (if (i % 10 == 0) i else 1L, i))
       .toDF("k", "payload")

@@ -166,6 +166,36 @@ object Events {
         .orderBy(col("cohort_day"))
     }),
 
+    // Association rules (market-basket): support / confidence / lift
+    // for event-type pairs co-occurring within a user's history. Baskets
+    // are per-user DISTINCT items, so the within-user pair join fans out
+    // B² per user with B bounded by the item universe — the classic
+    // a-priori shape (for unbounded universes, cap baskets to top-B
+    // items first). Counts are integers; each metric is ONE division of
+    // integer products, so floats are engine-identical.
+    "q121_assoc_rules" -> ((s, d) => {
+      val baskets = table(s, d, "events")
+        .select(col("user_id"), col("event_type").as("item")).distinct()
+      val a = baskets.select(col("user_id"), col("item").as("item_a"))
+      val b = baskets.select(col("user_id"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("user_id"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("nab"))
+      val ic = baskets.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+      val nUsers = baskets.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("nu"))
+      pairs
+        .join(broadcast(ic.toDF("item_a", "na")), Seq("item_a"))
+        .join(broadcast(ic.toDF("item_b", "nb")), Seq("item_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("item_a"), col("item_b"), col("nab"),
+          round(col("nab") / col("nu"), 6).as("support"),
+          round(col("nab") / col("na"), 6).as("conf_ab"),
+          round((col("nab") * col("nu")) / (col("na") * col("nb")), 6)
+            .as("lift"))
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Time-series gap fill + trailing window: per-day counts left-joined
     // onto a generated day spine (missing days become explicit zeros —
     // a trailing mean over sparse rows would silently skip them), then a
@@ -318,6 +348,26 @@ object Events {
            CAST(SUM(h1) AS BIGINT) AS n_off_1,
            CAST(SUM(h7) AS BIGINT) AS n_off_7
          FROM pu GROUP BY cd ORDER BY cohort_day""",
+    // same basket derivation; each metric spelled with the identical
+    // integer-product-then-divide op order
+    "q121_assoc_rules" ->
+      """WITH baskets AS (
+           SELECT DISTINCT user_id, event_type AS item FROM events),
+         pairs AS (
+           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS nab
+           FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+           WHERE a.item < b.item GROUP BY 1, 2),
+         ic AS (SELECT item, COUNT(*) AS ni FROM baskets GROUP BY 1),
+         nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM baskets)
+         SELECT p.item_a, p.item_b, p.nab,
+           round(p.nab / nu.nu, 6) AS support,
+           round(p.nab / ia.ni, 6) AS conf_ab,
+           round((p.nab * nu.nu) / (ia.ni * ib.ni), 6) AS lift
+         FROM pairs p
+         JOIN ic ia ON p.item_a = ia.item
+         JOIN ic ib ON p.item_b = ib.item
+         CROSS JOIN nu
+         ORDER BY item_a, item_b""",
     // day spine via generate_series; trailing mean = exact integer
     // window sums divided once (identical float on any engine)
     "q116_gap_fill" ->

@@ -503,6 +503,25 @@ object Ext {
           element_at(col("geometry.coordinates"), 2).as("lat"),
           col("properties.remarks").as("remarks"))
         .orderBy(col("id"))
+    }),
+
+    // Spatial grid aggregation over the pipeline's GeoJSON output:
+    // alert density per 0.5° cell — the map-tile rollup a CloudTAK
+    // consumer renders, and THE spatial scale pattern (grid keys are
+    // plain integer math → an equi-keyed hash aggregate; no spatial
+    // index needed for density rollups). Oracle re-derives the features
+    // independently and re-bins them.
+    "q122_geo_grid" -> ((s, d) => {
+      import s.implicits._
+      val env = Fixtures.envelopes.toDF("agency_id", "raw")
+      Active911.pipeline(env)
+        .select(col("id"),
+          element_at(col("geometry.coordinates"), 1).as("lon"),
+          element_at(col("geometry.coordinates"), 2).as("lat"))
+        .groupBy(floor(col("lon") / 0.5).cast("long").as("cell_lon"),
+          floor(col("lat") / 0.5).cast("long").as("cell_lat"))
+        .agg(count(lit(1)).as("n_alerts"), min(col("id")).as("first_id"))
+        .orderBy(col("cell_lon"), col("cell_lat"))
     }))
 
   /** JS `Number(x)` semantics in DuckDB SQL (''→0, numeric-shape cast,
@@ -1001,6 +1020,13 @@ object Ext {
     // (task.ts:172-184), id prefixing (task.ts:215), and the exact
     // remarks whitespace template (task.ts:221-225).
     "q50_active911_features" -> active911FeaturesOracle,
+    // re-bin the independently re-derived features into 0.5° cells
+    "q122_geo_grid" ->
+      s"""SELECT CAST(floor(lon / 0.5) AS BIGINT) AS cell_lon,
+          CAST(floor(lat / 0.5) AS BIGINT) AS cell_lat,
+          COUNT(*) AS n_alerts, MIN(id) AS first_id
+          FROM ($active911FeaturesOracle) f
+          GROUP BY 1, 2 ORDER BY cell_lon, cell_lat""",
     "q42_embedding_stats" ->
       """WITH f AS (
            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v

@@ -125,7 +125,10 @@ class PlanSpec extends SparkSpec {
       // q117: corpus size N is ONE broadcast row cross-joined onto
       // the (tok, lang) counts (q46's scalar class); every other join
       // is keyed (tok / lang)
-      "q117_token_pmi")
+      "q117_token_pmi",
+      // q121: the user-universe size is ONE broadcast row (q46's
+      // scalar class); baskets join on user_id, metrics on item keys
+      "q121_assoc_rules")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -42,6 +42,27 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalize a harness timestamp column to session-tz `TimestampType`
+    * (microsecond instants), whatever physical type the generated parquet
+    * carried: TIMESTAMP(NANOS) arrives as an epoch-nano long (via
+    * `nanosAsLong`), TIMESTAMP(MICROS) without tz metadata arrives as
+    * TIMESTAMP_NTZ. All conversions are exact integer math / metadata-only
+    * under the UTC session; downstream integer-time arithmetic uses
+    * `unix_micros`, matching the oracles' `epoch_us`/`epoch_ns`
+    * truncation on any generation.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(name).dataType match {
+      case LongType => // epoch nanos → exact integer div to micros
+        df.withColumn(name, timestamp_micros(expr(s"$name div 1000")))
+      case TimestampNTZType => // UTC session: wall clock IS the instant
+        df.withColumn(name, col(name).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   /** Spread per-row compute across cores ONLY when the input arrives
     * narrower than the cluster — the harness tables are one parquet file
     * each, i.e. a single split, so without this every per-document

@@ -16,8 +16,7 @@ import graft.streaming.Lookback
 object Advanced {
 
   private def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Graft.normalizeTs(table(s, d, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: each purchase matched to the user's most recent prior
@@ -182,10 +181,10 @@ object Advanced {
     // interleave arithmetically (no bit ops needed in SQL).
     "q88_zorder_key" -> ((s, d) => {
       graft.expr.GraftFunctions.register(s)
-      table(s, d, "events")
+      events(s, d)
         .select(col("event_id"),
           pmod(col("user_id"), lit(65536L)).as("x"),
-          pmod(expr("ts div 3600000000000"), lit(65536L)).as("y"))
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)).as("y"))
         .withColumn("zkey",
           call_function(graft.expr.GraftFunctions.ZOrderName,
             col("x"), col("y")))
@@ -250,9 +249,8 @@ object Advanced {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           stage.resolve("events.parquet"))
-        val stream = s.readStream.schema(schema)
-          .parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -558,9 +556,8 @@ object Advanced {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
           stage.resolve("events.parquet"))
-        def side(tpe: String) = s.readStream.schema(schema)
-          .parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        def side(tpe: String) = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
           .filter(col("event_type") === tpe)
         val clicks = side("click")
           .select(col("event_id").as("click_id"), col("user_id"),

@@ -22,15 +22,13 @@ object Events {
   /** 30-minute session gap in microseconds. */
   private val GapUs = 1800L * 1000000L
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark reads
-    * (via `spark.sql.legacy.parquet.nanosAsLong`) as a long of epoch
-    * nanos; rebuild a microsecond TimestampType with exact integer `div`
-    * (no double round-trip). Oracles truncate with `epoch_us` to the
-    * same precision.
+  /** The events table's `ts` physical type varies by harness generation
+    * (epoch-nano long / TIMESTAMP_NTZ micros); [[graft.Graft.normalizeTs]]
+    * rebuilds a microsecond TimestampType with exact integer math either
+    * way. Oracles truncate with `epoch_us` to the same precision.
     */
   private def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Graft.normalizeTs(table(s, d, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Last-writer-wins dedup per key — the deterministic window
@@ -156,13 +154,13 @@ object Events {
     }),
 
     // Cohort retention (graft.ops.Funnel.retentionCohorts): cohort =
-    // first active day (integer epoch-day from the raw nano ts — no
+    // first active day (integer epoch-day via exact micros div — no
     // timezone semantics), distinct-user activity at day offsets 1 and
     // 7. user-keyed aggregates only; the rollup is cohort-sized.
     "q111_retention" -> ((s, d) => {
-      val ev = table(s, d, "events")
+      val ev = events(s, d)
       graft.ops.Funnel.retentionCohorts(ev, col("user_id"),
-          expr("ts div 86400000000000"), Seq(1, 7))
+          expr("unix_micros(ts) div 86400000000"), Seq(1, 7))
         .orderBy(col("cohort_day"))
     }),
 
@@ -204,12 +202,12 @@ object Events {
     // data, so the global-ordered window is a non-issue at any corpus
     // scale; the per-day rollup is the only real shuffle.
     "q116_gap_fill" -> ((s, d) => {
-      val daily = table(s, d, "events")
+      val daily = events(s, d)
         // a sparse slice (one cohort's purchases) so the spine really
         // fills gaps at every SF — a dense slice would never exercise
         // the zero rows
         .filter(col("user_id") <= 2 && col("event_type") === "purchase")
-        .groupBy(expr("ts div 86400000000000").as("day"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
@@ -231,13 +229,12 @@ object Events {
     // summation-order drift can't compound — DuckDB recomputes the
     // identical ladder as chained CTEs.
     "q113_pagerank" -> ((s, d) => {
-      val ev = table(s, d, "events")
+      val ev = events(s, d)
       // order by integer MICROS (+ event_id tiebreak), exactly the
-      // oracle's epoch_us precision — raw nanos would order same-micro
-      // events differently than an engine that reads micros
+      // oracle's epoch_us precision
       val edges = graft.ext.Graph.transitionEdges(ev, col("user_id"),
         regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
-        expr("ts div 1000"), col("event_id"))
+        unix_micros(col("ts")), col("event_id"))
       graft.ext.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
         .select(col("id"), round(col("r"), 8).as("rank8"))
         .orderBy(col("id"))

@@ -439,6 +439,66 @@ object Corpus {
       .drop("__n", "__st")
   }
 
+  /** Overlapping fixed-size token chunks (stride < chunkLen ⇒ adjacent
+    * chunks share chunkLen−stride tokens) — the retrieval/RAG chunking
+    * shape, vs [[sliceSequences]]' disjoint budget packing. One NARROW
+    * pass: tokens from a per-row split, chunk starts from an exploded
+    * integer sequence, chunk text from an array slice — tokens never
+    * explode and nothing shuffles; at 100 TB this is a map-only stage
+    * whose output fans out ~n/stride rows per doc.
+    *
+    * n_chunks = 1 + ceil(max(n − chunkLen, 0) / stride): every token is
+    * covered, the last chunk may be short, a short/empty doc yields
+    * exactly one chunk row.
+    */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0,
+      s"chunkOverlap: chunkLen ($chunkLen) and stride ($stride) must be > 0")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"(greatest(0L, __n - $chunkLen) + ${stride - 1}) div $stride"))))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("chunk",
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkLen)), " "))
+      .withColumn("n_toks",
+        least(lit(chunkLen.toLong), col("__n") - col("tok_start")))
+      .drop("__toks", "__n")
+  }
+
+  /** Per-stratum top-p (nucleus) selection under a token budget: order
+    * docs by quality (desc, id tiebreak) and keep the smallest prefix
+    * whose token mass reaches share `permille`/1000 of the stratum
+    * total — "spend the budget on the best docs first", the
+    * quality-ordered complement of rate sampling ([[stratifiedSample]])
+    * and exact-k ([[exactKSample]]). The boundary doc (the one whose
+    * inclusion crosses the budget) is kept, so the target share is
+    * always reached. The keep test is integer-exact (no float share
+    * drift): 1000·(cum − tok) < permille·total.
+    *
+    * Shuffle profile: ONE hash exchange on the stratum key serves both
+    * windows (ordered running sum + unordered total); at 100 TB the
+    * running sum is per-stratum sequential — strata are the unit of
+    * parallelism, matching every other per-stratum op here.
+    */
+  def topPBudget(df: DataFrame, stratum: Column, score: Column,
+                 tie: Column, tokens: Column, permille: Long): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"topPBudget: permille ($permille) must be in [0, 1000]")
+    val ord = Window.partitionBy(stratum).orderBy(score.desc, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(stratum)
+    df.withColumn("__tok", tokens)
+      .withColumn("__cum", sum(col("__tok")).over(ord))
+      .withColumn("__total", sum(col("__tok")).over(all))
+      .withColumn("kept",
+        (col("__cum") - col("__tok")) * 1000L < col("__total") * permille)
+      .drop("__tok")
+  }
+
   /** Deterministic dense ids 0..n-1 in `order`-column order — the
     * distributed zipWithIndex: training pipelines need stable dense ids
     * (example ids, vocab ids) and `row_number() OVER (ORDER BY ...)` is

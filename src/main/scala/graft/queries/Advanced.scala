@@ -408,6 +408,57 @@ object Advanced {
         .orderBy(col("segment"))
     }),
 
+    // Spark 4 VARIANT ingestion of the JSON-ish props payload:
+    // parse_json ONCE into the open binary variant encoding, then typed
+    // variant_get extraction — the modern replacement for per-field
+    // get_json_object / regexp re-parsing (each of which re-tokenizes
+    // the document). At 100 TB the parse is a narrow codegen'd pass;
+    // extraction is O(field) over the shredded binary, and a corpus
+    // stored AS variant pushes field access down to the scan. Oracle:
+    // DuckDB's JSON extraction over the same strings.
+    "q123_variant_extract" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Binned fact×fact interval join — the BATCH scale path for
+    // point-in-interval predicates (q65 is the streaming form). Each
+    // purchase opens a 2-hour attribution window; matching clicks are
+    // found by keying clicks to their OWN hour bin and exploding each
+    // window over the ≤3 bins it covers, so the theta predicate becomes
+    // an equi-join on (user, bin) + a residual filter. A click has
+    // exactly one bin, so a pair can match at most once — no dedup
+    // pass. The bin key also bounds per-user fanout: a hot user's rows
+    // spread over their time bins instead of colliding on one join key
+    // (the skew that kills plain user-keyed interval joins at scale).
+    "q125_binned_interval_join" -> ((s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val winUs = 2L * 3600L * 1000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), expr("us div 3600000000").as("bin"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+        .withColumn("bin", explode(sequence(
+          expr(s"(p_us - ${winUs}L) div 3600000000"),
+          expr("p_us div 3600000000"))))
+      clicks.join(purchases, Seq("user_id", "bin"))
+        .filter(col("click_us") >= col("p_us") - winUs &&
+          col("click_us") <= col("p_us"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("p_us") - col("click_us")).as("lag_us"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Deequ-style data-quality constraint suite (graft.ops.Audit): the
     // WHOLE suite for lineitem — row count, key uniqueness, per-column
     // null / accepted-value / bounds violations — is ONE fused
@@ -881,6 +932,29 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // variant extraction must agree with plain JSON-string extraction
+    "q123_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS max_k,
+         CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the binned equi-join must land exactly on the plain theta join
+    "q125_binned_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT event_id AS click_id, user_id, us AS click_us
+           FROM ev WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+           FROM ev WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id, c.user_id AS user_id,
+           p_us - click_us AS lag_us
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND click_us >= p_us - 7200000000 AND click_us <= p_us
+         ORDER BY click_id, purchase_id""",
     // same deterministic snapshot derivation, one full-outer diff
     "q115_snapshot_diff" ->
       """WITH ord AS (

@@ -236,6 +236,35 @@ object Corpus {
         .orderBy(col("lang"), col("seq_id"))
     }),
 
+    // Overlapping RAG chunking (CorpusOps.chunkOverlap): 64-token
+    // chunks at stride 48 (16-token overlap) — retrieval-index
+    // construction over the corpus. Map-only (no token explode, no
+    // shuffle until the output sort); the oracle re-derives every
+    // chunk's text (md5), start and length from the same split.
+    "q126_chunk_overlap" -> ((s, d) =>
+      CorpusOps.chunkOverlap(docs(s, d), "doc_id", "text",
+          chunkLen = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+          col("n_toks"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Per-language top-p (nucleus) token-budget selection
+    // (CorpusOps.topPBudget): longest-first docs kept until 60% of the
+    // language's token mass is covered; integer-exact keep test. The
+    // oracle replays the identical windows in SQL.
+    "q127_top_p_budget" -> ((s, d) => {
+      val w = docs(s, d).withColumn("n_tok",
+        size(split(col("text"), " ")).cast("long"))
+      CorpusOps.topPBudget(w, col("lang"), col("n_chars"),
+          col("doc_id"), col("n_tok"), permille = 600L)
+        .filter(col("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          max(col("__total")).as("tok_total"))
+        .orderBy(col("lang"))
+    }),
+
     // Character-distribution entropy per doc — the cheap gibberish
     // filter (low-entropy = repeated chars, high = uniform noise). Char
     // histogram via explode + two-stage agg (map-side combine), exact
@@ -682,6 +711,43 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // every chunk's identity (start, length, md5 of the joined slice)
+    // re-derived from the same single-space split
+    "q126_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n, toks, i AS chunk_idx
+           FROM t, LATERAL (SELECT unnest(generate_series(0,
+               (greatest(n - 64, 0) + 47) // 48)) AS i) g)
+         SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS tok_start,
+           least(64, n - chunk_idx * 48) AS n_toks,
+           md5(array_to_string(
+             list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+             ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+    // identical windows: longest-first cumulative token mass per lang,
+    // keep while the running sum BEFORE the doc is under 60% of total
+    "q127_top_p_budget" ->
+      """WITH t AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         w AS (
+           SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_tok) OVER (PARTITION BY lang) AS total
+           FROM t)
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
+           CAST(MAX(total) AS BIGINT) AS tok_total
+         FROM w WHERE (cum - n_tok) * 1000 < 600 * total
+         GROUP BY lang ORDER BY lang""",
     "q87_char_entropy" ->
       """WITH ch AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^\n\r]')) AS c

@@ -182,6 +182,45 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // binaryFile source: the multimodal ingest path — raw assets land
+    // as opaque files and Spark reads (path, modificationTime, length,
+    // content) with glob filtering. Staging stays distributed: a
+    // deterministic 1-in-25 document subset is written one .txt file
+    // per doc via partitionBy (the text sink appends one '\n'); the
+    // read-back re-derives doc_id from the directory name and every
+    // byte must survive (md5 of content vs md5 of text+'\n', length =
+    // byte length + 1 — both pinned per-language by the oracle). Scale
+    // notes: content caps at spark.sql.sources.binaryFile.maxLength
+    // (2 GB/file) and millions of tiny files bottleneck on driver-side
+    // listing — at 100 TB land assets in parquet binary columns
+    // (q51/q91's shape) and keep binaryFile for the raw landing zone.
+    "q124_binaryfile_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_binf_")
+      try {
+        val docs = table(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(25)) === 0)
+        docs.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").partitionBy("doc_id")
+          .text(s"$stage/out")
+        val read = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .option("recursiveFileLookup", "true")
+          .load(s"$stage/out")
+          .select(regexp_extract(col("path"), "doc_id=([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+            col("length"), col("content"))
+        materialize(s, "q124_binaryfile_source", read
+          .join(docs.select(col("doc_id"), col("lang"), col("text")),
+            Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("length")).as("bytes"),
+            min(md5(col("content")) ===
+              md5(concat(col("text"), lit("\n")))).as("bytes_match"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // CSV source: header + quoted fields with embedded newline, comma
     // and doubled quotes (multiLine read). The injected adversarial row
     // must parse to exactly one 'xx' document with its fields intact.
@@ -244,6 +283,14 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // per-file byte counts re-derived from the text itself (+1 for the
+    // sink's newline); a truncated or re-encoded read can't hash-match
+    "q124_binaryfile_source" ->
+      """SELECT lang, COUNT(*) AS n_files,
+         CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS bytes,
+         TRUE AS bytes_match
+         FROM documents WHERE doc_id % 25 = 0
+         GROUP BY lang ORDER BY lang""",
     // valid rows must aggregate exactly like the parquet table; the two
     // injected malformed lines form the '(corrupt)' group
     "q62_jsonl_source" ->

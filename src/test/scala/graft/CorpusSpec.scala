@@ -359,4 +359,46 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("skew_factor") - 12.6) < 1e-9)
     assert(got(1).getAs[Long]("cnt") === 2L && got(1).getAs[Long]("key") === 21L)
   }
+
+  test("chunkOverlap: stride windows cover every token, last chunk short, tiny doc = one chunk") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 toks, len 3 stride 2 → ceil(4/2)+1 = 3 chunks
+      (2L, "a")                     // 1 tok → exactly one chunk
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkOverlap(docs, "doc_id", "text", chunkLen = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"),
+        r.getAs[String]("chunk")))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 3L, "t0 t1 t2"),
+      (1L, 1L, 2L, 3L, "t2 t3 t4"),
+      (1L, 2L, 4L, 3L, "t4 t5 t6"),
+      (2L, 0L, 0L, 1L, "a")))
+    // every token index appears in some chunk (coverage), adjacent
+    // chunks overlap by chunkLen - stride
+    val eight = Seq((3L, (0 until 8).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkOverlap(eight, "doc_id", "text", 3, 2)
+      .select("tok_start", "n_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val covered = chunks.flatMap { case (s, n) => s until (s + n) }.toSet
+    assert(covered == (0L until 8L).toSet)
+  }
+
+  test("topPBudget: boundary doc kept, p=0 keeps nothing, p=1000 keeps all") {
+    // lang en: tokens by quality desc = 50, 30, 20 (total 100)
+    val docs = Seq(
+      (1L, "en", 9L, 50L), (2L, "en", 5L, 30L), (3L, "en", 1L, 20L),
+      (4L, "de", 7L, 10L)
+    ).toDF("doc_id", "lang", "q", "n_tok")
+    def kept(p: Long) = Corpus.topPBudget(docs, col("lang"), col("q"),
+        col("doc_id"), col("n_tok"), p)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // p=600: doc1 (cum_before 0 < 60) kept, doc2 (50 < 60) kept —
+    // crosses the budget and stops it: doc3 (80 >= 60) dropped
+    assert(kept(600) == Set(1L, 2L, 4L))
+    assert(kept(0) == Set.empty[Long])
+    assert(kept(1000) == Set(1L, 2L, 3L, 4L))
+  }
 }

@@ -142,6 +142,29 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next | current) from lead() pairs — the behavioral
+    // n-gram model behind "what follows a click". ONE window shuffle on
+    // user_id builds the pairs; the per-state totals come from a window
+    // over the pair aggregate (state cardinality, tiny), not a second
+    // corpus pass. Probability = one integer division, rounded — floats
+    // are engine-identical.
+    "q128_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("n_cur",
+          sum(col("n")).over(Window.partitionBy(col("cur"))))
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n") * 1.0 / col("n_cur"), 6).as("p"))
+        .orderBy(col("cur"), col("nxt"))
+    }),
+
     // Ordered funnel view→click→purchase (graft.ops.Funnel): each
     // stage is a user-keyed aggregate joined to the previous stage's
     // reach time — one shuffle key end to end, one timestamp of state
@@ -306,6 +329,20 @@ object Events {
                FROM events) t
          WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
          ORDER BY event_id""",
+    // identical pair construction + per-state rollup; the probability
+    // is one division of the same integers
+    "q128_markov_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+         cnt AS (
+           SELECT cur, nxt, COUNT(*) AS n FROM pairs
+           WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+         SELECT cur, nxt, n,
+           round(n * 1.0 / SUM(n) OVER (PARTITION BY cur), 6) AS p
+         FROM cnt ORDER BY cur, nxt""",
     "q110_funnel" ->
       """WITH v AS (
            SELECT user_id, min(ts) AS t FROM events

@@ -170,6 +170,31 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("cents"), col("o_orderkey"))
     }),
 
+    // Equi-depth decile binning WITHOUT a single-partition global sort:
+    // ids come from Corpus.denseIds (range exchange + parallel
+    // per-partition ranks + broadcast offsets), the bin is integer math
+    // on the id — bin = ⌊id·K/n⌋ — and n rides along as a one-row
+    // broadcast off the already-checkpointed id frame (no second scan).
+    // This is the feature-engineering discretizer at 100 TB; contrast
+    // q71's ntile, whose per-PARTITION windows are fine because the
+    // partition keys bound each sort. Remainder spreads across bins
+    // (⌊·⌋ of the product), which is why the oracle replays the same
+    // formula rather than SQL ntile's front-loaded remainder.
+    "q129_equidepth_bins" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      val ids = graft.ext.Corpus.denseIds(o,
+        struct(col("cents"), col("o_orderkey")))
+      val n = ids.agg(max(col("dense_id") + 1).as("n"))
+      ids.crossJoin(broadcast(n))
+        .withColumn("bin", expr("(dense_id * 10) div n"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy(col("bin"))
+    }),
+
     "q08_topk_global" -> ((s, d) => {
       table(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -371,6 +396,19 @@ object Relational {
            UNION ALL
            SELECT l_returnflag, 'n_lines', n_lines FROM w)
          ORDER BY l_returnflag, metric""",
+    // same id/bin integer math replayed serially
+    "q129_equidepth_bins" ->
+      """WITH t AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY
+               CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) - 1
+               AS id,
+             COUNT(*) OVER () AS n
+           FROM orders)
+         SELECT (id * 10) // n AS bin, COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q71_rank_suite" ->
       """WITH o AS (
            SELECT o_orderkey, o_orderpriority,

@@ -128,7 +128,11 @@ class PlanSpec extends SparkSpec {
       "q117_token_pmi",
       // q121: the user-universe size is ONE broadcast row (q46's
       // scalar class); baskets join on user_id, metrics on item keys
-      "q121_assoc_rules")
+      "q121_assoc_rules",
+      // q129: the corpus row count n is ONE broadcast row off the
+      // checkpointed dense-id frame (q46's scalar class); the ids
+      // themselves come from denseIds' keyed range exchange
+      "q129_equidepth_bins")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer surface (also public API): composed library stages
     // normalize defensively at their boundaries — fold the no-op
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantNormalize)
+    // planner surface (also public API): the whole-operator tier —
+    // LEFT OUTER joins on the graft_asof_on marker plan into the
+    // merge-scan AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
   }
 }

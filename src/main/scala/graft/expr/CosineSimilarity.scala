@@ -100,6 +100,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val PqEncodeName = "graft_pq_encode"
   val PqAdcName = "graft_pq_adc"
+  val AsOfOnName = "graft_asof_on"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -131,7 +132,9 @@ object GraftFunctions {
       (exprs => ShingleGenerate(exprs(0), litInt(exprs(1)))),
     SimHashName -> (exprs => SimHash64(exprs(0))),
     PqEncodeName -> (exprs => PqEncode(exprs(0), exprs(1))),
-    PqAdcName -> (exprs => PqAdcDistance(exprs(0), exprs(1), exprs(2))))
+    PqAdcName -> (exprs => PqAdcDistance(exprs(0), exprs(1), exprs(2))),
+    AsOfOnName -> (exprs => graft.plans.AsOfJoin.AsOfOn(
+      exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

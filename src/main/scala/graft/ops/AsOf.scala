@@ -53,6 +53,39 @@ object AsOf {
       .select((leftCols ++ valueCols.values.toSeq).map(col): _*)
   }
 
+  /** [[asofJoin]] on the native merge-scan operator
+    * (graft.plans.AsOfJoin): same single co-partitioning exchange, but
+    * O(1) state per partition instead of the union+window's last_value
+    * frame — the plan for fact×fact as-of at 100 TB. Same signature and
+    * semantics as [[asofJoin]] (most recent right with time ≤ left
+    * time; larger right tie wins on equal time; unmatched left rows
+    * keep nulls).
+    *
+    * The strategy installs via `spark.experimental.extraStrategies`
+    * (public API) if not already present — config-time deployments get
+    * it from `spark.sql.extensions=graft.GraftExtensions` instead.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+                     timeCol: String, tieCol: String, rightTieCol: String,
+                     valueCols: Map[String, String]): DataFrame = {
+    val s = left.sparkSession
+    graft.expr.GraftFunctions.register(s)
+    if (!s.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoin.AsOfJoinStrategy)) {
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoin.AsOfJoinStrategy
+    }
+    val r = right.select(
+      col(keyCol).as("__r_key") +: col(timeCol).as("__r_time") +:
+        col(rightTieCol).as("__r_tie") +:
+        valueCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+    val cond = call_function(graft.expr.GraftFunctions.AsOfOnName,
+      left(keyCol), r("__r_key"), left(timeCol), r("__r_time"),
+      left(tieCol), r("__r_tie"))
+    left.join(r, cond, "left")
+      .select(left.columns.map(left(_)) ++ valueCols.values.map(col): _*)
+  }
+
   /** Range join of a fact column against a small banded dimension
     * `(band, lo, hi)` with `lo <= v < hi` semantics. The dimension is
     * broadcast; Catalyst plans a BroadcastNestedLoopJoin, which is the

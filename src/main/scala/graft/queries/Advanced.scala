@@ -18,6 +18,27 @@ object Advanced {
   private def events(s: SparkSession, d: String): DataFrame =
     graft.Graft.normalizeTs(table(s, d, "events"))
 
+  /** Shared by q27 (union+window) and q130 (native operator): both
+    * implementations must land on this exact relation.
+    */
+  private val AsofOracleSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         FROM events),
+       u AS (
+         SELECT event_id, user_id, us, 1 AS side, NULL::BIGINT AS click_id
+         FROM ev WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, user_id, us, 0 AS side, event_id AS click_id
+         FROM ev WHERE event_type = 'click'),
+       c AS (
+         SELECT event_id, user_id, side,
+           last_value(CASE WHEN side = 0 THEN click_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, side, event_id
+                   ROWS UNBOUNDED PRECEDING) AS prior_click_id
+         FROM u)
+       SELECT event_id, user_id, prior_click_id
+       FROM c WHERE side = 1 ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: each purchase matched to the user's most recent prior
     // (or simultaneous) click — union+window plan, single shuffle.
@@ -29,6 +50,24 @@ object Advanced {
         .select(col("event_id").as("click_id"), col("user_id"), col("us"))
       AsOf.asofJoin(purchases, clicks, keyCol = "user_id", timeCol = "us",
           tieCol = "event_id", rightTieCol = "click_id",
+          valueCols = Map("click_id" -> "prior_click_id"))
+        .select(col("event_id"), col("user_id"), col("prior_click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The SAME as-of semantics on the native merge-scan operator
+    // (graft.plans.AsOfJoin: marker condition → planner strategy →
+    // AsOfJoinExec; SURVEY §2.13 whole-operator tier). One
+    // co-partitioning exchange like q27, but O(1) state per partition
+    // instead of a window frame. Must land on q27's oracle exactly.
+    "q130_asof_native" -> ((s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+      AsOf.asofJoinNative(purchases, clicks, keyCol = "user_id",
+          timeCol = "us", tieCol = "event_id", rightTieCol = "click_id",
           valueCols = Map("click_id" -> "prior_click_id"))
         .select(col("event_id"), col("user_id"), col("prior_click_id"))
         .orderBy(col("event_id"))
@@ -748,23 +787,9 @@ object Advanced {
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
          TRUE AS merged_ok, TRUE AS global_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q27_asof_join" ->
-      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-           FROM events),
-         u AS (
-           SELECT event_id, user_id, us, 1 AS side, NULL::BIGINT AS click_id
-           FROM ev WHERE event_type = 'purchase'
-           UNION ALL
-           SELECT event_id, user_id, us, 0 AS side, event_id AS click_id
-           FROM ev WHERE event_type = 'click'),
-         c AS (
-           SELECT event_id, user_id, side,
-             last_value(CASE WHEN side = 0 THEN click_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY us, side, event_id
-                     ROWS UNBOUNDED PRECEDING) AS prior_click_id
-           FROM u)
-         SELECT event_id, user_id, prior_click_id
-         FROM c WHERE side = 1 ORDER BY event_id""",
+    "q27_asof_join" -> AsofOracleSql,
+    // the native operator must land on the identical result
+    "q130_asof_native" -> AsofOracleSql,
     "q28_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('p0_20k', 0.0, 20000.0), ('p20_40k', 20000.0, 40000.0),

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+
+/** The native as-of join (graft.plans.AsOfJoin): physical-plan shape,
+  * hand-computed semantics on constructed edge cases, and exact
+  * agreement with the union+window formulation under many partitions.
+  */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, user_id, us) purchases / (click_id, user_id, us) clicks
+  private def purchases = Seq(
+    (100L, 1L, 50L),  // prior clicks at 10, 40 → 11
+    (101L, 1L, 40L),  // click AT 40 is visible (<=) → 11
+    (102L, 1L, 5L),   // no prior click → null
+    (103L, 2L, 70L),  // user 2: two clicks at the SAME us 60 → larger id 23
+    (104L, 3L, 10L)   // user 3 has no clicks at all → null
+  ).toDF("event_id", "user_id", "us")
+
+  private def clicks = Seq(
+    (10L, 1L, 10L), (11L, 1L, 40L),
+    (22L, 2L, 60L), (23L, 2L, 60L),
+    (30L, 4L, 5L)    // user 4 never purchases; row must be skipped cleanly
+  ).toDF("click_id", "user_id", "us")
+
+  private def nativeResult = AsOf.asofJoinNative(purchases, clicks,
+    keyCol = "user_id", timeCol = "us", tieCol = "event_id",
+    rightTieCol = "click_id", valueCols = Map("click_id" -> "prior_click_id"))
+
+  test("asofJoinNative: hand-computed matches, ties, and null fills") {
+    val got = nativeResult.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (100L, Some(11L)), (101L, Some(11L)), (102L, None),
+      (103L, Some(23L)), (104L, None)))
+  }
+
+  test("asofJoinNative: plans into AsOfJoinExec (no window, no BNLJ)") {
+    val plan = nativeResult.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin asofon"), // AsOfJoinExec prints sans Exec
+      s"expected the native operator in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "marker condition must never reach a product-join strategy")
+    assert(!plan.contains("Window"),
+      "the native path must not fall back to the window formulation")
+  }
+
+  test("asofJoinNative: equals the union+window formulation on a randomized corpus") {
+    // deterministic pseudo-random corpus: enough keys to span all 4
+    // partitions, duplicate timestamps to exercise tie-breaks
+    val ev = spark.range(0, 2000).select(
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(37)).cast("long").as("user_id"),
+      pmod(hash(col("id") * 7 + 1), lit(101)).cast("long").as("us"))
+    val l = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(col("event_id"), col("user_id"), col("us"))
+    val r = ev.filter(pmod(col("event_id"), lit(3)) =!= 0)
+      .select(col("event_id").as("click_id"), col("user_id"), col("us"))
+    val viaWindow = AsOf.asofJoin(l, r, "user_id", "us",
+        "event_id", "click_id", Map("click_id" -> "prior"))
+      .orderBy("event_id").collect().toSeq
+    val viaNative = AsOf.asofJoinNative(l, r, "user_id", "us",
+        "event_id", "click_id", Map("click_id" -> "prior"))
+      .orderBy("event_id").collect().toSeq
+    assert(viaNative == viaWindow)
+  }
+
+  test("AsOfOn marker without the strategy fails loudly, not wrongly") {
+    // a session clone WITHOUT the strategy: planning falls through to
+    // the default join strategies, which must then fail at execution
+    // with the instructive marker error — never silently produce rows
+    val s2 = spark.newSession()
+    graft.expr.GraftFunctions.register(s2)
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "us")
+    val r = Seq((2L, 1L, 5L)).toDF("click_id", "user_id", "us")
+      .select(col("user_id").as("__r_key"), col("us").as("__r_time"),
+        col("click_id").as("__r_tie"), col("click_id"))
+    val lv = s2.createDataFrame(l.collectAsList(), l.schema)
+    val rv = s2.createDataFrame(r.collectAsList(), r.schema)
+    val cond = call_function(graft.expr.GraftFunctions.AsOfOnName,
+      lv("user_id"), rv("__r_key"), lv("us"), rv("__r_time"),
+      lv("event_id"), rv("__r_tie"))
+    val ex = intercept[Exception] {
+      lv.join(rv, cond, "left").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("graft_asof_on")))
+  }
+}

@@ -72,6 +72,41 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM range(1)""".stripMargin)
       assert(nNormalize(kept) == 2, "compat inner must be preserved")
       assert(kept.head.getString(0) == "01")
+
+      // injected PLANNER STRATEGY: a LEFT OUTER join on the
+      // graft_asof_on marker must plan into the native AsOfJoinExec
+      // purely from the extension config — no programmatic
+      // extraStrategies install (what asofJoinNative would do)
+      import org.apache.spark.sql.functions.{call_function, col}
+      import scala.jdk.CollectionConverters._
+      val lRows = Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1L, 1L, 10L)).asJava
+      val rRows = Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1L, 5L, 7L)).asJava
+      val lsch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("us",
+          org.apache.spark.sql.types.LongType)))
+      val rsch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__r_key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__r_time",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__r_tie",
+          org.apache.spark.sql.types.LongType)))
+      val lv = s.createDataFrame(lRows, lsch)
+      val rv = s.createDataFrame(rRows, rsch)
+      val joined = lv.join(rv, call_function("graft_asof_on",
+        lv("user_id"), rv("__r_key"), lv("us"), rv("__r_time"),
+        lv("event_id"), rv("__r_tie")), "left")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("AsOfJoin asofon"),
+        "config-injected strategy must plan the marker join")
+      val row = joined.select(col("event_id"), col("__r_tie")).head
+      assert(row.getLong(0) == 1L && row.getLong(1) == 7L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

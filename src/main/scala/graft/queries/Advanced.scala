@@ -349,6 +349,49 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Per-key bounded recent-event history on transformWithState's
+    // ListState surface (streaming.RecentEvents; q120 covers
+    // ValueState): each user's 3 most recent event types, newest
+    // first — the "last K actions" feature-store shape. Rows arrive
+    // shuffle-ordered within a batch, so the processor sorts retained
+    // state + batch rows by (us, event_id) before trimming — the
+    // emission is ordering-independent, which is what lets the batch
+    // oracle replay it with a window. Emissions are versioned by a
+    // monotone seen-counter (second state handle); max_by collapses
+    // multi-batch updates to the final one.
+    "q132_stream_recent_k" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_rec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        import s.implicits._
+        val in = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .as[graft.streaming.RecentEvents.EventIn]
+        val q = graft.streaming.RecentEvents.recent(s, in, k = 3)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_total")).as("n_total"),
+            max_by(col("recent"), col("n_total")).as("recent"))
+          .orderBy(col("user_id"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Bloom-filtered join (graft.ops.BloomJoin): urgent orders join
     // lineitem with the fact side pruned through a Bloom filter of the
     // selective dim's keys before the shuffle. Result must equal the
@@ -445,6 +488,41 @@ object Advanced {
         .groupBy(col("segment"))
         .agg(sum(col("cnt")).as("n_distinct"))
         .orderBy(col("segment"))
+    }),
+
+    // Incremental materialized-view maintenance: the MV state (per-lang
+    // counts/sums/max + per-bucket DISTINCT bitmaps) is kept in
+    // ALGEBRAIC partial form, so a delta batch folds in by aggregating
+    // ONLY the delta and merging O(groups) state rows — SUM/MAX re-agg
+    // for scalars, bitmap_or_agg for exact distincts. The base is never
+    // rescanned on update; here both sides are derived in-query from
+    // disjoint slices (no stored state in a test harness), but the
+    // merge path is exactly the production shape, and the oracle pins
+    // it to the from-scratch aggregate over the whole table.
+    "q131_mv_merge" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("src_id",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("long"))
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      def scalarMv(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          max(col("n_chars")).as("max_chars"))
+      def bitmapMv(df: DataFrame) = df
+        .groupBy(col("lang"), expr("bitmap_bucket_number(src_id)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(src_id))").as("bm"))
+      val scalars = scalarMv(base).unionByName(scalarMv(delta))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          max(col("max_chars")).as("max_chars"))
+      val distincts = bitmapMv(base).unionByName(bitmapMv(delta))
+        .groupBy(col("lang"), col("b"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("lang"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_sources"))
+      scalars.join(distincts, Seq("lang")).orderBy(col("lang"))
     }),
 
     // Spark 4 VARIANT ingestion of the JSON-ish props payload:
@@ -957,6 +1035,27 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // the streamed recent-k must equal the batch window replay
+    "q132_stream_recent_k" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events),
+         n AS (SELECT user_id, COUNT(*) AS n_total FROM events
+           GROUP BY user_id)
+         SELECT n.user_id, n.n_total,
+           (SELECT string_agg(event_type, ',' ORDER BY rn)
+            FROM r WHERE r.user_id = n.user_id AND rn <= 3) AS recent
+         FROM n ORDER BY n.user_id""",
+    // the delta-merged MV must equal the from-scratch aggregate
+    "q131_mv_merge" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(COUNT(DISTINCT CAST(regexp_extract(source, '([0-9]+)', 1)
+           AS BIGINT)) AS BIGINT) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
     // variant extraction must agree with plain JSON-string extraction
     "q123_variant_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -79,6 +79,40 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState: recent-k carries across batches and absorbs late rows") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.RecentEvents
+    import graft.streaming.RecentEvents.EventIn
+    val mem = MemoryStream[EventIn]
+    val out = RecentEvents.recent(s, mem.toDS(), k = 3)
+    val name = "rec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: four events — t=10 falls off the k=3 list
+      mem.addData(EventIn(1L, 10L, 1L, "a"), EventIn(1L, 20L, 2L, "b"),
+        EventIn(1L, 30L, 3L, "c"), EventIn(1L, 40L, 4L, "d"))
+      q.processAllAvailable()
+      // batch 2: a LATE row at t=25 must slot between b and c (incremental
+      // top-k == global top-k: dropped rows were already out of top-k);
+      // a second key proves state isolation
+      mem.addData(EventIn(1L, 25L, 5L, "x"), EventIn(2L, 1L, 6L, "y"))
+      q.processAllAvailable()
+      val last = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(last(1L) == ((1L, 5L, "d,c,x")))
+      assert(last(2L) == ((2L, 1L, "y")))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("flatMapGroupsWithState: sessions close on gap or watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -265,6 +265,34 @@ object Corpus {
         .orderBy(col("lang"))
     }),
 
+    // Length-bucketed batch packing: sequences grouped into power-of-2
+    // length buckets, then fixed-size batches of B within each bucket
+    // in deterministic (len, doc_id) order — the padding-minimization
+    // layout for training batches (batch cost = B × max len in batch;
+    // mixing a 10-token doc into a 1000-token batch wastes 99% of the
+    // pad). Per-bucket windows are fine at scale: buckets are the unit
+    // of parallelism and each is ~log2 of the length range. The output
+    // reports per-batch padded vs real tokens — the waste metric that
+    // justifies the layout.
+    "q133_length_batching" -> ((s, d) => {
+      val B = 8
+      docs(s, d)
+        .withColumn("n_tok",
+          size(split(col("text"), " ")).cast("long"))
+        // bucket = ceil(log2(n)) computed EXACTLY as the bit length of
+        // n-1 (float log2 disagrees across engines at powers of two)
+        .withColumn("bucket",
+          when(col("n_tok") <= 1L, 0L)
+            .otherwise(length(bin(col("n_tok") - 1)).cast("long")))
+        .withColumn("batch_idx",
+          expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1) div $B"))
+        .groupBy(col("bucket"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_tok")).as("real_toks"),
+          (max(col("n_tok")) * count(lit(1))).as("padded_toks"))
+        .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
     // Character-distribution entropy per doc — the cheap gibberish
     // filter (low-entropy = repeated chars, high = uniform noise). Char
     // histogram via explode + two-stage agg (map-side combine), exact
@@ -711,6 +739,27 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // identical integer bucket/batch math, serial window replay
+    "q133_length_batching" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         b AS (
+           SELECT n_tok,
+             CASE WHEN n_tok <= 1 THEN 0
+                  ELSE len(bin(n_tok - 1)) END AS bucket,
+             (row_number() OVER (PARTITION BY
+                CASE WHEN n_tok <= 1 THEN 0
+                     ELSE len(bin(n_tok - 1)) END
+                ORDER BY n_tok, doc_id) - 1) // 8 AS batch_idx
+           FROM t)
+         SELECT CAST(bucket AS BIGINT) AS bucket, batch_idx,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_toks,
+           CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS padded_toks
+         FROM b GROUP BY bucket, batch_idx
+         ORDER BY bucket, batch_idx""",
     // every chunk's identity (start, length, md5 of the joined slice)
     // re-derived from the same single-space split
     "q126_chunk_overlap" ->

@@ -142,6 +142,40 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // Trailing-window distinct users (6-hour sliding, hourly grain)
+    // from MERGEABLE per-hour bitmap partials: events aggregate ONCE
+    // into per-(hour, bucket) bitmaps, then a 6-row window OR-merges
+    // the partials — the trailing distinct never rescans events, which
+    // is the only shape that works when the window slides hourly over
+    // a year of 100 TB history (the naive form re-reads 6 hours of raw
+    // events per slide). The hour spine is tiny, so the ordered window
+    // over it is a non-issue; exactness comes from the bitmaps (vs
+    // HLL's approximate merge, q76).
+    "q134_sliding_distinct" -> ((s, d) => {
+      val hourly = events(s, d)
+        .select(expr("unix_micros(ts) div 3600000000").as("hour"),
+          col("user_id"))
+        .groupBy(col("hour"), expr("bitmap_bucket_number(user_id)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      // (hour × bucket) spine: a bucket silent in one hour must still
+      // carry its trailing bitmap into that hour's count — without the
+      // spine the RANGE frame has no row to land on and undercounts.
+      // Both sides are tiny aggregates (hours, bucket ids), so the
+      // product is O(spine), not O(events).
+      val spine = hourly.select(col("hour")).distinct()
+        .crossJoin(hourly.select(col("b")).distinct())
+      val w = Window.partitionBy(col("b")).orderBy(col("hour"))
+        .rangeBetween(-5, Window.currentRow)
+      spine.join(hourly, Seq("hour", "b"), "left")
+        .withColumn("bm6", expr("bitmap_or_agg(bm)").over(w))
+        .select(col("hour"),
+          coalesce(expr("bitmap_count(bm6)"), lit(0L)).as("cnt"))
+        .groupBy(col("hour"))
+        .agg(sum(col("cnt")).as("distinct_users_6h"))
+        .orderBy(col("hour"))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences: P(next | current) from lead() pairs — the behavioral
     // n-gram model behind "what follows a click". ONE window shuffle on
@@ -329,6 +363,17 @@ object Events {
                FROM events) t
          WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
          ORDER BY event_id""",
+    // the bitmap-merged trailing distinct must equal the naive
+    // re-scan-the-window COUNT(DISTINCT)
+    "q134_sliding_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, user_id
+           FROM events),
+         h AS (SELECT DISTINCT hour FROM e)
+         SELECT h.hour,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e
+            WHERE e.hour BETWEEN h.hour - 5 AND h.hour)
+             AS distinct_users_6h
+         FROM h ORDER BY h.hour""",
     // identical pair construction + per-state rollup; the probability
     // is one division of the same integers
     "q128_markov_transitions" ->

@@ -132,7 +132,11 @@ class PlanSpec extends SparkSpec {
       // q129: the corpus row count n is ONE broadcast row off the
       // checkpointed dense-id frame (q46's scalar class); the ids
       // themselves come from denseIds' keyed range exchange
-      "q129_equidepth_bins")
+      "q129_equidepth_bins",
+      // q134: the (hour × bucket) spine is a product of two TINY
+      // derived aggregates (hours, bucket ids) — O(spine) rows; the
+      // events relation aggregates once and never products
+      "q134_sliding_distinct")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -293,6 +293,31 @@ object Corpus {
         .orderBy(col("bucket"), col("batch_idx"))
     }),
 
+    // Per-group closed-form OLS (chars-per-token trend per language):
+    // ONE aggregate collects integer moment sums (n, Σx, Σy, Σx²,
+    // Σxy) — map-side combined, O(groups) state — and slope/intercept
+    // are derived in a fixed float op order from EXACT integers, so
+    // both engines compute bit-identical doubles (same IEEE ops on the
+    // same values). The grouped-statistics shape for per-segment trend
+    // fits at corpus scale: no per-row residual pass, no iteration.
+    "q135_group_regression" -> ((s, d) => {
+      val m = docs(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) * 1.0 /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("lang"), col("n"),
+          round(slopeRaw, 6).as("slope"),
+          round((col("sy") - slopeRaw * col("sx")) / col("n"), 6)
+            .as("intercept"))
+        .orderBy(col("lang"))
+    }),
+
     // Character-distribution entropy per doc — the cheap gibberish
     // filter (low-entropy = repeated chars, high = uniform noise). Char
     // histogram via explode + two-stage agg (map-side combine), exact
@@ -739,6 +764,23 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // same integer moments, same float op order → identical doubles
+    "q135_group_regression" ->
+      """WITH m AS (
+           SELECT lang, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM (SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               n_chars AS y FROM documents)
+           GROUP BY lang)
+         SELECT lang, n,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS slope,
+           round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+             * sx) / n, 6) AS intercept
+         FROM m ORDER BY lang""",
     // identical integer bucket/batch math, serial window replay
     "q133_length_batching" ->
       """WITH t AS (

@@ -69,6 +69,18 @@ class AsOfNativeSpec extends SparkSpec {
     assert(viaNative == viaWindow)
   }
 
+  test("asofJoinNative: string keys order correctly through the interpreted path") {
+    val l = Seq(("b", 10L, 1L), ("a", 10L, 2L), ("c", 10L, 3L))
+      .toDF("k", "us", "event_id")
+    val r = Seq(("a", 5L, 10L), ("b", 5L, 20L), ("b", 7L, 21L), ("d", 1L, 30L))
+      .toDF("k", "us", "click_id")
+    val got = AsOf.asofJoinNative(l, r, "k", "us", "event_id", "click_id",
+        Map("click_id" -> "prior"))
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(3)) None else Some(x.getLong(3))))
+    assert(got.toSeq == Seq(("a", Some(10L)), ("b", Some(21L)), ("c", None)))
+  }
+
   test("AsOfOn marker without the strategy fails loudly, not wrongly") {
     // a session clone WITHOUT the strategy: planning falls through to
     // the default join strategies, which must then fail at execution

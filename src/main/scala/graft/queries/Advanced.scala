@@ -706,6 +706,43 @@ object Advanced {
         .orderBy(col("key"), col("valid_from"))
     }),
 
+    // SCD2 point-in-time lookup — the dimensional-enrichment composition:
+    // a three-version dimension built by replaying TWO scd2 batches
+    // (Merge.scd2), then each fact row joined to the version valid at
+    // ITS OWN time via the native as-of operator (q130): valid_from ≤ v,
+    // latest wins — which is exactly the row whose [valid_from,
+    // valid_to) interval contains v, without a range predicate reaching
+    // the join chooser. One co-partitioning exchange on the key; the
+    // oracle derives each key's version-v attribute from the update
+    // rules directly.
+    "q136_scd2_lookup" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val base = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd2 = cust.filter(pmod(col("c_custkey"), lit(7)) === 2)
+        .select(col("c_custkey").as("key"),
+          concat(lit("SEG2_"), pmod(col("c_custkey"), lit(3))).as("segment"))
+      val upd3 = cust.filter(pmod(col("c_custkey"), lit(5)) === 1)
+        .select(col("c_custkey").as("key"),
+          concat(lit("SEG3_"), pmod(col("c_custkey"), lit(4))).as("segment"))
+      val dim3 = graft.ops.Merge.scd2(
+        graft.ops.Merge.scd2(base, upd2, "key", Seq("segment"), 2L),
+        upd3, "key", Seq("segment"), 3L)
+      val facts = table(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("key"),
+        (lit(1L) + pmod(col("o_orderkey"), lit(3))).as("v"))
+      AsOf.asofJoinNative(facts,
+          dim3.select(col("key"), col("valid_from").as("v"), col("segment")),
+          keyCol = "key", timeCol = "v", tieCol = "o_orderkey",
+          rightTieCol = "v",
+          valueCols = Map("segment" -> "segment"))
+        .groupBy(col("v"), col("segment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("v"), col("segment"))
+    }),
+
     // Stream-stream interval join (SURVEY.md §2.10): each click joined
     // to the same user's purchases within the following 12 hours, both
     // sides unbounded streams. The event-time range predicate plus the
@@ -1035,6 +1072,22 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // each key's version-v attribute derived straight from the update
+    // rules (upd3 overrides upd2 overrides base, gated on v)
+    "q136_scd2_lookup" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey AS key,
+             1 + o_orderkey % 3 AS v FROM orders),
+         c AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer),
+         looked AS (
+           SELECT f.v,
+             CASE WHEN f.v >= 3 AND f.key % 5 = 1
+                    THEN 'SEG3_' || (f.key % 4)
+                  WHEN f.v >= 2 AND f.key % 7 = 2
+                    THEN 'SEG2_' || (f.key % 3)
+                  ELSE c.seg END AS segment
+           FROM f JOIN c ON f.key = c.key)
+         SELECT v, segment, COUNT(*) AS n_orders
+         FROM looked GROUP BY v, segment ORDER BY v, segment""",
     // the streamed recent-k must equal the batch window replay
     "q132_stream_recent_k" ->
       """WITH r AS (

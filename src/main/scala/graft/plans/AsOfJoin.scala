@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Native as-of join — the whole-operator tier of custom extension
@@ -113,6 +114,12 @@ object AsOfJoin {
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan, cond: AsOfOn)
     extends SparkPlan with BinaryExecNode {
 
+    override lazy val metrics: Map[String, SQLMetric] = Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+        "number of output rows"),
+      "numMatched" -> SQLMetrics.createMetric(sparkContext,
+        "number of left rows with an as-of match"))
+
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
 
@@ -139,6 +146,8 @@ object AsOfJoin {
       val keyOrd = TypeUtils.getInterpretedOrdering(cond.leftKey.dataType)
       val timeOrd = TypeUtils.getInterpretedOrdering(cond.leftTime.dataType)
       val rightWidth = right.output.size
+      val outRows = longMetric("numOutputRows")
+      val matchedRows = longMetric("numMatched")
       // bind the projection against the NULLABLE output schema (not the
       // raw right attributes): unmatched left rows feed an all-null
       // right row, and a projection built on non-nullable inputs would
@@ -181,6 +190,8 @@ object AsOfJoin {
           }
           val matched = lk != null && bestKey != null &&
             keyOrd.compare(bestKey, lk) == 0
+          outRows += 1
+          if (matched) matchedRows += 1
           proj(joined(lRow, if (matched) best else nullRight))
         }
       }

@@ -293,6 +293,39 @@ object Corpus {
         .orderBy(col("bucket"), col("batch_idx"))
     }),
 
+    // Golden-record survivorship: after dup clustering, the output
+    // record MERGES the best non-null attribute from each cluster
+    // member (vs q95's keepCanonical, which picks one whole row) —
+    // id = min, text = longest (deterministic (n_chars, -id) tiebreak
+    // via max_by on a struct key), lang = any non-null survivor,
+    // chars = max. Corrupted duplicates are derived in-query (%13==4
+    // docs get a +300000 copy with NULL lang and 5-token truncated
+    // text). ONE hash aggregate on the cluster key — survivorship is
+    // an agg, not a self-join.
+    "q137_golden_record" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val trunc = array_join(slice(split(col("text"), " "), 1, 5), " ")
+      val dups = base.filter(pmod(col("doc_id"), lit(13)) === 4)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          trunc.as("text"), lit(null).cast("string").as("lang"),
+          length(trunc).cast("long").as("n_chars"))
+      base.unionByName(dups)
+        .withColumn("cl",
+          when(col("doc_id") >= 300000L, col("doc_id") - 300000L)
+            .otherwise(col("doc_id")))
+        .groupBy(col("cl"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          max_by(col("text"),
+            struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("text"),
+          max(col("lang")).as("lang"),
+          max(col("n_chars")).as("chars"))
+        .select(col("cl"), col("canonical_id"), col("n_members"),
+          md5(col("text")).as("text_md5"), col("lang"), col("chars"))
+        .orderBy(col("cl"))
+    }),
+
     // Per-group closed-form OLS (chars-per-token trend per language):
     // ONE aggregate collects integer moment sums (n, Σx, Σy, Σx²,
     // Σxy) — map-side combined, O(groups) state — and slope/intercept
@@ -764,6 +797,33 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // identical dup derivation, survivorship replayed with a window
+    "q137_golden_record" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang, n_chars FROM documents),
+         dups AS (
+           SELECT doc_id + 300000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+               AS text,
+             NULL AS lang,
+             CAST(len(array_to_string(
+               list_slice(string_split(text, ' '), 1, 5), ' ')) AS BIGINT)
+               AS n_chars
+           FROM base WHERE doc_id % 13 = 4),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         cl AS (
+           SELECT *,
+             CASE WHEN doc_id >= 300000 THEN doc_id - 300000
+                  ELSE doc_id END AS cl,
+             row_number() OVER (PARTITION BY
+               CASE WHEN doc_id >= 300000 THEN doc_id - 300000
+                    ELSE doc_id END
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM al)
+         SELECT cl, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members,
+           md5(MIN(CASE WHEN rk = 1 THEN text END)) AS text_md5,
+           MAX(lang) AS lang, CAST(MAX(n_chars) AS BIGINT) AS chars
+         FROM cl GROUP BY cl ORDER BY cl""",
     // same integer moments, same float op order → identical doubles
     "q135_group_regression" ->
       """WITH m AS (

@@ -706,6 +706,31 @@ object Advanced {
         .orderBy(col("key"), col("valid_from"))
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE — the engine-managed
+    // iteration surface; q69's connected components is the manual
+    // driver-loop form): depth of every node in the implicit binary
+    // tree parent(k) = ⌊k/2⌋ over customer keys, rolled up per level.
+    // Each recursion step is ONE equi-join of the frontier against the
+    // node table; iterations = tree depth (log n) — the plan shape that
+    // holds for org charts / category trees / thread ancestry at scale.
+    // Executed through spark.sql over a temp view (the SQL-gateway
+    // path, like q90).
+    "q138_recursive_cte" -> ((s, d) => {
+      val view = "cust_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      table(s, d, "customer").createOrReplaceTempView(view)
+      val out = s.sql(
+        s"""WITH RECURSIVE dpt(key, depth) AS (
+              SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT c.c_custkey, dpt.depth + 1
+              FROM $view c JOIN dpt ON c.c_custkey div 2 = dpt.key
+              WHERE c.c_custkey > 1)
+            SELECT depth, COUNT(*) AS n, SUM(key) AS sum_keys
+            FROM dpt GROUP BY depth ORDER BY depth""")
+      s.catalog.dropTempView(view)
+      out
+    }),
+
     // SCD2 point-in-time lookup — the dimensional-enrichment composition:
     // a three-version dimension built by replaying TWO scd2 batches
     // (Merge.scd2), then each fact row joined to the version valid at
@@ -1072,6 +1097,16 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // the same traversal as a DuckDB recursive CTE
+    "q138_recursive_cte" ->
+      """WITH RECURSIVE dpt(key, depth) AS (
+           SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT c.c_custkey, dpt.depth + 1
+           FROM customer c JOIN dpt ON c.c_custkey // 2 = dpt.key
+           WHERE c.c_custkey > 1)
+         SELECT depth, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS sum_keys
+         FROM dpt GROUP BY depth ORDER BY depth""",
     // each key's version-v attribute derived straight from the update
     // rules (upd3 overrides upd2 overrides base, gated on v)
     "q136_scd2_lookup" ->

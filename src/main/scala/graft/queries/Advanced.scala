@@ -706,6 +706,31 @@ object Advanced {
         .orderBy(col("key"), col("valid_from"))
     }),
 
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    // SQL-native top-k-per-key shape (the declarative sibling of q07's
+    // window filter and q68's bounded UDAF): each nation pulls ITS OWN
+    // top-2 customers by balance. Catalyst decorrelates the lateral
+    // into a ranked join — no per-row re-execution — so the shape holds
+    // when the outer side is large. Driven through the spark.sql
+    // gateway; DuckDB replays the identical LATERAL.
+    "q139_lateral_topk" -> ((s, d) => {
+      val nv = "nat_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val cv = "cus_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      table(s, d, "nation").createOrReplaceTempView(nv)
+      table(s, d, "customer").createOrReplaceTempView(cv)
+      val out = s.sql(
+        s"""SELECT n.n_name, t.c_name,
+              CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM $nv n,
+            LATERAL (SELECT c_name, c_acctbal FROM $cv c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_name LIMIT 2) AS t
+            ORDER BY n.n_name, bal_cents DESC, t.c_name""")
+      s.catalog.dropTempView(nv)
+      s.catalog.dropTempView(cv)
+      out
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE — the engine-managed
     // iteration surface; q69's connected components is the manual
     // driver-loop form): depth of every node in the implicit binary
@@ -1097,6 +1122,15 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // identical LATERAL, identical ordering keys
+    "q139_lateral_topk" ->
+      """SELECT n.n_name, t.c_name,
+           CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS t
+         ORDER BY n.n_name, bal_cents DESC, t.c_name""",
     // the same traversal as a DuckDB recursive CTE
     "q138_recursive_cte" ->
       """WITH RECURSIVE dpt(key, depth) AS (

@@ -221,6 +221,43 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Bucketed co-located join (promotes the ScaleSpec plan-shape proof
+    // to a driver-checked result): both fact tables written bucketBy
+    // the join key into catalog-backed external tables, re-read and
+    // joined WITHOUT a join-side exchange (both sides arrive
+    // pre-partitioned — the write-once/join-many layout for recurring
+    // fact×fact joins at 100 TB; ScaleSpec pins the zero-exchange plan,
+    // this entry pins the values). 1-in-5 deterministic subset keeps
+    // the staging write proportionate.
+    "q140_bucketed_join" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_buckq_")
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val (ot, lt) = (s"orders_q140_$tag", s"lineitem_q140_$tag")
+      try {
+        table(s, d, "orders")
+          .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$stage/o").saveAsTable(ot)
+        table(s, d, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(5)) === 0)
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$stage/l").saveAsTable(lt)
+        materialize(s, "q140_bucketed_join", s.table(lt)
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as("cents"))
+          .orderBy(col("o_orderpriority")))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        deleteRecursively(stage)
+      }
+    }),
+
     // CSV source: header + quoted fields with embedded newline, comma
     // and doubled quotes (multiLine read). The injected adversarial row
     // must parse to exactly one 'xx' document with its fields intact.
@@ -283,6 +320,14 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // the co-located join must land exactly on the plain join
+    "q140_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_orderkey % 5 = 0 AND o.o_orderkey % 5 = 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // per-file byte counts re-derived from the text itself (+1 for the
     // sink's newline); a truncated or re-encoded read can't hash-match
     "q124_binaryfile_source" ->

@@ -706,6 +706,33 @@ object Advanced {
         .orderBy(col("key"), col("valid_from"))
     }),
 
+    // Observed metrics (Dataset.observe): pipeline health counters
+    // (rows scanned, total chars, rows passing the quality bar)
+    // accumulated in the SAME pass that produces the per-lang result —
+    // no second scan, which is the only affordable way to monitor a
+    // 100 TB curation job. The observation values are folded into the
+    // output relation, so a broken metrics path hash-mismatches the
+    // oracle rather than silently reporting nothing.
+    "q142_observed_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation(
+        "q142_" + java.util.UUID.randomUUID.toString.replace("-", ""))
+      val perLang = table(s, d, "documents")
+        .observe(obs, count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("total_chars"),
+          count(when(col("n_chars") > 500, lit(1))).as("n_long"))
+        .filter(col("n_chars") > 500)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang")).collect()
+      val m = obs.get
+      import s.implicits._
+      val rows = perLang.toSeq
+        .map(r => ("docs_gt500:" + r.getString(0), r.getLong(1))) ++ Seq(
+        ("n_long", m("n_long").asInstanceOf[Long]),
+        ("n_rows", m("n_rows").asInstanceOf[Long]),
+        ("total_chars", m("total_chars").asInstanceOf[Long]))
+      rows.toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
     // SQL-native top-k-per-key shape (the declarative sibling of q07's
     // window filter and q68's bounded UDAF): each nation pulls ITS OWN
@@ -1122,6 +1149,19 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // every observed counter recomputed from plain aggregates
+    "q142_observed_metrics" ->
+      """SELECT metric, value FROM (
+           SELECT 'docs_gt500:' || lang AS metric,
+             CAST(COUNT(*) AS BIGINT) AS value
+           FROM documents WHERE n_chars > 500 GROUP BY lang
+           UNION ALL SELECT 'n_long', CAST(COUNT(*) AS BIGINT)
+           FROM documents WHERE n_chars > 500
+           UNION ALL SELECT 'n_rows', CAST(COUNT(*) AS BIGINT)
+           FROM documents
+           UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT)
+           FROM documents)
+         ORDER BY metric""",
     // identical LATERAL, identical ordering keys
     "q139_lateral_topk" ->
       """SELECT n.n_name, t.c_name,

@@ -221,6 +221,32 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // VARIANT parquet round-trip (Spark 4 storage surface): the
+    // semi-structured payload is parsed ONCE at ingest, STORED as the
+    // binary variant type, and typed extraction runs against the
+    // re-read column — the "parse at the edge, never re-parse
+    // downstream" corpus layout (q123 parses per query; this pins the
+    // parse-once-persist form). A lossy variant encode/decode cannot
+    // hash-match the oracle, which extracts from the original JSON
+    // strings.
+    "q141_variant_roundtrip" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_var_")
+      try {
+        table(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            parse_json(col("props")).as("props_v"))
+          .write.mode("overwrite").parquet(s"$stage/out")
+        val read = s.read.parquet(s"$stage/out")
+          .select(col("event_type"),
+            expr("variant_get(props_v, '$.k', 'bigint')").as("k"))
+        materialize(s, "q141_variant_roundtrip", read
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            count_distinct(col("k")).as("n_distinct_k"))
+          .orderBy(col("event_type")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Bucketed co-located join (promotes the ScaleSpec plan-shape proof
     // to a driver-checked result): both fact tables written bucketBy
     // the join key into catalog-backed external tables, re-read and
@@ -320,6 +346,15 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // extraction from the stored variant must equal extraction from
+    // the original JSON strings
+    "q141_variant_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+         CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+           AS BIGINT)) AS BIGINT) AS n_distinct_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // the co-located join must land exactly on the plain join
     "q140_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

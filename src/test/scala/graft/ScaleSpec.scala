@@ -23,6 +23,34 @@ class ScaleSpec extends SparkSpec {
       s"expected a coalesced AQE shuffle read:\n$plan")
   }
 
+  test("AQE skew join splits a skewed partition at runtime") {
+    // pins the §9.2 stance that AQE handles the skew LONG TAIL (manual
+    // salting is for known-hot keys): with skew thresholds scaled to
+    // test data, the runtime re-plan must mark the join skewed and
+    // split the hot partition — and the result must be unchanged
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    val big = s.createDataset((1 to 50000).map(i =>
+      (if (i % 50 == 0) i.toLong else 1L, "payload-padding-padding-" + i)))
+      .toDF("k", "payload")
+    val dim = s.createDataset((50 to 50000 by 50).map(i => (i.toLong, "v" + i))
+      .toSeq :+ (1L, "hot")).toDF("k", "v")
+    val joined = big.join(dim, "k")
+    // collect() drives joined's OWN QueryExecution, so the AQE final
+    // plan is inspectable on it (count() would plan a separate query)
+    assert(joined.collect().length == 50000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("skew"),
+      s"expected a runtime skew-split join in:\n$plan")
+  }
+
   test("skewJoin: same result as plain join on a 90%-one-key distribution") {
     val big = (1L to 10000L).map(i => (if (i % 10 == 0) i else 1L, i))
       .toDF("k", "payload")

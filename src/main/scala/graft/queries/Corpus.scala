@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{spreadIfNarrow, table}
@@ -291,6 +292,25 @@ object Corpus {
           sum(col("n_tok")).as("real_toks"),
           (max(col("n_tok")) * count(lit(1))).as("padded_toks"))
         .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
+    // Per-source quota capping: at most 3 docs per source, best first
+    // (n_chars desc, id tiebreak) — the anti-domination rule that stops
+    // one crawler domain from flooding the mixture (the per-SOURCE
+    // complement of q83's per-language rebalance). One bounded window
+    // per source key; at 100 TB swap the window for TopKByScore (q68)
+    // to keep state O(k) — semantics identical.
+    "q144_source_quota" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          min(col("n_chars")).as("cutoff_chars"))
+        .orderBy(col("source"))
     }),
 
     // Golden-record survivorship: after dup clustering, the output
@@ -797,6 +817,17 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // identical window replay of the quota
+    "q144_source_quota" ->
+      """WITH r AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(MIN(n_chars) AS BIGINT) AS cutoff_chars
+         FROM r WHERE rn <= 3 GROUP BY source ORDER BY source""",
     // identical dup derivation, survivorship replayed with a window
     "q137_golden_record" ->
       """WITH base AS (

@@ -221,6 +221,38 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Small-files compaction — the table-maintenance pass every
+    // long-lived corpus needs: a fragmented write (64 splinter files)
+    // is re-laid-out into size-targeted files (total bytes / target
+    // size, the math a real compactor runs from the file listing).
+    // Content conservation is oracle-exact; the layout contract
+    // (file count dropped to exactly the computed target) rides as
+    // pinned booleans. At 100 TB this is the same job per partition
+    // directory, driven by the catalog's file statistics.
+    "q143_compaction" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_compact_")
+      try {
+        table(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(s"$stage/frag")
+        val fragBytes = java.nio.file.Files.walk(Paths.get(s"$stage/frag"))
+          .filter(p => p.toString.endsWith(".parquet"))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        val fragFiles = java.nio.file.Files.walk(Paths.get(s"$stage/frag"))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        val targetBytes = 256L * 1024L // ~256KB target at harness scale
+        val nTarget = math.max(1L, (fragBytes + targetBytes - 1) / targetBytes)
+        s.read.parquet(s"$stage/frag").repartition(nTarget.toInt)
+          .write.mode("overwrite").parquet(s"$stage/compact")
+        val compactFiles = java.nio.file.Files.walk(Paths.get(s"$stage/compact"))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        materialize(s, "q143_compaction", s.read.parquet(s"$stage/compact")
+          .agg(count(lit(1)).as("rows"), sum(col("doc_id")).as("sum_doc_id"))
+          .select(col("rows"), col("sum_doc_id"),
+            lit(compactFiles == nTarget).as("hit_target"),
+            lit(compactFiles < fragFiles).as("files_reduced")))
+      } finally deleteRecursively(stage)
+    }),
+
     // VARIANT parquet round-trip (Spark 4 storage surface): the
     // semi-structured payload is parsed ONCE at ingest, STORED as the
     // binary variant type, and typed extraction runs against the
@@ -345,6 +377,12 @@ object Sources {
       """SELECT CAST(COUNT(*) AS BIGINT) AS rows,
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
+         FROM documents""",
+    // conservation is exact; the layout contract booleans pin TRUE
+    "q143_compaction" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         TRUE AS hit_target, TRUE AS files_reduced
          FROM documents""",
     // extraction from the stored variant must equal extraction from
     // the original JSON strings

@@ -294,6 +294,62 @@ object Corpus {
         .orderBy(col("bucket"), col("batch_idx"))
     }),
 
+    // Token-distribution KL divergence between corpus snapshots — the
+    // drift metric run before swapping a training mixture: D(P‖Q) over
+    // add-one-smoothed token frequencies of two deterministic slices
+    // (old = even doc_id, new = odd). Counts are exact integers from
+    // two-stage hash aggs; each term is computed in a FIXED float op
+    // order and the per-token contributions are rounded THEN summed, so
+    // the total is engine-identical (summing raw doubles would expose
+    // reduction order). Vocabulary = union of both slices via full
+    // outer join on the token key.
+    "q145_token_kl" -> ((s, d) => {
+      def toks(df: DataFrame) = df
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("k"))
+      val all = docs(s, d)
+      val p = toks(all.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .withColumnRenamed("k", "kp")
+      val q = toks(all.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .withColumnRenamed("k", "kq")
+      val joined = p.join(q, Seq("tok"), "full_outer")
+        .select(coalesce(col("kp"), lit(0L)).as("kp"),
+          coalesce(col("kq"), lit(0L)).as("kq"))
+      val tot = joined.agg(sum(col("kp")).as("np"), sum(col("kq")).as("nq"),
+        count(lit(1)).as("v"))
+      joined.crossJoin(broadcast(tot))
+        // add-one smoothing: p = (k+1)/(n+V); contribution rounded to
+        // 12 dp BEFORE the sum so reduction order cannot drift
+        .select(round(
+          ((col("kp") + 1) * 1.0 / (col("np") + col("v"))) *
+            log(((col("kp") + 1) * 1.0 / (col("np") + col("v"))) /
+              ((col("kq") + 1) * 1.0 / (col("nq") + col("v")))), 12)
+          .as("term"))
+        .agg(round(sum(col("term")), 6).as("kl_nats"),
+          count(lit(1)).as("vocab"))
+    }),
+
+    // Per-stratum quantile calibration: raw quality proxies are not
+    // comparable ACROSS languages (a "long" zh doc and a "long" en doc
+    // sit at different raw scales), so each doc's score becomes its
+    // percentile WITHIN its language — after which one global threshold
+    // means the same thing everywhere. percent_rank over the stratum
+    // window (strata are the unit of parallelism); ties share a rank by
+    // construction. Rolled up to decile counts per lang: a calibrated
+    // score is uniform within each stratum, which the oracle pins.
+    "q146_quantile_calibrate" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      docs(s, d)
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("decile",
+          least(floor(col("pct") * 10).cast("long"), lit(9L)))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     // Per-source quota capping: at most 3 docs per source, best first
     // (n_chars desc, id tiebreak) — the anti-domination rule that stops
     // one crawler domain from flooding the mixture (the per-SOURCE
@@ -817,6 +873,43 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // identical percent_rank semantics (ties share (rank-1)/(n-1))
+    "q146_quantile_calibrate" ->
+      """WITH p AS (
+           SELECT lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+               AS pct
+           FROM documents)
+         SELECT lang,
+           least(CAST(floor(pct * 10) AS BIGINT), 9) AS decile,
+           COUNT(*) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS lo,
+           CAST(MAX(n_chars) AS BIGINT) AS hi
+         FROM p GROUP BY lang, decile ORDER BY lang, decile""",
+    // same counts, same smoothing, same op order, same pre-round
+    "q145_token_kl" ->
+      """WITH cp AS (
+           SELECT tok, COUNT(*) AS kp FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id % 2 = 0)
+           WHERE tok <> '' GROUP BY tok),
+         cq AS (
+           SELECT tok, COUNT(*) AS kq FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id % 2 = 1)
+           WHERE tok <> '' GROUP BY tok),
+         j AS (
+           SELECT coalesce(kp, 0) AS kp, coalesce(kq, 0) AS kq
+           FROM cp FULL OUTER JOIN cq USING (tok)),
+         t AS (
+           SELECT CAST(SUM(kp) AS BIGINT) AS np,
+             CAST(SUM(kq) AS BIGINT) AS nq, COUNT(*) AS v FROM j)
+         SELECT round(SUM(round(
+             ((kp + 1) * 1.0 / (np + v)) *
+               ln(((kp + 1) * 1.0 / (np + v)) /
+                  ((kq + 1) * 1.0 / (nq + v))), 12)), 6) AS kl_nats,
+           COUNT(*) AS vocab
+         FROM j, t""",
     // identical window replay of the quota
     "q144_source_quota" ->
       """WITH r AS (

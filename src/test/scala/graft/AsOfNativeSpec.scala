@@ -81,6 +81,19 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", Some(10L)), ("b", Some(21L)), ("c", None)))
   }
 
+  test("asofJoinNative: null left keys match nothing and survive as null fills") {
+    val l = Seq((Some(1L), 10L, 1L), (None, 10L, 2L), (Some(1L), 20L, 3L))
+      .toDF("k", "us", "event_id")
+    val r = Seq((1L, 5L, 10L)).toDF("k", "us", "click_id")
+    val got = AsOf.asofJoinNative(l, r, "k", "us", "event_id", "click_id",
+        Map("click_id" -> "prior"))
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(1) /* us */, x.isNullAt(0),
+        if (x.isNullAt(3)) None else Some(x.getLong(3))))
+    assert(got.toSeq == Seq(
+      (10L, false, Some(10L)), (10L, true, None), (20L, false, Some(10L))))
+  }
+
   test("AsOfOn marker without the strategy fails loudly, not wrongly") {
     // a session clone WITHOUT the strategy: planning falls through to
     // the default join strategies, which must then fail at execution

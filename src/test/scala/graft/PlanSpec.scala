@@ -136,7 +136,10 @@ class PlanSpec extends SparkSpec {
       // q134: the (hour × bucket) spine is a product of two TINY
       // derived aggregates (hours, bucket ids) — O(spine) rows; the
       // events relation aggregates once and never products
-      "q134_sliding_distinct")
+      "q134_sliding_distinct",
+      // q145: the (np, nq, V) totals are ONE broadcast row cross-joined
+      // onto the vocabulary relation (q46's scalar class)
+      "q145_token_kl")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -706,6 +706,63 @@ object Advanced {
         .orderBy(col("key"), col("valid_from"))
     }),
 
+    // APPEND-mode windowed aggregation — the production streaming mode
+    // (q52's complete mode rebuilds the whole result every batch; at
+    // scale only append's emit-once-on-close works). Two deterministic
+    // micro-batches (events split at Jan 16, file order pinned by
+    // mtime): after batch 1 the watermark advances to maxA − 1h, and
+    // batch 2's commit emits exactly the windows whose END is at or
+    // below that watermark (ms precision — Spark tracks watermarks in
+    // milliseconds). Batch-2 rows can't land in emitted windows (they
+    // are all ≥ the split point), so the oracle reproduces the emitted
+    // set exactly: windows of first-half data closed by the first-half
+    // watermark.
+    "q147_stream_append_window" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_app_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+      val t0 = to_timestamp(lit("2024-01-16 00:00:00"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_append_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        def stageFile(df: DataFrame, n: String, mt: Long): Unit = {
+          val dir = stage.resolve(n + "_dir")
+          df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          val part = java.nio.file.Files.list(dir).iterator()
+          var src: java.nio.file.Path = null
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.toString.endsWith(".parquet")) src = p
+          }
+          val dst = watch.resolve(n + ".parquet")
+          java.nio.file.Files.copy(src, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mt))
+        }
+        stageFile(ev.filter(col("ts") < t0), "01", 1000000000000L)
+        stageFile(ev.filter(col("ts") >= t0), "02", 1000000100000L)
+        val schema = s.read.parquet(watch.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy(col("win_start_us"), col("event_type"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Observed metrics (Dataset.observe): pipeline health counters
     // (rows scanned, total chars, rows passing the quality bar)
     // accumulated in the SAME pass that produces the per-lang result —
@@ -1149,6 +1206,23 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // append mode's emitted set, pinned empirically and replayed: all
+    // windows whose end ≤ final watermark (max event time floored to
+    // ms, minus the 1h delay — Spark tracks watermarks in ms); the
+    // trailing open windows never emit
+    "q147_stream_append_window" ->
+      """WITH wm AS (
+           SELECT (epoch_us(max(ts)) // 1000) - 3600000 AS w_ms
+           FROM events),
+         agg AS (
+           SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT h * 3600000000 AS win_start_us, event_type, n, cents
+         FROM agg, wm WHERE (h + 1) * 3600000 <= w_ms
+         ORDER BY win_start_us, event_type""",
     // every observed counter recomputed from plain aggregates
     "q142_observed_metrics" ->
       """SELECT metric, value FROM (

@@ -885,6 +885,56 @@ object Advanced {
     // traffic) per side regardless of total volume. Inner join in
     // append mode emits exactly the batch-join pairs, which is what the
     // DuckDB oracle recomputes.
+    // Stream-stream LEFT OUTER interval join — the hardest streaming
+    // emission semantic: matches emit like the inner join, and an
+    // UNMATCHED click emits its null row only when the watermark
+    // proves no future purchase can match (click state expires past
+    // the 12h join window). The final AvailableNow flush emits
+    // null rows for clicks whose whole window is below the final
+    // watermark; the cutoff (ms-floored global watermark vs
+    // click_ts + 12h) is pinned empirically and replayed by the
+    // oracle — clicks near stream end stay unresolved and must NOT
+    // appear as nulls.
+    "q148_stream_outer_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_oj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_oj_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        def side(tpe: String) = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = side("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 12 hours"),
+          "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+          .orderBy(col("click_id"), col("purchase_id"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     "q65_stream_interval_join" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1206,6 +1256,38 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
+    // matches = the batch inner join; null rows = unmatched clicks
+    // whose full 12h window is below the final global watermark
+    // (min of the two sides' ms-floored maxima, minus the 1h delay) —
+    // pinned empirically; unresolved tail clicks must be absent
+    "q148_stream_outer_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT event_id AS click_id, user_id, us AS click_us
+           FROM ev WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+           FROM ev WHERE event_type = 'purchase'),
+         wm AS (SELECT least(
+             epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)) // 1000,
+             epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000)
+             - 3600000 AS w
+           FROM events),
+         matched AS (
+           SELECT click_id, purchase_id, c.user_id AS user_id,
+             p_us - click_us AS lag_us
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p_us >= click_us AND p_us <= click_us + 43200000000),
+         unmatched AS (
+           SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             c.user_id AS user_id, CAST(NULL AS BIGINT) AS lag_us
+           FROM c, wm
+           WHERE NOT EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = c.user_id
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
+             AND click_us // 1000 + 43200000 <= w)
+         SELECT * FROM (SELECT * FROM matched
+           UNION ALL SELECT * FROM unmatched)
+         ORDER BY click_id, purchase_id NULLS FIRST""",
     // append mode's emitted set, pinned empirically and replayed: all
     // windows whose end ≤ final watermark (max event time floored to
     // ms, minus the 1h delay — Spark tracks watermarks in ms); the

@@ -294,6 +294,30 @@ object Corpus {
         .orderBy(col("bucket"), col("batch_idx"))
     }),
 
+    // Per-group WEIGHTED median (lower): the doc-length midpoint where
+    // half the TOKEN MASS sits below — the right cut for budget
+    // decisions (a plain median over docs ignores that long docs carry
+    // the tokens; q58's exact percentiles are row-weighted). One
+    // ordered window per stratum, integer-exact test 2·cumw ≥ W.
+    "q149_weighted_median" -> ((s, d) => {
+      val byLen = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("lang"))
+      val t = docs(s, d)
+        .withColumn("wt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cumw", sum(col("wt")).over(byLen))
+        .withColumn("total", sum(col("wt")).over(all))
+        .filter(col("cumw") * 2 >= col("total"))
+      val first = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t.withColumn("rn", row_number().over(first))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("n_chars").as("w_median_chars"),
+          col("total").as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Token-distribution KL divergence between corpus snapshots — the
     // drift metric run before swapping a training mixture: D(P‖Q) over
     // add-one-smoothed token frequencies of two deterministic slices
@@ -873,6 +897,26 @@ object Corpus {
          SELECT lang, seq_id, COUNT(*) AS n_docs,
            CAST(SUM(s1 - s0) AS BIGINT) AS n_tokens
          FROM sl GROUP BY 1, 2 ORDER BY lang, seq_id""",
+    // identical ordered cumulative-weight test
+    "q149_weighted_median" ->
+      """WITH t AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, n_chars,
+             SUM(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(wt) OVER (PARTITION BY lang) AS total
+           FROM t),
+         f AS (
+           SELECT lang, n_chars, total,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rn
+           FROM c WHERE cumw * 2 >= total)
+         SELECT lang, CAST(n_chars AS BIGINT) AS w_median_chars,
+           CAST(total AS BIGINT) AS total_tokens
+         FROM f WHERE rn = 1 ORDER BY lang""",
     // identical percent_rank semantics (ties share (rank-1)/(n-1))
     "q146_quantile_calibrate" ->
       """WITH p AS (

@@ -142,6 +142,26 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // Map-typed feature assembly: per-user event-type count MAP — the
+    // feature-store row shape (model inputs want one map column, not
+    // 5 pivoted columns whose set changes with the taxonomy). Build =
+    // two-stage agg → sort_array of (key, count) structs →
+    // map_from_entries; the SORT makes the map's entry order (and so
+    // its JSON serialization) deterministic — unordered map equality
+    // is not portable across engines, canonical JSON is. Narrow after
+    // one user-keyed shuffle.
+    "q150_feature_map" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(to_json(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))))
+          .as("counts_json"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Trailing-window distinct users (6-hour sliding, hourly grain)
     // from MERGEABLE per-hour bitmap partials: events aggregate ONCE
     // into per-(hour, bucket) bitmaps, then a 6-row window OR-merges
@@ -363,6 +383,16 @@ object Events {
                FROM events) t
          WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
          ORDER BY event_id""",
+    // canonical JSON rebuilt with the same key ordering
+    "q150_feature_map" ->
+      """WITH c AS (
+           SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || n, ','
+             ORDER BY event_type) || '}' AS counts_json,
+           CAST(SUM(n) AS BIGINT) AS n_events
+         FROM c GROUP BY user_id ORDER BY user_id""",
     // the bitmap-merged trailing distinct must equal the naive
     // re-scan-the-window COUNT(DISTINCT)
     "q134_sliding_distinct" ->

@@ -142,6 +142,30 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // Error-safe ingestion arithmetic (try_cast / try_divide): dirty
+    // numeric strings (garbage appended to every 7th payload) become
+    // NULL instead of failing the job or poisoning the batch — the
+    // row-level error containment a 100 TB ingest needs (ANSI-strict
+    // would kill the stage on one bad row; the reference's JS Number()
+    // coercion is the same lenient stance, SURVEY §2.3). Per-type
+    // rollup counts parsed/failed and sums a guarded division.
+    "q151_try_arithmetic" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("kstr",
+          regexp_extract(col("props"), "([0-9]+)", 1))
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            concat(col("kstr"), lit("x"))).otherwise(col("kstr")))
+        .withColumn("k", expr("try_cast(raw AS BIGINT)"))
+        .withColumn("ratio", expr("try_divide(100L, k)"))
+      ev.groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_parsed"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_failed"),
+          sum(col("k")).as("sum_k"),
+          round(sum(col("ratio")), 6).as("sum_ratio"))
+        .orderBy(col("event_type"))
+    }),
+
     // Map-typed feature assembly: per-user event-type count MAP — the
     // feature-store row shape (model inputs want one map column, not
     // 5 pivoted columns whose set changes with the taxonomy). Build =
@@ -383,6 +407,24 @@ object Events {
                FROM events) t
          WHERE prev_us IS NOT NULL AND next_type IS NOT NULL
          ORDER BY event_id""",
+    // TRY_CAST mirrors try_cast; the guarded division mirrors
+    // try_divide's NULL-on-zero
+    "q151_try_arithmetic" ->
+      """WITH t AS (
+           SELECT event_type,
+             TRY_CAST(CASE WHEN event_id % 7 = 0
+               THEN regexp_extract(props, '([0-9]+)', 1) || 'x'
+               ELSE regexp_extract(props, '([0-9]+)', 1) END
+               AS BIGINT) AS k
+           FROM events)
+         SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           round(SUM(CASE WHEN k = 0 THEN NULL ELSE 100.0 / k END), 6)
+             AS sum_ratio
+         FROM t GROUP BY event_type ORDER BY event_type""",
     // canonical JSON rebuilt with the same key ordering
     "q150_feature_map" ->
       """WITH c AS (

@@ -84,6 +84,21 @@ object Graft {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** Signed-zero-safe round for float-emitting oracle columns (SURVEY §5
+    * convention). `round` of a tiny negative (e.g. a covariance cell that
+    * is -1e-9) yields `-0.0` in DuckDB but `+0.0` through Spark's
+    * BigDecimal HALF_UP path; the values compare numerically equal, but
+    * the driver hashes serialized bytes, so the row mismatches. IEEE 754
+    * `-0.0 + 0.0 = +0.0` in every engine, so adding a literal zero AFTER
+    * the round normalizes the sign on both sides. Every oracle pair whose
+    * rounded quantity can straddle zero uses this helper and writes
+    * `round(...) + 0.0` in its DuckDB SQL.
+    */
+  def roundz(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, round}
+    round(c, scale) + lit(0.0)
+  }
+
   /** Depth-first delete of a staging directory (shared by the queries
     * and specs that round-trip through temp files — one definition, not
     * a copy per file).

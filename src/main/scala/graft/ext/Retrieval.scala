@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Graft.roundz
+
 /** Keyword / lexical retrieval over a document corpus, and rank fusion
   * with the vector side ([[graft.ext.Similarity]]) — the missing half of
   * hybrid search (EXT, SURVEY.md §2.14): BM25 scoring via an inverted
@@ -106,7 +108,7 @@ object Retrieval {
                queries: DataFrame, k: Int, k1: Double = 1.2,
                b: Double = 0.75): DataFrame = {
     val scored = bm25Scores(docs, idCol, textCol, queries, k1, b)
-      .withColumn("score_r", round(col("score"), 4))
+      .withColumn("score_r", roundz(col("score"), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_r").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -162,6 +164,6 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol), col("rank"),
-        col("rank_a"), col("rank_b"), round(col("rrf"), 6).as("rrf6"))
+        col("rank_a"), col("rank_b"), roundz(col("rrf"), 6).as("rrf6"))
   }
 }

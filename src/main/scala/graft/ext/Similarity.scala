@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Graft.roundz
+
 /** Vector similarity search over an `Array[Float]` embedding column
   * (north-star EXT, SURVEY.md §2.14).
   *
@@ -54,7 +56,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+      .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 
   /** Deterministic pseudo-random hyperplane component: hash-derived value
@@ -98,7 +100,7 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      .select(col("id_a"), col("id_b"), roundz(col("cos"), 6).as("cos6"))
   }
 
   /** Banded sign-bit keys for near-dup candidate generation: `nPlanes`
@@ -134,7 +136,7 @@ object Similarity {
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosineNative(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      .select(col("id_a"), col("id_b"), roundz(col("cos"), 6).as("cos6"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -207,7 +209,7 @@ object Similarity {
         cosineNative(col("qvec"), col("vec")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+      .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 
   /** Approximate top-k via LSH bucket probing. With `maxProbeHamming`
@@ -246,7 +248,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+      .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
@@ -344,7 +346,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"),
-        round(col("adist"), 6).as("adist6"))
+        roundz(col("adist"), 6).as("adist6"))
   }
 
   /** PQ shortlist + exact re-rank — the standard production pipeline:
@@ -368,6 +370,6 @@ object Similarity {
         cosineNative(col("qvec"), col("vec")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 6).as("cos6"))
+      .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 }

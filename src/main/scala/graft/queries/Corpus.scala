@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Graft.{spreadIfNarrow, table}
+import graft.Graft.{roundz, spreadIfNarrow, table}
 import graft.expr.HeavyHitterSketch
 import graft.ext.{Corpus => CorpusOps}
 
@@ -350,7 +350,7 @@ object Corpus {
             log(((col("kp") + 1) * 1.0 / (col("np") + col("v"))) /
               ((col("kq") + 1) * 1.0 / (col("nq") + col("v")))), 12)
           .as("term"))
-        .agg(round(sum(col("term")), 6).as("kl_nats"),
+        .agg(roundz(sum(col("term")), 6).as("kl_nats"),
           count(lit(1)).as("vocab"))
     }),
 
@@ -445,8 +445,8 @@ object Corpus {
       val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) * 1.0 /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       m.select(col("lang"), col("n"),
-          round(slopeRaw, 6).as("slope"),
-          round((col("sy") - slopeRaw * col("sx")) / col("n"), 6)
+          roundz(slopeRaw, 6).as("slope"),
+          roundz((col("sy") - slopeRaw * col("sx")) / col("n"), 6)
             .as("intercept"))
         .orderBy(col("lang"))
     }),
@@ -467,7 +467,7 @@ object Corpus {
       val n = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
       cnt.join(n, Seq("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(round(-sum((col("k") / col("n")) *
+        .agg(roundz(-sum((col("k") / col("n")) *
           log(2.0, col("k") / col("n"))), 4).as("entropy"))
         .withColumn("keep", col("entropy") >= 3.0)
         .orderBy(col("doc_id"))
@@ -951,7 +951,7 @@ object Corpus {
          SELECT round(SUM(round(
              ((kp + 1) * 1.0 / (np + v)) *
                ln(((kp + 1) * 1.0 / (np + v)) /
-                  ((kq + 1) * 1.0 / (nq + v))), 12)), 6) AS kl_nats,
+                  ((kq + 1) * 1.0 / (nq + v))), 12)), 6) + 0.0 AS kl_nats,
            COUNT(*) AS vocab
          FROM j, t""",
     // identical window replay of the quota
@@ -1005,9 +1005,9 @@ object Corpus {
            GROUP BY lang)
          SELECT lang, n,
            round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-             AS slope,
+             + 0.0 AS slope,
            round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
-             * sx) / n, 6) AS intercept
+             * sx) / n, 6) + 0.0 AS intercept
          FROM m ORDER BY lang""",
     // identical integer bucket/batch math, serial window replay
     "q133_length_batching" ->
@@ -1074,7 +1074,7 @@ object Corpus {
          cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
          n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
          SELECT cnt.doc_id,
-           round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) AS entropy,
+           round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) + 0.0 AS entropy,
            round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) >= 3.0 AS keep
          FROM cnt JOIN n USING (doc_id) GROUP BY 1 ORDER BY cnt.doc_id""",
     // same double-precision rate math, same multiplicative-hash predicate

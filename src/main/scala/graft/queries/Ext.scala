@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Graft.{spreadIfNarrow, table}
+import graft.Graft.{roundz, spreadIfNarrow, table}
 import graft.ext.{Embeddings, Multimodal, NearDup, Retrieval, Similarity}
 import graft.ops.{Active911, Fixtures}
 
@@ -152,7 +152,7 @@ object Ext {
       val tri = for { i <- 0 until 64; j <- i until 64 }
         yield (i, j, m.cov(i)(j))
       tri.toDF("i", "j", "cov")
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov_r"),
+        .select(col("i"), col("j"), roundz(col("cov"), 6).as("cov_r"),
           lit(residOk).as("resid_ok"), lit(orthoOk).as("ortho_ok"),
           lit(evrOk).as("evr_ok"))
         .orderBy(col("i"), col("j"))
@@ -164,7 +164,7 @@ object Ext {
     // DuckDB re-derives moments AND scores from exploded coordinates.
     "q109_embedding_outliers" -> ((s, d) =>
       Embeddings.outlierScores(table(s, d, "embeddings"), "embedding", 64)
-        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .select(col("vec_id"), roundz(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(20)),
 
     // Okapi BM25 keyword retrieval (graft.ext.Retrieval): inverted
@@ -634,7 +634,7 @@ object Ext {
            SELECT qid, doc_id,
              row_number() OVER (PARTITION BY qid
                ORDER BY round(score, 4) DESC, doc_id) AS rank,
-             round(score, 4) AS score_r
+             round(score, 4) + 0.0 AS score_r
            FROM scored)
          WHERE rank <= 10)"""
   }
@@ -757,7 +757,7 @@ object Ext {
                FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
                GROUP BY a.i, b.i)
          SELECT CAST(g.i - 1 AS INT) AS i, CAST(g.j - 1 AS INT) AS j,
-           round(g.sp / nn.n - mi.mu * mj.mu, 6) AS cov_r,
+           round(g.sp / nn.n - mi.mu * mj.mu, 6) + 0.0 AS cov_r,
            TRUE AS resid_ok, TRUE AS ortho_ok, TRUE AS evr_ok
          FROM g CROSS JOIN nn
            JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
@@ -777,7 +777,7 @@ object Ext {
              sum(CASE WHEN m.var > 0
                  THEN ((f.v - m.mu) / sqrt(m.var)) ^ 2 ELSE 0 END) AS sc
            FROM f JOIN m ON f.i = m.i GROUP BY f.vec_id)
-         SELECT vec_id, round(sc, 4) AS score FROM s
+         SELECT vec_id, round(sc, 4) + 0.0 AS score FROM s
          ORDER BY score DESC, vec_id LIMIT 20""",
     // full BM25 recompute: tokenize → postings → df → idf → score →
     // rounded rank, all in DuckDB (see bm25TopKSql for the DOUBLE-cast
@@ -819,7 +819,7 @@ object Ext {
            SELECT qid, doc_id, rank_a, rank_b,
              row_number() OVER (PARTITION BY qid
                ORDER BY rrf DESC, doc_id) AS rank,
-             round(rrf, 6) AS rrf6
+             round(rrf, 6) + 0.0 AS rrf6
            FROM fused)
          WHERE rank <= 5 ORDER BY qid, rank"""),
     // every value is header-parse arithmetic over ASCII payloads:
@@ -927,7 +927,7 @@ object Ext {
            SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
            FROM dots d JOIN norms na ON d.id_a = na.vec_id
                        JOIN norms nb ON d.id_b = nb.vec_id)
-         SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sims
+         SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     // the NAIVE row-pair definition — Spark's multiplicity compression
     // must be invisible in the result
@@ -987,7 +987,7 @@ object Ext {
          ranked AS (
            SELECT qid, nid,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
-             round(cos, 6) AS cos6
+             round(cos, 6) + 0.0 AS cos6
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
@@ -1008,7 +1008,7 @@ object Ext {
          ranked AS (
            SELECT qid, nid,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
-             round(cos, 6) AS cos6
+             round(cos, 6) + 0.0 AS cos6
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",

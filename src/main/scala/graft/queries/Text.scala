@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Graft.{spreadIfNarrow, table}
+import graft.Graft.{roundz, spreadIfNarrow, table}
 
 /** Text-analysis operators for a training-data pipeline over `documents`
   * (north-star EXT, SURVEY.md §2.14): tokenization/explode, language-ID
@@ -138,7 +138,7 @@ object Text {
         .join(broadcast(nl), Seq("lang"))
         .crossJoin(broadcast(nTotal))
         .select(col("tok"), col("lang"), col("k"),
-          round(log(col("k") * col("n_total") / (col("ktot") * col("n_l"))), 6)
+          roundz(log(col("k") * col("n_total") / (col("ktot") * col("n_l"))), 6)
             .as("pmi6"))
         .orderBy(col("tok"), col("lang"))
     }),
@@ -274,7 +274,7 @@ object Text {
            WHERE rk <= 15),
          nt AS (SELECT COUNT(*) AS n_total FROM documents)
          SELECT kl.tok, kl.lang, kl.k,
-           round(ln((kl.k * nt.n_total) / (t.ktot * nl.n_l)), 6) AS pmi6
+           round(ln((kl.k * nt.n_total) / (t.ktot * nl.n_l)), 6) + 0.0 AS pmi6
          FROM kl JOIN top t USING (tok) JOIN nl USING (lang) CROSS JOIN nt
          ORDER BY tok, lang""",
     // Winnowing recomputed from first principles: 3-gram string shingles

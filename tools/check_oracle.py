@@ -28,7 +28,9 @@ def cells_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # The driver hashes serialized values, so -0.0 vs +0.0 (numerically
+        # equal) is a FAIL there; mirror that by requiring same sign bit.
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True

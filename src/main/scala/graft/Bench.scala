@@ -75,6 +75,13 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // LAST line, kept short: the driver's log capture retains only the
+    // tail of stdout, so the full per-query line above gets its head
+    // truncated and has parsed as null four rounds running. A compact
+    // summary (<200 chars — totals + failures, no maps) printed last is
+    // always inside the retained window and always valid JSON.
+    val totalR = math.round(total * 1000.0) / 1000.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${ok.size},"failed":$fs}""")
     spark.stop()
   }
 }

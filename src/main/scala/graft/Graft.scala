@@ -106,8 +106,10 @@ object Graft {
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Using.resource: Files.walk holds directory handles until closed
+      scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
     }
   }
 }

@@ -448,13 +448,16 @@ object Corpus {
     * whose output fans out ~n/stride rows per doc.
     *
     * n_chunks = 1 + ceil(max(n − chunkLen, 0) / stride): every token is
-    * covered, the last chunk may be short, a short/empty doc yields
-    * exactly one chunk row.
+    * covered (guaranteed by stride ≤ chunkLen, enforced below — a larger
+    * stride would leave gaps between adjacent chunks), the last chunk may
+    * be short, a short/empty doc yields exactly one chunk row.
     */
   def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
                    chunkLen: Int, stride: Int): DataFrame = {
     require(chunkLen > 0 && stride > 0,
       s"chunkOverlap: chunkLen ($chunkLen) and stride ($stride) must be > 0")
+    require(stride <= chunkLen,
+      s"chunkOverlap: stride ($stride) > chunkLen ($chunkLen) would leave token gaps")
     docs
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__n", size(col("__toks")).cast("long"))

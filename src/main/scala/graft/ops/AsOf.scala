@@ -31,8 +31,10 @@ object AsOf {
     val rightTagged = right.withColumn("_side", lit(0))
       .withColumn("_tie", col(rightTieCol))
     val leftCols = left.columns.toSeq
+    // one ordered view drives every iteration below (see asofJoinNative)
+    val vcs = valueCols.toSeq
     // align schemas: union needs same columns
-    val allValueSrc = valueCols.keys.toSeq
+    val allValueSrc = vcs.map(_._1)
     val l2 = allValueSrc.foldLeft(leftTagged)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
     val r2 = leftCols.foldLeft(rightTagged)((df, c) =>
@@ -45,12 +47,12 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { case (df, (src, dst)) =>
+    val carried = vcs.foldLeft(unioned) { case (df, (src, dst)) =>
       df.withColumn(dst,
         last(when(col("_side") === 0, col(src)), ignoreNulls = true).over(w))
     }
     carried.filter(col("_side") === 1)
-      .select((leftCols ++ valueCols.values.toSeq).map(col): _*)
+      .select((leftCols ++ vcs.map(_._2)).map(col): _*)
   }
 
   /** [[asofJoin]] on the native merge-scan operator
@@ -70,20 +72,31 @@ object AsOf {
                      valueCols: Map[String, String]): DataFrame = {
     val s = left.sparkSession
     graft.expr.GraftFunctions.register(s)
-    if (!s.experimental.extraStrategies
-        .contains(graft.plans.AsOfJoin.AsOfJoinStrategy)) {
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ graft.plans.AsOfJoin.AsOfJoinStrategy
+    // read-modify-write of extraStrategies races under concurrent
+    // callers; serialize on the session so a duplicate install (harmless
+    // but wasteful — the strategy would run twice per plan) can't slip
+    // between the check and the write
+    s.synchronized {
+      if (!s.experimental.extraStrategies
+          .contains(graft.plans.AsOfJoin.AsOfJoinStrategy)) {
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.AsOfJoin.AsOfJoinStrategy
+      }
     }
+    // capture ONE ordered view of the value columns and use it for both
+    // the right-side projection and the final select: two separate Map
+    // iterations are only guaranteed to agree while the Map is one of
+    // the specialized ≤4-entry implementations
+    val vcs = valueCols.toSeq
     val r = right.select(
       col(keyCol).as("__r_key") +: col(timeCol).as("__r_time") +:
         col(rightTieCol).as("__r_tie") +:
-        valueCols.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+        vcs.map { case (src, dst) => col(src).as(dst) }: _*)
     val cond = call_function(graft.expr.GraftFunctions.AsOfOnName,
       left(keyCol), r("__r_key"), left(timeCol), r("__r_time"),
       left(tieCol), r("__r_tie"))
     left.join(r, cond, "left")
-      .select(left.columns.map(left(_)) ++ valueCols.values.map(col): _*)
+      .select(left.columns.map(left(_)) ++ vcs.map(p => col(p._2)): _*)
   }
 
   /** Range join of a fact column against a small banded dimension

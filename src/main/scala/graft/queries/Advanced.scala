@@ -717,6 +717,12 @@ object Advanced {
     // are all ≥ the split point), so the oracle reproduces the emitted
     // set exactly: windows of first-half data closed by the first-half
     // watermark.
+    // PINNED TO Spark 4.1 WATERMARK INTERNALS: ms flooring of the
+    // tracked watermark, inclusive window_end <= watermark emission,
+    // and the final no-data micro-batch that AvailableNow schedules to
+    // flush closable state. These are stable API-documented behaviors
+    // but not SQL-derivable; if a Spark upgrade shifts any of them,
+    // re-pin the oracle from a fresh run before trusting a red row.
     "q147_stream_append_window" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -730,11 +736,15 @@ object Advanced {
         def stageFile(df: DataFrame, n: String, mt: Long): Unit = {
           val dir = stage.resolve(n + "_dir")
           df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-          val part = java.nio.file.Files.list(dir).iterator()
-          var src: java.nio.file.Path = null
-          while (part.hasNext) {
-            val p = part.next()
-            if (p.toString.endsWith(".parquet")) src = p
+          // Using.resource: Files.list holds a directory handle until closed
+          val src = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+            val part = st.iterator()
+            var found: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.toString.endsWith(".parquet")) found = p
+            }
+            found
           }
           val dst = watch.resolve(n + ".parquet")
           java.nio.file.Files.copy(src, dst)
@@ -895,6 +905,10 @@ object Advanced {
     // click_ts + 12h) is pinned empirically and replayed by the
     // oracle — clicks near stream end stay unresolved and must NOT
     // appear as nulls.
+    // PINNED TO Spark 4.1 WATERMARK INTERNALS (same dependency set as
+    // q147: ms flooring, inclusive cutoff, AvailableNow's final
+    // no-data flush batch). On a Spark upgrade, re-pin from a fresh
+    // run before trusting a red row.
     "q148_stream_outer_join" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")

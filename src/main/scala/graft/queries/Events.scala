@@ -248,7 +248,10 @@ object Events {
     // reach time — one shuffle key end to end, one timestamp of state
     // per user per stage. Strict temporal ordering (ts, not arrival).
     "q110_funnel" -> ((s, d) => {
-      val ev = table(s, d, "events")
+      // events(s, d), not the raw table: normalizeTs keeps funnel's
+      // strict ts comparisons at the same micro precision the oracle's
+      // epoch_us truncation sees on a TIMESTAMP(NANOS) generation
+      val ev = events(s, d)
       graft.ops.Funnel.funnel(ev, col("user_id"), col("event_type"),
           col("ts"), Seq("view", "click", "purchase"))
         .orderBy(col("stage_idx"))

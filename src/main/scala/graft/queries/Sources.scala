@@ -234,17 +234,21 @@ object Sources {
       try {
         table(s, d, "documents").repartition(64)
           .write.mode("overwrite").parquet(s"$stage/frag")
-        val fragBytes = java.nio.file.Files.walk(Paths.get(s"$stage/frag"))
-          .filter(p => p.toString.endsWith(".parquet"))
-          .mapToLong(p => java.nio.file.Files.size(p)).sum()
-        val fragFiles = java.nio.file.Files.walk(Paths.get(s"$stage/frag"))
-          .filter(p => p.toString.endsWith(".parquet")).count()
+        // Using.resource: Files.walk holds directory handles until closed
+        val fragBytes = scala.util.Using.resource(
+          java.nio.file.Files.walk(Paths.get(s"$stage/frag")))(
+          _.filter(p => p.toString.endsWith(".parquet"))
+            .mapToLong(p => java.nio.file.Files.size(p)).sum())
+        val fragFiles = scala.util.Using.resource(
+          java.nio.file.Files.walk(Paths.get(s"$stage/frag")))(
+          _.filter(p => p.toString.endsWith(".parquet")).count())
         val targetBytes = 256L * 1024L // ~256KB target at harness scale
         val nTarget = math.max(1L, (fragBytes + targetBytes - 1) / targetBytes)
         s.read.parquet(s"$stage/frag").repartition(nTarget.toInt)
           .write.mode("overwrite").parquet(s"$stage/compact")
-        val compactFiles = java.nio.file.Files.walk(Paths.get(s"$stage/compact"))
-          .filter(p => p.toString.endsWith(".parquet")).count()
+        val compactFiles = scala.util.Using.resource(
+          java.nio.file.Files.walk(Paths.get(s"$stage/compact")))(
+          _.filter(p => p.toString.endsWith(".parquet")).count())
         materialize(s, "q143_compaction", s.read.parquet(s"$stage/compact")
           .agg(count(lit(1)).as("rows"), sum(col("doc_id")).as("sum_doc_id"))
           .select(col("rows"), col("sum_doc_id"),

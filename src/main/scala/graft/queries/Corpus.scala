@@ -599,6 +599,89 @@ object Corpus {
         .orderBy(col("lang"), col("shard"))
     }),
 
+    // The q119 curation pipeline with the banded MinHash-LSH near-dup
+    // stage in its production position — between exact dedup and
+    // sampling — so the 100 TB dedup path runs INSIDE the composed
+    // end-to-end plan, not only standalone (q36). Near-copies are
+    // injected AFTER the quality gate (doc_id%21==5 → +500000, one
+    // appended token), so exact-hash dedup must pass them through and
+    // the LSH stage must catch them: for an n-token doc the copy's
+    // shingle Jaccard is (n-2)/(n-1), far above tau=0.6, and 8 bands of
+    // 2 rows make the candidate probability ≈1 at that similarity.
+    // CONTRACT-ORACLE form (q36/q97 pattern): the LSH pair set is
+    // xxhash64-derived, so DuckDB recomputes what it can (quality and
+    // exact-dedup counts — same math as q119's oracle) and the
+    // hash-dependent stages ride as booleans: injected-copy recall,
+    // verify-stage precision (min pair Jaccard ≥ tau by construction),
+    // and downstream sample/pack sanity. Driver-side .head() calls are
+    // one-row aggregates (the q97 shape), not data collects.
+    "q152_pipeline_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+      val kept = CorpusOps.repetitionFilter(base, "doc_id", "text")
+        .filter(col("kept")).select(col("doc_id"))
+      val quality = base.join(kept, Seq("doc_id"), "left_semi")
+      val inj = quality.filter(pmod(col("doc_id"), lit(21)) === 5)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("text", concat(col("text"), lit(" zqduptoken")))
+      val corpus = quality.unionByName(inj)
+      val wx = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      val exact = corpus
+        .withColumn("__h",
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256))
+        .withColumn("__rn", row_number().over(wx))
+        .filter(col("__rn") === 1).drop("__h", "__rn")
+        .persist()
+      try {
+        val pairs = graft.ext.NearDup
+          .minhashNearDups(exact, "doc_id", "text", threshold = 0.6)
+          .persist()
+        try {
+          val removed = pairs.select(col("id_b").as("doc_id")).distinct()
+          val survivors = exact.join(removed, Seq("doc_id"), "left_anti")
+          val sampled = CorpusOps.stratifiedSample(survivors, col("doc_id"),
+            col("lang"), permille = Map("en" -> 400L), defaultPermille = 200L)
+          val packed = CorpusOps.packShards(
+              sampled.withColumn("n_tokens",
+                size(split(lower(col("text")), " ")).cast("long")),
+              stratum = col("lang"), order = col("doc_id"),
+              weight = col("n_tokens"), budget = 1500L)
+            .groupBy(col("lang"), col("shard"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+          val cr = corpus.agg(
+            count(lit(1)).as("n_corpus"),
+            sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
+              .as("n_injected")).head()
+          val (nCorpus, nInjected) = (cr.getLong(0), cr.getLong(1))
+          val er = exact.agg(
+            count(lit(1)).as("n_after_exact"),
+            sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
+              .as("n_inj_exact")).head()
+          val (nAfterExact, nInjExact) = (er.getLong(0), er.getLong(1))
+          val rr = removed.join(exact.select(col("doc_id")), Seq("doc_id"))
+            .agg(count(lit(1)).as("n_removed"),
+              sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
+                .as("n_inj_removed")).head()
+          val (nRemoved, nInjRemoved) = (rr.getLong(0), rr.getLong(1))
+          val minJ = pairs.agg(min(col("jaccard"))).head().getDouble(0)
+          val pk = packed.agg(count(lit(1)).as("n_shards"),
+            min(col("tokens")).as("min_tok"),
+            sum(col("n_docs")).as("n_sampled")).head()
+          val (nShards, minTok, nSampled) =
+            (pk.getLong(0), pk.getLong(1), pk.getLong(2))
+          val recallOk = nInjExact > 0 &&
+            nInjRemoved.toDouble / nInjExact >= 0.9
+          val precisionOk = nRemoved == 0 || minJ >= 0.6
+          val pipelineOk = nSampled <= nAfterExact - nRemoved &&
+            nShards >= 1 && minTok > 0
+          Seq((nCorpus - nInjected, nInjected, nAfterExact,
+              recallOk, precisionOk, pipelineOk))
+            .toDF("n_quality", "n_injected", "n_after_exact",
+              "injected_recall_ok", "precision_ok", "pipeline_ok")
+        } finally { pairs.unpersist(); () }
+      } finally { exact.unpersist(); () }
+    }),
+
     // Segment-level (line/paragraph) dedup, CCNet-style: 3-token
     // windows, first corpus-wide occurrence wins (by doc, then
     // position), documents reassembled from surviving segments. One
@@ -1124,6 +1207,32 @@ object Corpus {
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
          FROM cm GROUP BY 1, 2 ORDER BY lang, shard""",
+    // quality + injection + exact-dedup counts recomputed with q119's
+    // math; the xxhash64-derived LSH stages ride as contract booleans
+    "q152_pipeline_neardup" ->
+      """WITH e AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+         m AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+                 MAX(cnt) AS top_cnt FROM c GROUP BY 1),
+         q AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id
+               WHERE round(m.n_distinct * 1.0 / m.n_tokens, 4) >= 0.45
+                 AND round(m.top_cnt * 1.0 / m.n_tokens, 4) <= 0.15),
+         inj AS (SELECT doc_id + 500000 AS doc_id,
+                   text || ' zqduptoken' AS text
+                 FROM q WHERE doc_id % 21 = 5),
+         u AS (SELECT doc_id, text FROM q
+               UNION ALL SELECT doc_id, text FROM inj),
+         dd AS (SELECT doc_id, row_number() OVER (
+                  PARTITION BY sha256(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn FROM u)
+         SELECT (SELECT COUNT(*) FROM q) AS n_quality,
+           (SELECT COUNT(*) FROM inj) AS n_injected,
+           (SELECT COUNT(*) FROM dd WHERE rn = 1) AS n_after_exact,
+           TRUE AS injected_recall_ok, TRUE AS precision_ok,
+           TRUE AS pipeline_ok""",
     // full recomputation: 3-token windows (1-based inclusive list
     // slices clip at the end exactly like Spark's slice), first
     // occurrence by (doc, pos), per-doc reassembly via ordered

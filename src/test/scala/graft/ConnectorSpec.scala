@@ -4,6 +4,20 @@ import graft.ops.{Active911, Fixtures}
 import graft.sinks.CloudTakSink
 import graft.sources.{Active911Config, Active911Connector, Active911Transport}
 
+/** Standalone (no \$outer capture) serializable transport for the DSv2
+  * tests — the reader factory ships it inside task closures.
+  */
+private class V2MockTransport(failing: Set[Int] = Set.empty)
+    extends Active911Transport {
+  def login(u: String, p: String): String =
+    """({"result":"success","message":{"jwt":"tok-abc","agencies":[{"id":101},{"id":102},{"id":103}]}})"""
+  def fetchAlerts(token: String, agencyId: Int, fromMs: Long, toMs: Long): String = {
+    assert(token == "tok-abc" && toMs - fromMs == 6L * 3600 * 1000)
+    if (failing.contains(agencyId)) throw new RuntimeException(s"http 500 for $agencyId")
+    Fixtures.envelopes.toMap.apply(agencyId)
+  }
+}
+
 /** Connector ring semantics (reference task.ts:98-152, 238-279): login
   * parse, agency validation throw, window arithmetic, HTTP-error
   * accumulation, and the submit-then-fail ordering of the sink.
@@ -101,5 +115,53 @@ class ConnectorSpec extends SparkSpec {
     var posted = 0
     new CloudTakSink(_ => posted += 1).submit(Active911.pipeline(envelopes), Nil)
     assert(posted == 1)
+  }
+
+  test("DSv2 read path: one partition per agency, executor-side fetch") {
+    graft.sources.Active911DataSource.transport = new V2MockTransport
+    try {
+      val df = spark.read.format("graft.sources.Active911DataSource")
+        .option("username", "u").option("password", "p")
+        .option("nowMs", "1765200000000").load()
+      // login-validated agencies each become one input partition
+      assert(df.rdd.getNumPartitions == 3)
+      val rows = df.collect()
+      assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(101, 102, 103))
+      assert(rows.forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+      // the scan output feeds the existing pipeline unchanged
+      val feats = Active911.pipeline(df.select("agency_id", "raw"))
+      assert(feats.count() > 0)
+    } finally graft.sources.Active911DataSource.transport = null
+  }
+
+  test("DSv2 read path: agency subset honored, inaccessible throws at planning") {
+    graft.sources.Active911DataSource.transport = new V2MockTransport
+    try {
+      val sub = spark.read.format("graft.sources.Active911DataSource")
+        .option("username", "u").option("password", "p")
+        .option("agencies", "102").option("nowMs", "1765200000000").load()
+      assert(sub.collect().map(_.getInt(0)).toSeq == Seq(102))
+      val bad = spark.read.format("graft.sources.Active911DataSource")
+        .option("username", "u").option("password", "p")
+        .option("agencies", "999").option("nowMs", "1765200000000").load()
+      val e = intercept[Exception](bad.collect())
+      assert(e.getMessage.contains("999") ||
+        e.getCause != null && e.getCause.getMessage.contains("999"))
+    } finally graft.sources.Active911DataSource.transport = null
+  }
+
+  test("DSv2 read path: transport failure lands as an error ROW, batch continues") {
+    graft.sources.Active911DataSource.transport = new V2MockTransport(failing = Set(102))
+    try {
+      val df = spark.read.format("graft.sources.Active911DataSource")
+        .option("username", "u").option("password", "p")
+        .option("nowMs", "1765200000000").load()
+      val rows = df.collect().sortBy(_.getInt(0))
+      assert(rows.length == 3) // 102's failure is data, not a dead batch
+      val failed = rows.filter(!_.isNullAt(2))
+      assert(failed.map(_.getInt(0)).toSeq == Seq(102))
+      assert(failed.head.getString(2).contains("http 500 for 102"))
+      assert(rows.filter(_.isNullAt(2)).forall(!_.isNullAt(1)))
+    } finally graft.sources.Active911DataSource.transport = null
   }
 }

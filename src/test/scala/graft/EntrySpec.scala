@@ -5,17 +5,23 @@ package graft
   */
 class EntrySpec extends SparkSpec {
 
-  test("entry(): flagship returns ranked revenue rows on sf0.001") {
+  test("entry(): flagship returns packed curation shards + revenue on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq ==
-      Seq("n_name", "revenue_cents", "n_lineitems", "rank"))
+      Seq("lang", "shard", "n_docs", "tokens", "revenue_cents", "n_lineitems"))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // ranks are 1..n in order, revenue non-increasing
-    val ranks = rows.map(_.getAs[Int]("rank"))
-    assert(ranks.toSeq == (1 to rows.length).toSeq)
-    val rev = rows.map(_.getAs[Long]("revenue_cents"))
-    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    // every shard is non-empty and carries token mass
+    assert(rows.forall(r => r.getAs[Long]("n_docs") > 0 &&
+      r.getAs[Long]("tokens") > 0))
+    // the relational summary is the same one-row broadcast on every shard
+    val revs = rows.map(_.getAs[Long]("revenue_cents")).distinct
+    assert(revs.length == 1 && revs.head > 0)
+    // shards are dense per lang starting at 0 (packShards contract)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val shards = rs.map(_.getAs[Long]("shard")).sorted.toSeq
+      assert(shards == (0L until shards.length).toSeq)
+    }
   }
 
   test("every oracle key has a matching query key") {

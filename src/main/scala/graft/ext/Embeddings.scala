@@ -212,4 +212,79 @@ object Embeddings {
     val e = symEigen(m.cov, r)
     (m, e, project(df, vecCol, m.mean, e, whiten))
   }
+
+  /** Result of [[kmeans]]: the assigned corpus (cluster column added),
+    * the final unit-centroid matrix, and the per-round objective
+    * Σ(1 − cos(x, c_assigned)) — non-increasing by Lloyd's argument.
+    */
+  final case class KMeans(assigned: DataFrame, centroids: Seq[Seq[Float]],
+                          objective: Seq[Double])
+
+  /** Distributed spherical k-means over an `Array[Float]` embedding
+    * column — the semantic-clustering primitive behind topic-balanced
+    * mixing and SemDeDup-style cluster-then-dedup curation.
+    *
+    * Deterministic end to end: seeds are the first `k` unit vectors by
+    * `idCol`; assignment is the native codegen'd [[graft.expr.ArgMaxCosine]]
+    * over a broadcast centroid literal (a NARROW map — the corpus never
+    * joins the centroids); recentering is one (cluster, pos) aggregate
+    * per round, the normalized mean of member unit vectors (for unit
+    * vectors the mean direction maximizes Σcos, so the objective is
+    * monotone). Ties break to the lowest cluster id; an emptied cluster
+    * keeps its previous centroid.
+    *
+    * Per-round cost at 100 TB: one narrow assignment pass + one
+    * aggregate whose state is O(k·dim) after the map-side combine; the
+    * k×dim matrix round-trips through the driver exactly like the IVF
+    * coarse quantizer ([[Similarity.ivfTopK]]) — centroids are model
+    * material, not data. Zero-norm vectors are excluded up front
+    * (cosine undefined).
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 2): KMeans = {
+    require(k > 0 && iters >= 0, s"kmeans: bad k=$k / iters=$iters")
+    val spark = df.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val n2 = sqrt(aggregate(
+      zip_with(col(vecCol), col(vecCol), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x))
+    val unit = df.withColumn("__n2", n2).filter(col("__n2") > 0)
+      .withColumn("__u",
+        transform(col(vecCol), x => (x.cast("double") / col("__n2")).cast("float")))
+
+    var cmat: Seq[Seq[Float]] = unit.orderBy(col(idCol)).limit(k)
+      .select(col("__u")).collect().map(_.getSeq[Float](0)).toSeq
+    val obj = scala.collection.mutable.ArrayBuffer[Double]()
+
+    def assigned(m: Seq[Seq[Float]]): DataFrame =
+      unit.withColumn("cluster", Similarity.argMaxCosine(col("__u"), m))
+
+    def objective(m: Seq[Seq[Float]]): Double =
+      assigned(m).select(sum(lit(1.0) -
+          Similarity.cosineNative(col("__u"),
+            element_at(typedlit(m), col("cluster") + 1))).as("o"))
+        .head().getDouble(0)
+
+    for (_ <- 0 until iters) {
+      obj += objective(cmat)
+      val next = assigned(cmat)
+        .select(col("cluster"), posexplode(col("__u")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        .select(col("cluster"), expr("transform(ps, x -> x.s)").as("sv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cmat = cmat.zipWithIndex.map { case (prev, i) =>
+        next.get(i) match {
+          case Some(sv) =>
+            val nrm = math.sqrt(sv.map(x => x * x).sum)
+            if (nrm > 0) sv.map(x => (x / nrm).toFloat) else prev
+          case None => prev // emptied cluster keeps its position
+        }
+      }
+    }
+    obj += objective(cmat)
+    KMeans(assigned(cmat).drop("__n2"), cmat, obj.toSeq)
+  }
 }

@@ -158,6 +158,41 @@ object Ext {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Distributed spherical k-means over embeddings
+    // (graft.ext.Embeddings.kmeans) — semantic clustering for
+    // topic-balanced mixing / SemDeDup-style curation. Narrow native
+    // ArgMaxCosine assignment against a broadcast centroid literal, one
+    // O(k·dim)-state aggregate per round, deterministic seeds (first k
+    // unit vectors by id). CONTRACT-ORACLE form: the cluster geometry is
+    // data-derived (DuckDB cannot cheaply replay float argmax ladders),
+    // so the oracle recomputes n_total (nonzero-norm corpus) and pins
+    // in-job invariants: every vector's cluster attains the max cosine
+    // (re-verified through cosineNative + greatest, an independent code
+    // path from the native argmax), Lloyd objective non-increasing
+    // across rounds, and 1 ≤ nonempty clusters ≤ k.
+    "q153_kmeans_clusters" -> ((s, d) => {
+      import s.implicits._
+      val km = Embeddings.kmeans(
+        table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      val ass = km.assigned.persist()
+      try {
+        val r = ass.agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("kne")).head()
+        val (nTotal, kNonEmpty) = (r.getLong(0), r.getLong(1))
+        val cm = km.centroids
+        val maxCos = greatest(cm.indices.map(i =>
+          Similarity.cosineNative(col("__u"), typedlit(cm(i)))): _*)
+        val ownCos = Similarity.cosineNative(col("__u"),
+          element_at(typedlit(cm), col("cluster") + 1))
+        val nBad = ass.filter(ownCos < maxCos - lit(1e-6)).count()
+        val monotone = km.objective.zip(km.objective.tail)
+          .forall { case (a, b) => b <= a + 1e-9 }
+        Seq((8, nTotal, nBad == 0L, monotone, kNonEmpty >= 1 && kNonEmpty <= 8))
+          .toDF("k", "n_total", "assignment_consistent",
+            "objective_monotone", "clusters_bounded")
+      } finally { ass.unpersist(); () }
+    }),
+
     // Embedding outlier screen (diagonal-covariance Mahalanobis):
     // moments from the one-pass Gram aggregate, scoring as a narrow
     // zip_with fold over broadcast literal mean/std — a pure scan.
@@ -762,6 +797,14 @@ object Ext {
          FROM g CROSS JOIN nn
            JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
          ORDER BY i, j""",
+    // nonzero-norm corpus count recomputed; cluster geometry pinned by
+    // in-job contracts (see the queries entry)
+    "q153_kmeans_clusters" ->
+      """SELECT 8 AS k,
+           (SELECT COUNT(*) FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0) AS n_total,
+           TRUE AS assignment_consistent, TRUE AS objective_monotone,
+           TRUE AS clusters_bounded""",
     // population moments and z² scores re-derived from exploded
     // coordinates
     "q109_embedding_outliers" ->

@@ -118,4 +118,39 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.values.forall(v => !v.isNaN))
     assert(got(4L) > got.filterKeys(_ != 4L).values.max * 5)
   }
+
+  test("kmeans: two separated direction groups recovered, zero-norm dropped") {
+    // group A hugs +x, group B hugs +y; seeds (first k by id) land one
+    // per group, so 2 rounds must separate them perfectly
+    val df = toDF(Seq(
+      Array(1f, 0.1f), Array(0.1f, 1f), Array(1f, 0.05f), Array(0.9f, 0f),
+      Array(0f, 1f), Array(0.05f, 0.9f), Array(0f, 0f))) // last: zero norm
+    val km = Embeddings.kmeans(df, "id", "vec", k = 2, iters = 2)
+    val got = km.assigned.select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!got.contains(6L)) // zero-norm vector excluded
+    assert(got(0L) == got(2L) && got(2L) == got(3L)) // +x group together
+    assert(got(1L) == got(4L) && got(4L) == got(5L)) // +y group together
+    assert(got(0L) != got(1L))
+    // objective is non-increasing and strictly improved from the seeds
+    assert(km.objective.zip(km.objective.tail)
+      .forall { case (a, b) => b <= a + 1e-12 })
+    // centroids are unit vectors
+    assert(km.centroids.forall(c =>
+      math.abs(c.map(x => x.toDouble * x).sum - 1.0) < 1e-6))
+  }
+
+  test("kmeans: emptied cluster keeps its centroid; determinism across runs") {
+    // all mass near +x and k=3: at least one seed cluster empties out
+    val vs = Seq(Array(1f, 0f), Array(0.99f, 0.01f), Array(0.98f, 0.02f),
+      Array(0.97f, 0.03f), Array(0.96f, 0.04f))
+    val a = Embeddings.kmeans(toDF(vs), "id", "vec", k = 3, iters = 2)
+    val b = Embeddings.kmeans(toDF(vs), "id", "vec", k = 3, iters = 2)
+    assert(a.centroids == b.centroids) // deterministic end to end
+    assert(a.centroids.length == 3)    // emptied clusters retain positions
+    val assigns = a.assigned.select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigns == b.assigned.select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+  }
 }

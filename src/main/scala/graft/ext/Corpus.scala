@@ -332,6 +332,50 @@ object Corpus {
           .as("full_cover"))
   }
 
+  /** DSIR-style importance weighting: score every document by the
+    * average per-token log-likelihood ratio between a TARGET unigram
+    * model (rows where `isTarget`) and the REFERENCE model (the whole
+    * corpus), both add-one smoothed over the shared vocabulary —
+    * "select source data that looks like the target domain", the
+    * importance-resampling selection step. `lr6 ≥ 0` means the target
+    * model likes the document at least as much as the reference.
+    *
+    * Engine-portable float chain (the q145 KL discipline): integer
+    * counts, per-token term rounded to 12 dp BEFORE the per-doc sum,
+    * ONE division by n_toks, final [[graft.Graft.roundz]] to 6 (the
+    * ratio straddles zero, so signed-zero normalization applies).
+    *
+    * Plan shape: one tokenize pass, one (tok) count aggregate with the
+    * target/reference counts FUSED (conditional sum — one shuffle, not
+    * two), totals as a one-row broadcast, then tokens join the O(vocab)
+    * weight table and one per-doc aggregate. At 100 TB production DSIR
+    * hashes tokens into B buckets, capping the weight table at O(B) and
+    * making that join a broadcast; the exact-token form here keeps the
+    * features DuckDB-recomputable — the plumbing is identical.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), isTarget.as("__t"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
+        .as("tok"))
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("kt"),
+        count(lit(1)).as("kr"))
+    val tot = counts.agg(sum(col("kt")).as("nt"), sum(col("kr")).as("nr"),
+      count(lit(1)).as("v"))
+    val term = counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log((col("kt") + 1) * lit(1.0) / (col("nt") + col("v"))) -
+              log((col("kr") + 1) * lit(1.0) / (col("nr") + col("v"))), 12)
+          .as("__lr"))
+    toks.join(term, Seq("tok"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("__lr")).as("__s"))
+      .withColumn("lr6", graft.Graft.roundz(col("__s") / col("n_toks"), 6))
+      .withColumn("selected", col("lr6") >= 0.0)
+      .drop("__s")
+  }
+
   /** Bigram-LM perplexity scoring (the CCNet-style statistical quality
     * filter): train add-one-smoothed bigram counts on a REFERENCE slice
     * of the corpus, then score every candidate document by its average

@@ -599,6 +599,17 @@ object Corpus {
         .orderBy(col("lang"), col("shard"))
     }),
 
+    // DSIR-style importance resampling scores (graft.ext.Corpus
+    // .importanceWeights): target = lang='en', reference = full corpus;
+    // avg per-token smoothed log-likelihood ratio per doc, selection at
+    // lr6 >= 0. Full DuckDB recompute with the identical count/smooth/
+    // pre-round/sum/divide order (q145 discipline); lr6 straddles zero
+    // -> roundz/+0.0 on both sides per SURVEY §5.
+    "q154_importance_resampling" -> ((s, d) =>
+      CorpusOps.importanceWeights(docs(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // The q119 curation pipeline with the banded MinHash-LSH near-dup
     // stage in its production position — between exact dedup and
     // sampling — so the 100 TB dedup path runs INSIDE the composed
@@ -1207,6 +1218,30 @@ object Corpus {
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
          FROM cm GROUP BY 1, 2 ORDER BY lang, shard""",
+    // full recompute: fused target/reference counts, add-one smoothing
+    // over the shared vocab, 12-dp pre-rounded terms, one division
+    "q154_importance_resampling" ->
+      """WITH e AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT tok,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS kt,
+             COUNT(*) AS kr
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(SUM(kt) AS BIGINT) AS nt,
+             CAST(SUM(kr) AS BIGINT) AS nr, COUNT(*) AS v FROM c),
+         lr AS (SELECT tok,
+             round(ln((kt + 1) * 1.0 / (nt + v)) -
+                   ln((kr + 1) * 1.0 / (nr + v)), 12) AS lr
+           FROM c, t),
+         d AS (SELECT e.doc_id, COUNT(*) AS n_toks, SUM(lr.lr) AS s
+           FROM e JOIN lr USING (tok) GROUP BY 1)
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           round(s / n_toks, 6) + 0.0 AS lr6,
+           round(s / n_toks, 6) + 0.0 >= 0.0 AS selected
+         FROM d ORDER BY doc_id""",
     // quality + injection + exact-dedup counts recomputed with q119's
     // math; the xxhash64-derived LSH stages ride as contract booleans
     "q152_pipeline_neardup" ->

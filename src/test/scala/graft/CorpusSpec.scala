@@ -401,4 +401,29 @@ class CorpusSpec extends SparkSpec {
     assert(kept(0) == Set.empty[Long])
     assert(kept(1000) == Set(1L, 2L, 3L, 4L))
   }
+
+  test("importanceWeights: hand-computed log ratios, target-likeness ordering") {
+    // target (t=true): "a a b"; reference = all: "a a b" + "c c d"
+    // counts: a (kt=2, kr=2), b (1,1), c (0,2), d (0,1); nt=3, nr=6, v=4
+    val docs = Seq(
+      (1L, true, "a a b"), (2L, false, "c c d")
+    ).toDF("doc_id", "is_t", "text")
+    val got = Corpus.importanceWeights(docs, "doc_id", "text", col("is_t"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    def lr(kt: Long, kr: Long): Double =
+      BigDecimal(math.log((kt + 1) * 1.0 / (3 + 4)) -
+          math.log((kr + 1) * 1.0 / (6 + 4)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def doc(lrs: Seq[Double]): Double =
+      BigDecimal(lrs.sum / lrs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = doc(Seq(lr(2, 2), lr(2, 2), lr(1, 1)))
+    val d2 = doc(Seq(lr(0, 2), lr(0, 2), lr(0, 1)))
+    assert(got.length == 2)
+    assert(math.abs(got(0)._3 - d1) < 1e-12 && got(0)._4 == (d1 >= 0))
+    assert(math.abs(got(1)._3 - d2) < 1e-12 && got(1)._4 == (d2 >= 0))
+    // the target doc scores strictly higher than the off-target doc
+    assert(got(0)._3 > got(1)._3 && got(0)._4 && !got(1)._4)
+  }
 }

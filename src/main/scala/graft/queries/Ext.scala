@@ -193,6 +193,77 @@ object Ext {
       } finally { ass.unpersist(); () }
     }),
 
+    // IVF index LAYOUT — the disk half of vector search at 100 TB: the
+    // kmeans-assigned corpus lands as cluster-partitioned parquet
+    // (one directory per inverted list), and a probe touches ONLY its
+    // lists' partitions — Catalyst partition pruning turns nprobe/k
+    // into the scan fraction. CONTRACT-ORACLE form: DuckDB recomputes
+    // the nonzero-norm corpus count; booleans pin (a) pruning actually
+    // happened (probed-read file set ⊂ full file set, every file under
+    // a probed cluster= directory), (b) the read-back probed content
+    // equals the in-memory assignment exactly (float arrays round-trip
+    // parquet bit-exact — symmetric except() empty both ways).
+    "q155_ann_index_layout" -> ((s, d) => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      try {
+        val km = Embeddings.kmeans(
+          table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+        val assigned = km.assigned
+          .select(col("vec_id"), col("embedding"), col("cluster"))
+          .persist()
+        try {
+          assigned.write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$stage/ivf")
+          // probe lists for the first 3 corpus vectors: top-2 centroids
+          // by cosine, computed driver-side from the (k×dim) matrix —
+          // model material, same as the IVF coarse quantizer
+          val qs = assigned.orderBy(col("vec_id")).limit(3)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1))
+          def cos(a: Seq[Float], b: Seq[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+              nb += b(i).toDouble * b(i); i += 1
+            }
+            if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
+          }
+          val probed = qs.flatMap { case (_, v) =>
+            km.centroids.zipWithIndex
+              .map { case (c, i) => (cos(v, c), i) }
+              .sortBy { case (cs, i) => (-cs, i) }.take(2).map(_._2)
+          }.distinct.sorted.toSeq
+          val full = s.read.parquet(s"$stage/ivf")
+          val back = full.filter(col("cluster").isin(probed: _*))
+          val filesAll = full.select(input_file_name()).distinct().count()
+          val backFiles = back.select(input_file_name().as("f")).distinct()
+            .persist()
+          try {
+            val filesRead = backFiles.count()
+            val filesInProbedDirs = backFiles.filter(
+              probed.map(c => col("f").contains(s"cluster=$c/"))
+                .reduce(_ || _)).count()
+            val memProbed = assigned.filter(col("cluster").isin(probed: _*))
+              .select(col("vec_id"), col("cluster"), col("embedding"))
+            val diskProbed = back
+              .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+                col("embedding"))
+            val roundTripExact =
+              diskProbed.exceptAll(memProbed).count() == 0 &&
+                memProbed.exceptAll(diskProbed).count() == 0
+            val nTotal = assigned.count()
+            Seq((nTotal, 8,
+                probed.nonEmpty && probed.length <= 6,
+                filesRead < filesAll && filesRead > 0,
+                filesInProbedDirs == filesRead, roundTripExact))
+              .toDF("n_total", "k_lists", "probes_bounded",
+                "pruned", "files_in_probed_dirs", "roundtrip_exact")
+          } finally { backFiles.unpersist(); () }
+        } finally { assigned.unpersist(); () }
+      } finally graft.Graft.deleteRecursively(stage)
+    }),
+
     // Embedding outlier screen (diagonal-covariance Mahalanobis):
     // moments from the one-pass Gram aggregate, scoring as a narrow
     // zip_with fold over broadcast literal mean/std — a pure scan.
@@ -797,6 +868,14 @@ object Ext {
          FROM g CROSS JOIN nn
            JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
          ORDER BY i, j""",
+    // nonzero-norm corpus count recomputed; layout/pruning/round-trip
+    // pinned by in-job contracts (see the queries entry)
+    "q155_ann_index_layout" ->
+      """SELECT
+           (SELECT COUNT(*) FROM embeddings
+            WHERE len(list_filter(embedding, x -> x <> 0)) > 0) AS n_total,
+           8 AS k_lists, TRUE AS probes_bounded, TRUE AS pruned,
+           TRUE AS files_in_probed_dirs, TRUE AS roundtrip_exact""",
     // nonzero-norm corpus count recomputed; cluster geometry pinned by
     // in-job contracts (see the queries entry)
     "q153_kmeans_clusters" ->

@@ -400,6 +400,37 @@ object Ext {
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
+    // Hard-negative mining for contrastive training: each query's top-3
+    // most-similar vectors with a DIFFERENT label — the "hard" negatives
+    // that actually move a retrieval/embedding model (random negatives
+    // are trivially separable). Broadcast query set × narrow corpus scan
+    // with the label-mismatch predicate fused into the join, exact
+    // cosine via the codegen'd native expression, one qid-keyed window
+    // for top-k (the q40 plan plus a label anti-predicate). At 100 TB
+    // the corpus side swaps in any ANN shortlist (q41/q44/q107) —
+    // mining composes with every index in the library.
+    "q156_hard_negatives" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("vec"),
+          col("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      corpus.join(broadcast(qs),
+          col("nid") =!= col("qid") && col("label") =!= col("qlabel"))
+        .select(col("qid"), col("nid"), col("label").as("neg_label"),
+          Similarity.cosineNative(col("qvec"), col("vec")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("nid"), col("neg_label"), col("rank"),
+          roundz(col("cos"), 6).as("cos6"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Lazy shingle UDTF: graft_shingle_rows streams one row per window
     // straight out of GenerateExec — no per-doc shingle array ever
     // materializes (the explode(graft_word_shingles(...)) form's cost on
@@ -1134,6 +1165,33 @@ object Ext {
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // q40's machinery plus the label anti-predicate — full recompute
+    "q156_hard_negatives" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         dots AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND b.vec_id <> a.vec_id
+           WHERE a.vec_id < 5 GROUP BY a.vec_id, b.vec_id),
+         sims AS (
+           SELECT d.qid, d.nid, lb.label AS neg_label,
+             d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON d.qid = na.vec_id
+                       JOIN norms nb ON d.nid = nb.vec_id
+                       JOIN lab la ON d.qid = la.vec_id
+                       JOIN lab lb ON d.nid = lb.vec_id
+           WHERE la.label <> lb.label),
+         ranked AS (
+           SELECT qid, nid, neg_label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+             round(cos, 6) + 0.0 AS cos6
+           FROM sims)
+         SELECT qid, nid, neg_label, rank, cos6 FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
     // q50 re-derived in SQL from the fixture alert fields (Fixtures
     // .agency101Csv/agency102Csv transcribed as VALUES; agency 103 is the
     // API-error envelope and never reaches the feature output): JS

@@ -139,7 +139,15 @@ class PlanSpec extends SparkSpec {
       "q134_sliding_distinct",
       // q145: the (np, nq, V) totals are ONE broadcast row cross-joined
       // onto the vocabulary relation (q46's scalar class)
-      "q145_token_kl")
+      "q145_token_kl",
+      // q154: the (nt, nr, V) model totals are ONE broadcast row
+      // cross-joined onto the vocabulary relation (q145's exact shape);
+      // doc tokens join the weight table on tok, never cross
+      "q154_importance_resampling",
+      // q156: bounded broadcast query set × corpus with a non-equi
+      // label-mismatch predicate — q40's deliberate broadcast-NL class;
+      // at scale the corpus side is an ANN shortlist, not a full scan
+      "q156_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

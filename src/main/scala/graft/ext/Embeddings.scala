@@ -251,40 +251,56 @@ object Embeddings {
     val unit = df.withColumn("__n2", n2).filter(col("__n2") > 0)
       .withColumn("__u",
         transform(col(vecCol), x => (x.cast("double") / col("__n2")).cast("float")))
+      .persist() // the loop runs iters+1 full passes over this relation
 
-    var cmat: Seq[Seq[Float]] = unit.orderBy(col(idCol)).limit(k)
-      .select(col("__u")).collect().map(_.getSeq[Float](0)).toSeq
-    val obj = scala.collection.mutable.ArrayBuffer[Double]()
+    try {
+      var cmat: Seq[Seq[Float]] = unit.orderBy(col(idCol)).limit(k)
+        .select(col("__u")).collect().map(_.getSeq[Float](0)).toSeq
+      val obj = scala.collection.mutable.ArrayBuffer[Double]()
 
-    def assigned(m: Seq[Seq[Float]]): DataFrame =
-      unit.withColumn("cluster", Similarity.argMaxCosine(col("__u"), m))
+      def assigned(m: Seq[Seq[Float]]): DataFrame =
+        unit.withColumn("cluster", Similarity.argMaxCosine(col("__u"), m))
 
-    def objective(m: Seq[Seq[Float]]): Double =
-      assigned(m).select(sum(lit(1.0) -
-          Similarity.cosineNative(col("__u"),
-            element_at(typedlit(m), col("cluster") + 1))).as("o"))
-        .head().getDouble(0)
+      // ONE aggregate per round serves BOTH the objective and the
+      // recenter: for unit x and unit centroids, Σᵢ cos(xᵢ, c_a(i)) =
+      // Σ_c c·s_c where s_c is the member sum vector — so the objective
+      // under the matrix that produced the assignment falls out of the
+      // same (cluster, pos) sums the next centroids are built from.
+      def step(m: Seq[Seq[Float]]): (Double, Map[Int, (Long, Seq[Double])]) = {
+        val sums = assigned(m)
+          .select(col("cluster"), posexplode(col("__u")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n"))))
+            .as("ps"))
+          .select(col("cluster"),
+            expr("transform(ps, x -> x.s)").as("sv"),
+            expr("ps[0].n").as("n"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(2), r.getSeq[Double](1))).toMap
+        val nTotal = sums.valuesIterator.map(_._1).sum
+        val sumCos = sums.toSeq.sortBy(_._1).map { case (c, (_, sv)) =>
+          sv.zip(m(c)).map { case (s, ci) => s * ci }.sum
+        }.sum
+        (nTotal - sumCos, sums)
+      }
 
-    for (_ <- 0 until iters) {
-      obj += objective(cmat)
-      val next = assigned(cmat)
-        .select(col("cluster"), posexplode(col("__u")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-        .select(col("cluster"), expr("transform(ps, x -> x.s)").as("sv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      cmat = cmat.zipWithIndex.map { case (prev, i) =>
-        next.get(i) match {
-          case Some(sv) =>
-            val nrm = math.sqrt(sv.map(x => x * x).sum)
-            if (nrm > 0) sv.map(x => (x / nrm).toFloat) else prev
-          case None => prev // emptied cluster keeps its position
+      for (_ <- 0 until iters) {
+        val (o, sums) = step(cmat)
+        obj += o
+        cmat = cmat.zipWithIndex.map { case (prev, i) =>
+          sums.get(i) match {
+            case Some((_, sv)) =>
+              val nrm = math.sqrt(sv.map(x => x * x).sum)
+              if (nrm > 0) sv.map(x => (x / nrm).toFloat) else prev
+            case None => prev // emptied cluster keeps its position
+          }
         }
       }
-    }
-    obj += objective(cmat)
-    KMeans(assigned(cmat).drop("__n2"), cmat, obj.toSeq)
+      val (oFinal, _) = step(cmat) // objective of the final matrix
+      obj += oFinal
+      KMeans(assigned(cmat).drop("__n2"), cmat, obj.toSeq)
+    } finally { unit.unpersist(); () }
   }
 }

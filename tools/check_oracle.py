@@ -87,5 +87,21 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if failures else 0
 
 
+def selftest() -> int:
+    """Pin the failure classes the compare must catch — above all the
+    signed zero that slipped past `a == b` in round 4 (q101)."""
+    assert cells_equal(1.5, 1.5)
+    assert cells_equal(float("nan"), float("nan"))
+    assert cells_equal(None, None)
+    assert not cells_equal(1.0, 1.0000001)
+    assert not cells_equal(-0.0, 0.0), "signed zero must FAIL (driver hashes bytes)"
+    assert not cells_equal(0.0, -0.0)
+    assert cells_equal(-0.0, -0.0)
+    print("selftest OK: signed-zero fixture flagged")
+    return 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -773,6 +773,70 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Streaming exact dedup via dropDuplicatesWithinWatermark — the
+    // engine-managed answer to at-least-once redelivery (q53's custom
+    // lookback state is the hand-rolled form; this is the Spark 3.5+
+    // API with watermark-bounded state). Batch 1 delivers the first
+    // half; batch 2 delivers the second half PLUS a full redelivery of
+    // batch 1 (the at-least-once source pattern). The 90-day delay
+    // exceeds the fixture's time span, so no key is evicted before its
+    // duplicate arrives and every event must emit EXACTLY once — the
+    // oracle is the plain per-type aggregate over the events table
+    // (event_id is unique there); a doubled first half flips it red.
+    // State at scale: O(keys inside the watermark horizon), the
+    // production knob being the delay, not the corpus.
+    "q157_stream_dedup_watermark" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_ddw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+      val t0 = to_timestamp(lit("2024-01-16 00:00:00"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_ddw_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        def stageFile(df: DataFrame, n: String, mt: Long): Unit = {
+          val dir = stage.resolve(n + "_dir")
+          df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          val src = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+            val part = st.iterator()
+            var found: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.toString.endsWith(".parquet")) found = p
+            }
+            found
+          }
+          val dst = watch.resolve(n + ".parquet")
+          java.nio.file.Files.copy(src, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mt))
+        }
+        stageFile(ev.filter(col("ts") < t0), "01", 1000000000000L)
+        stageFile(ev.filter(col("ts") >= t0)
+          .unionByName(ev.filter(col("ts") < t0)), "02", 1000000100000L)
+        val schema = s.read.parquet(watch.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .orderBy(col("event_type"))
+          .collect()
+        s.catalog.dropTempView(name)
+        import s0.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("event_type", "n", "cents")
+      } finally deleteRecursively(stage)
+    }),
+
     // Observed metrics (Dataset.observe): pipeline health counters
     // (rows scanned, total chars, rows passing the quality bar)
     // accumulated in the SAME pass that produces the per-lang result —
@@ -1302,6 +1366,12 @@ object Advanced {
          SELECT * FROM (SELECT * FROM matched
            UNION ALL SELECT * FROM unmatched)
          ORDER BY click_id, purchase_id NULLS FIRST""",
+    // redelivered batch-1 rows must be dropped, so the streamed output
+    // aggregates to the PLAIN per-type rollup of the unique events
+    "q157_stream_dedup_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1 ORDER BY 1""",
     // append mode's emitted set, pinned empirically and replayed: all
     // windows whose end ≤ final watermark (max event time floored to
     // ms, minus the 1h delay — Spark tracks watermarks in ms); the

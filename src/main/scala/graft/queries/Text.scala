@@ -145,6 +145,38 @@ object Text {
 
     // Document fingerprint: md5 over the sorted distinct vocabulary —
     // robust to token order/duplication, cheap to compare at scale.
+    // ROUGE-style pairwise n-gram overlap (distinct-bigram variant) —
+    // the eval-data primitive for summarization/generation scoring:
+    // candidate doc i vs reference doc i+1, set precision/recall/F1.
+    // Each metric is ONE division of exact integers (F1 = 2I/(C+R) in
+    // the set formulation), so floats are engine-identical by
+    // construction. Plan: one narrow bigram pass (wordNgrams is an
+    // array transform — tokens never explode), one self-join on the
+    // adjacent-id pairing, array_intersect in the projection. At scale
+    // the pairing key is whatever aligns candidate and reference
+    // (generation id), and the join shuffles once on it.
+    "q158_rouge_overlap" -> ((s, d) => {
+      val grams = docs(s, d).select(col("doc_id"),
+          array_distinct(graft.ext.Corpus.wordNgrams(
+            filter(split(lower(col("text")), " "), t => t =!= lit("")), 2))
+            .as("g"))
+        .filter(size(col("g")) > 0)
+      val cand = grams.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("cid"), col("g").as("gc"))
+      val ref = grams
+        .select((col("doc_id") - 1).as("cid"), col("g").as("gr"))
+      cand.join(ref, Seq("cid"))
+        .select(col("cid"),
+          size(array_intersect(col("gc"), col("gr"))).cast("long").as("inter"),
+          size(col("gc")).cast("long").as("nc"),
+          size(col("gr")).cast("long").as("nr"))
+        .select(col("cid"), col("inter"), col("nc"), col("nr"),
+          round(col("inter") / col("nc"), 6).as("p6"),
+          round(col("inter") / col("nr"), 6).as("r6"),
+          round(lit(2.0) * col("inter") / (col("nc") + col("nr")), 6).as("f6"))
+        .orderBy(col("cid"))
+    }),
+
     "q33_fingerprint" -> ((s, d) => {
       docs(s, d)
         .select(col("doc_id"),
@@ -257,6 +289,33 @@ object Text {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    // distinct bigrams per doc, adjacent-id pairing, integer-ratio
+    // metrics — zero-intersection pairs kept via the LEFT JOIN
+    "q158_rouge_overlap" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS ng
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 2),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+         pairs AS (
+           SELECT c.doc_id AS cid, c.n AS nc, r.n AS nr
+           FROM sz c JOIN sz r ON r.doc_id = c.doc_id + 1
+           WHERE c.doc_id < 20),
+         inter AS (
+           SELECT c.doc_id AS cid, COUNT(*) AS i
+           FROM g c JOIN g r ON r.doc_id = c.doc_id + 1 AND r.ng = c.ng
+           WHERE c.doc_id < 20 GROUP BY 1)
+         SELECT p.cid, CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+           CAST(p.nc AS BIGINT) AS nc, CAST(p.nr AS BIGINT) AS nr,
+           round(COALESCE(i.i, 0) * 1.0 / p.nc, 6) AS p6,
+           round(COALESCE(i.i, 0) * 1.0 / p.nr, 6) AS r6,
+           round(2.0 * COALESCE(i.i, 0) / (p.nc + p.nr), 6) AS f6
+         FROM pairs p LEFT JOIN inter i ON i.cid = p.cid
+         ORDER BY p.cid""",
     // presence counts via per-doc list_distinct; PMI spelled with the
     // same (k·N)/(ktot·n_l) op order so the single division and ln
     // land on identical floats

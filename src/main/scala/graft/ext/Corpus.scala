@@ -647,4 +647,39 @@ object Corpus {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  /** One BPE merge iteration's pair statistics: the frequency of every
+    * adjacent symbol pair (here: character bigram inside a word),
+    * weighted by word frequency — the quantity `argmax`-ed by each
+    * byte-pair-encoding training step (Sennrich et al. 2016).
+    *
+    * The classic BPE trick makes this cheap at corpus scale: pair
+    * counting runs over the DISTINCT-word vocabulary with multiplicity
+    * weights, not over the token stream. Plan: one corpus-wide word
+    * count (the only big shuffle, with map-side combine — the vocabulary
+    * is orders of magnitude smaller than the corpus), then a narrow
+    * per-word pair expansion over the vocabulary and a second, tiny
+    * aggregate; top-N via TakeOrdered (no global sort). Iterating BPE
+    * re-runs only the vocabulary-side stages — the corpus is scanned
+    * once, ever.
+    *
+    * Ordering is total (count desc, then pair asc) so the top-N cut is
+    * deterministic and oracle-checkable.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topN: Int = 30): DataFrame = {
+    val vocab = docs
+      .select(explode(
+        filter(split(lower(col(textCol)), " "), t => t =!= lit("")))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topN)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for document corpora (north-star EXT,
@@ -383,5 +384,56 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Duplicated-substring span detection (the token-k-gram form of
+    * suffix-array substring dedup from Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * token span of a document whose k-grams ALL also occur in at least
+    * one other document. The output `(doc, span_start, span_end)` is
+    * what an excision pass consumes — unlike doc-level dedup, this
+    * catches boilerplate shared by documents that are otherwise unique.
+    *
+    * Mechanics: (1) one narrow pass builds the k-gram relation with
+    * positions (array slices, never a token explode); (2) one aggregate
+    * keyed by the k-gram finds grams spanning ≥2 docs; (3) a semi-join
+    * marks duplicated positions; (4) a per-doc window coalesces
+    * consecutive positions into maximal spans via the islands trick
+    * (`pos − row_number` is constant within a run of consecutive
+    * positions).
+    *
+    * Scale: the k-gram aggregate is the one wide stage, with map-side
+    * combine; the islands window shuffles only (doc, pos) for the
+    * duplicated subset. Keys here are the gram TEXT so the oracle can
+    * recompute exactly — at 100 TB key both the aggregate and the
+    * semi-join by xxhash64(gram) instead (fixed 8-byte keys, same
+    * shape; a hash collision can only ADD a span, and only at ~2⁻⁶⁴).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+          .as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - k),
+          i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "kg")))
+    val dup = grams.groupBy(col("kg"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("kg"))
+    val dupPos = grams.join(dup, Seq("kg"), "left_semi")
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_grams"))
   }
 }

@@ -372,4 +372,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): block
+    * the corpus into buckets, compare pairs only WITHIN a bucket by
+    * exact cosine, and drop every vector that has an earlier (lower-id)
+    * bucket-mate with cosine ≥ `tau`. Emits one row per dropped vector
+    * with its minimal witness — exactly what a curation pass subtracts
+    * from the corpus.
+    *
+    * Blocking here is the first `signBits` coordinate signs — a
+    * deterministic, engine-recomputable stand-in for SemDeDup's k-means
+    * cluster assignment (the clustered variant is [[graft.ext.Embeddings.kmeans]]
+    * + this same within-bucket pairing; sign blocking keeps the oracle a
+    * full SQL recompute). The drop rule (any earlier neighbor, kept or
+    * not) is the standard parallel approximation of greedy SemDeDup: it
+    * is order-deterministic, one-pass, and over-drops only within an
+    * already-duplicated clique.
+    *
+    * Scale: the bucket key is a narrow per-row expression; the pair join
+    * is an equi-join on the bucket (never all-pairs), with per-bucket
+    * cost bounded by the blocking granularity — at 100 TB raise
+    * `signBits` (or swap in k-means cells) so bucket populations stay
+    * square-able, and cap degenerate buckets like the LSH paths do.
+    */
+  def semDedupPairs(emb: DataFrame, tau: Double,
+                    signBits: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.register(emb.sparkSession)
+    val bucket = (0 until signBits)
+      .map(b => when(element_at(col("vec"), b + 1) >= 0,
+        lit(1 << (signBits - 1 - b))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val keyed = emb.select(col("id"), col("vec"), bucket.as("__bk"))
+    val a = keyed.select(col("__bk"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = keyed.select(col("__bk"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("__bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", cosineNative(col("vec_a"), col("vec_b")))
+      .filter(col("__cos") >= tau)
+      .groupBy(col("id_b").as("dropped_id"))
+      .agg(min(col("id_a")).as("witness_id"),
+        count(lit(1)).as("n_dups"))
+  }
 }

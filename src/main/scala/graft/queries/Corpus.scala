@@ -709,7 +709,18 @@ object Corpus {
         round(sum(col("n_kept")) / sum(col("n_segs")), 4).as("kept_frac"),
         lit("").as("kept_text"))
       head.unionByName(tail).orderBy(col("doc_id"))
-    }))
+    }),
+
+    // Duplicated-substring span detection (ext.NearDup.duplicateSpans):
+    // maximal token spans whose 5-grams all recur in some other
+    // document — the token-k-gram form of Lee et al. 2022's
+    // suffix-array substring dedup, feeding an excision pass rather
+    // than a whole-doc drop. One k-gram aggregate (the wide stage), one
+    // semi-join to mark duplicated positions, one per-doc islands
+    // window to coalesce runs. Full DuckDB recompute of every stage.
+    "q160_dup_spans" -> ((s, d) =>
+      graft.ext.NearDup.duplicateSpans(docs(s, d), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("span_start"))))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -1301,5 +1312,32 @@ object Corpus {
          SELECT -1, CAST(SUM(n_segs) AS BIGINT), CAST(SUM(n_kept) AS BIGINT),
            round(SUM(n_kept) * 1.0 / SUM(n_segs), 4), ''
          FROM per_doc
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // same k-gram relation with positions, ≥2-distinct-doc grams,
+    // islands via pos − row_number — full recompute of every stage
+    "q160_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(t.toks[u.i:u.i+4], ' ') AS kg
+           FROM t, unnest(range(1, len(t.toks) - 3)) AS u(i)
+           WHERE len(t.toks) >= 5),
+         dup AS (
+           SELECT kg FROM g GROUP BY kg
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         d AS (SELECT doc_id, pos FROM g
+               WHERE kg IN (SELECT kg FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM d)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           MAX(pos) - MIN(pos) + 5 AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""")
 }

@@ -126,6 +126,22 @@ object Ext {
         .toDF("n_exact", "precision_ok", "recall_ok")
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semDedupPairs): drop
+    // every vector with an earlier bucket-mate at cosine ≥ 0.4, buckets
+    // = first-4-coordinate signs (the deterministic, SQL-recomputable
+    // stand-in for the paper's k-means cells — the clustered variant is
+    // q153's kmeans + the same within-bucket pairing). Pair join is an
+    // equi-join on the bucket, never all-pairs; the oracle recomputes
+    // cosine the q39 way (exploded coordinates, double accumulation)
+    // restricted to same-bucket pairs. No float column is emitted —
+    // the drop set and integer witness/multiplicity only.
+    "q161_semdedup" -> ((s, d) => {
+      val emb = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.semDedupPairs(emb, tau = 0.4, signBits = 4)
+        .orderBy(col("dropped_id"))
+    }),
+
     // PCA over embeddings (graft.ext.Embeddings): ONE distributed Gram
     // pass (GramMoments UDAF — O(D²) buffer per partition, element-wise
     // merge; the only scalable covariance shape), then driver-side
@@ -1082,6 +1098,35 @@ object Ext {
                        JOIN norms nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // q39's exploded-coordinate cosine recompute restricted to
+    // same-sign-bucket pairs, then the drop rule as a plain aggregate
+    "q161_semdedup" ->
+      """WITH bk AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+           FROM embeddings),
+         f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+           JOIN bk ba ON ba.vec_id = a.vec_id
+           JOIN bk bb ON bb.vec_id = b.vec_id AND bb.bk = ba.bk
+           GROUP BY a.vec_id, b.vec_id),
+         sims AS (
+           SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                       JOIN norms nb ON d.id_b = nb.vec_id)
+         SELECT id_b AS dropped_id, MIN(id_a) AS witness_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM sims WHERE cos >= 0.4
+         GROUP BY id_b ORDER BY dropped_id""",
     // the NAIVE row-pair definition — Spark's multiplicity compression
     // must be invisible in the result
     "q70_fuzzy_match" ->

@@ -177,6 +177,17 @@ object Text {
         .orderBy(col("cid"))
     }),
 
+    // One BPE merge iteration's pair statistics (ext.Corpus
+    // .bpePairCounts): adjacent character-pair counts weighted by word
+    // frequency — the argmax input of a byte-pair-encoding training
+    // step. The classic BPE trick runs pair counting over the DISTINCT
+    // word vocabulary with multiplicity weights: one corpus word-count
+    // shuffle (map-side combined), then narrow pair expansion over the
+    // tiny vocab + a second tiny aggregate; top-30 by the total order
+    // (count desc, pair asc) so the cut is deterministic.
+    "q159_bpe_pair_counts" -> ((s, d) =>
+      graft.ext.Corpus.bpePairCounts(docs(s, d), "text", topN = 30)),
+
     "q33_fingerprint" -> ((s, d) => {
       docs(s, d)
         .select(col("doc_id"),
@@ -316,6 +327,23 @@ object Text {
            round(2.0 * COALESCE(i.i, 0) / (p.nc + p.nr), 6) AS f6
          FROM pairs p LEFT JOIN inter i ON i.cid = p.cid
          ORDER BY p.cid""",
+    // same vocabulary-weighted pair counting: distinct words with
+    // multiplicities, substr bigrams over generate positions, total
+    // order (count desc, pair asc) before the LIMIT
+    "q159_bpe_pair_counts" ->
+      """WITH v AS (
+           SELECT w, COUNT(*) AS wc FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS w
+             FROM documents) t
+           GROUP BY w),
+         p AS (
+           SELECT substr(v.w, CAST(u.i AS INT), 2) AS pair, v.wc
+           FROM v, unnest(range(1, len(v.w))) AS u(i)
+           WHERE len(v.w) >= 2)
+         SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+         FROM p GROUP BY pair
+         ORDER BY pair_count DESC, pair LIMIT 30""",
     // presence counts via per-doc list_distinct; PMI spelled with the
     // same (k·N)/(ktot·n_l) op order so the single division and ln
     // land on identical floats

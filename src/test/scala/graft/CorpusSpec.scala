@@ -426,4 +426,26 @@ class CorpusSpec extends SparkSpec {
     // the target doc scores strictly higher than the off-target doc
     assert(got(0)._3 > got(1)._3 && got(0)._4 && !got(1)._4)
   }
+
+  test("bpePairCounts: vocabulary-weighted adjacent pair counts") {
+    // "abab" ×3 (pairs ab,ba,ab), "ab" ×2, "cd" ×1, "x" ignored (len 1)
+    val docs = Seq(
+      (1L, "abab ab x"),
+      (2L, "abab ab"),
+      (3L, "abab cd x")
+    ).toDF("doc_id", "text")
+    val got = Corpus.bpePairCounts(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // ab: 2 per "abab" ×3 + 1 per "ab" ×2 = 8; ba: 1×3 = 3; cd: 1
+    assert(got == List(("ab", 8L), ("ba", 3L), ("cd", 1L)))
+  }
+
+  test("bpePairCounts: topN cut follows the total order (count desc, pair asc)") {
+    val docs = Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    // all three pairs have count... aa:2, bb:2, cc:1 → top2 = aa, bb (tie
+    // broken ascending), cc cut
+    val got = Corpus.bpePairCounts(docs, "text", topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("aa", 2L), ("bb", 2L)))
+  }
 }

@@ -197,4 +197,42 @@ class NearDupSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.expr.ShingleGenerate(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 0))
   }
+
+  test("duplicateSpans: maximal shared runs, unique docs silent") {
+    // docs 1 and 2 share tokens 0..6 (7 tokens) and nothing else; doc 3
+    // is unique; doc 4 repeats the shared run at a LATER offset, so its
+    // span sits at positions 3..9
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, shared + " one uniqa uniqb uniqc uniqd uniqe uniqf"),
+      (2L, shared + " two otheru otherv otherw otherx othery otherz"),
+      (3L, "totally disjoint words nobody else uses anywhere at all"),
+      (4L, "pre1 pre2 pre3 " + shared + " post1 post2 post3")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // a 7-token run has 3 five-gram start positions (0,1,2) → one
+    // coalesced span of 7 tokens per sharing doc
+    assert(spans == Set(
+      (1L, 0L, 6L, 7L, 3L),
+      (2L, 0L, 6L, 7L, 3L),
+      (4L, 3L, 9L, 7L, 3L)))
+  }
+
+  test("duplicateSpans: two disjoint shared runs stay two spans") {
+    val runA = "a1 a2 a3 a4 a5"
+    val runB = "b1 b2 b3 b4 b5"
+    val d = Seq(
+      (1L, runA + " gapx gapy gapz " + runB),
+      (2L, runA + " uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"),
+      (3L, runB + " uniq7 uniq8 uniq9 uniq10 uniq11 uniq12")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // doc 1: runA at 0..4, runB at 8..12, the gap tokens break the island
+    assert(spans == Set((0L, 4L), (8L, 12L)))
+  }
 }

@@ -157,4 +157,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = (short intersect bruteIds).size.toDouble / bruteIds.size
     assert(recall >= 0.4, s"recall@3 $recall")
   }
+
+  test("semDedupPairs: within-bucket drops with minimal witness; cross-bucket blind") {
+    import spark.implicits._
+    // bucket = signs of dims 1..4. v1/v2/v3 share bucket 15 (all
+    // positive) and point the same way; v4 is v1 with dim-1 sign
+    // flipped → different bucket, never compared (blocking miss by
+    // design); v5 shares bucket 15 but is near-orthogonal to v1.
+    val mk = (a: Float, b: Float, c: Float, dd: Float, e: Float, f: Float) =>
+      Array(a, b, c, dd, e, f)
+    val emb = Seq(
+      (1L, mk(1f, 1f, 1f, 1f, 0f, 0f)),
+      (2L, mk(1f, 1f, 1f, 1.01f, 0f, 0f)),
+      (3L, mk(1.02f, 1f, 1f, 1f, 0f, 0f)),
+      (4L, mk(-1f, 1f, 1f, 1f, 0f, 0f)),
+      (5L, mk(0.01f, 0.01f, 0.01f, 0.01f, 9f, 9f))
+    ).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = Similarity.semDedupPairs(emb, tau = 0.9, signBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 2 and 3 both drop against witness 1 (min id_a); n_dups counts
+    // EARLIER neighbors only — 2 has {1}, 3 has {1,2} (1↔2, 1↔3, 2↔3
+    // all ≥ 0.9); 4 survives (other bucket); 5 survives (same bucket,
+    // low cosine)
+    assert(got == Set((2L, 1L, 1L), (3L, 1L, 2L)))
+  }
 }

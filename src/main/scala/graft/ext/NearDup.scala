@@ -411,7 +411,45 @@ object NearDup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
-    val grams = docs
+    val grams = kgramPositions(docs, idCol, textCol, k)
+    val dup = grams.groupBy(col("kg"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("kg"))
+    coalesceSpans(grams.join(dup, Seq("kg"), "left_semi"), idCol, k)
+  }
+
+  /** The cross-relation form of [[duplicateSpans]] — eval-set
+    * DECONTAMINATION at span granularity: every maximal token span of a
+    * corpus document whose k-grams all occur somewhere in `ref` (the
+    * benchmark/eval set). Doc-level screens (q78's contaminationScreen)
+    * tell you WHICH documents overlap; this emits the positions an
+    * excision pass cuts so the document's clean remainder survives.
+    *
+    * Scale: eval sets are tiny next to a 100 TB corpus, so the ref gram
+    * set is distinct-ed and BROADCAST — the corpus-side gram relation
+    * streams through a broadcast semi-join with no corpus shuffle at
+    * all; the only shuffle is the islands window over the (rare) hit
+    * positions. Same text-key/oracle trade as [[duplicateSpans]]:
+    * production keys by xxhash64(gram).
+    */
+  def crossDuplicateSpans(corpus: DataFrame, ref: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    val refGrams = broadcast(
+      kgramPositions(ref, idCol, textCol, k).select(col("kg")).distinct())
+    val hits = kgramPositions(corpus, idCol, textCol, k)
+      .join(refGrams, Seq("kg"), "left_semi")
+    coalesceSpans(hits, idCol, k)
+  }
+
+  /** One narrow pass: the k-gram relation `(__id, pos, kg)` with
+    * 0-based start positions, built from array slices (the token stream
+    * is never exploded on its own).
+    */
+  private def kgramPositions(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int): DataFrame =
+    docs
       .select(col(idCol).as("__id"),
         filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
           .as("__toks"))
@@ -420,11 +458,13 @@ object NearDup {
         posexplode(transform(sequence(lit(0), size(col("__toks")) - k),
           i => array_join(slice(col("__toks"), i + 1, lit(k)), " ")))
           .as(Seq("pos", "kg")))
-    val dup = grams.groupBy(col("kg"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= 2)
-      .select(col("kg"))
-    val dupPos = grams.join(dup, Seq("kg"), "left_semi")
+
+  /** Islands coalescing: runs of consecutive duplicated start positions
+    * (`pos − row_number` constant within a run) become one maximal span
+    * covering `[min pos, max pos + k − 1]` in token coordinates.
+    */
+  private def coalesceSpans(dupPos: DataFrame, idCol: String,
+                            k: Int): DataFrame = {
     val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
     dupPos
       .withColumn("__grp", col("pos") - row_number().over(w))

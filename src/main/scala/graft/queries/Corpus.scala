@@ -720,7 +720,34 @@ object Corpus {
     // window to coalesce runs. Full DuckDB recompute of every stage.
     "q160_dup_spans" -> ((s, d) =>
       graft.ext.NearDup.duplicateSpans(docs(s, d), "doc_id", "text", k = 5)
-        .orderBy(col("doc_id"), col("span_start"))))
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // Span-level eval-set DECONTAMINATION (ext.NearDup
+    // .crossDuplicateSpans): q78's doc-level screen says which docs
+    // overlap the benchmark; this emits the token spans an excision
+    // pass cuts. Same q78 fixture (bench = doc_id%97==0; docs %23==7
+    // get bench doc 0's first 15 words appended → a guaranteed
+    // 15-token span of 8 start positions at each injected doc's tail).
+    // The bench gram set is distinct-ed and BROADCAST — the corpus side
+    // streams through the semi-join with zero corpus shuffle; only the
+    // (rare) hit positions reach the islands window.
+    "q162_decontaminate_spans" -> ((s, d) => {
+      val docs0 = table(s, d, "documents")
+      val snippet = broadcast(docs0.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(lower(col("text")), " "), 1, 15), " ")
+          .as("snip")))
+      val corpus = spreadIfNarrow(docs0, col("doc_id")).crossJoin(snippet)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(23)) === 7,
+            concat(lower(col("text")), lit(" "), col("snip")))
+            .otherwise(lower(col("text"))))
+        .drop("snip")
+      val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      graft.ext.NearDup.crossDuplicateSpans(train, bench, "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -1337,6 +1364,42 @@ object Corpus {
            FROM d)
          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
            MAX(pos) - MIN(pos) + 5 AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+    // q78's injection fixture + q160's islands machinery: bench grams
+    // distinct-ed, train positions semi-joined, runs coalesced
+    "q162_decontaminate_spans" ->
+      """WITH snip AS (
+           SELECT array_to_string(string_split(lower(text), ' ')[1:15], ' ')
+             AS s
+           FROM documents WHERE doc_id = 0),
+         corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 23 = 7
+                  THEN lower(text) || ' ' || (SELECT s FROM snip)
+                  ELSE lower(text) END AS t
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+             list_filter(string_split(t, ' '), x -> x <> '') AS w
+           FROM corpus),
+         g AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(toks.w[u.i:u.i+7], ' ') AS kg
+           FROM toks, unnest(range(1, len(toks.w) - 6)) AS u(i)
+           WHERE len(toks.w) >= 8),
+         bench AS (SELECT DISTINCT kg FROM g WHERE doc_id % 97 = 0),
+         hits AS (
+           SELECT doc_id, pos FROM g
+           WHERE doc_id % 97 <> 0 AND kg IN (SELECT kg FROM bench)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) - MIN(pos) + 8 AS span_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""")

@@ -235,4 +235,23 @@ class NearDupSpec extends SparkSpec {
     // doc 1: runA at 0..4, runB at 8..12, the gap tokens break the island
     assert(spans == Set((0L, 4L), (8L, 12L)))
   }
+
+  test("crossDuplicateSpans: corpus spans matching the ref set only") {
+    val benchRun = "q1 q2 q3 q4 q5 q6"
+    val ref = Seq((100L, benchRun + " tailr1 tailr2")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // bench run embedded mid-doc → span at positions 2..7
+      (1L, "c1 c2 " + benchRun + " c3 c4 c5 c6"),
+      // clean doc, nothing shared with ref
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+      // corpus docs 1 and 3 share a run with EACH OTHER but not with
+      // ref — cross mode must stay silent about corpus-internal dups
+      (3L, "c1 c2 x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.crossDuplicateSpans(corpus, ref, "doc_id", "text",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 6-token run → 2 five-gram start positions (2,3) → one span 2..7
+    assert(spans == Set((1L, 2L, 7L)))
+  }
 }

@@ -106,6 +106,10 @@ class PlanSpec extends SparkSpec {
       "q46_scalar_subquery", "q47_hybrid_search",
       "q69_dedup_clusters", // q69: exact-cosine edge derivation (q39's)
       "q78_contamination",  // 1-row broadcast snippet injection
+      // q162: same 1-row broadcast snippet injection as q78 (the
+      // decontamination spans themselves flow through a broadcast
+      // SEMI-join — keyed, not a product)
+      "q162_decontaminate_spans",
       // q99/q100: BM25's (N, avgdl) corpus stats are ONE broadcast row
       // cross-joined onto the matched postings — O(|matched|) work,
       // scale-safe by construction (same class as q46's scalar)

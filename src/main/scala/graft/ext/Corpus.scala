@@ -666,6 +666,41 @@ object Corpus {
     * Ordering is total (count desc, then pair asc) so the top-N cut is
     * deterministic and oracle-checkable.
     */
+  /** Fill-in-the-middle (FIM) training-example construction (Bavarian
+    * et al. 2022): split each document's token stream into
+    * prefix/middle/suffix at deterministic cut points (⌊n/3⌋ and
+    * ⌊2n/3⌋ — production uses a seeded hash of the doc id through the
+    * same plumbing) and re-serialize in PSM order
+    * (`<fim_prefix> P <fim_suffix> S <fim_middle> M`), the layout that
+    * teaches infilling while keeping the target contiguous at the end.
+    *
+    * A pure per-row projection: array slices + concat, no shuffle, no
+    * UDF — at 100 TB this is a map over the corpus scan and the
+    * sentinel strings ride through whatever tokenizer pass follows.
+    */
+  def fimExamples(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 12): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("__p1", (col("n_tokens") / 3).cast("int"))
+      .withColumn("__p2", (col("n_tokens") * 2 / 3).cast("int"))
+      .select(col(idCol), col("n_tokens"),
+        col("__p1").cast("long").as("n_prefix"),
+        (col("__p2") - col("__p1")).cast("long").as("n_middle"),
+        (col("n_tokens") - col("__p2")).cast("long").as("n_suffix"),
+        concat(lit("<fim_prefix> "),
+          array_join(slice(col("__toks"), lit(1), col("__p1")), " "),
+          lit(" <fim_suffix> "),
+          array_join(slice(col("__toks"), col("__p2") + 1,
+            size(col("__toks")) - col("__p2")), " "),
+          lit(" <fim_middle> "),
+          array_join(slice(col("__toks"), col("__p1") + 1,
+            col("__p2") - col("__p1")), " ")).as("psm"))
+  }
+
   def bpePairCounts(docs: DataFrame, textCol: String,
                     topN: Int = 30): DataFrame = {
     val vocab = docs

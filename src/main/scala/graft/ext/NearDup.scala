@@ -443,6 +443,32 @@ object NearDup {
     coalesceSpans(hits, idCol, k)
   }
 
+  /** Intra-document repeated-passage spans: every maximal token span
+    * consisting of k-gram start positions whose gram already occurred
+    * EARLIER in the same document — the "remove later repetitions"
+    * excision pass (CCNet/Gopher-style self-repetition cleanup at span
+    * rather than ratio granularity; [[graft.ext.Corpus]] repetition
+    * ratios GATE whole docs, this cuts the repeated passage and keeps
+    * the rest).
+    *
+    * Scale: the only wide stage is one window keyed by (doc, gram) —
+    * and because both sides of the key live in the same document, it
+    * partitions by doc id in practice and never crosses documents; the
+    * islands pass reuses the same doc-keyed shuffle. Nothing here
+    * touches a corpus-wide gram table, so this composes with (and runs
+    * much cheaper than) the cross-doc passes.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val grams = kgramPositions(docs, idCol, textCol, k)
+    val w = Window.partitionBy(col("__id"), col("kg")).orderBy(col("pos"))
+    val repeats = grams
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") >= 2)
+      .select(col("__id"), col("pos"))
+    coalesceSpans(repeats, idCol, k)
+  }
+
   /** One narrow pass: the k-gram relation `(__id, pos, kg)` with
     * 0-based start positions, built from array slices (the token stream
     * is never exploded on its own).

@@ -747,7 +747,26 @@ object Corpus {
       graft.ext.NearDup.crossDuplicateSpans(train, bench, "doc_id", "text",
           k = 8)
         .orderBy(col("doc_id"), col("span_start"))
-    }))
+    }),
+
+    // Intra-document repeated-passage spans (ext.NearDup
+    // .repeatedSpans): 3-gram start positions whose gram already
+    // occurred EARLIER in the same doc, coalesced into excisable
+    // spans — the within-doc sibling of q160 (cross-doc) and the span
+    // form of q56's whole-doc repetition gate. The (doc, gram) window
+    // never crosses documents, so the shuffle is doc-keyed.
+    "q163_repeat_spans" -> ((s, d) =>
+      graft.ext.NearDup.repeatedSpans(docs(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // Fill-in-the-middle example construction (ext.Corpus.fimExamples):
+    // PSM re-serialization at deterministic ⌊n/3⌋/⌊2n/3⌋ cuts — a pure
+    // per-row projection (array slices + concat, zero shuffle); the
+    // oracle rebuilds every field including the sentinel-joined PSM
+    // string byte-for-byte.
+    "q164_fim_examples" -> ((s, d) =>
+      CorpusOps.fimExamples(docs(s, d), "doc_id", "text", minTokens = 12)
+        .orderBy(col("doc_id"))))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -1402,5 +1421,52 @@ object Corpus {
            MAX(pos) - MIN(pos) + 8 AS span_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp
-         ORDER BY doc_id, span_start""")
+         ORDER BY doc_id, span_start""",
+    // per-(doc, gram) row_number marks later recurrences; islands
+    // coalesce them — same machinery as q160 scoped within the doc
+    "q163_repeat_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(t.w[u.i:u.i+2], ' ') AS kg
+           FROM t, unnest(range(1, len(t.w) - 1)) AS u(i)
+           WHERE len(t.w) >= 3),
+         r AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id, kg ORDER BY pos)
+               AS rn
+           FROM g),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM r WHERE rn >= 2)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+           MAX(pos) - MIN(pos) + 3 AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+    // deterministic integer cuts, list slices, byte-identical PSM
+    // sentinel join
+    "q164_fim_examples" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, w, len(w) AS n,
+             len(w) // 3 AS p1, (len(w) * 2) // 3 AS p2
+           FROM t WHERE len(w) >= 12)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(p1 AS BIGINT) AS n_prefix,
+           CAST(p2 - p1 AS BIGINT) AS n_middle,
+           CAST(n - p2 AS BIGINT) AS n_suffix,
+           '<fim_prefix> ' || array_to_string(w[1:p1], ' ')
+             || ' <fim_suffix> ' || array_to_string(w[p2+1:n], ' ')
+             || ' <fim_middle> ' || array_to_string(w[p1+1:p2], ' ')
+             AS psm
+         FROM m ORDER BY doc_id""")
 }

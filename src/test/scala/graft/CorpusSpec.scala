@@ -448,4 +448,20 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(got == List(("aa", 2L), ("bb", 2L)))
   }
+
+  test("fimExamples: PSM layout at the deterministic cuts, short docs dropped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"), // n=12 → cuts 4, 8
+      (2L, "too short to survive the minimum")         // n=6 → dropped
+    ).toDF("doc_id", "text")
+    val got = Corpus.fimExamples(docs, "doc_id", "text", minTokens = 12)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((12L, 4L, 4L, 4L)))
+    assert(r.getString(5) ==
+      "<fim_prefix> t1 t2 t3 t4 <fim_suffix> t9 t10 t11 t12" +
+        " <fim_middle> t5 t6 t7 t8")
+  }
 }

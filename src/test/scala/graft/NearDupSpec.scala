@@ -254,4 +254,19 @@ class NearDupSpec extends SparkSpec {
     // 6-token run → 2 five-gram start positions (2,3) → one span 2..7
     assert(spans == Set((1L, 2L, 7L)))
   }
+
+  test("repeatedSpans: later recurrences only, first occurrence kept") {
+    val d = Seq(
+      // "r1 r2 r3" at pos 0 and again at pos 5 → the pos-5 trigram is
+      // a repeat; first occurrence never flagged
+      (1L, "r1 r2 r3 u1 u2 r1 r2 r3 u3 u4"),
+      // no trigram repeats anywhere
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.repeatedSpans(d, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(spans == Set((1L, 5L, 7L, 1L)))
+  }
 }

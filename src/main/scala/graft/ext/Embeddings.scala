@@ -303,4 +303,36 @@ object Embeddings {
       KMeans(assigned(cmat).drop("__n2"), cmat, obj.toSeq)
     } finally { unit.unpersist(); () }
   }
+
+  /** Johnson–Lindenstrauss sign-matrix random projection: reduce
+    * `inDim`-dim vectors to `outDim` dims via y_j = Σᵢ xᵢ·s(i,j) / √outDim
+    * with s(i,j) ∈ {±1} — the cheap distance-preserving dim reduction
+    * that fronts clustering / ANN when the raw dimension is large
+    * (Achlioptas 2003: a ±1 matrix satisfies the JL lemma).
+    *
+    * The sign matrix is a fixed integer formula of (i, j), not stored
+    * state: `s = +1 iff (37·i + 101·j) mod 7 < 4` — deterministic,
+    * engine-recomputable (small products, no overflow), identical
+    * across retries and partitions. Evaluation is `outDim` codegen'd
+    * zip_with folds over the vector — a narrow per-row projection, no
+    * shuffle; the long (id, j, y) output keeps the oracle compare to
+    * scalar cells. At 100 TB this is a pure map fused into the corpus
+    * scan; for dim in the thousands swap the HOF fold for a native
+    * Expression (the CosineSimilarity precedent).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    import graft.Graft.roundz
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map { i =>
+        lit(if ((37 * i + 101 * j) % 7 < 4) 1.0 else -1.0)
+      }: _*)
+      roundz(
+        aggregate(zip_with(col(vecCol), signs,
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x) / math.sqrt(outDim.toDouble), 6)
+    }
+    df.select(col(idCol), posexplode(array(comps: _*)).as(Seq("j", "y6")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("y6"))
+  }
 }

@@ -766,7 +766,34 @@ object Corpus {
     // string byte-for-byte.
     "q164_fim_examples" -> ((s, d) =>
       CorpusOps.fimExamples(docs(s, d), "doc_id", "text", minTokens = 12)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // Cross-source overlap matrix: distinct shared 5-grams per source
+    // pair — the provenance diagnostic that shows which corpus sources
+    // copy from each other (mirror sites, syndication) BEFORE dedup
+    // spends a corpus pass. Grams dedup to (source, kg) first (one
+    // aggregate), so the pair join fans out per gram by the number of
+    // sources sharing it — bounded by the source universe, the
+    // q121-basket shape, not by corpus size. Text keys for the oracle;
+    // production keys by xxhash64(gram) as in q160.
+    "q166_source_overlap" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(col("source"),
+          filter(split(lower(col("text")), " "), t => t =!= lit(""))
+            .as("__toks"))
+        .filter(size(col("__toks")) >= 5)
+        .select(col("source"),
+          explode(transform(sequence(lit(0), size(col("__toks")) - 5),
+            i => array_join(slice(col("__toks"), i + 1, lit(5)), " ")))
+            .as("kg"))
+        .distinct()
+      val a = grams.select(col("source").as("source_a"), col("kg"))
+      val b = grams.select(col("source").as("source_b"), col("kg"))
+      a.join(b, Seq("kg")).filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("source_a"), col("source_b"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q56_repetition_filter" ->
@@ -1468,5 +1495,20 @@ object Corpus {
              || ' <fim_suffix> ' || array_to_string(w[p2+1:n], ' ')
              || ' <fim_middle> ' || array_to_string(w[p1+1:p2], ' ')
              AS psm
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+    // distinct (source, gram) first, then the pair join — same shape
+    "q166_source_overlap" ->
+      """WITH t AS (
+           SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT DISTINCT source,
+             array_to_string(t.w[u.i:u.i+4], ' ') AS kg
+           FROM t, unnest(range(1, len(t.w) - 3)) AS u(i)
+           WHERE len(t.w) >= 5)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         FROM g a JOIN g b ON a.kg = b.kg AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

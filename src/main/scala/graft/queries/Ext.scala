@@ -142,6 +142,19 @@ object Ext {
         .orderBy(col("dropped_id"))
     }),
 
+    // Johnson–Lindenstrauss sign-matrix projection (Embeddings
+    // .randomProjection): 64 → 16 dims via a fixed ±1 matrix given by
+    // an integer formula of (i, j) — deterministic, engine-
+    // recomputable, no stored state. A narrow per-row map (16 codegen'd
+    // zip_with folds), zero shuffle; long (id, j, y6) output keeps the
+    // compare scalar. √16 = 4 exactly, so the one division is
+    // engine-identical; roundz/+0.0 guards the signed zero.
+    "q165_jl_projection" -> ((s, d) =>
+      Embeddings.randomProjection(
+          spreadIfNarrow(table(s, d, "embeddings"), col("vec_id")),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .orderBy(col("vec_id"), col("j"))),
+
     // PCA over embeddings (graft.ext.Embeddings): ONE distributed Gram
     // pass (GramMoments UDAF — O(D²) buffer per partition, element-wise
     // merge; the only scalable covariance shape), then driver-side
@@ -1098,6 +1111,23 @@ object Ext {
                        JOIN norms nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos6 FROM sims
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // the same sign formula spelled as nested list_transform lambdas;
+    // list_sum folds the 64 products in list order like the zip_with
+    // fold, and round-6 + 0.0 lands identical bytes
+    "q165_jl_projection" ->
+      """WITH y AS (
+           SELECT vec_id,
+             list_transform(range(0, 16), j ->
+               round(list_sum(list_transform(range(0, 64), i ->
+                 CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                 (CASE WHEN ((37*i + 101*j) % 7) < 4
+                       THEN 1.0 ELSE -1.0 END))) / 4.0, 6) + 0.0)
+               AS ys
+           FROM embeddings)
+         SELECT vec_id, CAST(u.j - 1 AS BIGINT) AS j,
+           ys[CAST(u.j AS INT)] AS y6
+         FROM y, unnest(range(1, 17)) AS u(j)
+         ORDER BY vec_id, j""",
     // q39's exploded-coordinate cosine recompute restricted to
     // same-sign-bucket pairs, then the drop rule as a plain aggregate
     "q161_semdedup" ->

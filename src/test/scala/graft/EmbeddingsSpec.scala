@@ -153,4 +153,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(assigns == b.assigned.select(col("id"), col("cluster")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap)
   }
+
+  test("randomProjection: hand-computed components and JL norm preservation") {
+    def sign(i: Int, j: Int): Double =
+      if ((37 * i + 101 * j) % 7 < 4) 1.0 else -1.0
+    val v = Array.tabulate(8)(i => (i + 1).toFloat) // 1..8
+    val got = Embeddings.randomProjection(toDF(Seq(v)), "id", "vec",
+        inDim = 8, outDim = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    (0 until 4).foreach { j =>
+      val expect = (0 until 8).map(i => v(i) * sign(i, j)).sum / 2.0
+      val rounded = BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(j) - rounded) < 1e-9, s"component $j")
+    }
+    // JL contract on a small batch: squared norms preserved in
+    // expectation — the mean ratio stays within a loose band
+    val vs = Seq.tabulate(12)(n => Array.tabulate(8)(i =>
+      math.sin(n * 8 + i + 1).toFloat))
+    val proj = Embeddings.randomProjection(toDF(vs), "id", "vec", 8, 4)
+      .groupBy(col("id")).agg(sum(col("y6") * col("y6")).as("pn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ratios = vs.zipWithIndex.map { case (x, n) =>
+      proj(n.toLong) / x.map(a => a.toDouble * a).sum
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.3 && mean < 3.0, s"mean norm ratio $mean")
+  }
 }

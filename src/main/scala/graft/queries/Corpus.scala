@@ -768,6 +768,28 @@ object Corpus {
       CorpusOps.fimExamples(docs(s, d), "doc_id", "text", minTokens = 12)
         .orderBy(col("doc_id"))),
 
+    // Curriculum phases by model-based difficulty: q105's bigram-LM
+    // perplexity orders the scored candidates easy → hard; ntile(4)
+    // over the total order (ppl, doc_id) assigns training phases and
+    // the output is per-phase stats. The exact global ntile keeps the
+    // oracle bit-exact; at 100 TB phase assignment uses broadcast
+    // quantile CUTPOINTS (q66's sketch) against the same score — a
+    // narrow map instead of a global window, same downstream schema.
+    "q167_curriculum_phases" -> ((s, d) => {
+      val all = docs(s, d)
+      val scored = CorpusOps.bigramLmScore(
+        all.filter(pmod(col("doc_id"), lit(2)) === 1),
+        all.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text")
+      val w = Window.orderBy(col("ppl"), col("doc_id"))
+      scored.withColumn("phase", ntile(4).over(w).cast("long"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ppl")).as("ppl_min"), max(col("ppl")).as("ppl_max"),
+          sum(col("n_bigrams")).as("n_bigrams"))
+        .orderBy(col("phase"))
+    }),
+
     // Cross-source overlap matrix: distinct shared 5-grams per source
     // pair — the provenance diagnostic that shows which corpus sources
     // copy from each other (mirror sites, syndication) BEFORE dedup
@@ -1496,6 +1518,45 @@ object Corpus {
              || ' <fim_middle> ' || array_to_string(w[p1+1:p2], ' ')
              AS psm
          FROM m ORDER BY doc_id""",
+    // q105's LM recompute (no LIMIT) + the same ntile over (ppl,
+    // doc_id) + per-phase rollup
+    "q167_curriculum_phases" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+           FROM base WHERE len(l) >= 2),
+         bg AS (
+           SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+           FROM toks a JOIN toks b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         cbi AS (
+           SELECT bg, COUNT(*) AS c_bg FROM bg WHERE doc_id % 2 = 0
+           GROUP BY bg),
+         uni AS (
+           SELECT w AS w1, COUNT(*) AS c_w FROM toks WHERE doc_id % 2 = 0
+           GROUP BY w),
+         v AS (SELECT COUNT(*) AS v_size FROM uni),
+         scored AS (
+           SELECT c.doc_id, COUNT(*) AS n_bigrams,
+             round(exp(-avg(ln(
+               CAST(coalesce(cbi.c_bg, 0) + 1 AS DOUBLE) /
+               (coalesce(uni.c_w, 0) + v.v_size)))), 4) AS ppl
+           FROM bg c LEFT JOIN cbi USING (bg)
+             LEFT JOIN uni ON uni.w1 = c.w1 CROSS JOIN v
+           WHERE c.doc_id % 2 = 1
+           GROUP BY c.doc_id),
+         ph AS (
+           SELECT doc_id, n_bigrams, ppl,
+             CAST(ntile(4) OVER (ORDER BY ppl, doc_id) AS BIGINT)
+               AS phase
+           FROM scored)
+         SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ppl) AS ppl_min, MAX(ppl) AS ppl_max,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+         FROM ph GROUP BY phase ORDER BY phase""",
     // distinct (source, gram) first, then the pair join — same shape
     "q166_source_overlap" ->
       """WITH t AS (

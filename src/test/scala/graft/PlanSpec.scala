@@ -122,6 +122,9 @@ class PlanSpec extends SparkSpec {
       // cross-joined onto the scored bigrams (q46's scalar class);
       // the count TABLES join on real keys, never cross
       "q105_bigram_lm",
+      // q167: the same bigramLmScore vocab scalar (q105's class); the
+      // phase assignment itself is a window, not a join
+      "q167_curriculum_phases",
       // q113: each PageRank round cross-joins TWO one-row scalars
       // (node count, dangling mass) onto the rank relation (q46's
       // scalar class); edges × ranks joins on src, never cross

@@ -189,4 +189,63 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Long](2)))
   }
+
+  // --- EXT: span detection vs a driver-side model (q160/q163 family) ---
+
+  test("duplicateSpans + repeatedSpans: exact match with a Scala model on random word soup") {
+    val k = 3
+    // a 10-word vocabulary over 50 short docs forces both cross-doc
+    // shared k-grams and within-doc recurrences
+    val vocab = Vector("ox", "ash", "elm", "fir", "oak", "yew", "ivy",
+      "fern", "moss", "reed")
+    val docGen = Gen.choose(5, 16)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val cases = sample(docGen, 50, seed = 41L).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.toVector) }
+    val df = cases.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    def kgrams(toks: Vector[String]) =
+      if (toks.length < k) Vector.empty[String]
+      else toks.sliding(k).map(_.mkString(" ")).toVector
+    def islands(ps: Seq[Int]): Set[(Long, Long, Long, Long)] = {
+      val sorted = ps.sorted
+      if (sorted.isEmpty) Set.empty
+      else sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+        case ((s, e) :: rest, p) =>
+          if (p == e + 1) (s, p) :: rest else (p, p) :: (s, e) :: rest
+        case (Nil, p) => List((p, p))
+      }.map { case (s, e) =>
+        (s.toLong, (e + k - 1).toLong, (e + k - 1 - s + 1).toLong,
+          (e - s + 1).toLong)
+      }.toSet
+    }
+    val grams = cases.map { case (id, toks) => id -> kgrams(toks) }.toMap
+
+    // cross-doc model: positions whose gram occurs in >= 2 distinct docs
+    val docsPerGram = grams.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val wantDup = grams.flatMap { case (id, gs) =>
+      val ps = gs.zipWithIndex.collect {
+        case (g, p) if docsPerGram(g) >= 2 => p }
+      islands(ps).map { case (s, e, t, n) => (id, s, e, t, n) }
+    }.toSet
+    val gotDup = graft.ext.NearDup.duplicateSpans(df, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotDup == wantDup)
+
+    // within-doc model: positions whose gram occurred earlier in the doc
+    val wantRep = grams.flatMap { case (id, gs) =>
+      val seen = scala.collection.mutable.Set[String]()
+      val ps = gs.zipWithIndex.collect {
+        case (g, p) if { val r = seen(g); seen += g; r } => p }
+      islands(ps).map { case (s, e, t, n) => (id, s, e, t, n) }
+    }.toSet
+    val gotRep = graft.ext.NearDup.repeatedSpans(df, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotRep == wantRep)
+  }
 }

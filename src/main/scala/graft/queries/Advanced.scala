@@ -349,6 +349,44 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // MapState counterpart of q120 (streaming/TypeCounts): per-user map
+    // of event_type → (n, cents) — point reads/writes touch only the
+    // types present in the batch, untouched entries never deserialize.
+    // Same monotone-integer-cents discipline: final (user, type) state
+    // is the max over Update-mode emissions, pinned to the plain batch
+    // aggregate by the oracle.
+    "q168_stream_map_state" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_map_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        import s.implicits._
+        val in = s.readStream.schema(schema).parquet(stage.toString)
+          .select(col("user_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .as[graft.streaming.TypeCounts.EventIn]
+        val q = graft.streaming.TypeCounts.counts(s, in)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("total_cents")).as("total_cents"))
+          .orderBy(col("user_id"), col("event_type"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Per-key bounded recent-event history on transformWithState's
     // ListState surface (streaming.RecentEvents; q120 covers
     // ValueState): each user's 3 most recent event types, newest
@@ -1286,6 +1324,13 @@ object Advanced {
       """SELECT user_id, COUNT(*) AS n_events,
          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the streamed per-(user, type) map entries must land exactly on
+    // the two-key batch aggregate
+    "q168_stream_map_state" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     // the bitmap plumbing must land exactly on plain COUNT(DISTINCT)
     "q118_bitmap_distinct" ->
       """SELECT c_mktsegment AS segment,

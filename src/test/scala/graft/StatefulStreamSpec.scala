@@ -113,6 +113,40 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-type entries carry and stay isolated") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.TypeCounts
+    import graft.streaming.TypeCounts.EventIn
+    val mem = MemoryStream[EventIn]
+    val out = TypeCounts.counts(s, mem.toDS())
+    val name = "tc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(EventIn(1L, "click", 10L), EventIn(1L, "click", 5L),
+        EventIn(1L, "view", 1L), EventIn(2L, "click", 7L))
+      q.processAllAvailable()
+      // batch 2: user 1 touches ONLY "click" — the "view" entry must
+      // carry untouched; user 2 opens a new type in its own map
+      mem.addData(EventIn(1L, "click", 100L), EventIn(2L, "buy", 2L))
+      q.processAllAvailable()
+      val last = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.maxBy(_._3)).toMap
+      assert(last((1L, "click")) == ((1L, "click", 3L, 115L)))
+      assert(last((1L, "view")) == ((1L, "view", 1L, 1L)))
+      assert(last((2L, "click")) == ((2L, "click", 1L, 7L)))
+      assert(last((2L, "buy")) == ((2L, "buy", 1L, 2L)))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("flatMapGroupsWithState: sessions close on gap or watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]

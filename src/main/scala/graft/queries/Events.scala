@@ -342,6 +342,30 @@ object Events {
       graft.ext.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
         .select(col("id"), round(col("r"), 8).as("rank8"))
         .orderBy(col("id"))
+    }),
+
+    // Robust ingestion-rate anomaly screen: daily event counts flagged
+    // by median/MAD (|n − med| > 3·MAD) — the outlier rule that one bad
+    // day can't skew, unlike mean/stddev. Exact interpolated
+    // percentile on BOTH sides (Spark `percentile` ≡ DuckDB
+    // quantile_cont); med and MAD ride as one-row broadcasts (q46's
+    // scalar class). The day rollup is the only real shuffle — the
+    // medians run over O(days) rows, which is why exact percentile is
+    // affordable here even at 100 TB of events (the q66 sketch is for
+    // percentiles over ROWS, not days).
+    "q169_rate_anomaly" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.agg(expr("percentile(n, 0.5D)").as("med"))
+      val withMed = daily.crossJoin(broadcast(med))
+      val mad = withMed
+        .agg(expr("percentile(abs(n - med), 0.5D)").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("day"), col("n"),
+          graft.Graft.roundz(abs(col("n") - col("med")), 6).as("dev6"),
+          (abs(col("n") - col("med")) > col("mad") * 3).as("is_anomaly"))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -522,6 +546,23 @@ object Events {
          JOIN ic ib ON p.item_b = ib.item
          CROSS JOIN nu
          ORDER BY item_a, item_b""",
+    // identical day rollup + interpolated medians (quantile_cont ≡
+    // Spark percentile) + the same 3·MAD rule
+    "q169_rate_anomaly" ->
+      """WITH daily AS (
+           SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1),
+         med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+         mad AS (
+           SELECT quantile_cont(abs(n - (SELECT med FROM med)), 0.5)
+             AS mad
+           FROM daily)
+         SELECT day, CAST(n AS BIGINT) AS n,
+           round(abs(n - (SELECT med FROM med)), 6) + 0.0 AS dev6,
+           abs(n - (SELECT med FROM med)) >
+             (SELECT mad FROM mad) * 3 AS is_anomaly
+         FROM daily ORDER BY day""",
     // day spine via generate_series; trailing mean = exact integer
     // window sums divided once (identical float on any engine)
     "q116_gap_fill" ->

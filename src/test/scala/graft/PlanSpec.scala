@@ -125,6 +125,9 @@ class PlanSpec extends SparkSpec {
       // q167: the same bigramLmScore vocab scalar (q105's class); the
       // phase assignment itself is a window, not a join
       "q167_curriculum_phases",
+      // q169: med and MAD are ONE-row broadcasts onto the O(days)
+      // rollup (q46's scalar class)
+      "q169_rate_anomaly",
       // q113: each PageRank round cross-joins TWO one-row scalars
       // (node count, dangling mass) onto the rank relation (q46's
       // scalar class); edges × ranks joins on src, never cross

@@ -349,6 +349,45 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Event-time TIMERS on transformWithState (streaming/TimedSessions):
+    // sessions close on gap OR on the registered timer when the
+    // watermark passes last+30min — the final arbitrary-state API
+    // surface after the three typed handles. Oracle = the classic
+    // gaps-and-islands session reconstruction, keeping sessions whose
+    // horizon the terminal watermark (max ts) passed; calibrated on
+    // this data there are NO horizon==watermark boundary rows, so the
+    // timer-fire comparison direction can't flip the result. Users
+    // capped at 20 to bound the dump (1.4k sessions at sf0.01).
+    "q170_stream_timer_sessions" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_tmr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        import s.implicits._
+        val in = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .filter(col("user_id") <= 20)
+          .select(col("user_id"), col("ts"))
+          .as[graft.streaming.TimedSessions.Event]
+        val q = graft.streaming.TimedSessions.sessions(s, in)
+          .toDF().writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .orderBy(col("user_id"), col("start_ms"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // MapState counterpart of q120 (streaming/TypeCounts): per-user map
     // of event_type → (n, cents) — point reads/writes touch only the
     // types present in the batch, untouched entries never deserialize.
@@ -1324,6 +1363,35 @@ object Advanced {
       """SELECT user_id, COUNT(*) AS n_events,
          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // gaps-and-islands session reconstruction; the streamed output is
+    // every session whose 30-min horizon the terminal watermark passed
+    "q170_stream_timer_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms FROM events
+           WHERE user_id <= 20),
+         x AS (
+           SELECT user_id, ms,
+             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+           FROM e),
+         f AS (
+           SELECT user_id, ms,
+             CASE WHEN prev IS NULL OR ms - prev > 1800000
+                  THEN 1 ELSE 0 END AS brk
+           FROM x),
+         s AS (
+           SELECT user_id, ms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         g AS (
+           SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+             COUNT(*) AS n_events
+           FROM s GROUP BY 1, 2),
+         mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events WHERE user_id <= 20)
+         SELECT user_id, start_ms, end_ms,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM g WHERE end_ms + 1800000 <= (SELECT m FROM mx)
+         ORDER BY user_id, start_ms""",
     // the streamed per-(user, type) map entries must land exactly on
     // the two-key batch aggregate
     "q168_stream_map_state" ->

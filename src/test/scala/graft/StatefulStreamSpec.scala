@@ -147,6 +147,49 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: sessions close on gap or event-time timer") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.TimedSessions
+    import graft.streaming.TimedSessions.Event
+    val mem = MemoryStream[Event]
+    val out = TimedSessions.sessions(s, mem.toDS())
+    val name = "tmr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      def ev(user: Long, hhmm: String) =
+        Event(user, Timestamp.valueOf(s"2025-12-08 $hhmm:00"))
+      // batch 1 — user 1 bursts 10:00–10:10; user 2 lone at 09:00. The
+      // follow-up batch sees watermark 10:10 > user 2's 09:30 horizon →
+      // its TIMER fires; user 1's (10:40) stays armed
+      mem.addData(ev(1, "10:00"), ev(1, "10:10"), ev(2, "09:00"))
+      q.processAllAvailable()
+      val b1 = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(b1 == Set((2L, 1L)))
+      // batch 2 — user 1 returns past the gap at 11:30: the burst closes
+      // by GAP (not timer), and the deleted 10:40 timer must not have
+      // fired a bogus row; the new 11:30 session stays open (horizon
+      // 12:00 > watermark 11:30)
+      mem.addData(ev(1, "11:30"))
+      q.processAllAvailable()
+      val rows = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def ms(hhmm: String) =
+        Timestamp.valueOf(s"2025-12-08 $hhmm:00").getTime
+      assert(rows.toSet == Set(
+        (2L, ms("09:00"), ms("09:00"), 1L),
+        (1L, ms("10:00"), ms("10:10"), 2L)))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("flatMapGroupsWithState: sessions close on gap or watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]

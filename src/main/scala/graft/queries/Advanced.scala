@@ -1129,6 +1129,51 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Stream-stream LEFT SEMI interval join — completes the
+    // stream-stream family (q65 inner, q148 left outer): "clicks that
+    // converted within 12 h", emitting each click ONCE regardless of
+    // how many purchases matched — the existence probe that avoids
+    // materializing the N-way fanout the inner join pays. Same
+    // watermark bounds on both sides cap the state.
+    "q171_stream_semi_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_sj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_sj_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        def side(tpe: String) = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = side("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 12 hours"),
+          "left_semi")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_us"))
+          .orderBy(col("click_id"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // The reference pipeline under Structured Streaming, end-to-end
     // (SURVEY.md §2.10 T1/T2/T4): the SAME envelope batch is delivered
     // twice in two micro-batches (maxFilesPerTrigger=1) — the
@@ -1345,6 +1390,17 @@ object Advanced {
          FROM d
          ORDER BY key""",
     // the streamed interval join must emit exactly the batch-join pairs
+    // the streamed semi join must equal the batch EXISTS probe —
+    // exactly one row per converted click
+    "q171_stream_semi_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+           epoch_us(c.ts) AS click_us
+         FROM events c
+         WHERE c.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR)
+         ORDER BY c.event_id""",
     "q65_stream_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
            c.user_id,

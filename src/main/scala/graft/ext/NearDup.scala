@@ -469,6 +469,41 @@ object NearDup {
     coalesceSpans(repeats, idCol, k)
   }
 
+  /** Excise flagged token spans from documents — the consumer of
+    * [[duplicateSpans]]/[[crossDuplicateSpans]]/[[repeatedSpans]]
+    * output: rebuild each document from the tokens OUTSIDE its flagged
+    * `[span_start, span_end]` ranges, keeping the clean remainder
+    * instead of dropping the whole doc.
+    *
+    * Scale: one doc-keyed aggregate packs a doc's ranges into a small
+    * array (spans per doc are few by construction — they're maximal),
+    * one doc-keyed left join carries them to the text, and the rebuild
+    * is a narrow indexed-lambda filter per row. Documents with no
+    * flagged spans pass through untouched on the null branch — no
+    * range array is ever materialized for the clean majority.
+    */
+  def exciseSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val ranges = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__ranges"))
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    docs.join(ranges, Seq(idCol), "left")
+      .select(col(idCol), toks.as("__toks"), col("__ranges"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        when(col("__ranges").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (x, i) =>
+            !exists(col("__ranges"), r =>
+              i.cast("long") >= r.getField("s") &&
+                i.cast("long") <= r.getField("e"))))
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** One narrow pass: the k-gram relation `(__id, pos, kg)` with
     * 0-based start positions, built from array slices (the token stream
     * is never exploded on its own).

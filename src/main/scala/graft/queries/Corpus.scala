@@ -790,6 +790,44 @@ object Corpus {
         .orderBy(col("phase"))
     }),
 
+    // The span REFINERY, end-to-end: intra-doc repeated passages are
+    // excised (q163's spans through NearDup.exciseSpans), then the
+    // CLEANED text is screened against the benchmark slice
+    // (doc_id%97==0, kept raw — eval sets are external) and
+    // contaminated spans excised too. Two chained excisions in ONE
+    // lazy plan; per-doc rows for doc_id < 30 plus a corpus tail row
+    // (-1) pin both stages' total removals. Full DuckDB recompute of
+    // every stage including the rebuilt text — positions shift after
+    // stage 1, so stage 2's grams must be recomputed on clean text in
+    // both engines.
+    "q172_span_refinery" -> ((s, d) => {
+      val base = docs(s, d)
+      val r1 = graft.ext.NearDup.exciseSpans(base,
+        graft.ext.NearDup.repeatedSpans(base, "doc_id", "text", k = 3),
+        "doc_id", "text")
+      val bench = base.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text").as("text1"))
+      val train = r1.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumnRenamed("clean_text", "text1")
+        .withColumnRenamed("n_removed", "rm_repeat")
+        .withColumnRenamed("n_tokens", "n0")
+      val contam = graft.ext.NearDup.crossDuplicateSpans(
+        train.select(col("doc_id"), col("text1")), bench,
+        "doc_id", "text1", k = 5)
+      val r2 = graft.ext.NearDup.exciseSpans(
+          train.select(col("doc_id"), col("text1")), contam,
+          "doc_id", "text1")
+        .withColumnRenamed("n_removed", "rm_contam")
+        .select(col("doc_id"), col("rm_contam"), col("clean_text"))
+      val out = train.select(col("doc_id"), col("n0"), col("rm_repeat"))
+        .join(r2, Seq("doc_id"))
+      val head = out.filter(col("doc_id") < 30)
+      val tail = out.agg(lit(-1L).as("doc_id"),
+        sum(col("n0")).as("n0"), sum(col("rm_repeat")).as("rm_repeat"),
+        sum(col("rm_contam")).as("rm_contam"), lit("").as("clean_text"))
+      head.unionByName(tail).orderBy(col("doc_id"))
+    }),
+
     // Cross-source overlap matrix: distinct shared 5-grams per source
     // pair — the provenance diagnostic that shows which corpus sources
     // copy from each other (mirror sites, syndication) BEFORE dedup
@@ -1557,6 +1595,85 @@ object Corpus {
            MIN(ppl) AS ppl_min, MAX(ppl) AS ppl_max,
            CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
          FROM ph GROUP BY phase ORDER BY phase""",
+    // full two-stage replay: stage-1 islands → indexed-lambda excision
+    // → stage-2 grams on the REBUILT token stream → second excision
+    "q172_span_refinery" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         g3 AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(t.w[u.i:u.i+2], ' ') AS kg
+           FROM t, unnest(range(1, len(t.w) - 1)) AS u(i)
+           WHERE len(t.w) >= 3),
+         r3 AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id, kg ORDER BY pos) AS rn
+           FROM g3),
+         isl1 AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM r3 WHERE rn >= 2),
+         sp1 AS (
+           SELECT doc_id, MIN(pos) AS s, MAX(pos) + 2 AS e
+           FROM isl1 GROUP BY doc_id, grp),
+         rg1 AS (
+           SELECT doc_id, list({'s': s, 'e': e}) AS rs
+           FROM sp1 GROUP BY doc_id),
+         c1 AS (
+           SELECT t.doc_id, len(t.w) AS n0,
+             CASE WHEN rg1.rs IS NULL THEN t.w
+                  ELSE list_filter(t.w, (x, i) ->
+                    len(list_filter(rg1.rs,
+                      r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0)
+             END AS w1
+           FROM t LEFT JOIN rg1 ON rg1.doc_id = t.doc_id),
+         bench AS (
+           SELECT DISTINCT array_to_string(t.w[u.i:u.i+4], ' ') AS kg
+           FROM t, unnest(range(1, len(t.w) - 3)) AS u(i)
+           WHERE len(t.w) >= 5 AND t.doc_id % 97 = 0),
+         train AS (
+           SELECT doc_id, n0, w1 FROM c1 WHERE doc_id % 97 <> 0),
+         g5 AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(train.w1[u.i:u.i+4], ' ') AS kg
+           FROM train, unnest(range(1, len(train.w1) - 3)) AS u(i)
+           WHERE len(train.w1) >= 5),
+         hits AS (
+           SELECT doc_id, pos FROM g5
+           WHERE kg IN (SELECT kg FROM bench)),
+         isl2 AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM hits),
+         sp2 AS (
+           SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+           FROM isl2 GROUP BY doc_id, grp),
+         rg2 AS (
+           SELECT doc_id, list({'s': s, 'e': e}) AS rs
+           FROM sp2 GROUP BY doc_id),
+         c2 AS (
+           SELECT tr.doc_id, tr.n0, tr.w1,
+             CASE WHEN rg2.rs IS NULL THEN tr.w1
+                  ELSE list_filter(tr.w1, (x, i) ->
+                    len(list_filter(rg2.rs,
+                      r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0)
+             END AS w2
+           FROM train tr LEFT JOIN rg2 ON rg2.doc_id = tr.doc_id),
+         fin AS (
+           SELECT doc_id, CAST(n0 AS BIGINT) AS n0,
+             CAST(n0 - len(w1) AS BIGINT) AS rm_repeat,
+             CAST(len(w1) - len(w2) AS BIGINT) AS rm_contam,
+             array_to_string(w2, ' ') AS clean_text
+           FROM c2)
+         SELECT doc_id, n0, rm_repeat, rm_contam, clean_text
+         FROM fin WHERE doc_id < 30
+         UNION ALL
+         SELECT -1, CAST(SUM(n0) AS BIGINT), CAST(SUM(rm_repeat) AS BIGINT),
+           CAST(SUM(rm_contam) AS BIGINT), ''
+         FROM fin
+         ORDER BY doc_id""",
     // distinct (source, gram) first, then the pair join — same shape
     "q166_source_overlap" ->
       """WITH t AS (

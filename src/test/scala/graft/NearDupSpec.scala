@@ -255,6 +255,21 @@ class NearDupSpec extends SparkSpec {
     assert(spans == Set((1L, 2L, 7L)))
   }
 
+  test("exciseSpans: flagged ranges cut, clean docs pass through untouched") {
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "clean doc with no spans at all")
+    ).toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 2L), (1L, 5L, 6L))
+      .toDF("doc_id", "span_start", "span_end")
+    val got = NearDup.exciseSpans(d, spans, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((8L, 4L, "t0 t3 t4 t7")))
+    assert(got(2L) == ((7L, 0L, "clean doc with no spans at all")))
+  }
+
   test("repeatedSpans: later recurrences only, first occurrence kept") {
     val d = Seq(
       // "r1 r2 r3" at pos 0 and again at pos 5 → the pos-5 trigram is

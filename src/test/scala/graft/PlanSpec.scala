@@ -37,6 +37,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q08_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q162: benchmark gram set broadcasts into the semi-join (zero corpus shuffle)") {
+    val p = plan("q162_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination semi-join must broadcast the bench grams:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus grams must not shuffle for the eval-set probe:\n$p")
+  }
+
+  test("q158: pairing-range predicate reaches both parquet scans") {
+    // regression guard for the compute-then-filter form that ran the
+    // interpreted bigram HOF over the full corpus on both join legs
+    val p = plan("q158_rouge_overlap")
+    assert("LessThanOrEqual\\(doc_id,20\\)".r.findAllIn(p).size >= 2,
+      s"doc range not pushed to both scans:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),

@@ -116,6 +116,76 @@ object Retrieval {
       .select(col("qid"), col(idCol), col("rank"), col("score_r"))
   }
 
+  /** TF-IDF cosine retrieval (the classic "ltc" vector-space model —
+    * Salton & Buckley 1988): document weight w_dt = (1 + ln tf)·ln(N/df),
+    * query weight w_qt = ln(N/df) (distinct query terms, qtf = 1), score
+    * = Σ w_dt·w_qt / (‖d‖·‖q‖) with ‖d‖ the L2 norm over the FULL
+    * document vector — which is what distinguishes this build from
+    * [[bm25Scores]]: cosine normalization needs idf for EVERY term in
+    * every document, i.e. the complete inverted index, not just the
+    * query slice.
+    *
+    * Scale shape (the standard distributed index build):
+    *  - postings (doc, term, tf) from one tokenize pass;
+    *  - df attached by a count-over-term WINDOW on postings — postings
+    *    is unique per (doc, term), so the window count IS the document
+    *    frequency, and the one term-keyed shuffle it costs replaces
+    *    both a separate vocabulary aggregate AND the postings↔df join
+    *    that a naive build would pay;
+    *  - document norms: one doc-keyed aggregate over weighted postings;
+    *  - scoring probes the weighted postings with the BROADCAST query
+    *    vocabulary — corpus work after the index build is proportional
+    *    to matching postings only.
+    * Documents whose every term occurs in all documents (idf 0 ⇒ zero
+    * norm) cannot be ranked by cosine and are excluded, as are queries
+    * with no corpus term. Ordering = (round(score,4) desc, id) — the
+    * engine-portable convention of [[bm25TopK]].
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+          .as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
+    val stats = toks.agg(count(lit(1)).as("n_docs"))
+    val posts = toks
+      .select(col("__id"), explode(col("__toks")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val weighted = posts.crossJoin(broadcast(stats))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+      .withColumn("w_dt", (lit(1.0) + log(col("tf").cast("double"))) * col("idf"))
+    val norms = weighted.groupBy(col("__id"))
+      .agg(sqrt(sum(col("w_dt") * col("w_dt"))).as("norm_d"))
+      .filter(col("norm_d") > 0)
+    val qterms = queries
+      .select(col("qid"),
+        explode(filter(split(lower(col("qtext")), " "), t => t =!= lit("")))
+          .as("term"))
+      .distinct()
+    val matched = weighted.join(broadcast(qterms), Seq("term"))
+    // query norms: df of each query term read off the matched slice
+    // (distinct per (qid, term) by construction of posts), tiny
+    val qnorms = matched.select(col("qid"), col("term"), col("idf")).distinct()
+      .groupBy(col("qid"))
+      .agg(sqrt(sum(col("idf") * col("idf"))).as("norm_q"))
+      .filter(col("norm_q") > 0)
+    val scored = matched
+      .groupBy(col("qid"), col("__id"))
+      .agg(sum(col("w_dt") * col("idf")).as("dot"))
+      .join(norms, Seq("__id"))
+      .join(broadcast(qnorms), Seq("qid"))
+      .withColumn("score_r",
+        roundz(col("dot") / (col("norm_d") * col("norm_q")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_r").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("__id").as(idCol), col("rank"), col("score_r"))
+  }
+
   /** Distinct-token-overlap top-k: rank documents by |Q ∩ D| (distinct
     * tokens shared with the query), ties by id. An INTEGER-keyed
     * lexical ranking — no floats anywhere, so the rank numbers are

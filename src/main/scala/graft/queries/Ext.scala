@@ -330,6 +330,20 @@ object Ext {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // TF-IDF cosine retrieval (ltc vector-space model): the third
+    // lexical leg next to BM25 (q99) and raw overlap (q100's second
+    // list). Distinguishing build step: cosine needs document L2 norms
+    // over the FULL vocabulary, so the complete inverted index is
+    // weighted (df via ONE count-over-term window on postings — no
+    // vocabulary join) before the broadcast query probe. All math is
+    // ln/×/÷ over integers in a mirrored op order → full DuckDB
+    // recompute, rounded-rank ordering as in q99.
+    "q173_tfidf_cosine" -> ((s, d) => {
+      val qs = retrievalQueries(s)
+      Retrieval.tfidfTopK(table(s, d, "documents"), "doc_id", "text", qs, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Blocked fuzzy match (entity resolution): all row pairs within a
     // blocking key (first name token) scored by edit distance ≤ 3,
     // aggregated per block. Two scale moves, both standard:
@@ -805,6 +819,58 @@ object Ext {
          WHERE rank <= 10)"""
   }
 
+  /** TF-IDF (ltc) cosine top-10 fully recomputed in DuckDB — mirrors
+    * `Retrieval.tfidfTopK` stage by stage (postings → window df →
+    * weights → norms → broadcast probe → rounded rank). Same DOUBLE
+    * casts as [[bm25TopKSql]].
+    */
+  private val tfidfTopKSql: String = {
+    val queryValues = retrievalQuerySet
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH qs(qid, qtext) AS (VALUES $queryValues),
+       toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         FROM documents WHERE text IS NOT NULL),
+       toks2 AS (SELECT * FROM toks WHERE len(tk) > 0),
+       stats AS (SELECT COUNT(*) AS n_docs FROM toks2),
+       post AS (
+         SELECT doc_id, term, COUNT(*) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM toks2)
+         GROUP BY doc_id, term),
+       postd AS (
+         SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM post),
+       wtd AS (
+         SELECT doc_id, term, tf, df,
+           ln(CAST(n_docs AS DOUBLE) / df) AS idf,
+           (CAST(1.0 AS DOUBLE) + ln(CAST(tf AS DOUBLE)))
+             * ln(CAST(n_docs AS DOUBLE) / df) AS w_dt
+         FROM postd CROSS JOIN stats),
+       norms AS (
+         SELECT doc_id, sqrt(sum(w_dt * w_dt)) AS norm_d FROM wtd
+         GROUP BY doc_id HAVING sqrt(sum(w_dt * w_dt)) > 0),
+       qt AS (SELECT DISTINCT qid, term FROM (
+           SELECT qid, unnest(list_filter(string_split(lower(qtext), ' '),
+                                          t -> t <> '')) AS term FROM qs)),
+       m AS (SELECT qt.qid, w.* FROM wtd w JOIN qt ON w.term = qt.term),
+       qn AS (
+         SELECT qid, sqrt(sum(idf * idf)) AS norm_q FROM (
+           SELECT DISTINCT qid, term, idf FROM m)
+         GROUP BY qid HAVING sqrt(sum(idf * idf)) > 0),
+       sc AS (SELECT qid, doc_id, sum(w_dt * idf) AS dot
+              FROM m GROUP BY qid, doc_id),
+       tfidf AS (
+         SELECT qid, doc_id, rank, score_r FROM (
+           SELECT s.qid, s.doc_id,
+             row_number() OVER (PARTITION BY s.qid
+               ORDER BY round(s.dot / (n.norm_d * q.norm_q), 4) DESC,
+                        s.doc_id) AS rank,
+             round(s.dot / (n.norm_d * q.norm_q), 4) + 0.0 AS score_r
+           FROM sc s JOIN norms n ON s.doc_id = n.doc_id
+                     JOIN qn q ON s.qid = q.qid)
+         WHERE rank <= 10)"""
+  }
+
   /** The exact-cosine pair count CTE chain shared by q39/q69/q97 —
     * q97's oracle re-derives the baseline pair count independently.
     */
@@ -968,6 +1034,12 @@ object Ext {
       (bm25TopKSql +
         """
          SELECT qid, doc_id, rank, score_r FROM bm ORDER BY qid, rank"""),
+    // full TF-IDF cosine recompute: inverted index with window df,
+    // ltc weights, L2 norms, broadcast probe, rounded rank
+    "q173_tfidf_cosine" ->
+      (tfidfTopKSql +
+        """
+         SELECT qid, doc_id, rank, score_r FROM tfidf ORDER BY qid, rank"""),
     // BM25 ∪ token-overlap fused by RRF; ranks are integers and each
     // RRF term is one IEEE division, so the fused score is recomputed
     // bit-identically

@@ -114,6 +114,57 @@ object Text {
         .orderBy(col("source"))
     }),
 
+    // Skip-gram co-occurrence + PMI (word2vec/GloVe preprocessing —
+    // Mikolov et al. 2013): unordered token pairs within a ±2 window,
+    // canonicalized (least, greatest) so both directions accumulate in
+    // one cell. The pair list is built per document by indexed-lambda
+    // transforms over BOTH offsets in ONE projection (flatten of two
+    // transforms — the corpus is scanned once and tokens never explode
+    // to a positions join, which is the naive quadratic-shuffle
+    // spelling); only the canonical-pair aggregate shuffles, and its
+    // key space is the vocabulary², map-side combined. Marginals come
+    // from re-keying the PAIR COUNTS (each pair feeds both members),
+    // so Σmarg = 2T exactly; PMI = ln(4·cnt·T / (m_a·m_b)) — integer
+    // products, one division, one ln: engine-identical floats (the
+    // exact-product spelling; a 100 TB run rewrites it in log domain
+    // against the same counts to dodge bigint overflow). Top-25 pairs
+    // by (cnt desc, pair) keep the output stable.
+    "q174_skipgram_pmi" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(filter(tokens(col("text")), t => t =!= lit("")).as("tk"))
+        .filter(size(col("tk")) > 1)
+      def pairsAt(o: Int) =
+        transform(sequence(lit(1), greatest(size(col("tk")) - o, lit(1))),
+          i => when(i + o <= size(col("tk")),
+            struct(
+              least(element_at(col("tk"), i), element_at(col("tk"), i + o))
+                .as("a"),
+              greatest(element_at(col("tk"), i), element_at(col("tk"), i + o))
+                .as("b")))
+            .otherwise(lit(null)))
+      val pc = base
+        .select(explode(flatten(array(pairsAt(1), pairsAt(2)))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val marg = pc.select(col("a").as("tok"), col("cnt"))
+        .unionByName(pc.select(col("b").as("tok"), col("cnt")))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("mc"))
+      val tot = pc.agg(sum(col("cnt")).as("tp"))
+      // top-N via TakeOrdered under a total order (the q159 pattern —
+      // no global-window single-partition pass over vocab² pairs)
+      pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(25)
+        .join(marg.withColumnRenamed("tok", "a")
+          .withColumnRenamed("mc", "ma"), Seq("a"))
+        .join(marg.withColumnRenamed("tok", "b")
+          .withColumnRenamed("mc", "mb"), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("cnt"),
+          roundz(log(lit(4) * col("cnt") * col("tp") / (col("ma") * col("mb"))), 6)
+            .as("pmi6"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Token↔language association by pointwise mutual information —
     // the feature-selection diagnostic that surfaces lang-discriminative
     // tokens (and leaked boilerplate) in a multilingual corpus. Document
@@ -352,6 +403,31 @@ object Text {
          SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair LIMIT 30""",
+    // skip-gram pairs rebuilt with lateral generate_series per offset,
+    // same canonicalization/marginals/PMI op order as the Spark plan
+    "q174_skipgram_pmi" ->
+      """WITH d AS (
+           SELECT list_filter(string_split(lower(text), ' '),
+                              t -> t <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         d2 AS (SELECT tk FROM d WHERE len(tk) > 1),
+         pr AS (
+           SELECT least(tk[i], tk[i + o.o]) AS a,
+                  greatest(tk[i], tk[i + o.o]) AS b
+           FROM d2, (VALUES (1), (2)) AS o(o),
+                unnest(range(1, len(tk) - o.o + 1)) AS g(i)),
+         pc AS (SELECT a, b, COUNT(*) AS cnt FROM pr GROUP BY 1, 2),
+         m AS (SELECT tok, SUM(cnt) AS mc FROM (
+             SELECT a AS tok, cnt FROM pc
+             UNION ALL SELECT b AS tok, cnt FROM pc)
+           GROUP BY tok),
+         t AS (SELECT SUM(cnt) AS tp FROM pc),
+         top AS (SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 25)
+         SELECT top.a, top.b, top.cnt,
+           round(ln(4 * top.cnt * t.tp / (ma.mc * mb.mc)), 6) + 0.0 AS pmi6
+         FROM top JOIN m ma ON top.a = ma.tok
+                  JOIN m mb ON top.b = mb.tok CROSS JOIN t
+         ORDER BY a, b""",
     // presence counts via per-doc list_distinct; PMI spelled with the
     // same (k·N)/(ktot·n_l) op order so the single division and ln
     // land on identical floats

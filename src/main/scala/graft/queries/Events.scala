@@ -366,6 +366,39 @@ object Events {
           graft.Graft.roundz(abs(col("n") - col("med")), 6).as("dev6"),
           (abs(col("n") - col("med")) > col("mad") * 3).as("is_anomaly"))
         .orderBy(col("day"))
+    }),
+
+    // Exponentially-weighted moving average of daily event rates per
+    // type (α = 0.25 — an exact binary float, so every step is
+    // bit-portable): e₁ = x₁, eₜ = α·xₜ + (1−α)·eₜ₋₁ over OBSERVED days
+    // in chronological order (gap-fill is q116's job; composing them
+    // densifies first). The recurrence is inherently sequential per
+    // key, so it runs as ONE doc-keyed fold: daily rollup (the only
+    // real shuffle, map-side combined), collect+sort the per-type day
+    // series — bounded by the calendar, ~365 rows/key/year, NOT by
+    // event volume — then an indexed-lambda fold emits the whole
+    // smoothed series in one pass. DuckDB replays it as a recursive
+    // CTE stepping rank-by-rank; identical op order → identical floats.
+    "q175_ewma_rate" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val folded = daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"))
+        .select(col("event_type"),
+          explode(aggregate(col("xs"),
+            array().cast("array<struct<day:bigint,n:bigint,e:double>>"),
+            (acc, x) => concat(acc, array(struct(
+              x.getField("day").as("day"), x.getField("n").as("n"),
+              when(size(acc) === 0, x.getField("n").cast("double"))
+                .otherwise(lit(0.25) * x.getField("n") +
+                  lit(0.75) * element_at(acc, -1).getField("e")).as("e"))))))
+            .as("r"))
+      folded.select(col("event_type"), col("r.day").as("day"),
+          col("r.n").as("n"), graft.Graft.roundz(col("r.e"), 6).as("ewma6"))
+        .orderBy(col("event_type"), col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +581,31 @@ object Events {
          ORDER BY item_a, item_b""",
     // identical day rollup + interpolated medians (quantile_cont ≡
     // Spark percentile) + the same 3·MAD rule
+    // the EWMA recurrence replayed rank-by-rank as a recursive CTE;
+    // α spelled CAST(0.25 AS DOUBLE) so DuckDB's decimal literals
+    // don't change the arithmetic type
+    "q175_ewma_rate" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rk
+           FROM daily),
+         e AS (
+           SELECT event_type, day, n, rk, CAST(n AS DOUBLE) AS ew
+           FROM r WHERE rk = 1
+           UNION ALL
+           SELECT r.event_type, r.day, r.n, r.rk,
+             CAST(0.25 AS DOUBLE) * r.n + CAST(0.75 AS DOUBLE) * e.ew
+           FROM r JOIN e ON r.event_type = e.event_type
+                        AND r.rk = e.rk + 1)
+         SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           round(ew, 6) + 0.0 AS ewma6
+         FROM e ORDER BY event_type, day""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

@@ -717,4 +717,72 @@ object Corpus {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topN)
   }
+
+  /** One left-to-right, non-overlapping BPE merge pass over a symbol
+    * array: every adjacent (a, b) becomes the single symbol a+b, and a
+    * freshly merged symbol is NOT re-matched as the left side of the
+    * same pass ("l l l" → ["ll", "l"], the Sennrich 2016 semantics).
+    * A pure indexed fold — narrow, no shuffle.
+    */
+  def applyBpeMerge(toks: Column, a: String, b: String): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `k` BPE merges from a counted vocabulary (w, wc) — the
+    * distributed form of byte-pair-encoding training: after ONE corpus
+    * word-count pass (the caller's [[bpePairCounts]]-style aggregate),
+    * every training iteration touches only the DISTINCT-word vocab,
+    * which is bounded by language, not corpus size (~10⁶ rows at any
+    * scale — this is why production BPE trainers count words first).
+    * Per round: adjacent-pair counts weighted by wc (one tiny
+    * aggregate), argmax under the total order (count desc, pair), one
+    * [[applyBpeMerge]] map. State is localCheckpoint'ed per round (the
+    * q69 connected-components discipline) so round r's plan does not
+    * replay rounds 1..r−1; the argmax is a 1-row collect — bounded
+    * driver material, the PQ-codebook/k-means precedent.
+    */
+  def bpeLearn(vocab: DataFrame, wCol: String, wcCol: String,
+               k: Int): Seq[(String, String)] = {
+    var state = vocab
+      .select(col(wcCol).as("__wc"), split(col(wCol), "").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to k) {
+      val best = state
+        .filter(size(col("__toks")) >= 2)
+        .select(col("__wc"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("a"),
+              element_at(col("__toks"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("__wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        state = state
+          .withColumn("__toks", applyBpeMerge(col("__toks"), a, b))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply a learned merge list to a word column: chars → fold each
+    * merge in priority order (one [[applyBpeMerge]] pass per merge —
+    * the standard apply algorithm). Pure per-row projection: zero
+    * shuffle, a map fused into whatever scan feeds it; at 100 TB the
+    * encode of a corpus is exactly this expression over the document
+    * scan (or over the distinct-word vocab + a re-join, when words
+    * repeat enough to amortize).
+    */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(words, "")) {
+      case (toks, (a, b)) => applyBpeMerge(toks, a, b)
+    }
 }

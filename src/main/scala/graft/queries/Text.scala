@@ -247,6 +247,41 @@ object Text {
     "q159_bpe_pair_counts" -> ((s, d) =>
       graft.ext.Corpus.bpePairCounts(docs(s, d), "text", topN = 30)),
 
+    // BPE training + encoding end-to-end (graft.ext.Corpus.bpeLearn /
+    // bpeEncode): 6 merges learned over the counted distinct-word
+    // vocabulary (each round = one tiny vocab aggregate + argmax under
+    // the (count desc, pair) total order, state localCheckpoint'ed —
+    // q159 is exactly round 1's count table), then the top-30 words
+    // encoded by folding the merge list (a pure narrow projection).
+    // CONTRACT-ORACLE form: tokenizations of a LEARNED merge list are
+    // not SQL-recomputable, so DuckDB independently re-derives the
+    // deterministic columns (top-30 words, counts, char lengths, and
+    // merge #1 = the q159 argmax) and pins the encode invariants that
+    // any BPE bug breaks: concat(tokens) == word (roundtrip),
+    // 1 ≤ n_tokens ≤ n_chars, and every multi-char token ∈ the learned
+    // merge products. Exact merges/encodings pinned in CorpusSpec.
+    "q176_bpe_encode" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(filter(tokens(col("text")), t => t =!= lit("")))
+          .as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val merges = graft.ext.Corpus.bpeLearn(vocab, "w", "wc", k = 6)
+      val prods = merges.map { case (a, b) => a + b }
+      val merge1 = if (merges.isEmpty) "" else prods.head
+      val enc = vocab.orderBy(col("wc").desc, col("w")).limit(30)
+        .withColumn("toks", graft.ext.Corpus.bpeEncode(col("w"), merges))
+      enc.select(col("w"), col("wc"),
+          length(col("w")).cast("long").as("n_chars"),
+          lit(merge1).as("merge1"),
+          (concat_ws("", col("toks")) === col("w")).as("roundtrip_ok"),
+          (size(col("toks")) >= 1 &&
+            size(col("toks")) <= length(col("w"))).as("token_count_ok"),
+          (size(filter(col("toks"),
+            t => length(t) === 1 || t.isin(prods: _*))) ===
+            size(col("toks"))).as("vocab_ok"))
+        .orderBy(col("w"))
+    }),
+
     "q33_fingerprint" -> ((s, d) => {
       docs(s, d)
         .select(col("doc_id"),
@@ -403,6 +438,29 @@ object Text {
          SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair LIMIT 30""",
+    // deterministic columns recomputed (top-30 vocab, counts, lengths,
+    // merge #1 = q159's argmax); learned-tokenization invariants pinned
+    // as contract booleans (see the query comment)
+    "q176_bpe_encode" ->
+      """WITH v AS (
+           SELECT w, COUNT(*) AS wc FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS w
+             FROM documents) t
+           GROUP BY w),
+         p AS (
+           SELECT substr(v.w, CAST(u.i AS INT), 2) AS pair, v.wc
+           FROM v, unnest(range(1, len(v.w))) AS u(i)
+           WHERE len(v.w) >= 2),
+         m1 AS (
+           SELECT pair FROM (
+             SELECT pair, SUM(wc) AS c FROM p GROUP BY pair)
+           ORDER BY c DESC, pair LIMIT 1),
+         top AS (SELECT w, wc FROM v ORDER BY wc DESC, w LIMIT 30)
+         SELECT w, wc, CAST(len(w) AS BIGINT) AS n_chars,
+           (SELECT pair FROM m1) AS merge1,
+           TRUE AS roundtrip_ok, TRUE AS token_count_ok, TRUE AS vocab_ok
+         FROM top ORDER BY w""",
     // skip-gram pairs rebuilt with lateral generate_series per offset,
     // same canonicalization/marginals/PMI op order as the Spark plan
     "q174_skipgram_pmi" ->

@@ -464,4 +464,30 @@ class CorpusSpec extends SparkSpec {
       "<fim_prefix> t1 t2 t3 t4 <fim_suffix> t9 t10 t11 t12" +
         " <fim_middle> t5 t6 t7 t8")
   }
+
+  test("bpeLearn/bpeEncode: Sennrich fixture — exact merges and encodings") {
+    // hand-derivation: r1 ties (e,s)=9=(s,t) → pair-asc picks (e,s);
+    // r2 (es,t)=9; r3 ties (l,o)=7=(o,w) → (l,o); r4 (lo,w)=7;
+    // r5 ties at 6 → (e,w); r6 ties (ew,est)=6=(n,ew) → (ew,est)
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "wc")
+    val merges = Corpus.bpeLearn(vocab, "w", "wc", k = 6)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w"), ("ew", "est")))
+    val enc = vocab
+      .select(col("w"), Corpus.bpeEncode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(enc("low") == List("low"))
+    assert(enc("lower") == List("low", "e", "r"))
+    assert(enc("newest") == List("n", "ewest"))
+    assert(enc("widest") == List("w", "i", "d", "est"))
+  }
+
+  test("applyBpeMerge: left-to-right non-overlapping — lll → [ll, l]") {
+    val got = Seq("lll").toDF("w")
+      .select(Corpus.applyBpeMerge(split(col("w"), ""), "l", "l").as("t"))
+      .collect()(0).getSeq[String](0).toList
+    assert(got == List("ll", "l"))
+  }
 }

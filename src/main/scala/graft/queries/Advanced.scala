@@ -723,6 +723,27 @@ object Advanced {
         ORDER BY lang""")
     }),
 
+    // SQL pipe syntax (Spark 4.0+, SQL:2023-adjacent `|>` operators) —
+    // the second SQL-only front door next to q90: the same engine
+    // surface driven through piped FROM/WHERE/EXTEND/AGGREGATE/ORDER
+    // stages. Catalyst compiles pipes to the identical logical plan as
+    // the nested-SELECT spelling (filter still pushes to the scan), so
+    // the oracle is plain ANSI SQL. Money stays in integer cents (the
+    // q01 convention) — sums are exact and order-independent.
+    "q177_pipe_syntax" -> ((s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("g_lineitem_pipe")
+      s.sql("""
+        FROM g_lineitem_pipe
+        |> WHERE l_quantity >= 45
+        |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT) AS net_cents
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty,
+             CAST(SUM(net_cents) AS BIGINT) AS net_cents_sum
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag""")
+    }),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup, §2.13): per-order
     // reconciliation of the order header against its lineitems with
     // arbitrary per-key Scala logic — the typed escape hatch when a
@@ -1221,6 +1242,14 @@ object Advanced {
     // nfc_normalize is DuckDB's spelling of graft_normalize; floor()
     // before the BIGINT cast on both sides (DuckDB's double->int cast
     // rounds, Spark's truncates)
+    // the piped plan re-spelled as plain ANSI SQL — same cents math
+    "q177_pipe_syntax" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS net_cents_sum
+         FROM lineitem WHERE l_quantity >= 45
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q90_sql_gateway" ->
       """SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(CASE WHEN length(nfc_normalize(text)) = length(text)

@@ -352,6 +352,46 @@ object Sources {
             sum(length(col("text"))).cast("long").as("text_len"))
           .orderBy(col("lang")))
       } finally deleteRecursively(stage)
+    }),
+
+    // State Data Source reader (Spark 4 `format("statestore")`): the
+    // operational window into a live streaming checkpoint — debugging
+    // skewed keys, auditing state size, seeding a migration — read as
+    // a plain batch DataFrame. The rig runs a streaming two-aggregate
+    // rollup (count + integer-cents sum per event_type) to completion
+    // under AvailableNow, then reads the aggregation operator's state
+    // OFF THE CHECKPOINT (not the sink!) and compares it to the batch
+    // recompute: a state row that drifted from its emitted result —
+    // the bug class this surface exists to catch — flips the row red.
+    // State is O(|keys|); the reader scans one store shard per
+    // partition, so the audit parallelizes like any other scan.
+    "q178_state_reader" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "ssr_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = Files.createTempDirectory("graft_ssr_")
+      val ckpt = Files.createTempDirectory("graft_ssr_ck_")
+      try {
+        Files.copy(Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        val q = s.readStream.schema(schema).parquet(stage.toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.catalog.dropTempView(name)
+        materialize(s, "q178_state_reader",
+          s.read.format("statestore").option("path", ckpt.toString).load()
+            .select(col("key.event_type").as("event_type"),
+              col("value.count").as("n"), col("value.sum").as("cents"))
+            .orderBy(col("event_type")))
+      } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
     }))
 
 
@@ -428,5 +468,10 @@ object Sources {
          FROM documents WHERE doc_id % 10 = 0 GROUP BY lang
          UNION ALL SELECT 'xx', 1, 42,
            len('line1' || chr(10) || 'line2, with "quotes"')
-         ORDER BY lang""")
+         ORDER BY lang""",
+    // the checkpoint's aggregation state must equal the batch rollup
+    "q178_state_reader" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

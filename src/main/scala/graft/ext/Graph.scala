@@ -83,4 +83,32 @@ object Graph {
       .groupBy(col("src_node").as("src"), col("dst_node").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  /** Exact per-node triangle counts over an undirected edge list — the
+    * clustering/community-density signal (spam farms are triangle-poor,
+    * organic link neighborhoods triangle-rich). Edges canonicalize to
+    * (a < b) and dedup first, so the enumeration is the standard
+    * ordered-wedge plan: E ⋈ E on the middle vertex yields wedges
+    * x < y < z (the ordering is FREE because both joined copies are
+    * already a < b — each triangle forms exactly one ordered wedge),
+    * then one equi-join against E on (x, z) closes them. Two shuffles
+    * total, both O(|wedges|); no node ever compares against the whole
+    * graph. At production scale the well-known refinement is degree
+    * orientation (point each edge at the higher-degree endpoint) which
+    * bounds wedge fanout by arboricity — same plan shape, one extra
+    * degree join — worth it once hub nodes appear; the id-ordered form
+    * keeps the enumeration deterministic and oracle-portable here.
+    * Returns (node, n_triangles), nodes in ≥1 triangle only.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val tris = e.toDF("x", "y").join(e.toDF("y", "z"), Seq("y"))
+      .join(e.toDF("x", "z"), Seq("x", "z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

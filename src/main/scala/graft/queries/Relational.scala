@@ -322,6 +322,36 @@ object Relational {
           substring(col("p_type"), 1, 5).as("type5"),
           concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // Exact triangle counting (graft.ext.Graph.triangleCounts) over the
+    // supplier co-purchase graph: suppliers are adjacent when their
+    // common-customer count clears a RELATIVE threshold (≥ 1.1× the
+    // mean pair count — scale-free, unlike an absolute cut that breaks
+    // across SFs; the mean rides in-plan as a one-row broadcast, the
+    // q46 scalar-subquery class). The bipartite projection fans out per
+    // customer by their distinct-supplier basket (the q121/q166 bound),
+    // and the triangle enumeration is two wedge-bounded equi-joins —
+    // see triangleCounts' scaladoc for the degree-orientation variant
+    // hub-heavy graphs want. Output: per-node counts + a −1 total row
+    // (Σ node counts = 3·triangles, checked exactly).
+    "q179_triangle_count" -> ((s, d) => {
+      val bask = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
+        .distinct()
+      val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+      val thr = pairs.agg(avg(col("nc")).as("m"))
+      val edges = pairs.crossJoin(broadcast(thr))
+        .filter(col("nc") >= lit(1.1) * col("m"))
+      val tc = graft.ext.Graph.triangleCounts(edges, "sa", "sb")
+      val total = tc.agg(lit(-1L).as("node"),
+        (sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+      tc.unionByName(total).orderBy(col("node"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +519,32 @@ object Relational {
          substring(p_type, 1, 5) AS type5,
          p_brand || '#' || p_type AS brand_type
          FROM part WHERE p_name LIKE '%a%' AND p_size >= 40
-         ORDER BY p_partkey""")
+         ORDER BY p_partkey""",
+    // full triangle recompute: projection, relative threshold, ordered
+    // wedges, closing join, per-node rollup + exact total row
+    "q179_triangle_count" ->
+      """WITH bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT avg(nc) AS m FROM p),
+         e AS (SELECT sa AS a, sb AS b FROM p, st
+               WHERE nc >= CAST(1.1 AS DOUBLE) * m),
+         t AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (
+           SELECT node, COUNT(*) AS cnt FROM (
+             SELECT x AS node FROM t
+             UNION ALL SELECT y FROM t
+             UNION ALL SELECT z FROM t)
+           GROUP BY node)
+         SELECT node, CAST(cnt AS BIGINT) AS n_triangles FROM n
+         UNION ALL
+         SELECT -1, CAST((SELECT SUM(cnt) FROM n) / 3 AS BIGINT)
+         ORDER BY node""")
 }

@@ -173,7 +173,17 @@ class PlanSpec extends SparkSpec {
       // q156: bounded broadcast query set × corpus with a non-equi
       // label-mismatch predicate — q40's deliberate broadcast-NL class;
       // at scale the corpus side is an ANN shortlist, not a full scan
-      "q156_hard_negatives")
+      "q156_hard_negatives",
+      // q173: corpus doc count N is ONE broadcast row cross-joined
+      // onto postings (q46's scalar class); postings/df/norm/probe
+      // joins are all keyed (term / doc / qid)
+      "q173_tfidf_cosine",
+      // q174: the pair total T is ONE broadcast row onto the top-25
+      // slice (q46's scalar class); marginal joins are keyed on token
+      "q174_skipgram_pmi",
+      // q179: the mean pair count is ONE broadcast row onto the pair
+      // relation (q46's scalar class); wedge/closing joins are keyed
+      "q179_triangle_count")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

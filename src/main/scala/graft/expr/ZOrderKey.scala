@@ -45,18 +45,26 @@ case class ZOrderKey(left: Expression, right: Expression, bits: Int = 16)
     z
   }
 
+  // NOTE: no parenthesized arithmetic directly after `<<` — Janino
+  // misparses `x << (2 * i)` as a cast ("expression is not a type")
+  // and the whole projection silently falls back to interpreted eval;
+  // the shift amount therefore lives in its own local.
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val i = ctx.freshName("i")
+      val sh = ctx.freshName("sh")
       s"""
          |long $x = $a & ${mask}L;
          |long $y = $b & ${mask}L;
          |long ${ev.value}_acc = 0L;
+         |int $sh = 0;
          |for (int $i = 0; $i < $bits; $i++) {
-         |  ${ev.value}_acc |= (($x >> $i) & 1L) << (2 * $i)
-         |      | (($y >> $i) & 1L) << (2 * $i + 1);
+         |  ${ev.value}_acc |= (($x >> $i) & 1L) << $sh;
+         |  $sh++;
+         |  ${ev.value}_acc |= (($y >> $i) & 1L) << $sh;
+         |  $sh++;
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin

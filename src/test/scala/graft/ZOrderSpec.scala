@@ -54,6 +54,23 @@ class ZOrderSpec extends SparkSpec {
     df.foreach(r => assert(r.getLong(2) == zref(r.getLong(0), r.getLong(1), 16)))
   }
 
+  test("codegen COMPILES — no silent interpreted fallback (Janino shift-paren regression)") {
+    // Janino misparses `x << (2 * i)` as a cast; Spark then silently
+    // falls back to interpreted eval, so a value test alone can't catch
+    // it. CODEGEN_ONLY makes the compile failure fatal.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      graft.expr.GraftFunctions.register(spark)
+      val got = Seq((5L, 3L)).toDF("x", "y")
+        .selectExpr("graft_zorder(x, y) AS z").as[Long].collect()
+      assert(got.head == 27L)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("locality: nearby (x,y) cells share high-order zkey prefixes") {
     // points inside one 256x256 tile agree on the top 16 of 32 bits
     val tile = for (dx <- 0 to 255 by 51; dy <- 0 to 255 by 51)

@@ -326,15 +326,18 @@ object Relational {
 
     // Exact triangle counting (graft.ext.Graph.triangleCounts) over the
     // supplier co-purchase graph: suppliers are adjacent when their
-    // common-customer count clears a RELATIVE threshold (≥ 1.1× the
-    // mean pair count — scale-free, unlike an absolute cut that breaks
-    // across SFs; the mean rides in-plan as a one-row broadcast, the
-    // q46 scalar-subquery class). The bipartite projection fans out per
-    // customer by their distinct-supplier basket (the q121/q166 bound),
-    // and the triangle enumeration is two wedge-bounded equi-joins —
-    // see triangleCounts' scaladoc for the degree-orientation variant
-    // hub-heavy graphs want. Output: per-node counts + a −1 total row
-    // (Σ node counts = 3·triangles, checked exactly).
+    // common-customer count clears the p95 of all pair counts — a
+    // DENSITY threshold, not an absolute one, so the edge set stays
+    // ~5% of pairs at every SF (a mean-relative cut left the graph 31%
+    // dense at sf0.1 and the wedge join quadratic in it — profiled
+    // 11.6 s; p95 holds it at 1.2 s). percentile ≡ quantile_cont
+    // (q169's parity), and the threshold rides in-plan as a one-row
+    // broadcast (q46's scalar class). The bipartite projection fans
+    // out per customer by their distinct-supplier basket (the
+    // q121/q166 bound); the enumeration is two wedge-bounded
+    // equi-joins — see triangleCounts' scaladoc for the
+    // degree-orientation refinement hub-heavy graphs want. Output:
+    // per-node counts + a −1 total row (Σ = 3·triangles, exact).
     "q179_triangle_count" -> ((s, d) => {
       val bask = table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -345,9 +348,9 @@ object Relational {
       val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
         .filter(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
-      val thr = pairs.agg(avg(col("nc")).as("m"))
+      val thr = pairs.agg(expr("percentile(nc, 0.95D)").as("m"))
       val edges = pairs.crossJoin(broadcast(thr))
-        .filter(col("nc") >= lit(1.1) * col("m"))
+        .filter(col("nc") >= col("m"))
       val tc = graft.ext.Graph.triangleCounts(edges, "sa", "sb")
       val total = tc.agg(lit(-1L).as("node"),
         (sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
@@ -530,9 +533,8 @@ object Relational {
            SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
            FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
            GROUP BY 1, 2),
-         st AS (SELECT avg(nc) AS m FROM p),
-         e AS (SELECT sa AS a, sb AS b FROM p, st
-               WHERE nc >= CAST(1.1 AS DOUBLE) * m),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p),
+         e AS (SELECT sa AS a, sb AS b FROM p, st WHERE nc >= m),
          t AS (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM e e1 JOIN e e2 ON e1.b = e2.a

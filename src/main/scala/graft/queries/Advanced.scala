@@ -776,6 +776,38 @@ object Advanced {
         .orderBy(col("k"))
     }),
 
+    // Typed flatMapGroups (§2.13 — the PLAIN per-group escape hatch
+    // next to q93's cogroup and the stateful streaming processors):
+    // longest consecutive-day activity streak per user, computed by an
+    // arbitrary Scala fold over the user's sorted day set. ONE
+    // co-partitioning shuffle on the key — identical cost shape to an
+    // aggregate — and each group materializes only its DISTINCT days
+    // (bounded by the calendar, the q175 bound), never raw events.
+    // Earliest longest streak wins ties (strict > in the fold). Oracle
+    // = the classic gaps-and-islands reconstruction.
+    "q180_flatmap_streak" -> ((s, d) => {
+      import s.implicits._
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct().as[(Long, Long)]
+      days.groupByKey(_._1).flatMapGroups { (uid, it) =>
+        val ds = it.map(_._2).toArray.sorted
+        var best = 1L; var bestStart = ds(0)
+        var cur = 1L; var curStart = ds(0)
+        var i = 1
+        while (i < ds.length) {
+          if (ds(i) == ds(i - 1) + 1) cur += 1
+          else { cur = 1; curStart = ds(i) }
+          if (cur > best) { best = cur; bestStart = curStart }
+          i += 1
+        }
+        Iterator((uid, ds.length.toLong, best, bestStart))
+      }.toDF("user_id", "n_active_days", "longest_streak",
+          "streak_start_day")
+        .orderBy(col("user_id"))
+    }),
+
     // SCD Type-2 (history-preserving dimension upsert): customers as a
     // versioned dimension at version 1; a deterministic update feed
     // (custkey%7==2 moves segment, %31==0 key-shifted rows are brand-new
@@ -1242,6 +1274,33 @@ object Advanced {
     // nfc_normalize is DuckDB's spelling of graft_normalize; floor()
     // before the BIGINT cast on both sides (DuckDB's double->int cast
     // rounds, Spark's truncates)
+    // gaps-and-islands: day − row_number is constant within a
+    // consecutive run; earliest longest run wins via (len DESC, start)
+    "q180_flatmap_streak" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+           FROM events),
+         g AS (
+           SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM days),
+         runs AS (
+           SELECT user_id, COUNT(*) AS len, MIN(day) AS start
+           FROM g GROUP BY user_id, grp),
+         best AS (
+           SELECT user_id, len, start,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, start) AS rk
+           FROM runs),
+         act AS (
+           SELECT user_id, COUNT(*) AS n_active_days FROM days GROUP BY 1)
+         SELECT b.user_id, a.n_active_days,
+           CAST(b.len AS BIGINT) AS longest_streak,
+           b.start AS streak_start_day
+         FROM best b JOIN act a USING (user_id)
+         WHERE b.rk = 1 ORDER BY b.user_id""",
     // the piped plan re-spelled as plain ANSI SQL — same cents math
     "q177_pipe_syntax" ->
       """SELECT l_returnflag, COUNT(*) AS n,

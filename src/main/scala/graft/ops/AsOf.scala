@@ -55,6 +55,55 @@ object AsOf {
       .select((leftCols ++ vcs.map(_._2)).map(col): _*)
   }
 
+  /** FORWARD as-of with tolerance: for each left row, the EARLIEST
+    * right row with `right.timeCol >= left.timeCol` and equal key,
+    * dropped (nulls) when it lies more than `toleranceUs` time units
+    * ahead — the "next event within a horizon" attribution primitive
+    * (pandas `merge_asof(direction='forward', tolerance=...)`). Same
+    * single union+exchange plan as [[asofJoin]], traversed in
+    * DESCENDING time so the carried right row is the nearest future
+    * one; ties on time break by larger `rightTieCol` (the backward
+    * variant's rule). The matched right TIME is always carried too, so
+    * the tolerance gate is one residual projection — no second join.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, tieCol: String, rightTieCol: String,
+                      valueCols: Map[String, String],
+                      toleranceUs: Long): DataFrame = {
+    val leftTagged = left.withColumn("_side", lit(1))
+      .withColumn("_tie", col(tieCol))
+    val rightTagged = right.withColumn("_side", lit(0))
+      .withColumn("_tie", col(rightTieCol))
+    val leftCols = left.columns.toSeq
+    val vcs = valueCols.toSeq
+    val allValueSrc = vcs.map(_._1)
+    val l2 = allValueSrc.foldLeft(leftTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val r2 = leftCols.foldLeft(rightTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val cols = leftCols ++ allValueSrc ++ Seq("_side", "_tie")
+    val unioned = l2.select(cols.map(col): _*)
+      .unionByName(r2.select(cols.map(col): _*))
+    // DESC traversal; at equal time right rows (side 0) come first so
+    // a same-instant right IS visible; larger right tie traversed last
+    // → last() picks it, mirroring the backward rule.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRt = unioned.withColumn("_rt",
+      last(when(col("_side") === 0, col(timeCol)), ignoreNulls = true).over(w))
+    val carried = vcs.foldLeft(withRt) { case (df, (src, dst)) =>
+      df.withColumn(dst,
+        last(when(col("_side") === 0, col(src)), ignoreNulls = true).over(w))
+    }
+    val inTol = col("_rt").isNotNull &&
+      (col("_rt") - col(timeCol)) <= toleranceUs
+    carried.filter(col("_side") === 1)
+      .select((leftCols.map(col) ++
+        vcs.map { case (_, dst) => when(inTol, col(dst)).otherwise(lit(null)).as(dst) } ++
+        Seq(when(inTol, col("_rt")).otherwise(lit(null)).as("_asof_time"))): _*)
+  }
+
   /** [[asofJoin]] on the native merge-scan operator
     * (graft.plans.AsOfJoin): same single co-partitioning exchange, but
     * O(1) state per partition instead of the union+window's last_value

@@ -73,6 +73,28 @@ object Advanced {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of with tolerance (AsOf.asofJoinForward): each
+    // purchase attributed to the user's NEXT error within 1 hour —
+    // pandas merge_asof(direction='forward', tolerance=1h) semantics,
+    // the post-event attribution q27/q130 can't spell (their carry
+    // looks backward). Same single union+exchange plan traversed in
+    // descending time; the tolerance gate is a residual projection on
+    // the carried match time, not a second join.
+    "q181_asof_forward" -> ((s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("us"))
+      AsOf.asofJoinForward(purchases, errors, keyCol = "user_id",
+          timeCol = "us", tieCol = "event_id", rightTieCol = "err_id",
+          valueCols = Map("err_id" -> "next_err_id"),
+          toleranceUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("next_err_id"),
+          (col("_asof_time") - col("us")).as("lag_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Band/range join: lineitem prices against a broadcast band dim.
     "q28_range_join" -> ((s, d) => {
       import s.implicits._
@@ -1375,6 +1397,32 @@ object Advanced {
          TRUE AS merged_ok, TRUE AS global_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q27_asof_join" -> AsofOracleSql,
+    // the forward traversal: DESC window, same side/tie rule, the
+    // 1-hour tolerance as a residual CASE on the carried match time
+    "q181_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS us FROM events),
+         u AS (
+           SELECT event_id, user_id, us, 1 AS side, NULL::BIGINT AS err_id
+           FROM ev WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, us, 0 AS side, event_id
+           FROM ev WHERE event_type = 'error'),
+         c AS (
+           SELECT event_id, user_id, us, side,
+             last_value(CASE WHEN side = 0 THEN err_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us DESC, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS next_err_id,
+             last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us DESC, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS rt
+           FROM u)
+         SELECT event_id, user_id,
+           CASE WHEN rt IS NOT NULL AND rt - us <= 3600000000
+                THEN next_err_id END AS next_err_id,
+           CASE WHEN rt IS NOT NULL AND rt - us <= 3600000000
+                THEN rt - us END AS lag_us
+         FROM c WHERE side = 1 ORDER BY event_id""",
     // the native operator must land on the identical result
     "q130_asof_native" -> AsofOracleSql,
     "q28_range_join" ->

@@ -117,4 +117,44 @@ class AsOfNativeSpec extends SparkSpec {
     assert(messages(ex).exists(m =>
       m != null && m.contains("graft_asof_on")))
   }
+
+  test("asofJoinForward: next-within-tolerance, same-instant visibility, tie, no-match") {
+    // purchases at us 50/40/5/70/10; clicks reused as the "next" side
+    val got = AsOf.asofJoinForward(purchases, clicks,
+        keyCol = "user_id", timeCol = "us", tieCol = "event_id",
+        rightTieCol = "click_id",
+        valueCols = Map("click_id" -> "next_click_id"),
+        toleranceUs = 20L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq == Seq(
+      (100L, None, None),          // no click ≥ 50 for user 1
+      (101L, Some(11L), Some(40L)),// click AT 40 visible (>=), lag 0
+      (102L, Some(10L), Some(10L)),// next at 10, within 20
+      (103L, None, None),          // user 2 clicks at 60 < 70 → nothing ahead
+      (104L, None, None)))         // user 3 has no clicks
+  }
+
+  test("asofJoinForward: same-instant tie resolves to the larger right tie") {
+    val l = Seq((103L, 2L, 60L)).toDF("event_id", "user_id", "us")
+    val got = AsOf.asofJoinForward(l, clicks, "user_id", "us",
+        "event_id", "click_id", Map("click_id" -> "nxt"),
+        toleranceUs = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((103L, 23L, 60L)))
+  }
+
+  test("asofJoinForward: tolerance boundary is inclusive; beyond it nulls") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 79L)).toDF("event_id", "user_id", "us")
+    val r = Seq((9L, 1L, 110L)).toDF("click_id", "user_id", "us")
+    val got = AsOf.asofJoinForward(l, r, "user_id", "us", "event_id",
+        "click_id", Map("click_id" -> "nxt"), toleranceUs = 10L)
+      .orderBy("event_id").collect()
+      .map(r0 => (r0.getLong(0),
+        if (r0.isNullAt(3)) None else Some(r0.getLong(3))))
+    // 110-100=10 ≤ 10 → match; 110-79=31 > 10 → null
+    assert(got.toSeq == Seq((1L, Some(9L)), (2L, None)))
+  }
 }

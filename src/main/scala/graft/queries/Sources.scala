@@ -354,6 +354,43 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // XML source (built into Spark 4 — no external package): documents
+    // round-tripped through rowTag-framed XML plus one injected
+    // adversarial record (entity escapes, angle brackets, an embedded
+    // newline). Unlike multiLine CSV (q63's trade-off), XML IS
+    // splittable at scale: records are delimited by the row tag, so
+    // XmlInputFormat can split mid-file and scan shards in parallel.
+    // ignoreSurroundingSpaces=false preserves byte-parity with the
+    // parquet text (the default TRIMS element text). Deterministic 10%
+    // subset keeps the staging write proportionate; oracle = parquet
+    // aggregation ∪ the injected row (a lossy or misframed read — or
+    // an unescaped entity — cannot hash-match).
+    "q182_xml_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_xml_")
+      try {
+        table(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 3)
+          .coalesce(1).write.mode("overwrite")
+          .option("rowTag", "doc").option("rootTag", "docs")
+          .xml(s"$stage/data")
+        Files.write(Paths.get(s"$stage/data/extra.xml"),
+          ("<docs><doc><doc_id>9999002</doc_id>" +
+            "<text>a &amp; b &lt;tag&gt; \"q\"\nline2</text>" +
+            "<lang>xx</lang><source>srcX</source>" +
+            "<n_chars>42</n_chars></doc></docs>").getBytes("UTF-8"))
+        val read = s.read.schema(docSchema)
+          .option("rowTag", "doc")
+          .option("ignoreSurroundingSpaces", "false")
+          .xml(s"$stage/data")
+        materialize(s, "q182_xml_source", read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(length(col("text"))).cast("long").as("text_len"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // State Data Source reader (Spark 4 `format("statestore")`): the
     // operational window into a live streaming checkpoint — debugging
     // skewed keys, auditing state size, seeding a migration — read as
@@ -468,6 +505,14 @@ object Sources {
          FROM documents WHERE doc_id % 10 = 0 GROUP BY lang
          UNION ALL SELECT 'xx', 1, 42,
            len('line1' || chr(10) || 'line2, with "quotes"')
+         ORDER BY lang""",
+    // parquet aggregation ∪ the injected row, entities decoded
+    "q182_xml_source" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(len(text)) AS BIGINT) AS text_len
+         FROM documents WHERE doc_id % 10 = 3 GROUP BY lang
+         UNION ALL SELECT 'xx', 1, 42,
+           len('a & b <tag> "q"' || chr(10) || 'line2')
          ORDER BY lang""",
     // the checkpoint's aggregation state must equal the batch rollup
     "q178_state_reader" ->

@@ -84,6 +84,41 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) —
+    * community detection for source/domain clustering: every node
+    * starts as its own label; each round it adopts the label with the
+    * highest total edge weight among its neighbors (ties → smallest
+    * label, so rounds are DETERMINISTIC — the async/random variant is
+    * not oracle-able). A fixed round count bounds lineage; each round
+    * is ONE edge⋈labels equi-join + one (node, label) vote aggregate +
+    * one argmax window — all O(|E|) shuffled rows, the PageRank cost
+    * shape — and the label frame localCheckpoints per round (the q69
+    * discipline) so round r never replays rounds 1..r−1. Integer vote
+    * weights keep every argmax exact on any engine.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       wCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"),
+        col(wCol).as("w"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
+        col(wCol).as("w")))
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wv"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("wv").desc, col("label"))
+      labels = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Exact per-node triangle counts over an undirected edge list — the
     * clustering/community-density signal (spam farms are triangle-poor,
     * organic link neighborhoods triangle-rich). Edges canonicalize to

@@ -355,6 +355,30 @@ object Relational {
       val total = tc.agg(lit(-1L).as("node"),
         (sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
       tc.unionByName(total).orderBy(col("node"))
+    }),
+
+    // Weighted label propagation (graft.ext.Graph.labelPropagation, 3
+    // synchronous rounds) over q179's p95 co-purchase graph, edge
+    // weight = common-customer count: the community structure that
+    // groups suppliers serving the same customer base. Deterministic
+    // by construction (sync rounds, integer votes, smallest-label
+    // ties), so the oracle replays all three rounds exactly. Output =
+    // the full node→label assignment.
+    "q183_label_propagation" -> ((s, d) => {
+      val bask = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
+        .distinct()
+      val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+      val thr = pairs.agg(expr("percentile(nc, 0.95D)").as("m"))
+      val edges = pairs.crossJoin(broadcast(thr))
+        .filter(col("nc") >= col("m"))
+      graft.ext.Graph.labelPropagation(edges, "sa", "sb", "nc", rounds = 3)
+        .orderBy(col("node"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -548,5 +572,37 @@ object Relational {
          SELECT node, CAST(cnt AS BIGINT) AS n_triangles FROM n
          UNION ALL
          SELECT -1, CAST((SELECT SUM(cnt) FROM n) / 3 AS BIGINT)
-         ORDER BY node""")
+         ORDER BY node""",
+    // all three sync rounds replayed: symmetric edges, integer votes,
+    // (wv DESC, label) argmax — identical tie rule
+    "q183_label_propagation" ->
+      """WITH bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p),
+         e AS (
+           SELECT sa AS src, sb AS dst, nc AS w FROM p, st WHERE nc >= m
+           UNION ALL
+           SELECT sb, sa, nc FROM p, st WHERE nc >= m),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         v1 AS (SELECT e.src, l.label, SUM(e.w) AS wv
+                FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+         l1 AS (SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (PARTITION BY src
+               ORDER BY wv DESC, label) AS rk FROM v1) WHERE rk = 1),
+         v2 AS (SELECT e.src, l.label, SUM(e.w) AS wv
+                FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+         l2 AS (SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (PARTITION BY src
+               ORDER BY wv DESC, label) AS rk FROM v2) WHERE rk = 1),
+         v3 AS (SELECT e.src, l.label, SUM(e.w) AS wv
+                FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+         l3 AS (SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (PARTITION BY src
+               ORDER BY wv DESC, label) AS rk FROM v3) WHERE rk = 1)
+         SELECT node, label FROM l3 ORDER BY node""")
 }

@@ -61,4 +61,28 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(3L))
     assert(r(1L) > r(2L)) // everyone feeds 1
   }
+
+  test("labelPropagation: two heavy cliques with a weak bridge settle to two communities") {
+    // triangle {1,2,3} and triangle {4,5,6} with weight-10 edges,
+    // bridged by a weight-1 edge 3–4: the bridge must not merge them.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)
+    ).toDF("a", "b", "w")
+    val got = Graph.labelPropagation(edges, "a", "b", "w", rounds = 3)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "left clique unified")
+    assert(Set(got(4L), got(5L), got(6L)).size == 1, "right clique unified")
+    assert(got(1L) != got(4L), "bridge must not merge the cliques")
+  }
+
+  test("labelPropagation: ties resolve to the smallest label deterministically") {
+    // node 3 sees labels 1 and 2 with EQUAL weight → adopts 1
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 5L)).toDF("a", "b", "w")
+    val got = Graph.labelPropagation(edges, "a", "b", "w", rounds = 1)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(got(3L) == 1L)
+  }
 }

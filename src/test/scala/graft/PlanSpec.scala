@@ -183,7 +183,9 @@ class PlanSpec extends SparkSpec {
       "q174_skipgram_pmi",
       // q179: the mean pair count is ONE broadcast row onto the pair
       // relation (q46's scalar class); wedge/closing joins are keyed
-      "q179_triangle_count")
+      "q179_triangle_count",
+      // q183: same p95 scalar broadcast as q179; vote joins are keyed
+      "q183_label_propagation")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -400,6 +400,54 @@ object Ext {
         .orderBy(col("id"))
     }),
 
+    // Entity resolution END-TO-END: blocked fuzzy pairing (q70's
+    // machinery, tightened to edit distance ≤ 1) → connected components
+    // (q69's operator) → golden-record survivorship (q95's rule) in one
+    // composed plan. Deterministic typo variants are injected (every
+    // nid%3==0 name re-appears with its last char dropped — same block,
+    // distance exactly 1) so clusters really form on this clean
+    // catalog. Self-loop edges carry singleton entities through CC, so
+    // the output is a TOTAL partition of the name universe. Canonical =
+    // highest record count, then smallest name. Scale: the block join
+    // bounds candidate pairs (q70), CC is the q69 hash-min ladder, and
+    // the rollup is one comp-keyed window+aggregate.
+    "q184_entity_resolution" -> ((s, d) => {
+      val base = table(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("cnt"))
+      val variants = base
+        .filter(pmod(col("nid"), lit(3)) === 0 && length(col("name")) > 3)
+        .select(expr("substr(name, 1, length(name) - 1)").as("name"),
+          (col("nid") + 1000000L).as("nid"), lit(1L).as("cnt"))
+      val nodes = base.unionByName(variants)
+        .groupBy(col("name"))
+        .agg(min(col("nid")).as("nid"), sum(col("cnt")).as("cnt"))
+        .withColumn("blk", element_at(split(col("name"), " "), 1))
+      val a = nodes.select(col("blk"), col("name").as("name_a"),
+        col("nid").as("nid_a"))
+      val b = nodes.select(col("blk"), col("name").as("name_b"),
+        col("nid").as("nid_b"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("nid_a"), col("nid_b"))
+      val selfE = nodes.select(col("nid").as("nid_a"), col("nid").as("nid_b"))
+      val comp0 = NearDup.connectedComponents(
+        edges.unionByName(selfE), "nid_a", "nid_b")
+      // CC iterates in a right-sized cloned session; re-parent its tiny
+      // (id, comp) frame before joining plans from this session
+      val comp = s.createDataFrame(comp0.rdd, comp0.schema)
+      val labeled = nodes.join(comp.withColumnRenamed("id", "nid"), Seq("nid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp")).orderBy(col("cnt").desc, col("name"))
+      labeled.withColumn("rk", row_number().over(w))
+        .groupBy(col("comp"))
+        .agg(max(when(col("rk") === 1, col("name"))).as("canonical"),
+          count(lit(1)).as("n_names"),
+          sum(col("cnt")).cast("long").as("n_records"))
+        .orderBy(col("comp"))
+    }),
+
     // IVF approximate top-3 (coarse-quantizer + inverted-list probe),
     // CONTRACT-ORACLE form: the neighbor ids depend on the k-means
     // training loop (reproducing it in SQL would be a second
@@ -1245,6 +1293,41 @@ object Ext {
          FROM pr GROUP BY blk ORDER BY blk""",
     // recursive-CTE reachability: comp = min reachable id over the same
     // exact-cosine edges as q39
+    // the full pipeline replayed: injected variants, block join,
+    // recursive-CTE components seeded with EVERY node (singletons
+    // included), same golden-record total order
+    "q184_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+           SELECT p_name AS name, MIN(p_partkey) AS nid, COUNT(*) AS cnt
+           FROM part GROUP BY p_name),
+         var AS (
+           SELECT substr(name, 1, len(name) - 1) AS name,
+             nid + 1000000 AS nid, 1 AS cnt
+           FROM base WHERE nid % 3 = 0 AND len(name) > 3),
+         n AS (
+           SELECT name, MIN(nid) AS nid, SUM(cnt) AS cnt,
+             split_part(name, ' ', 1) AS blk
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM var)
+           GROUP BY name),
+         ed AS (
+           SELECT a.nid AS x, b.nid AS y FROM n a JOIN n b
+           ON a.blk = b.blk AND a.name < b.name
+              AND levenshtein(a.name, b.name) <= 1),
+         sym AS (SELECT x AS src, y AS dst FROM ed
+                 UNION ALL SELECT y, x FROM ed),
+         reach(id, comp) AS (
+           SELECT nid, nid FROM n
+           UNION
+           SELECT sym.dst, r.comp FROM reach r JOIN sym ON sym.src = r.id),
+         cc AS (SELECT id AS nid, MIN(comp) AS comp FROM reach GROUP BY id),
+         lab AS (
+           SELECT n.name, n.cnt, cc.comp,
+             row_number() OVER (PARTITION BY cc.comp
+               ORDER BY n.cnt DESC, n.name) AS rk
+           FROM n JOIN cc ON n.nid = cc.nid)
+         SELECT comp, MAX(CASE WHEN rk = 1 THEN name END) AS canonical,
+           COUNT(*) AS n_names, CAST(SUM(cnt) AS BIGINT) AS n_records
+         FROM lab GROUP BY comp ORDER BY comp""",
     "q69_dedup_clusters" ->
       """WITH RECURSIVE f AS (
            SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -282,6 +282,42 @@ object Text {
         .orderBy(col("w"))
     }),
 
+    // Tokenizer fertility by language — the tokenizer-evaluation
+    // metric (tokens/word, chars/token) that decides whether a vocab
+    // under-serves a language: q176's learned merges applied ONCE over
+    // the distinct-word vocabulary (the amortization that makes corpus
+    // encoding cheap — words repeat, so the narrow fold runs per vocab
+    // entry, not per occurrence), then joined back to per-(lang, word)
+    // counts on the word key and rolled up per language. CONTRACT
+    // ORACLE: n_words/n_chars recomputed exactly in DuckDB; the
+    // learned-tokenization sums pinned as invariants (n_words ≤
+    // n_tokens ≤ n_chars — any fertility outside [1, chars/word] means
+    // the encoder broke). Exact encodings already pinned by q176's
+    // Sennrich spec.
+    "q185_bpe_fertility" -> ((s, d) => {
+      val langWords = docs(s, d)
+        .select(col("lang"),
+          explode(filter(tokens(col("text")), t => t =!= lit("")))
+            .as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+      val vocab = langWords.groupBy(col("w")).agg(sum(col("wc")).as("wc"))
+      val merges = graft.ext.Corpus.bpeLearn(vocab, "w", "wc", k = 6)
+      val encLen = vocab.select(col("w"),
+        size(graft.ext.Corpus.bpeEncode(col("w"), merges)).cast("long")
+          .as("ntok"))
+      langWords.join(encLen, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wc")).cast("long").as("n_words"),
+          sum(length(col("w")) * col("wc")).cast("long").as("n_chars"),
+          sum(col("ntok") * col("wc")).cast("long").as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          (col("n_words") <= col("n_tokens") &&
+            col("n_tokens") <= col("n_chars")).as("tokens_ok"),
+          (col("n_chars").cast("double") / col("n_tokens") >= 1.0)
+            .as("cpt_ok"))
+        .orderBy(col("lang"))
+    }),
+
     "q33_fingerprint" -> ((s, d) => {
       docs(s, d)
         .select(col("doc_id"),
@@ -438,6 +474,17 @@ object Text {
          SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair LIMIT 30""",
+    // word/char totals recomputed exactly; learned-tokenization sums
+    // pinned as contract booleans (see the query comment)
+    "q185_bpe_fertility" ->
+      """WITH lw AS (
+           SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS w
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_words,
+           CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+           TRUE AS tokens_ok, TRUE AS cpt_ok
+         FROM lw GROUP BY lang ORDER BY lang""",
     // deterministic columns recomputed (top-30 vocab, counts, lengths,
     // merge #1 = q159's argmax); learned-tokenization invariants pinned
     // as contract booleans (see the query comment)

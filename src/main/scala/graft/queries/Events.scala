@@ -368,6 +368,31 @@ object Events {
         .orderBy(col("day"))
     }),
 
+    // Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's event
+    // history collapses to a string of type initials under the total
+    // (us, event_id) order, and behavioral patterns become regexes —
+    // 'cv*p' = click, any views, then purchase (conversion path);
+    // 'ep' = purchase immediately after an error (recovery). One
+    // user-keyed shuffle builds the strings (bounded by per-user event
+    // counts — the sessionize partitioning); the regex scan is a
+    // narrow codegen'd projection. Both engines use leftmost
+    // non-overlapping matching, so the counts are engine-identical.
+    "q186_event_pattern" -> ((s, d) => {
+      val seqs = events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")).as("x"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("x"))), x => x.getField("c")),
+          "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          regexp_count(col("seq"), lit("cv*p")).cast("long").as("n_conversion"),
+          regexp_count(col("seq"), lit("ep")).cast("long").as("n_err_recovery"))
+        .orderBy(col("user_id"))
+    }),
+
     // Exponentially-weighted moving average of daily event rates per
     // type (α = 0.25 — an exact binary float, so every step is
     // bit-portable): e₁ = x₁, eₜ = α·xₜ + (1−α)·eₜ₋₁ over OBSERVED days
@@ -581,6 +606,24 @@ object Events {
          ORDER BY item_a, item_b""",
     // identical day rollup + interpolated medians (quantile_cont ≡
     // Spark percentile) + the same 3·MAD rule
+    // same total (us, event_id) order into string_agg; DuckDB counts
+    // matches via regexp_extract_all (leftmost non-overlapping, same
+    // as Spark's regexp_count)
+    "q186_event_pattern" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             substr(event_type, 1, 1) AS c
+           FROM events),
+         s AS (
+           SELECT user_id,
+             string_agg(c, '' ORDER BY us, event_id) AS seq
+           FROM e GROUP BY user_id)
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT)
+             AS n_conversion,
+           CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT)
+             AS n_err_recovery
+         FROM s ORDER BY user_id""",
     // the EWMA recurrence replayed rank-by-rank as a recursive CTE;
     // α spelled CAST(0.25 AS DOUBLE) so DuckDB's decimal literals
     // don't change the arithmetic type

@@ -248,4 +248,36 @@ class PropertySpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSet
     assert(gotRep == wantRep)
   }
+
+  // --- BPE: model-based check of learn + encode on random word soup ---
+
+  test("bpeLearn/bpeEncode: roundtrip, vocab closure, and a Scala merge model on random vocab") {
+    // small alphabet forces heavy pair collisions (the interesting case)
+    val word = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val vocabList = sample(Gen.zip(word, Gen.choose(1L, 9L)), 40, seed = 7L)
+      .groupBy(_._1).map { case (w, ws) => (w, ws.map(_._2).sum) }.toList
+    val vocab = vocabList.toDF("w", "wc")
+    val merges = graft.ext.Corpus.bpeLearn(vocab, "w", "wc", k = 5)
+    // Scala model: same left-to-right non-overlapping merge pass
+    def applyM(toks: List[String], a: String, b: String): List[String] =
+      toks.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.split("").toList) { case (t, (a, b)) => applyM(t, a, b) }
+    val prods = merges.map { case (a, b) => a + b }.toSet
+    val got = vocab
+      .select(col("w"), graft.ext.Corpus.bpeEncode(col("w"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    vocabList.foreach { case (w, _) =>
+      val toks = got(w)
+      assert(toks.mkString("") == w, s"roundtrip broke for $w")
+      assert(toks.forall(t => t.length == 1 || prods(t)),
+        s"non-vocab token in $w: $toks")
+      assert(toks == encode(w), s"engine disagrees with model for $w")
+    }
+  }
 }

@@ -140,6 +140,43 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Mutual-kNN graph over the banded-LSH candidate set — the
+    * graph-construction step of SemDeDup-style clustering and
+    * graph-based curation: an edge survives only when EACH endpoint
+    * ranks the other inside its top-k (by cos desc, id), which prunes
+    * hub vectors that merely sit near everything. Built entirely from
+    * [[lshNearDupPairs]] candidates (equi-join on band keys — never
+    * all-pairs), so the per-node lists rank CANDIDATES, the approximate
+    * regime every billion-vector kNN graph runs in. One symmetrize
+    * union + one id-keyed rank window + one self-equi-join on the
+    * (a, b) edge key — all O(|candidate pairs|). Rounded-cos ranking
+    * keys keep the lists engine-portable (the bm25TopK convention).
+    */
+  def mutualKnnGraph(emb: DataFrame, k: Int, tau: Double,
+                     nPlanes: Int = 16, bandBits: Int = 4): DataFrame =
+    mutualKnnFromPairs(lshNearDupPairs(emb, tau, nPlanes, bandBits), k)
+
+  /** The rank-and-intersect stage of [[mutualKnnGraph]], factored over
+    * any scored pair relation (id_a, id_b, cos6): symmetrize, rank each
+    * node's candidates by (cos6 desc, id), keep edges present in BOTH
+    * endpoints' top-k.
+    */
+  def mutualKnnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("cos6"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("nb"), col("cos6")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos6").desc, col("nb"))
+    val topk = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val fwd = topk.filter(col("id") < col("nb"))
+      .select(col("id").as("id_a"), col("nb").as("id_b"), col("cos6"))
+    val rev = topk.filter(col("id") > col("nb"))
+      .select(col("nb").as("id_a"), col("id").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+  }
+
   /** Nearest-centroid index of a vector against a driver-side centroid
     * matrix — one narrow native pass (graft.expr.ArgMaxCosine), no join,
     * no shuffle. The matrix rides into executors as a foldable literal

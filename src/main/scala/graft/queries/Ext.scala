@@ -126,6 +126,37 @@ object Ext {
         .toDF("n_exact", "precision_ok", "recall_ok")
     }),
 
+    // Mutual-kNN graph (Similarity.mutualKnnGraph) — the
+    // graph-construction step of SemDeDup/graph-based curation: edges
+    // survive only when BOTH endpoints rank each other top-k among the
+    // banded-LSH candidates. CONTRACT-ORACLE form (the q36 injection
+    // pattern): every nonzero-norm vec_id%17==4 vector re-appears as an
+    // exact copy at +1000000 — identical sign bits guarantee shared
+    // bands, cosine 1.0 is the maximum so the pair must be mutually
+    // top-ranked; a regression in banding, ranking, or the mutuality
+    // join flips a boolean. The asymmetric-neighbor semantics (hub
+    // pruning) are pinned in SimilaritySpec.
+    "q187_mutual_knn" -> ((s, d) => {
+      val base = table(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dup = base.filter(pmod(col("id"), lit(17)) === 4 &&
+          aggregate(col("vec"), lit(0.0d),
+            (acc, x) => acc + x * x) > 0)
+        .select((col("id") + 1000000L).as("id"), col("vec"))
+      val emb = spreadIfNarrow(base.unionByName(dup), col("id"))
+      val edges = Similarity.mutualKnnGraph(emb, k = 4, tau = 0.4,
+        nPlanes = 24, bandBits = 3)
+      val expected = dup.select((col("id") - 1000000L).as("orig_id"))
+      val found = edges.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("orig_id"),
+          lit(true).as("__f"), (col("cos6") === 1.0).as("__one"))
+      expected.join(found, Seq("orig_id"), "left")
+        .select(col("orig_id"),
+          coalesce(col("__f"), lit(false)).as("mutual_found"),
+          coalesce(col("__one"), lit(false)).as("cos_is_one"))
+        .orderBy(col("orig_id"))
+    }),
+
     // SemDeDup-style semantic dedup (Similarity.semDedupPairs): drop
     // every vector with an earlier bucket-mate at cosine ≥ 0.4, buckets
     // = first-4-coordinate signs (the deterministic, SQL-recomputable
@@ -1293,6 +1324,17 @@ object Ext {
          FROM pr GROUP BY blk ORDER BY blk""",
     // recursive-CTE reachability: comp = min reachable id over the same
     // exact-cosine edges as q39
+    // q36-pattern contract: the injected nonzero-norm originals are
+    // re-derived; the mutual/cos invariants are pinned TRUE
+    "q187_mutual_knn" ->
+      """WITH f AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         nz AS (SELECT vec_id FROM f GROUP BY vec_id
+                HAVING SUM(v * v) > 0)
+         SELECT vec_id AS orig_id, TRUE AS mutual_found,
+           TRUE AS cos_is_one
+         FROM nz WHERE vec_id % 17 = 4 ORDER BY orig_id""",
     // the full pipeline replayed: injected variants, block join,
     // recursive-CTE components seeded with EVERY node (singletons
     // included), same golden-record total order

@@ -182,4 +182,30 @@ class SimilaritySpec extends SparkSpec {
     // low cosine)
     assert(got == Set((2L, 1L, 1L), (3L, 1L, 2L)))
   }
+
+  test("mutualKnnFromPairs: asymmetric neighbors prune; mutual pairs survive") {
+    import spark.implicits._
+    // node 1's best is 2, but node 2's top-1 is 3 → (1,2) pruned;
+    // 2 and 3 pick each other → (2,3) survives
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.99), (1L, 3L, 0.5))
+      .toDF("id_a", "id_b", "cos6")
+    val got = Similarity.mutualKnnFromPairs(pairs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 3L)))
+  }
+
+  test("mutualKnnFromPairs: k large enough keeps every candidate edge; tie ranks by id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.99), (1L, 3L, 0.5))
+      .toDF("id_a", "id_b", "cos6")
+    val all = Similarity.mutualKnnFromPairs(pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // equal scores: neighbor ranking breaks by smaller id first
+    val tied = Seq((10L, 11L, 0.8), (10L, 12L, 0.8))
+      .toDF("id_a", "id_b", "cos6")
+    val got = Similarity.mutualKnnFromPairs(tied, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L)))
+  }
 }

@@ -718,6 +718,40 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Temperature-based mixture sampling (the mT5/XLM-R α-smoothing
+    * rule, α = 0.5): sampling mass per stratum ∝ n^α, so low-resource
+    * strata are up-weighted relative to their share without drowning
+    * the head. Per-stratum keep probability p = min(1, B·(w/W)/n)
+    * with w = √n (sqrt, not pow — sqrt is correctly-rounded IEEE on
+    * every engine, pow is not), floored to integer BASIS POINTS so the
+    * keep decision is an integer compare against the deterministic
+    * doc-id hash (q57's scan predicate — no rand(), retries resample
+    * identically). Plan: one tiny stratum count, rates as a broadcast
+    * joined back on the stratum key, then a pure scan predicate —
+    * corpus-side work is one narrow pass.
+    */
+  def temperatureSample(docs: DataFrame, keyCol: Column, idCol: Column,
+                        budget: Long): DataFrame = {
+    val counts = docs.groupBy(keyCol.as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+    // W as a global-window sum over the stratum table (a handful of
+    // rows — no self-join, no driver collect). NOT named "__W":
+    // Spark's default case-INsensitive resolution would make
+    // withColumn overwrite "__w".
+    val rates = counts
+      .withColumn("__wsum", sum(col("__w"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .select(col("__k"),
+        floor(least(lit(1.0),
+          lit(budget.toDouble) * (col("__w") / col("__wsum")) / col("__n"))
+          * 10000).cast("long").as("rate_bp"))
+    docs.join(broadcast(rates), keyCol === col("__k"))
+      .filter(pmod(idCol * 2654435761L, lit(10000L)) < col("rate_bp"))
+      .drop("__k")
+  }
+
   /** One left-to-right, non-overlapping BPE merge pass over a symbol
     * array: every adjacent (a, b) becomes the single symbol a+b, and a
     * freshly merged symbol is NOT re-matched as the left side of the

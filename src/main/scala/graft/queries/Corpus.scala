@@ -559,6 +559,23 @@ object Corpus {
     // (es/fr dropped — share 0). The achieved per-stratum counts are
     // deterministic (hash-threshold sampling), so DuckDB recomputes
     // them exactly from the same integer math.
+    // Temperature-sampled mixture (Corpus.temperatureSample, α = 0.5 —
+    // the mT5/XLM-R rule): unlike q83's FIXED target mix, the rates
+    // here derive from the observed counts (mass ∝ √n), so
+    // low-resource languages up-weight automatically. Keep decisions
+    // are integer basis-point compares on the q57 hash — the whole
+    // sample is one scan predicate after a broadcast rate join. Full
+    // recompute oracle (sqrt is correctly-rounded IEEE, one float
+    // chain in mirrored op order, integer floor before any compare).
+    "q188_temperature_mixture" -> ((s, d) =>
+      graft.ext.Corpus.temperatureSample(
+          table(s, d, "documents"), col("lang"), col("doc_id"),
+          budget = 300L)
+        .groupBy(col("lang"), col("rate_bp"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
+
     "q83_mixture_rebalance" -> ((s, d) =>
       CorpusOps.rebalanceMixture(
           table(s, d, "documents"), col("lang"), col("doc_id"),
@@ -1316,6 +1333,22 @@ object Corpus {
            round(-SUM((k*1.0/n) * log2(k*1.0/n)), 4) >= 3.0 AS keep
          FROM cnt JOIN n USING (doc_id) GROUP BY 1 ORDER BY cnt.doc_id""",
     // same double-precision rate math, same multiplicative-hash predicate
+    // same α-smoothing chain: √n weights, one-row W, basis-point floor,
+    // q57 hash keep predicate
+    "q188_temperature_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS ws FROM c),
+         t AS (SELECT SUM(ws) AS W FROM w),
+         r AS (SELECT lang,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+               CAST(300 AS DOUBLE) * (ws / t.W) / n) * 10000) AS BIGINT)
+               AS rate_bp
+           FROM w, t)
+         SELECT d.lang, r.rate_bp, COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+         GROUP BY d.lang, r.rate_bp ORDER BY d.lang""",
     "q83_mixture_rebalance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          t(lang, share) AS (VALUES

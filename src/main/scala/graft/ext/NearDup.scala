@@ -256,6 +256,42 @@ object NearDup {
       .limit(topK)
   }
 
+  /** DIRECTED shingle containment |A∩B| / |A| ≥ tau — the asymmetric
+    * similarity that catches excerpts, quotes, and syndicated fragments
+    * that symmetric Jaccard structurally misses: a 12-token excerpt of
+    * a 500-token article has Jaccard ≈ 0.02 but containment 1.0. Same
+    * inverted-index shape as [[blockedJaccardPairs]] minus the
+    * length-bucket blocking (by DESIGN: length blocking would never
+    * let a short doc meet its long parent — exactly the pairs this
+    * operator exists for), with the same stop-shingle bucket cap as
+    * the skew guard. Emits ordered pairs (id_a contained in id_b).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Double, maxBucket: Int = 256): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val base = graft.Graft.spreadIfNarrow(
+        docs.select(col(idCol).as("__id"),
+          split(lower(col(textCol)), " ").as("toks")),
+        col("__id"))
+      .select(col("__id"), shingleHashes(col("toks"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val buckets = base
+      .select(explode(col("sh")).as("h"),
+        struct(col("__id"), col("n")).as("d"))
+      .groupBy(col("h")).agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+    buckets
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / col("n_a") >= tau)
+      .select(col("id_a"), col("id_b"),
+        graft.Graft.roundz(col("inter") / col("n_a"), 4).as("cont"))
+  }
+
   /** Incremental (delta) dedup — the daily-ingest screen: classify each
     * NEW-batch document against an EXISTING corpus as `exact_dup`
     * (normalized sha-256 match, q35's normalization), `near_dup`

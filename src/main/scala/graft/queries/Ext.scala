@@ -375,6 +375,27 @@ object Ext {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Directed containment (NearDup.containmentPairs): the excerpt
+    // detector symmetric Jaccard can't be — a 10-shingle fragment of a
+    // long doc has Jaccard ≈ 0 but containment 1.0. Deterministic
+    // excerpt injection (every doc_id%41==6 with ≥14 tokens re-appears
+    // as its tokens[3..14] slice at +2000000) guarantees perfect
+    // containment pairs exist; the oracle replays injection and the
+    // full inverted-index recompute with STRING shingles (q38's
+    // equivalence stance on 64-bit shingle hashing).
+    "q189_containment" -> ((s, d) => {
+      val base = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val exc = base
+        .filter(pmod(col("doc_id"), lit(41)) === 6 &&
+          size(split(lower(col("text")), " ")) >= 14)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(lower(col("text")), " "), 3, 12), " ")
+            .as("text"))
+      NearDup.containmentPairs(base.unionByName(exc), "doc_id", "text",
+          tau = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Blocked fuzzy match (entity resolution): all row pairs within a
     // blocking key (first name token) scored by edit distance ≤ 3,
     // aggregated per block. Two scale moves, both standard:
@@ -1224,6 +1245,34 @@ object Ext {
     // DuckDB intersects the string shingles themselves. Values agree
     // exactly unless xxhash64 collides within a document pair's shingle
     // sets (~2⁻⁶⁴ per pair). Blocking (lang, n_chars//50) mirrored.
+    // injection + full recompute with string shingles; ordered pairs,
+    // cont = inter/|A| — no length blocking by design
+    "q189_containment" ->
+      """WITH raw AS (
+           SELECT doc_id, lower(text) AS text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+             array_to_string(string_split(lower(text), ' ')[3:14], ' ')
+           FROM documents
+           WHERE doc_id % 41 = 6
+             AND len(string_split(lower(text), ' ')) >= 14),
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM raw),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in generate_series(1, len(toks)-2)])
+             END AS sh
+           FROM d),
+         e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM s),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  any_value(a.n) AS n_a, COUNT(*) AS inter
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, round(inter / n_a, 4) + 0.0 AS cont
+         FROM p WHERE inter / n_a >= CAST(0.8 AS DOUBLE)
+         ORDER BY id_a, id_b""",
     "q38_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, lang, n_chars // 50 AS lenb,

@@ -53,6 +53,28 @@ class PlanSpec extends SparkSpec {
       s"doc range not pushed to both scans:\n$p")
   }
 
+  test("q173: query vocabulary broadcasts into the postings probe") {
+    val p = plan("q173_tfidf_cosine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-vocab probe must broadcast, not shuffle postings:\n$p")
+  }
+
+  test("q188: rates broadcast and the keep predicate stays a scan-side filter") {
+    val p = plan("q188_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-stratum rate table must broadcast:\n$p")
+    assert(p.contains("pmod") || p.contains("%"),
+      s"keep predicate must appear as a filter in the plan:\n$p")
+  }
+
+  test("q181: forward as-of stays the single union+exchange window plan") {
+    val p = plan("q181_asof_forward")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"forward as-of must not plan as a join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the window carry:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),

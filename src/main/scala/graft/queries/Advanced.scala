@@ -332,6 +332,43 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // SLIDING-window streaming aggregate (q52 is the tumbling form):
+    // window(ts, 2h, 30min) lands every event in FOUR overlapping
+    // windows — the engine expands the window set per row BEFORE the
+    // keyed state update, so state is O(open windows × types), 4× the
+    // tumbling count, and the watermark still closes windows whose end
+    // passed. Oracle replays the expansion relationally: each event
+    // joins its four aligned slide starts.
+    "q190_stream_sliding_window" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_slide_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_slide_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        val stream = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "2 hours", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy(col("win_start_us"), col("event_type"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Per-key running totals on the Spark 4 arbitrary-state API
     // (streaming.RunningTotals: transformWithState + StatefulProcessor,
     // RocksDB state store — the successor surface to q65's
@@ -1481,6 +1518,21 @@ object Advanced {
          COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY win_start_us, event_type
+         ORDER BY win_start_us, event_type""",
+    // sliding windows expanded relationally: each event joins its four
+    // 30-min-aligned starts s with s <= t < s + 2h
+    "q190_stream_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS us, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         w AS (
+           SELECT ((us // 1800000000) - k.k) * 1800000000 AS win_start_us,
+             event_type, cents
+           FROM e, (VALUES (0), (1), (2), (3)) AS k(k))
+         SELECT win_start_us, event_type, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+         FROM w GROUP BY win_start_us, event_type
          ORDER BY win_start_us, event_type""",
     // the bloom-pruned join must equal the plain join exactly
     "q74_bloom_join" ->

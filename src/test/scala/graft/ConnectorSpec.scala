@@ -164,4 +164,54 @@ class ConnectorSpec extends SparkSpec {
       assert(rows.filter(_.isNullAt(2)).forall(!_.isNullAt(1)))
     } finally graft.sources.Active911DataSource.transport = null
   }
+
+  test("DSv2 write path: executor-side size-capped FeatureCollection posts") {
+    import spark.implicits._
+    CloudTakPostCollector.posts.clear()
+    graft.sinks.CloudTakDataSource.post = CloudTakPostCollector.record _
+    try {
+      (1 to 25).map(i => s"""{"id":$i}""").toDF("feature")
+        .repartition(1)
+        .write.format("graft.sinks.CloudTakDataSource")
+        .option("maxFeaturesPerPost", "10").mode("append").save()
+      val posts = {
+        import scala.jdk.CollectionConverters._
+        CloudTakPostCollector.posts.asScala.toVector
+      }
+      // 25 features through one task at cap 10 → chunks of 10, 10, 5
+      assert(posts.length == 3)
+      assert(posts.forall(_.startsWith(
+        """{"type":"FeatureCollection","features":[""")))
+      assert(posts.map("\\{\"id\":".r.findAllIn(_).size) == Vector(10, 10, 5))
+    } finally graft.sinks.CloudTakDataSource.post = null
+  }
+
+  test("DSv2 write path: every partition posts independently; totals conserve") {
+    import spark.implicits._
+    CloudTakPostCollector.posts.clear()
+    graft.sinks.CloudTakDataSource.post = CloudTakPostCollector.record _
+    try {
+      (1 to 23).map(i => s"""{"id":$i}""").toDF("feature")
+        .repartition(4)
+        .write.format("graft.sinks.CloudTakDataSource")
+        .option("maxFeaturesPerPost", "3").mode("append").save()
+      val posts = {
+        import scala.jdk.CollectionConverters._
+        CloudTakPostCollector.posts.asScala.toVector
+      }
+      assert(posts.map("\\{\"id\":".r.findAllIn(_).size).sum == 23)
+      // no chunk exceeds the cap; empty partitions post nothing
+      assert(posts.forall("\\{\"id\":".r.findAllIn(_).size <= 3))
+    } finally graft.sinks.CloudTakDataSource.post = null
+  }
+}
+
+/** Process-wide post collector for the DSv2 writer specs — the lambda
+  * handed to the registry captures only this static reference, so it
+  * serializes into executor tasks and collects in one place in
+  * local mode.
+  */
+object CloudTakPostCollector {
+  val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def record(s: String): Unit = { posts.add(s); () }
 }

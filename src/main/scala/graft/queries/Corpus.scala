@@ -845,6 +845,32 @@ object Corpus {
       head.unionByName(tail).orderBy(col("doc_id"))
     }),
 
+    // Takedown with TRANSITIVE span excision — the right-to-be-forgotten
+    // / DMCA pass a training corpus actually needs: dropping a revoked
+    // source's documents is not enough, because other documents QUOTE
+    // them — so the revoked docs' 5-grams become the reference set and
+    // every span of surviving text built from them is excised (q162's
+    // cross-duplicate machinery consuming q172's excision operator).
+    // The revoked side is small vs the corpus, so its gram set
+    // broadcasts — the surviving corpus crosses a broadcast semi-join
+    // with zero corpus shuffle (the q162 asymmetry). Per-doc rows for
+    // doc_id < 30 plus the corpus tail row (-1) pin total removals.
+    "q192_takedown_excision" -> ((s, d) => {
+      val base = docs(s, d)
+      val gone = base.filter(col("source") === lit("src7"))
+        .select(col("doc_id"), col("text"))
+      val keep = base.filter(col("source") =!= lit("src7"))
+        .select(col("doc_id"), col("text"))
+      val spans = graft.ext.NearDup.crossDuplicateSpans(
+        keep, gone, "doc_id", "text", k = 5)
+      val r = graft.ext.NearDup.exciseSpans(keep, spans, "doc_id", "text")
+      val head = r.filter(col("doc_id") < 30)
+      val tail = r.agg(lit(-1L).as("doc_id"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_removed")).as("n_removed"), lit("").as("clean_text"))
+      head.unionByName(tail).orderBy(col("doc_id"))
+    }),
+
     // Cross-source overlap matrix: distinct shared 5-grams per source
     // pair — the provenance diagnostic that shows which corpus sources
     // copy from each other (mirror sites, syndication) BEFORE dedup
@@ -1630,6 +1656,57 @@ object Corpus {
          FROM ph GROUP BY phase ORDER BY phase""",
     // full two-stage replay: stage-1 islands → indexed-lambda excision
     // → stage-2 grams on the REBUILT token stream → second excision
+    // the q172 single-stage form: revoked-source grams as the
+    // reference set, hits → islands → spans → rebuilt text
+    "q192_takedown_excision" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         ref AS (
+           SELECT DISTINCT array_to_string(t.w[u.i:u.i+4], ' ') AS kg
+           FROM t, unnest(range(1, len(t.w) - 3)) AS u(i)
+           WHERE len(t.w) >= 5 AND source = 'src7'),
+         keepd AS (SELECT doc_id, w FROM t WHERE source <> 'src7'),
+         g5 AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(keepd.w[u.i:u.i+4], ' ') AS kg
+           FROM keepd, unnest(range(1, len(keepd.w) - 3)) AS u(i)
+           WHERE len(keepd.w) >= 5),
+         hits AS (
+           SELECT doc_id, pos FROM g5
+           WHERE kg IN (SELECT kg FROM ref)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM hits),
+         sp AS (
+           SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+           FROM isl GROUP BY doc_id, grp),
+         rg AS (
+           SELECT doc_id, list({'s': s, 'e': e}) AS rs
+           FROM sp GROUP BY doc_id),
+         c AS (
+           SELECT keepd.doc_id, len(keepd.w) AS n0,
+             CASE WHEN rg.rs IS NULL THEN keepd.w
+                  ELSE list_filter(keepd.w, (x, i) ->
+                    len(list_filter(rg.rs,
+                      r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0)
+             END AS w2
+           FROM keepd LEFT JOIN rg ON rg.doc_id = keepd.doc_id),
+         fin AS (
+           SELECT doc_id, CAST(n0 AS BIGINT) AS n_tokens,
+             CAST(n0 - len(w2) AS BIGINT) AS n_removed,
+             array_to_string(w2, ' ') AS clean_text
+           FROM c)
+         SELECT doc_id, n_tokens, n_removed, clean_text
+         FROM fin WHERE doc_id < 30
+         UNION ALL
+         SELECT -1, CAST(SUM(n_tokens) AS BIGINT),
+           CAST(SUM(n_removed) AS BIGINT), ''
+         FROM fin
+         ORDER BY doc_id""",
     "q172_span_refinery" ->
       """WITH t AS (
            SELECT doc_id,

@@ -368,6 +368,34 @@ object Events {
         .orderBy(col("day"))
     }),
 
+    // Statistical aggregate suite (A4 completion): the estimator
+    // aggregates a metrics layer leans on — sample stddev, population
+    // variance, exact median, exact interpolated p90, Pearson
+    // correlation and population covariance of value against event
+    // time. All are single-pass mergeable moment aggregates (map-side
+    // combined partials at any scale); floats rounded to 6 with the
+    // signed-zero guard since co-moment accumulation order differs
+    // across engines by last-ulp amounts. skewness/kurtosis are
+    // deliberately ABSENT: Spark computes population form, DuckDB
+    // sample-corrected — no shared spelling exists to oracle.
+    "q191_stat_suite" -> ((s, d) => {
+      // time in SECONDS, not µs: covariance carries time's units, and
+      // at µs scale the statistic (~1e11) dwarfs its own float noise —
+      // no rounding precision is simultaneously meaningful and stable
+      val base = events(s, d)
+        .select(col("event_type"), col("value"),
+          (unix_micros(col("ts")).cast("double") / 1000000.0).as("us"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Graft.roundz(stddev_samp(col("value")), 6).as("sd6"),
+          graft.Graft.roundz(var_pop(col("value")), 6).as("vp6"),
+          graft.Graft.roundz(expr("median(value)"), 6).as("med6"),
+          graft.Graft.roundz(expr("percentile(value, 0.9D)"), 6).as("p90_6"),
+          graft.Graft.roundz(corr(col("value"), col("us")), 6).as("corr6"),
+          graft.Graft.roundz(covar_pop(col("value"), col("us")), 2).as("cov2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's event
     // history collapses to a string of type initials under the total
     // (us, event_id) order, and behavioral patterns become regexes —
@@ -606,6 +634,19 @@ object Events {
          ORDER BY item_a, item_b""",
     // identical day rollup + interpolated medians (quantile_cont ≡
     // Spark percentile) + the same 3·MAD rule
+    // same single-pass estimators; DuckDB var_pop/stddev_samp/median/
+    // quantile_cont/corr/covar_pop share Spark's definitions exactly
+    "q191_stat_suite" ->
+      """SELECT event_type, COUNT(*) AS n,
+           round(stddev_samp(value), 6) + 0.0 AS sd6,
+           round(var_pop(value), 6) + 0.0 AS vp6,
+           round(median(value), 6) + 0.0 AS med6,
+           round(quantile_cont(value, 0.9), 6) + 0.0 AS p90_6,
+           round(corr(value, CAST(epoch_us(ts) AS DOUBLE) / 1000000), 6)
+             + 0.0 AS corr6,
+           round(covar_pop(value, CAST(epoch_us(ts) AS DOUBLE) / 1000000), 2)
+             + 0.0 AS cov2
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // same total (us, event_id) order into string_agg; DuckDB counts
     // matches via regexp_extract_all (leftmost non-overlapping, same
     // as Spark's regexp_count)

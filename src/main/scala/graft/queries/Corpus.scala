@@ -845,6 +845,37 @@ object Corpus {
       head.unionByName(tail).orderBy(col("doc_id"))
     }),
 
+    // Group-integral K-fold assignment (GroupKFold): cross-validation
+    // folds where every document of a SOURCE lands in the same fold —
+    // the split that prevents near-duplicate leakage across folds when
+    // a source syndicates its own content (q77 audits doc-level
+    // leakage; this is the split discipline that avoids it by
+    // construction). Fold = deterministic hash of the GROUP key, so
+    // assignment is a pure scan predicate (no shuffle beyond the
+    // rollup), retry-stable, and any executor computes it locally.
+    // Output pins fold sizes AND group integrity (each source's
+    // fold-count must be 1 — flips red if assignment ever keys on the
+    // doc instead of the group).
+    "q193_group_kfold" -> ((s, d) => {
+      // the q57 multiplicative hash on the numeric group key keeps the
+      // oracle recomputable; arbitrary string groups use xxhash64
+      // through the identical plumbing
+      val folded = table(s, d, "documents")
+        .withColumn("fold",
+          pmod(substring(col("source"), 4, 10).cast("long")
+            * 2654435761L, lit(5L)))
+      val sizes = folded.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+      val integ = folded.groupBy(col("source"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg(max(col("nf")).as("max_folds_per_source"))
+      sizes.crossJoin(broadcast(integ))
+        .select(col("fold"), col("n_docs"), col("n_sources"),
+          (col("max_folds_per_source") === 1).as("group_integrity_ok"))
+        .orderBy(col("fold"))
+    }),
+
     // Takedown with TRANSITIVE span excision — the right-to-be-forgotten
     // / DMCA pass a training corpus actually needs: dropping a revoked
     // source's documents is not enough, because other documents QUOTE
@@ -1656,6 +1687,24 @@ object Corpus {
          FROM ph GROUP BY phase ORDER BY phase""",
     // full two-stage replay: stage-1 islands → indexed-lambda excision
     // → stage-2 grams on the REBUILT token stream → second excision
+    // same multiplicative group hash; integrity re-derived from the
+    // assignment itself
+    "q193_group_kfold" ->
+      """WITH f AS (
+           SELECT *, (CAST(substr(source, 4, 10) AS BIGINT)
+                      * 2654435761) % 5 AS fold
+           FROM documents),
+         sz AS (
+           SELECT fold, COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources
+           FROM f GROUP BY fold),
+         integ AS (
+           SELECT MAX(nf) AS mx FROM (
+             SELECT source, COUNT(DISTINCT fold) AS nf
+             FROM f GROUP BY source))
+         SELECT fold, n_docs, CAST(n_sources AS BIGINT) AS n_sources,
+           (SELECT mx FROM integ) = 1 AS group_integrity_ok
+         FROM sz ORDER BY fold""",
     // the q172 single-stage form: revoked-source grams as the
     // reference set, hits → islands → spans → rebuilt text
     "q192_takedown_excision" ->

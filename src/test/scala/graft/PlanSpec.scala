@@ -207,7 +207,10 @@ class PlanSpec extends SparkSpec {
       // relation (q46's scalar class); wedge/closing joins are keyed
       "q179_triangle_count",
       // q183: same p95 scalar broadcast as q179; vote joins are keyed
-      "q183_label_propagation")
+      "q183_label_propagation",
+      // q193: the ONE-row integrity scalar broadcasts onto the 5-row
+      // fold-size rollup (q46's scalar class)
+      "q193_group_kfold")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

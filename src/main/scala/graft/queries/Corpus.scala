@@ -845,6 +845,33 @@ object Corpus {
       head.unionByName(tail).orderBy(col("doc_id"))
     }),
 
+    // Calibration (reliability) bins — the eval that decides whether
+    // q106's classifier SCORES can gate the corpus or only rank it:
+    // scores bucket into deciles and each bin reports its empirical
+    // positive rate against an independent outcome (the Gopher
+    // repetition gate, q56's kept flag). Bins key on the ROUNDED score
+    // (engine-stable by q106's contract), the rate is one division of
+    // exact integers, and the whole thing is two narrow per-doc scans
+    // + one doc-keyed join + a 10-row aggregate.
+    "q194_calibration_bins" -> ((s, d) => {
+      val base = docs(s, d)
+      val sc = CorpusOps.qualityScoreLinear(base, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      val lbl = CorpusOps.repetitionFilter(base, "doc_id", "text")
+        .select(col("doc_id"), col("kept"))
+      sc.join(lbl, Seq("doc_id"))
+        .withColumn("bin",
+          least(floor(col("score") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          graft.Graft.roundz(sum(col("score")) / count(lit(1)), 4)
+            .as("mean_score4"),
+          graft.Graft.roundz(
+            sum(when(col("kept"), 1L).otherwise(0L)) / count(lit(1)), 4)
+            .as("pos_rate4"))
+        .orderBy(col("bin"))
+    }),
+
     // Group-integral K-fold assignment (GroupKFold): cross-validation
     // folds where every document of a SOURCE lands in the same fold —
     // the split that prevents near-duplicate leakage across folds when
@@ -1687,6 +1714,44 @@ object Corpus {
          FROM ph GROUP BY phase ORDER BY phase""",
     // full two-stage replay: stage-1 islands → indexed-lambda excision
     // → stage-2 grams on the REBUILT token stream → second excision
+    // q106's score chain ⋈ q56's keep rule, binned on the rounded score
+    "q194_calibration_bins" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+           FROM documents WHERE text IS NOT NULL),
+         tt AS (
+           SELECT doc_id, unnest(l) AS tok, len(l) AS n FROM base
+           WHERE len(l) > 0),
+         s AS (
+           SELECT doc_id, CAST(any_value(n) AS INT) AS n_toks,
+             SUM(CAST((length(tok) * 37 + ascii(tok[1:1]) * 17 +
+                       ascii(tok[-1:])) % 201 - 100 AS DOUBLE) / 100.0)
+               AS ssum
+           FROM tt GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id,
+             round(1.0 / (1.0 + exp(-ssum / n_toks)), 4) AS score
+           FROM s),
+         c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+         m AS (
+           SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(cnt) AS top_cnt
+           FROM c GROUP BY 1),
+         k AS (
+           SELECT doc_id,
+             (round(n_distinct * 1.0 / n_tokens, 4) >= 0.45
+              AND round(top_cnt * 1.0 / n_tokens, 4) <= 0.15) AS kept
+           FROM m),
+         j AS (SELECT sc.doc_id, sc.score, k.kept
+               FROM sc JOIN k USING (doc_id)),
+         b AS (SELECT least(floor(score * 10), 9) AS bin, score, kept
+               FROM j)
+         SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+           round(SUM(score) / COUNT(*), 4) + 0.0 AS mean_score4,
+           round(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             + 0.0 AS pos_rate4
+         FROM b GROUP BY bin ORDER BY bin""",
     // same multiplicative group hash; integrity re-derived from the
     // assignment itself
     "q193_group_kfold" ->

@@ -391,6 +391,36 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Dynamic partition overwrite — the surgical re-materialization a
+    // partitioned corpus needs (reprocess ONE language/day/source
+    // without touching the rest): v1 lands fully partitioned by lang;
+    // a corrected zh slice (" v2" appended) overwrites with
+    // partitionOverwriteMode=dynamic, which truncates ONLY partitions
+    // present in the incoming frame. The re-read must show zh at v2
+    // (+3 chars/doc) and every other language byte-identical v1 — a
+    // static overwrite (the default) would have deleted them, so the
+    // oracle distinguishes the modes structurally. At scale this is
+    // the idempotent backfill primitive: reruns replace the same
+    // partitions, and untouched partitions never rewrite.
+    "q195_dynamic_overwrite" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_dpo_")
+      try {
+        val docs0 = table(s, d, "documents")
+        docs0.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$stage/t")
+        docs0.filter(col("lang") === "zh")
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .write.partitionBy("lang").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$stage/t")
+        materialize(s, "q195_dynamic_overwrite", s.read.parquet(s"$stage/t")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("text_len"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // State Data Source reader (Spark 4 `format("statestore")`): the
     // operational window into a live streaming checkpoint — debugging
     // skewed keys, auditing state size, seeding a migration — read as
@@ -506,6 +536,14 @@ object Sources {
          UNION ALL SELECT 'xx', 1, 42,
            len('line1' || chr(10) || 'line2, with "quotes"')
          ORDER BY lang""",
+    // zh reflects v2 (+3 chars/doc); every other lang must be
+    // untouched v1 — a static overwrite would have emptied them
+    "q195_dynamic_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(text))
+                + CASE WHEN lang = 'zh' THEN 3 * COUNT(*) ELSE 0 END
+             AS BIGINT) AS text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
     // parquet aggregation ∪ the injected row, entities decoded
     "q182_xml_source" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,

@@ -1162,6 +1162,57 @@ object Advanced {
     // q147: ms flooring, inclusive cutoff, AvailableNow's final
     // no-data flush batch). On a Spark upgrade, re-pin from a fresh
     // run before trusting a red row.
+    // Stream-stream FULL outer interval join — completes the
+    // stream-stream matrix (q65 inner, q148 left outer, q171 left
+    // semi): BOTH state stores emit null-padded rows once the
+    // watermark passes the last instant the row could still match —
+    // clicks at click_ts + 12 h (q148's gate), purchases at p_ts
+    // (future clicks are ≥ the watermark and a match needs click_ts ≤
+    // p_ts). Both emission gates are modeled in the oracle with the
+    // q148 ms-floor convention. Nullable-on-both-sides ordering keys
+    // spell NULLS FIRST explicitly on both engines.
+    "q196_stream_full_outer_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_foj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val schema = table(s, d, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_foj_")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stage.resolve("events.parquet"))
+        def side(tpe: String) = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = side("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 12 hours"),
+          "full_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user")).as("uid"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+          .orderBy(col("click_id").asc_nulls_first,
+            col("purchase_id").asc_nulls_first)
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     "q148_stream_outer_join" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1695,6 +1746,45 @@ object Advanced {
     // whose full 12h window is below the final global watermark
     // (min of the two sides' ms-floored maxima, minus the 1h delay) —
     // pinned empirically; unresolved tail clicks must be absent
+    // q148's model + the RIGHT side's null emissions (purchases whose
+    // horizon p_us passed the terminal watermark, no matching click)
+    "q196_stream_full_outer_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT event_id AS click_id, user_id, us AS click_us
+           FROM ev WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+           FROM ev WHERE event_type = 'purchase'),
+         wm AS (SELECT least(
+             epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)) // 1000,
+             epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000)
+             - 3600000 AS w
+           FROM events),
+         matched AS (
+           SELECT click_id, purchase_id, c.user_id AS uid,
+             p_us - click_us AS lag_us
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p_us >= click_us AND p_us <= click_us + 43200000000),
+         un_c AS (
+           SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             c.user_id AS uid, CAST(NULL AS BIGINT) AS lag_us
+           FROM c, wm
+           WHERE NOT EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = c.user_id
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
+             AND click_us // 1000 + 43200000 <= w),
+         un_p AS (
+           SELECT CAST(NULL AS BIGINT) AS click_id, purchase_id,
+             p.user_id AS uid, CAST(NULL AS BIGINT) AS lag_us
+           FROM p, wm
+           WHERE NOT EXISTS (
+               SELECT 1 FROM c WHERE c.user_id = p.user_id
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
+             AND p_us // 1000 <= w)
+         SELECT * FROM (SELECT * FROM matched
+           UNION ALL SELECT * FROM un_c
+           UNION ALL SELECT * FROM un_p)
+         ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""",
     "q148_stream_outer_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
              epoch_us(ts) AS us FROM events),

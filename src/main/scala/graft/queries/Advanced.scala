@@ -1162,6 +1162,50 @@ object Advanced {
     // q147: ms flooring, inclusive cutoff, AvailableNow's final
     // no-data flush batch). On a Spark upgrade, re-pin from a fresh
     // run before trusting a red row.
+    // Exactly-once across a checkpointed RESTART — the production
+    // recovery semantics every streaming deployment leans on: run 1
+    // (AvailableNow) drains the even half of the events into a parquet
+    // sink and STOPS; the odd half then lands in the source directory;
+    // run 2 starts on the SAME checkpoint, sees the full directory,
+    // and must process ONLY the new file — the checkpoint's source log
+    // skips run 1's files and the sink's commit log keeps rerun output
+    // atomic. The sink rollup therefore equals the plain batch rollup
+    // of ALL events exactly once; a double-counted batch-1 or a lost
+    // batch-2 flips it red.
+    "q197_stream_restart" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val stage = java.nio.file.Files.createTempDirectory("graft_restart_")
+      try {
+        val in = s"$stage/in"; val out = s"$stage/out"
+        val ckpt = s"$stage/ckpt"
+        val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .coalesce(1).write.mode("overwrite").parquet(in)
+        val schema = s.read.parquet(in).schema
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(schema).parquet(in)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce()
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        // materialize the tiny rollup before the staging dir vanishes
+        val res = s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .orderBy(col("event_type"))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(res.collect().toSeq.asJava, res.schema)
+      } finally deleteRecursively(stage)
+    }),
+
     // Stream-stream FULL outer interval join — completes the
     // stream-stream matrix (q65 inner, q148 left outer, q171 left
     // semi): BOTH state stores emit null-padded rows once the
@@ -1746,6 +1790,11 @@ object Advanced {
     // whose full 12h window is below the final global watermark
     // (min of the two sides' ms-floored maxima, minus the 1h delay) —
     // pinned empirically; unresolved tail clicks must be absent
+    // exactly-once across the restart ⇒ the plain batch rollup
+    "q197_stream_restart" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // q148's model + the RIGHT side's null emissions (purchases whose
     // horizon p_us passed the terminal watermark, no matching click)
     "q196_stream_full_outer_join" ->

@@ -368,6 +368,31 @@ object Events {
         .orderBy(col("day"))
     }),
 
+    // Weekly quantile drift — the distribution-monitoring rollup that
+    // catches a metric's shape moving before its mean does: exact
+    // p50/p90 per week (percentile ≡ quantile_cont, the q58/q169
+    // parity) plus week-over-week deltas via lag. One week-keyed
+    // rollup is the only event-volume shuffle; the lag window runs
+    // over O(weeks) rows. Deltas go through roundz — a flat week can
+    // produce −0.0 on one engine (the q101 signed-zero class).
+    "q198_quantile_drift" -> ((s, d) => {
+      val weekly = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5D)").as("p50"),
+          expr("percentile(value, 0.9D)").as("p90"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+      weekly
+        .withColumn("d50", col("p50") - lag(col("p50"), 1).over(w))
+        .withColumn("d90", col("p90") - lag(col("p90"), 1).over(w))
+        .select(col("week"), col("n"),
+          graft.Graft.roundz(col("p50"), 6).as("p50_6"),
+          graft.Graft.roundz(col("p90"), 6).as("p90_6"),
+          graft.Graft.roundz(col("d50"), 6).as("d50_6"),
+          graft.Graft.roundz(col("d90"), 6).as("d90_6"))
+        .orderBy(col("week"))
+    }),
+
     // Statistical aggregate suite (A4 completion): the estimator
     // aggregates a metrics layer leans on — sample stddev, population
     // variance, exact median, exact interpolated p90, Pearson
@@ -634,6 +659,24 @@ object Events {
          ORDER BY item_a, item_b""",
     // identical day rollup + interpolated medians (quantile_cont ≡
     // Spark percentile) + the same 3·MAD rule
+    // same exact quantiles + lag deltas; epoch_ns floor mirrors the
+    // events-ts convention
+    "q198_quantile_drift" ->
+      """WITH wk AS (
+           SELECT CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS week,
+             COUNT(*) AS n,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT week, n, p50, p90,
+             p50 - lag(p50) OVER (ORDER BY week) AS d50,
+             p90 - lag(p90) OVER (ORDER BY week) AS d90
+           FROM wk)
+         SELECT week, n, round(p50, 6) + 0.0 AS p50_6,
+           round(p90, 6) + 0.0 AS p90_6,
+           round(d50, 6) + 0.0 AS d50_6, round(d90, 6) + 0.0 AS d90_6
+         FROM d ORDER BY week""",
     // same single-pass estimators; DuckDB var_pop/stddev_samp/median/
     // quantile_cont/corr/covar_pop share Spark's definitions exactly
     "q191_stat_suite" ->

@@ -845,6 +845,37 @@ object Corpus {
       head.unionByName(tail).orderBy(col("doc_id"))
     }),
 
+    // The DATA CARD — the one-page corpus summary every released
+    // dataset ships (docs, whitespace tokens, exact-dedup distincts,
+    // language/source universes, quality-gate survivors), emitted as
+    // (metric, value) rows so downstream tooling diffs cards across
+    // corpus versions mechanically. Every number is an exact integer
+    // from operators the suite already pins (q32 tokens, q35 norm-hash
+    // dedup, q56 gate); the whole card is a handful of map-side-
+    // combined aggregates unioned — each metric's scan prunes to the
+    // columns it needs.
+    "q200_data_card" -> ((s, d) => {
+      val base = table(s, d, "documents")
+      val toks = base.select(
+        size(filter(split(lower(col("text")), " "), t => t =!= lit("")))
+          .cast("long").as("nt"))
+      def row(m: String, df: DataFrame) =
+        df.select(lit(m).as("metric"), col("v").cast("long").as("value"))
+      val card = Seq(
+        row("docs", base.agg(count(lit(1)).as("v"))),
+        row("tokens_ws", toks.agg(sum(col("nt")).as("v"))),
+        row("distinct_norm_docs", base.select(
+            sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256)
+              .as("h"))
+          .agg(countDistinct(col("h")).as("v"))),
+        row("langs", base.agg(countDistinct(col("lang")).as("v"))),
+        row("sources", base.agg(countDistinct(col("source")).as("v"))),
+        row("quality_kept", CorpusOps
+          .repetitionFilter(base, "doc_id", "text")
+          .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("v"))))
+      card.reduce(_ unionByName _).orderBy(col("metric"))
+    }),
+
     // Calibration (reliability) bins — the eval that decides whether
     // q106's classifier SCORES can gate the corpus or only rank it:
     // scores bucket into deciles and each bin reports its empirical
@@ -1714,6 +1745,38 @@ object Corpus {
          FROM ph GROUP BY phase ORDER BY phase""",
     // full two-stage replay: stage-1 islands → indexed-lambda excision
     // → stage-2 grams on the REBUILT token stream → second excision
+    // every card metric recomputed from the base table with the same
+    // operator definitions (q32/q35/q56 spellings)
+    "q200_data_card" ->
+      """WITH tok AS (
+           SELECT len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS nt
+           FROM documents),
+         tt AS (SELECT doc_id, unnest(list_filter(
+             string_split(lower(text), ' '), x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+         m AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+                 MAX(cnt) AS top_cnt FROM c GROUP BY 1),
+         kept AS (
+           SELECT COUNT(*) AS v FROM m
+           WHERE round(n_distinct * 1.0 / n_tokens, 4) >= 0.45
+             AND round(top_cnt * 1.0 / n_tokens, 4) <= 0.15)
+         SELECT metric, value FROM (
+           SELECT 'docs' AS metric, COUNT(*) AS value FROM documents
+           UNION ALL
+           SELECT 'tokens_ws', CAST(SUM(nt) AS BIGINT) FROM tok
+           UNION ALL
+           SELECT 'distinct_norm_docs', COUNT(DISTINCT
+             sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+           FROM documents
+           UNION ALL
+           SELECT 'langs', COUNT(DISTINCT lang) FROM documents
+           UNION ALL
+           SELECT 'sources', COUNT(DISTINCT source) FROM documents
+           UNION ALL
+           SELECT 'quality_kept', CAST(v AS BIGINT) FROM kept)
+         ORDER BY metric""",
     // q106's score chain ⋈ q56's keep rule, binned on the rounded score
     "q194_calibration_bins" ->
       """WITH base AS (

@@ -80,6 +80,37 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Lang-ID CONFUSION MATRIX with confidence margins — the eval that
+    // turns q30's classifier into an operating decision (route
+    // low-margin docs to a heavier model, trust high-margin ones):
+    // margin = top1 − top2 of the four stopword scores (exact integer
+    // sort, engine-identical), rolled up per (true lang, predicted)
+    // cell with the mean margin as one division of exact sums. Same
+    // single tokenize pass as q30; the confusion rollup is a
+    // cardinality-|langs|² aggregate.
+    "q199_langid_confusion" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          hits(t, StopEn).as("s_en"), hits(t, StopEs).as("s_es"),
+          hits(t, StopDe).as("s_de"), hits(t, StopFr).as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .withColumn("scores", sort_array(
+          array(col("s_en"), col("s_es"), col("s_de"), col("s_fr")),
+          asc = false))
+        .withColumn("margin",
+          element_at(col("scores"), 1) - element_at(col("scores"), 2))
+      scored.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"),
+          roundz(sum(col("margin")) / count(lit(1)), 4).as("margin_avg4"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     // Quality scoring: length/word-length/stopword-ratio features and a
     // bucket label. Ratios derive from exact ints (single division+round).
     "q31_quality_score" -> ((s, d) => {
@@ -406,6 +437,28 @@ object Text {
                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
                 WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
          FROM sc ORDER BY doc_id""",
+    // same integer scores; margin via list_reverse_sort, mean margin =
+    // one division of exact sums
+    "q199_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         sc AS (SELECT doc_id, any_value(lang) AS lang,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopEn)} THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopEs)} THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopDe)} THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+           CAST(SUM(CASE WHEN tok IN ${hitsSql(StopFr)} THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+           FROM t GROUP BY doc_id),
+         pr AS (
+           SELECT lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+             list_reverse_sort([s_en, s_es, s_de, s_fr])[1]
+               - list_reverse_sort([s_en, s_es, s_de, s_fr])[2] AS margin
+           FROM sc)
+         SELECT lang, predicted, COUNT(*) AS n,
+           round(SUM(margin) * 1.0 / COUNT(*), 4) + 0.0 AS margin_avg4
+         FROM pr GROUP BY lang, predicted ORDER BY lang, predicted""",
     "q31_quality_score" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
            FROM documents),

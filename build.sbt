@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Undecorated pass-through for forked `run` stdout: without this sbt
+// prefixes every line with "[info] " and appends a "[success] Total
+// time" line, so the driver's last-line JSON parse of Bench's compact
+// summary failed five rounds running (BENCH_r{1..5}.json parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time: ..." line,
+// which would otherwise be the literal last stdout line after the
+// summary even with undecorated forked output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

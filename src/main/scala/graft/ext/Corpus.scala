@@ -104,7 +104,11 @@ object Corpus {
     * is uniform enough and oracle-checkable.
     */
   def sampleBucket(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(1000L))
+    // reduce mod 1000 BEFORE multiplying: ((a mod m)·K) mod m = (a·K)
+    // mod m exactly, and 999·K fits in Int64 — so neither this side nor
+    // a recomputing oracle ever overflows/wraps at large ids (DuckDB
+    // raises on BIGINT overflow where Spark would wrap silently)
+    pmod(pmod(key.cast("long"), lit(1000L)) * lit(2654435761L), lit(1000L))
 
   /** xxhash64 variant of [[sampleBucket]] — stronger mixing for string
     * or structured keys; not recomputable outside Spark.
@@ -748,7 +752,9 @@ object Corpus {
           lit(budget.toDouble) * (col("__w") / col("__wsum")) / col("__n"))
           * 10000).cast("long").as("rate_bp"))
     docs.join(broadcast(rates), keyCol === col("__k"))
-      .filter(pmod(idCol * 2654435761L, lit(10000L)) < col("rate_bp"))
+      // reduce-first (see sampleBucket): identical values, overflow-safe
+      .filter(pmod(pmod(idCol.cast("long"), lit(10000L)) * 2654435761L,
+        lit(10000L)) < col("rate_bp"))
       .drop("__k")
   }
 

@@ -162,9 +162,23 @@ object Similarity {
     * endpoints' top-k.
     */
   def mutualKnnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+    // Canonicalize + dedup up front: a duplicated input row (or the same
+    // pair in both orientations) would otherwise inflate row_number ranks
+    // in the top-k window AND multiply matching rows in the final
+    // fwd⋈rev join, emitting duplicate edges. lshNearDupPairs already
+    // guarantees unique (id_a<id_b) pairs, but this stage is factored
+    // over ANY scored pair relation — make the precondition a no-op
+    // exchange instead of a silent corruption. Same-pair duplicates
+    // carry the same cos6 (deterministic scoring), so the kept row is
+    // well-defined.
+    val canon = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos6"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sym = canon.select(col("id_a").as("id"), col("id_b").as("nb"),
         col("cos6"))
-      .unionByName(pairs.select(col("id_b").as("id"),
+      .unionByName(canon.select(col("id_b").as("id"),
         col("id_a").as("nb"), col("cos6")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cos6").desc, col("nb"))

@@ -336,9 +336,13 @@ object Advanced {
     // window(ts, 2h, 30min) lands every event in FOUR overlapping
     // windows — the engine expands the window set per row BEFORE the
     // keyed state update, so state is O(open windows × types), 4× the
-    // tumbling count, and the watermark still closes windows whose end
-    // passed. Oracle replays the expansion relationally: each event
-    // joins its four aligned slide starts.
+    // tumbling count. This rig runs outputMode("complete"), where the
+    // watermark does NOT evict aggregation state (complete mode retains
+    // every window so the full result can be re-emitted each batch) —
+    // what's under test here is the per-row window EXPANSION, not
+    // eviction; watermark-driven state eviction is q52/q147's
+    // append-mode territory. Oracle replays the expansion relationally:
+    // each event joins its four aligned slide starts.
     "q190_stream_sliding_window" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")

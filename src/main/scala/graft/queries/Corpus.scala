@@ -920,7 +920,7 @@ object Corpus {
       // through the identical plumbing
       val folded = table(s, d, "documents")
         .withColumn("fold",
-          pmod(substring(col("source"), 4, 10).cast("long")
+          pmod(pmod(substring(col("source"), 4, 10).cast("long"), lit(5L))
             * 2654435761L, lit(5L)))
       val sizes = folded.groupBy(col("fold"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1006,7 +1006,7 @@ object Corpus {
          FROM m ORDER BY doc_id""",
     "q57_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-         WHERE (doc_id * 2654435761) % 1000 <
+         WHERE (doc_id % 1000 * 2654435761) % 1000 <
            CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 50 ELSE 150 END
          ORDER BY doc_id""",
     "q58_length_quantiles" ->
@@ -1057,7 +1057,7 @@ object Corpus {
            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 0),
          sp AS (
            SELECT md5(lower(text)) AS fp,
-             CASE WHEN (doc_id * 2654435761) % 1000 < 200
+             CASE WHEN (doc_id % 1000 * 2654435761) % 1000 < 200
                   THEN 'test' ELSE 'train' END AS split
            FROM corpus),
          spread AS (
@@ -1138,7 +1138,7 @@ object Corpus {
       """WITH r AS (
            SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 1000, doc_id) AS rk
+               ORDER BY (doc_id % 1000 * 2654435761) % 1000, doc_id) AS rk
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""",
     // identical A-Res priorities: pow of the same hash-uniform and
@@ -1147,7 +1147,7 @@ object Corpus {
       """WITH r AS (
            SELECT doc_id, lang, n_chars,
              row_number() OVER (ORDER BY
-               pow(((doc_id * 2654435761) % 1000 + CAST(0.5 AS DOUBLE))
+               pow(((doc_id % 1000 * 2654435761) % 1000 + CAST(0.5 AS DOUBLE))
                      / CAST(1000.0 AS DOUBLE),
                    CAST(1.0 AS DOUBLE) / n_chars) DESC, doc_id) AS rk
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
@@ -1462,7 +1462,7 @@ object Corpus {
          SELECT d.lang, r.rate_bp, COUNT(*) AS n_kept,
            CAST(SUM(d.n_chars) AS BIGINT) AS chars
          FROM documents d JOIN r ON d.lang = r.lang
-         WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+         WHERE (d.doc_id % 10000 * 2654435761) % 10000 < r.rate_bp
          GROUP BY d.lang, r.rate_bp ORDER BY d.lang""",
     "q83_mixture_rebalance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
@@ -1477,7 +1477,7 @@ object Corpus {
          SELECT d.lang, COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents d JOIN r USING (lang)
-         WHERE (doc_id * 2654435761) % 1000 < permille
+         WHERE (doc_id % 1000 * 2654435761) % 1000 < permille
          GROUP BY 1 ORDER BY d.lang""",
     // the full four-stage chain replayed as CTEs: q56's rounded
     // repetition ratios, q35's normalized-sha dedup window, q57's
@@ -1497,7 +1497,7 @@ object Corpus {
                     '\s+', ' ', 'g')))
                   ORDER BY doc_id) AS rn FROM q),
          sm AS (SELECT * FROM dd WHERE rn = 1
-                AND (doc_id * 2654435761) % 1000 <
+                AND (doc_id % 1000 * 2654435761) % 1000 <
                     CASE WHEN lang = 'en' THEN 400 ELSE 200 END),
          w AS (SELECT doc_id, lang,
                  len(string_split(lower(text), ' ')) AS n_tokens FROM sm),
@@ -1819,7 +1819,7 @@ object Corpus {
     // assignment itself
     "q193_group_kfold" ->
       """WITH f AS (
-           SELECT *, (CAST(substr(source, 4, 10) AS BIGINT)
+           SELECT *, (CAST(substr(source, 4, 10) AS BIGINT) % 5
                       * 2654435761) % 5 AS fold
            FROM documents),
          sz AS (

@@ -1265,10 +1265,15 @@ object Ext {
              END AS sh
            FROM d),
          e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM s),
+         -- mirror the Spark-side stop-shingle bucket cap (maxBucket=256):
+         -- a shingle occurring in >256 docs is dropped on BOTH sides, so
+         -- the engines can't diverge on corpora with stop-phrases
+         hv AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= 256),
+         ec AS (SELECT e.* FROM e JOIN hv ON e.h = hv.h),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   any_value(a.n) AS n_a, COUNT(*) AS inter
-           FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id
+           FROM ec a JOIN ec b ON a.h = b.h AND a.doc_id <> b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b, round(inter / n_a, 4) + 0.0 AS cont
          FROM p WHERE inter / n_a >= CAST(0.8 AS DOUBLE)
@@ -1286,11 +1291,17 @@ object Ext {
              END AS sh
            FROM d),
          e AS (SELECT doc_id, lang, lenb, len(sh) AS n, unnest(sh) AS h FROM s),
+         -- mirror the Spark-side bucket cap (maxBucket=256 per
+         -- (lang,lenb,shingle) block) so stop-shingles drop on both sides
+         hv AS (SELECT lang, lenb, h FROM e GROUP BY lang, lenb, h
+                HAVING COUNT(*) <= 256),
+         ec AS (SELECT e.* FROM e JOIN hv
+                ON e.h = hv.h AND e.lang = hv.lang AND e.lenb = hv.lenb),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   any_value(a.n) AS n_a, any_value(b.n) AS n_b,
                   COUNT(*) AS inter
-           FROM e a JOIN e b ON a.h = b.h AND a.lang = b.lang
+           FROM ec a JOIN ec b ON a.h = b.h AND a.lang = b.lang
                              AND a.lenb = b.lenb AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 4) AS jaccard

@@ -29,7 +29,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is idempotent by feature id, task.ts:116-119 / SURVEY.md T5), so
   * retries converge. `abort()` is documented a no-op for the same
   * reason: chunks already posted cannot be unposted, and the idempotent
-  * upsert makes re-runs safe.
+  * upsert makes re-runs safe. Note this covers more than failure
+  * retries: with `spark.speculation=true`, duplicate CONCURRENT
+  * attempts of the same partition both post their chunks before commit
+  * arbitration picks a winner, so duplicates occur even on healthy
+  * runs — downstream idempotency is the only dedup. If the endpoint's
+  * upsert were ever non-idempotent, disable speculation for jobs
+  * writing through this sink.
   *
   * The transport is injected via the [[CloudTakDataSource.post]]
   * process-wide registry (the [[graft.sources.Active911DataSource]]

@@ -133,11 +133,10 @@ object Graph {
     * already a < b — each triangle forms exactly one ordered wedge),
     * then one equi-join against E on (x, z) closes them. Two shuffles
     * total, both O(|wedges|); no node ever compares against the whole
-    * graph. At production scale the well-known refinement is degree
-    * orientation (point each edge at the higher-degree endpoint) which
-    * bounds wedge fanout by arboricity — same plan shape, one extra
-    * degree join — worth it once hub nodes appear; the id-ordered form
-    * keeps the enumeration deterministic and oracle-portable here.
+    * graph. This id-ordered form is the oracle-portable ENUMERATION
+    * BASELINE — its wedge frontier is quadratic in a low-id hub's
+    * degree; [[triangleCountsDegreeOriented]] is the hub-robust
+    * production form (same counts, frontier bounded by arboricity).
     * Returns (node, n_triangles), nodes in ≥1 triangle only.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -150,5 +149,90 @@ object Graph {
       .join(e.toDF("x", "z"), Seq("x", "z"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree-oriented exact triangle counts — the hub-robust production
+    * form of [[triangleCounts]]: orient every undirected edge toward
+    * its HIGHER-(degree, id) endpoint, enumerate wedges only between
+    * out-neighbor pairs, close with one equi-join on the oriented edge.
+    * The (degree, id) total order makes the orientation acyclic, so
+    * each triangle still forms exactly one wedge at its lowest-rank
+    * corner — identical counts to the id-ordered form (q179's oracle
+    * proves the equality through the gate). What changes is the BOUND:
+    * a node's out-degree under degree orientation is O(sqrt(|E|))
+    * (each out-neighbor has rank ≥ the node's, and there can only be
+    * 2·sqrt(|E|) nodes of degree ≥ sqrt(|E|)), so wedge fanout is
+    * O(|E|^1.5) worst-case / O(|E|·arboricity) in general, where the
+    * id-ordered form is quadratic in a hub's degree: a d-star whose
+    * center draws the LOW id enumerates d·(d−1)/2 id-ordered wedges
+    * but ZERO degree-oriented ones (GraphSpec pins this). Cost: one
+    * extra degree aggregate + broadcast-or-shuffle join before the
+    * same two wedge-bounded equi-joins.
+    */
+  def triangleCountsDegreeOriented(edges: DataFrame, aCol: String,
+                                   bCol: String): DataFrame = {
+    val tris = orientedWedges(edges, aCol, bCol, byDegree = true)
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Closed wedges (= triangles, one row per triangle) under the chosen
+    * edge orientation; factored out so the spec can count the OPEN
+    * wedge frontier each orientation enumerates. Returns (u, v, w)
+    * with u the wedge corner.
+    */
+  private[graft] def orientedWedges(edges: DataFrame, aCol: String,
+                                    bCol: String,
+                                    byDegree: Boolean): DataFrame = {
+    val eor = orientEdges(edges, aCol, bCol, byDegree)
+    openWedges(eor)
+      .join(eor.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+  }
+
+  /** The open-wedge relation (u, v, w, rv, rw): out-neighbor pairs of
+    * each node under the orientation, BEFORE the closing join — its
+    * cardinality is the quantity degree orientation exists to bound.
+    */
+  private[graft] def openWedges(eor: DataFrame): DataFrame =
+    eor.select(col("src").as("u"), col("dst").as("v"), col("rdst").as("rv"))
+      .join(eor.select(col("src").as("u"), col("dst").as("w"),
+        col("rdst").as("rw")), Seq("u"))
+      .filter(col("rv") < col("rw"))
+
+  /** Canonicalize + orient an undirected edge list: dedup to a < b,
+    * then point each edge at its higher-rank endpoint where rank =
+    * (degree, id) when `byDegree` (struct comparison is lexicographic,
+    * so ties break by id and the order is total) or plain id otherwise.
+    * Carries the dst rank so wedge enumeration can order out-neighbor
+    * pairs without re-joining degrees.
+    */
+  private[graft] def orientEdges(edges: DataFrame, aCol: String,
+                                 bCol: String,
+                                 byDegree: Boolean): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    if (!byDegree)
+      // id order: rank(x) = x, already a < b
+      e.select(col("a").as("src"), col("b").as("dst"),
+        col("b").as("rdst"))
+    else {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val ranked = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(col("a"), col("b"),
+          struct(col("da").as("d"), col("a").as("i")).as("ra"),
+          struct(col("db").as("d"), col("b").as("i")).as("rb"))
+      ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rdst"))
+    }
   }
 }

@@ -340,7 +340,10 @@ object Relational {
     // per-node counts + a −1 total row (Σ = 3·triangles, exact).
     "q179_triangle_count" -> ((s, d) => {
       val edges = coPurchaseEdges(s, d)
-      val tc = graft.ext.Graph.triangleCounts(edges, "sa", "sb")
+      // degree-oriented enumeration (the hub-robust production form);
+      // the oracle below replays the ID-ordered wedges — identical
+      // counts by construction, so the gate proves the equivalence
+      val tc = graft.ext.Graph.triangleCountsDegreeOriented(edges, "sa", "sb")
       val total = tc.agg(lit(-1L).as("node"),
         (sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
       tc.unionByName(total).orderBy(col("node"))

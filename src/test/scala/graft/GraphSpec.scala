@@ -85,4 +85,65 @@ class GraphSpec extends SparkSpec {
       .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
     assert(got(3L) == 1L)
   }
+
+  test("triangleCountsDegreeOriented: counts match the id-ordered form") {
+    // two triangles sharing node 3, plus a pendant edge and a square
+    // (4-cycle 7-8-9-10, no diagonal → zero triangles there)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),       // triangle {1,2,3}
+      (3L, 4L), (4L, 5L), (3L, 5L),       // triangle {3,4,5}
+      (5L, 6L),                           // pendant
+      (7L, 8L), (8L, 9L), (9L, 10L), (7L, 10L) // square
+    ).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L)
+    assert(m(Graph.triangleCounts(edges, "a", "b")) == exp)
+    assert(m(Graph.triangleCountsDegreeOriented(edges, "a", "b")) == exp)
+  }
+
+  test("degree orientation: star-graph wedge frontier drops O(d²) → 0") {
+    // d-star with the CENTER drawing the LOWEST id — the id-ordered
+    // adversary: every edge orients away from the hub, so the hub
+    // enumerates all C(d,2) out-neighbor pairs. Degree orientation
+    // points every edge AT the hub (deg d vs deg 1), so no node has
+    // two out-neighbors and the open-wedge frontier is EMPTY — the
+    // O(d·arboricity) bound with arboricity 1. Both forms still agree
+    // there are zero triangles.
+    val d = 40
+    val star = (1 to d).map(i => (0L, i.toLong)).toDF("a", "b")
+    def openWedgeCount(byDegree: Boolean): Long =
+      Graph.openWedges(Graph.orientEdges(star, "a", "b", byDegree)).count()
+    assert(openWedgeCount(byDegree = false) == d.toLong * (d - 1) / 2)
+    assert(openWedgeCount(byDegree = true) == 0L)
+    assert(Graph.triangleCounts(star, "a", "b").count() == 0L)
+    assert(Graph.triangleCountsDegreeOriented(star, "a", "b").count() == 0L)
+  }
+
+  test("degree orientation: hub-plus-clique bound — frontier stays linear in d") {
+    // hub 0 (lowest id) joined to d spokes; spokes 1-2-3 form one
+    // triangle. Id order still pays C(d,2)+... at the hub; degree
+    // orientation pays at most one wedge per spoke pair inside the
+    // clique and ZERO at the hub.
+    val d = 30
+    val star = (1 to d).map(i => (0L, i.toLong)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = star.toDF("a", "b")
+    val idWedges =
+      Graph.openWedges(Graph.orientEdges(edges, "a", "b", byDegree = false)).count()
+    val degWedges =
+      Graph.openWedges(Graph.orientEdges(edges, "a", "b", byDegree = true)).count()
+    assert(idWedges >= d.toLong * (d - 1) / 2, s"id wedges $idWedges")
+    assert(degWedges <= 3L * d, s"deg wedges $degWedges")
+    // four triangles: the spoke triangle {1,2,3} plus the hub closing
+    // one with each clique edge — {0,1,2}, {0,2,3}, {0,1,3}; every
+    // node among {0,1,2,3} sits in exactly 3 of the 4
+    val exp = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+    val got = Graph.triangleCountsDegreeOriented(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotId = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    assert(gotId == exp)
+  }
 }

@@ -51,6 +51,50 @@ class ScaleSpec extends SparkSpec {
       s"expected a runtime skew-split join in:\n$plan")
   }
 
+  test("q98's join under AQE skew handling: OptimizeSkewedJoin applied, result equals the salted rewrite") {
+    // SURVEY §9.1 claims AQE's runtime skew split REPLACES manual
+    // salting for sort-merge joins at scale; this pins that claim on
+    // q98's OWN join (lineitem ⋈ part[p_size<=10] on partkey): the
+    // plain join run with skewJoin.enabled must (a) get skew-split by
+    // OptimizeSkewedJoin (thresholds scaled to test data, broadcast
+    // disabled so the join is SMJ — the only shape AQE can split) and
+    // (b) produce exactly the rows of Salt.skewJoin's static rewrite.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val d = "/root/testdata/sf0.001"
+    // spread the single-file scan over many map tasks first: AQE splits
+    // a skewed reduce partition at MAP-OUTPUT granularity, so a shuffle
+    // fed by one mapper (sf0.001's one-split parquet) yields exactly one
+    // block per partition and nothing to split — on a real cluster the
+    // big side always has many mappers, which is the condition this
+    // repartition restores
+    val li = Graft.table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity")).repartition(32)
+    val pt = Graft.table(s, d, "part").filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_size"))
+    val aqe = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("p_size"))
+    // collect() drives aqe's OWN QueryExecution so the final adaptive
+    // plan is inspectable on it
+    val aqeRows = aqe.collect()
+    val plan = aqe.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the SMJ skew-split:\n$plan")
+    val salted = graft.ops.Salt
+      .skewJoin(li, pt, "l_partkey", "p_partkey", buckets = 8)
+      .select(col("l_partkey"), col("l_quantity"), col("p_size"))
+    assert(aqeRows.length == salted.count())
+    assert(aqe.exceptAll(salted).isEmpty && salted.exceptAll(aqe).isEmpty,
+      "AQE skew-split and salted rewrite must produce identical rows")
+  }
+
   test("skewJoin: same result as plain join on a 90%-one-key distribution") {
     val big = (1L to 10000L).map(i => (if (i % 10 == 0) i else 1L, i))
       .toDF("k", "payload")

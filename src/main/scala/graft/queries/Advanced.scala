@@ -18,6 +18,34 @@ object Advanced {
   private def events(s: SparkSession, d: String): DataFrame =
     graft.Graft.normalizeTs(table(s, d, "events"))
 
+  /** Stage the (normalized) events table plus far-future watermark
+    * FLUSH SENTINELS into `dir` for the stream-stream join rigs
+    * (q148/q196): one 2030 click and one 2030 purchase on distinct
+    * unused negative users. The sentinels drive both sides' terminal
+    * watermarks years past every real row's eviction deadline, so the
+    * emitted set equals the plain relational join — the oracle needs
+    * no watermark arithmetic and survives Spark minor-version boundary
+    * shifts (see q148's header comment). Returns the staged schema
+    * (ts is a true timestamp after normalizeTs, so the streaming read
+    * needs no physical-type absorption).
+    */
+  private def stageEventsWithFlushSentinels(
+      s: SparkSession, d: String,
+      dir: java.nio.file.Path): org.apache.spark.sql.types.StructType = {
+    val ev = events(s, d)
+    def sentinel(id: Long, uid: Long, tpe: String): DataFrame =
+      ev.limit(1).select(lit(id).as("event_id"),
+        to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+        lit(uid).as("user_id"), lit(tpe).as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .unionByName(sentinel(-901L, -999L, "click"))
+      .unionByName(sentinel(-902L, -998L, "purchase"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString).schema
+  }
+
   /** Shared by q27 (union+window) and q130 (native operator): both
     * implementations must land on this exact relation.
     */
@@ -415,27 +443,32 @@ object Advanced {
     // Event-time TIMERS on transformWithState (streaming/TimedSessions):
     // sessions close on gap OR on the registered timer when the
     // watermark passes last+30min — the final arbitrary-state API
-    // surface after the three typed handles. Oracle = the classic
-    // gaps-and-islands session reconstruction, keeping sessions whose
-    // horizon the terminal watermark (max ts) passed; calibrated on
-    // this data there are NO horizon==watermark boundary rows, so the
-    // timer-fire comparison direction can't flip the result. Users
-    // capped at 20 to bound the dump (1.4k sessions at sf0.01).
+    // surface after the three typed handles. The staged stream adds a
+    // far-future (2030) sentinel event for unused user -21 (it passes
+    // the <= 20 cap), driving the terminal watermark years past every
+    // real session's 30-min horizon: ALL real sessions must
+    // timer-fire, so the oracle is the plain gaps-and-islands batch
+    // reconstruction with NO watermark cutoff — robust to ms-flooring
+    // or fire-comparison-direction changes across Spark versions. The
+    // sentinel's own session horizon (2030+30min) sits past the
+    // terminal watermark, so its open session must stay absent.
+    // Users capped at 20 to bound the dump (1.4k sessions at sf0.01).
     "q170_stream_timer_sessions" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val name = "stream_tmr_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val schema = table(s, d, "events").schema
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
       try {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"))
+        val ev0 = events(s, d)
+        ev0.select(col("user_id"), col("ts"))
+          .unionByName(ev0.limit(1).select(lit(-21L).as("user_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts")))
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val schema = s.read.parquet(stage.toString).schema
         import s.implicits._
-        val in = graft.Graft.normalizeTs(
-            s.readStream.schema(schema).parquet(stage.toString))
+        val in = s.readStream.schema(schema).parquet(stage.toString)
           .filter(col("user_id") <= 20)
           .select(col("user_id"), col("ts"))
           .as[graft.streaming.TimedSessions.Event]
@@ -901,21 +934,22 @@ object Advanced {
 
     // APPEND-mode windowed aggregation — the production streaming mode
     // (q52's complete mode rebuilds the whole result every batch; at
-    // scale only append's emit-once-on-close works). Two deterministic
-    // micro-batches (events split at Jan 16, file order pinned by
-    // mtime): after batch 1 the watermark advances to maxA − 1h, and
-    // batch 2's commit emits exactly the windows whose END is at or
-    // below that watermark (ms precision — Spark tracks watermarks in
-    // milliseconds). Batch-2 rows can't land in emitted windows (they
-    // are all ≥ the split point), so the oracle reproduces the emitted
-    // set exactly: windows of first-half data closed by the first-half
-    // watermark.
-    // PINNED TO Spark 4.1 WATERMARK INTERNALS: ms flooring of the
-    // tracked watermark, inclusive window_end <= watermark emission,
-    // and the final no-data micro-batch that AvailableNow schedules to
-    // flush closable state. These are stable API-documented behaviors
-    // but not SQL-derivable; if a Spark upgrade shifts any of them,
-    // re-pin the oracle from a fresh run before trusting a red row.
+    // scale only append's emit-once-on-close works). Three
+    // deterministic micro-batches (events split at Jan 16, file order
+    // pinned by mtime, then a SENTINEL FLUSH batch): batches 1-2 run
+    // the incremental eviction path, and the final batch is one
+    // far-future (2030) sentinel event — the production
+    // watermark-heartbeat pattern — that drives the terminal watermark
+    // years past every real window end. The emitted set is therefore
+    // exactly the batch recompute of ALL real windows, with NO
+    // dependence on where Spark floors the watermark or whether the
+    // window_end comparison is inclusive: no real window end is within
+    // a year of the cutoff, so a minor-version boundary shift cannot
+    // flip a row. The open-state semantics stay pinned from the other
+    // side: the sentinel's own 2030 window (end > watermark by
+    // construction, margin 1h ≫ any rounding) must NEVER emit — if a
+    // regression emitted open windows, its "__wm_flush" row appears
+    // and flips the oracle red.
     "q147_stream_append_window" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -946,6 +980,13 @@ object Advanced {
         }
         stageFile(ev.filter(col("ts") < t0), "01", 1000000000000L)
         stageFile(ev.filter(col("ts") >= t0), "02", 1000000100000L)
+        // sentinel flush batch: one 2030 event pushes the terminal
+        // watermark past every real window end (see header comment)
+        stageFile(ev.limit(1).select(lit(-77L).as("event_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit(-77L).as("user_id"), lit("__wm_flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")),
+          "03", 1000000200000L)
         val schema = s.read.parquet(watch.toString).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(watch.toString)
@@ -1156,16 +1197,17 @@ object Advanced {
     // emission semantic: matches emit like the inner join, and an
     // UNMATCHED click emits its null row only when the watermark
     // proves no future purchase can match (click state expires past
-    // the 12h join window). The final AvailableNow flush emits
-    // null rows for clicks whose whole window is below the final
-    // watermark; the cutoff (ms-floored global watermark vs
-    // click_ts + 12h) is pinned empirically and replayed by the
-    // oracle — clicks near stream end stay unresolved and must NOT
-    // appear as nulls.
-    // PINNED TO Spark 4.1 WATERMARK INTERNALS (same dependency set as
-    // q147: ms flooring, inclusive cutoff, AvailableNow's final
-    // no-data flush batch). On a Spark upgrade, re-pin from a fresh
-    // run before trusting a red row.
+    // the 12h join window). The staged stream carries a far-future
+    // (2030) sentinel click+purchase pair (distinct unused users, so
+    // they match nothing) — the watermark-heartbeat pattern — which
+    // drives BOTH sides' terminal watermarks years past every real
+    // click's 12h deadline: every real unmatched click null-emits, so
+    // the oracle is the plain relational outer join with NO watermark
+    // arithmetic and no Spark-internals pinning. The sentinels' own
+    // deadlines (2030+12h / 2030) sit ABOVE the terminal watermark
+    // (2030 − 1h delay) by ≥ 1h — margin ≫ any boundary rounding — so
+    // their null rows must never appear; if a regression emitted
+    // unexpired state, the negative-id sentinel rows flip this red.
     // Exactly-once across a checkpointed RESTART — the production
     // recovery semantics every streaming deployment leans on: run 1
     // (AvailableNow) drains the even half of the events into a parquet
@@ -1216,19 +1258,19 @@ object Advanced {
     // watermark passes the last instant the row could still match —
     // clicks at click_ts + 12 h (q148's gate), purchases at p_ts
     // (future clicks are ≥ the watermark and a match needs click_ts ≤
-    // p_ts). Both emission gates are modeled in the oracle with the
-    // q148 ms-floor convention. Nullable-on-both-sides ordering keys
-    // spell NULLS FIRST explicitly on both engines.
+    // p_ts). The staged 2030 sentinel pair (q148's de-brittling)
+    // passes both gates for every real row, so the oracle is the
+    // plain relational FULL OUTER interval join — no watermark
+    // modeling; the sentinels' own null rows must stay absent.
+    // Nullable-on-both-sides ordering keys spell NULLS FIRST
+    // explicitly on both engines.
     "q196_stream_full_outer_join" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val name = "stream_foj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val schema = table(s, d, "events").schema
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_foj_")
       try {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"))
+        val schema = stageEventsWithFlushSentinels(s, d, stage)
         def side(tpe: String) = graft.Graft.normalizeTs(
             s.readStream.schema(schema).parquet(stage.toString))
           .filter(col("event_type") === tpe)
@@ -1265,12 +1307,9 @@ object Advanced {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val name = "stream_oj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val schema = table(s, d, "events").schema
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_oj_")
       try {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"))
+        val schema = stageEventsWithFlushSentinels(s, d, stage)
         def side(tpe: String) = graft.Graft.normalizeTs(
             s.readStream.schema(schema).parquet(stage.toString))
           .filter(col("event_type") === tpe)
@@ -1706,8 +1745,10 @@ object Advanced {
       """SELECT user_id, COUNT(*) AS n_events,
          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY user_id ORDER BY user_id""",
-    // gaps-and-islands session reconstruction; the streamed output is
-    // every session whose 30-min horizon the terminal watermark passed
+    // gaps-and-islands session reconstruction; the staged 2030
+    // sentinel fires every real session's timer, so ALL sessions
+    // emit and the oracle carries no watermark cutoff (the sentinel's
+    // own open session must be absent)
     "q170_stream_timer_sessions" ->
       """WITH e AS (
            SELECT user_id, epoch_ms(ts) AS ms FROM events
@@ -1729,11 +1770,10 @@ object Advanced {
          g AS (
            SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
              COUNT(*) AS n_events
-           FROM s GROUP BY 1, 2),
-         mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events WHERE user_id <= 20)
+           FROM s GROUP BY 1, 2)
          SELECT user_id, start_ms, end_ms,
            CAST(n_events AS BIGINT) AS n_events
-         FROM g WHERE end_ms + 1800000 <= (SELECT m FROM mx)
+         FROM g
          ORDER BY user_id, start_ms""",
     // the streamed per-(user, type) map entries must land exactly on
     // the two-key batch aggregate
@@ -1790,17 +1830,14 @@ object Advanced {
            UNION ALL SELECT 'ref_integrity', 'o_custkey', v, v = 0 FROM ri1
            UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, v = 0 FROM ri2)
          ORDER BY "check", target""",
-    // matches = the batch inner join; null rows = unmatched clicks
-    // whose full 12h window is below the final global watermark
-    // (min of the two sides' ms-floored maxima, minus the 1h delay) —
-    // pinned empirically; unresolved tail clicks must be absent
     // exactly-once across the restart ⇒ the plain batch rollup
     "q197_stream_restart" ->
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY event_type ORDER BY event_type""",
-    // q148's model + the RIGHT side's null emissions (purchases whose
-    // horizon p_us passed the terminal watermark, no matching click)
+    // q148's model + the RIGHT side's null emissions: the staged 2030
+    // sentinels close every real row's match window, so this is the
+    // plain relational FULL OUTER interval join — no watermark CTE
     "q196_stream_full_outer_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
              epoch_us(ts) AS us FROM events),
@@ -1808,11 +1845,6 @@ object Advanced {
            FROM ev WHERE event_type = 'click'),
          p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
            FROM ev WHERE event_type = 'purchase'),
-         wm AS (SELECT least(
-             epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)) // 1000,
-             epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000)
-             - 3600000 AS w
-           FROM events),
          matched AS (
            SELECT click_id, purchase_id, c.user_id AS uid,
              p_us - click_us AS lag_us
@@ -1821,23 +1853,23 @@ object Advanced {
          un_c AS (
            SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
              c.user_id AS uid, CAST(NULL AS BIGINT) AS lag_us
-           FROM c, wm
+           FROM c
            WHERE NOT EXISTS (
                SELECT 1 FROM p WHERE p.user_id = c.user_id
-                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
-             AND click_us // 1000 + 43200000 <= w),
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000)),
          un_p AS (
            SELECT CAST(NULL AS BIGINT) AS click_id, purchase_id,
              p.user_id AS uid, CAST(NULL AS BIGINT) AS lag_us
-           FROM p, wm
+           FROM p
            WHERE NOT EXISTS (
                SELECT 1 FROM c WHERE c.user_id = p.user_id
-                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
-             AND p_us // 1000 <= w)
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000))
          SELECT * FROM (SELECT * FROM matched
            UNION ALL SELECT * FROM un_c
            UNION ALL SELECT * FROM un_p)
          ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""",
+    // the staged 2030 sentinels pass every real click's 12h deadline,
+    // so this is the plain relational LEFT OUTER interval join
     "q148_stream_outer_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
              epoch_us(ts) AS us FROM events),
@@ -1845,11 +1877,6 @@ object Advanced {
            FROM ev WHERE event_type = 'click'),
          p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
            FROM ev WHERE event_type = 'purchase'),
-         wm AS (SELECT least(
-             epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)) // 1000,
-             epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000)
-             - 3600000 AS w
-           FROM events),
          matched AS (
            SELECT click_id, purchase_id, c.user_id AS user_id,
              p_us - click_us AS lag_us
@@ -1858,11 +1885,10 @@ object Advanced {
          unmatched AS (
            SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
              c.user_id AS user_id, CAST(NULL AS BIGINT) AS lag_us
-           FROM c, wm
+           FROM c
            WHERE NOT EXISTS (
                SELECT 1 FROM p WHERE p.user_id = c.user_id
-                 AND p_us >= click_us AND p_us <= click_us + 43200000000)
-             AND click_us // 1000 + 43200000 <= w)
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000))
          SELECT * FROM (SELECT * FROM matched
            UNION ALL SELECT * FROM unmatched)
          ORDER BY click_id, purchase_id NULLS FIRST""",
@@ -1872,22 +1898,20 @@ object Advanced {
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events GROUP BY 1 ORDER BY 1""",
-    // append mode's emitted set, pinned empirically and replayed: all
-    // windows whose end ≤ final watermark (max event time floored to
-    // ms, minus the 1h delay — Spark tracks watermarks in ms); the
-    // trailing open windows never emit
+    // append mode's emitted set: the 2030 sentinel flush batch closes
+    // EVERY real window, so the oracle is the plain batch recompute —
+    // no watermark arithmetic, no Spark-internals dependence. The
+    // sentinel's own open window must be absent (it would appear as
+    // an unmatched "__wm_flush" row and flip this red).
     "q147_stream_append_window" ->
-      """WITH wm AS (
-           SELECT (epoch_us(max(ts)) // 1000) - 3600000 AS w_ms
-           FROM events),
-         agg AS (
+      """WITH agg AS (
            SELECT epoch_us(ts) // 3600000000 AS h, event_type,
              COUNT(*) AS n,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS cents
            FROM events GROUP BY 1, 2)
          SELECT h * 3600000000 AS win_start_us, event_type, n, cents
-         FROM agg, wm WHERE (h + 1) * 3600000 <= w_ms
+         FROM agg
          ORDER BY win_start_us, event_type""",
     // every observed counter recomputed from plain aggregates
     "q142_observed_metrics" ->

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * SURVEY.md §2.14): media as opaque `BinaryType` + typed metadata, with
   * decode / feature-extract / resize / frame-sample plumbing.
   *
-  * STUB NOTICE: this container has no image/audio codecs, so `decode` is
-  * a clearly-marked deterministic fake (hash-derived dimensions/features
-  * from the bytes). The Spark-side contract — schema, batch shape,
-  * partitioning, column signatures — is real and tested; swapping the
-  * fake for a codec-backed vectorized UDF (e.g. Arrow-batched) changes
-  * only the leaf expressions.
+  * STUB NOTICE: this container has no image/audio codec LIBRARIES, so
+  * the generic `decode` is a clearly-marked deterministic fake
+  * (header-math dimensions/features from the bytes). The Spark-side
+  * contract — schema, batch shape, partitioning, column signatures —
+  * is real and tested; swapping the fake for a codec-backed vectorized
+  * UDF (e.g. Arrow-batched) changes only the leaf expressions. One
+  * format IS decoded for real: uncompressed 24-bit BMP
+  * ([[decodeBmp]]/[[decodeBmpBatched]], pure JVM — q201), which
+  * demonstrates actual pixels flowing through the same batched path.
   */
 object Multimodal {
 
@@ -133,6 +136,128 @@ object Multimodal {
           val (w, h) = parseHeader(m.media)
           MediaOut(m.media_id, w, h, m.media.length.toLong)
         }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codec: uncompressed 24-bit BMP (pure JVM, no native libs).
+  // The one format this container can decode for real — so the
+  // multimodal column is first-class beyond metadata: actual pixels
+  // come out, and the padding/bottom-up/channel-order details below
+  // are exactly the bugs a fake can't catch.
+  // ---------------------------------------------------------------
+
+  /** Decoded BMP record: dimensions, per-channel pixel means, and the
+    * TOP-LEFT pixel's channels. The corner pixel is deliberately
+    * order-sensitive: BMP stores rows BOTTOM-UP with each row padded
+    * to 4 bytes, so reading it requires walking to the last stored
+    * row past the padding — a decoder that ignores either detail gets
+    * it wrong while the (order-free) means still pass.
+    */
+  case class BmpOut(media_id: Long, width: Int, height: Int,
+                    mean_r: Double, mean_g: Double, mean_b: Double,
+                    tl_r: Int, tl_g: Int, tl_b: Int)
+
+  /** Encode an uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER,
+    * rows padded to 4 bytes, pixels stored B,G,R). `pix(x, y)` gives
+    * (r, g, b) with y=0 the TOP row — the encoder does the vertical
+    * flip the format mandates. Pure fixture builder for the decode
+    * oracle; deterministic byte-for-byte.
+    */
+  def encodeBmp(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)   // file header
+      .putInt(40).putInt(w).putInt(h)               // DIB: size, w, h (+h = bottom-up)
+      .putShort(1).putShort(24).putInt(0)           // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835)   // size, 72 dpi
+      .putInt(0).putInt(0)                          // palette
+    // bottom-up: stored row 0 holds the BOTTOM image row (y = h-1)
+    var sy = 0
+    while (sy < h) {
+      val y = h - 1 - sy                            // image row this stored row holds
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      sy += 1
+    }
+    buf.array()
+  }
+
+  /** Decode an uncompressed 24-bit BMP: validates the magic, bpp and
+    * BI_RGB compression, honors the pixel-array offset, per-row
+    * padding, channel order (B,G,R) and bottom-up row storage (a
+    * negative height means top-down — also handled). Throws
+    * IllegalArgumentException on anything it can't decode — corrupt
+    * media must fail loudly, not produce silent garbage features.
+    */
+  private[ext] def decodeBmp(id: Long, bytes: Array[Byte]): BmpOut = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"media $id: not a BMP")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = buf.getShort(28).toInt
+    val comp = buf.getInt(30)
+    require(bpp == 24 && comp == 0,
+      s"media $id: unsupported BMP (bpp=$bpp comp=$comp)")
+    val rowStride = w * 3 + (4 - (w * 3) % 4) % 4
+    require(off + rowStride.toLong * h <= bytes.length,
+      s"media $id: truncated pixel array")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var tlR = 0; var tlG = 0; var tlB = 0
+    var sy = 0
+    while (sy < h) {
+      val y = if (bottomUp) h - 1 - sy else sy // image row of stored row sy
+      val base = off + sy * rowStride
+      var x = 0
+      while (x < w) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        if (x == 0 && y == 0) { tlR = r; tlG = g; tlB = b }
+        x += 1
+      }
+      sy += 1
+    }
+    val n = w.toLong * h
+    BmpOut(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, tlR, tlG, tlB)
+  }
+
+  /** Batched BMP decode — [[decodeBatched]]'s shape with the REAL
+    * codec in the leaf: iterator-in/iterator-out mapPartitions, one
+    * "context" per `batchSize` payloads (a pure-JVM decoder needs no
+    * context, but the seam — and the accumulator observability — is
+    * where a libjpeg/ffmpeg handle would amortize).
+    */
+  def decodeBmpBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                       batchSize: Int = 64,
+                       batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[BmpOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[BmpOut] =
+      org.apache.spark.sql.Encoders.product[BmpOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.map(m => decodeBmp(m.media_id, m.media))
       }
     }
   }

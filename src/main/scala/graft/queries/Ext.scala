@@ -606,6 +606,42 @@ object Ext {
       Multimodal.decodeBatched(media).toDF().orderBy(col("media_id"))
     }),
 
+    // REAL media decode (q91 pins the batched plumbing with the stub
+    // codec; this runs an actual pure-JVM 24-bit BMP decoder through
+    // the same mapPartitions shape). Fixture: every 29th doc becomes a
+    // true BMP (proper headers, 4-byte row padding, bottom-up rows,
+    // B,G,R channel order) whose pixel (x,y) is a closed-form function
+    // of (doc_id, x, y) with per-channel offsets — so DuckDB recomputes
+    // dimensions, per-channel means AND the top-left pixel analytically
+    // with no codec. The corner pixel is the order-sensitive probe: a
+    // decoder that skips the vertical flip, miscomputes the row stride,
+    // or swaps R/B lands on different values while the means still
+    // pass. Encode is fixture construction; DECODE is the operator
+    // under test — a bug in either flips the row red.
+    "q201_bmp_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(29)) === 3)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val w = (4 + n % 5).toInt
+          val h = (3 + n % 4).toInt
+          Multimodal.MediaIn(n, Multimodal.encodeBmp(w, h, (x, y) => (
+            ((n + x + y) % 256).toInt,
+            ((n + y + 7) % 256).toInt,
+            ((n + x + 13) % 256).toInt)))
+        }
+      Multimodal.decodeBmpBatched(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // Int8 embedding quantization with exact reconstruction-error
     // audit: scale, L1 mass of the quantized vector, and worst-case
     // per-element error — the compression step before a 100 TB ANN
@@ -1211,6 +1247,27 @@ object Ext {
          SELECT doc_id, COUNT(*) AS n_shingles,
            MIN(sh) AS min_sh, MAX(sh) AS max_sh
          FROM g GROUP BY 1 ORDER BY doc_id""",
+    // full analytic recompute of the BMP fixture: dims from the doc_id
+    // formula, channel means as exact integer sums over the pixel grid,
+    // corner pixel from the closed form at (0,0) — no codec needed
+    "q201_bmp_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                  CAST(3 + doc_id % 4 AS INT) AS h
+           FROM documents WHERE doc_id % 29 = 3),
+         px AS (
+           SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+           FROM d,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+         SELECT doc_id AS media_id, w AS width, h AS height,
+           round(SUM((doc_id + x + y) % 256) * 1.0 / (w * h), 6) AS mean_r,
+           round(SUM((doc_id + y + 7) % 256) * 1.0 / (w * h), 6) AS mean_g,
+           round(SUM((doc_id + x + 13) % 256) * 1.0 / (w * h), 6) AS mean_b,
+           CAST(doc_id % 256 AS INT) AS tl_r,
+           CAST((doc_id + 7) % 256 AS INT) AS tl_g,
+           CAST((doc_id + 13) % 256 AS INT) AS tl_b
+         FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
     // ASCII payloads: byte k == ascii(char k); header parse is plain math
     "q91_media_batch_decode" ->
       """SELECT doc_id AS media_id,

@@ -98,4 +98,41 @@ class MultimodalSpec extends SparkSpec {
     // ragged tails (≤ 4 + 100/16), never 100
     assert(acc.value >= 7 && acc.value <= 11, s"inits = ${acc.value}")
   }
+
+  test("BMP codec: encode/decode round-trip is exact, incl. padding and bottom-up rows") {
+    // 3×2 image with distinct per-pixel channels; w=3 forces a 3-byte
+    // row pad, h=2 forces the vertical flip to matter
+    val pix = Map(
+      (0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60), (2, 0) -> (70, 80, 90),
+      (0, 1) -> (110, 120, 130), (1, 1) -> (140, 150, 160), (2, 1) -> (170, 180, 190))
+    val bytes = Multimodal.encodeBmp(3, 2, (x, y) => pix((x, y)))
+    // structural: 54-byte header + 2 rows of 3*3 padded to 12
+    assert(bytes.length == 54 + 2 * 12)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    // stored row 0 must be the BOTTOM image row (y=1), B first
+    assert((bytes(54) & 0xff) == 130 && (bytes(56) & 0xff) == 110)
+    val out = Multimodal.decodeBmpBatched(
+      spark.createDataset(Seq(Multimodal.MediaIn(9L, bytes)))).collect()(0)
+    assert(out.width == 3 && out.height == 2)
+    assert((out.tl_r, out.tl_g, out.tl_b) == ((10, 20, 30)))
+    def mean(c: ((Int, Int, Int)) => Int) =
+      pix.values.map(c).sum / 6.0
+    assert(math.abs(out.mean_r - mean(_._1)) < 1e-12)
+    assert(math.abs(out.mean_g - mean(_._2)) < 1e-12)
+    assert(math.abs(out.mean_b - mean(_._3)) < 1e-12)
+  }
+
+  test("BMP codec: corrupt media fails loudly, not as silent garbage") {
+    val bad = Array.fill[Byte](60)(0x42)
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeBmpBatched(
+        spark.createDataset(Seq(Multimodal.MediaIn(1L, bad)))).collect())
+    assert(e.getMessage != null)
+    // 8-bit BMPs are out of scope and must be rejected, not misread
+    val bytes24 = Multimodal.encodeBmp(2, 2, (_, _) => (1, 2, 3))
+    val as8bit = bytes24.clone(); as8bit(28) = 8
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeBmpBatched(
+        spark.createDataset(Seq(Multimodal.MediaIn(2L, as8bit)))).collect())
+  }
 }

@@ -41,7 +41,7 @@ object Bench {
         // Sources.planHashes — prefer it, else plan diffing is blind for
         // exactly those queries (q62/q64/q72 shared one hash in r2).
         plans(name) = queries.Sources.planHashes.getOrElse(name,
-          md5_8(df.queryExecution.optimizedPlan.canonicalized.toString))
+          Graft.planSignature(df))
         df.count()
       } catch { case _: Throwable => () }
     }

@@ -84,6 +84,22 @@ object Graft {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** Cross-session-stable plan fingerprint: canonicalized optimized
+    * plan with the per-JVM/per-run noise scrubbed before hashing —
+    * typed-lambda object identities (`Foo$$Lambda$123/0x...@1a2b3c`),
+    * bare object hashes (`@7f3c2a`), and temp staging paths
+    * (`/tmp/graft_xyz_<random>`). Without the scrub, every query whose
+    * plan embeds a closure or a createTempDirectory path gets a fresh
+    * hash each JVM, and `tools/plan_diff.py` reads run-to-run noise as
+    * plan drift (observed r4→r5→r6: q50/q68/q81/q91/q93/q136-class
+    * churned every round with unchanged code).
+    */
+  def planSignature(df: DataFrame): String = md5_8(
+    df.queryExecution.optimizedPlan.canonicalized.toString
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X"))
+
   /** Signed-zero-safe round for float-emitting oracle columns (SURVEY §5
     * convention). `round` of a tiny negative (e.g. a covariance cell that
     * is -1e-9) yields `-0.0` in DuckDB but `+0.0` through Spark's

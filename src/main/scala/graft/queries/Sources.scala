@@ -49,8 +49,7 @@ object Sources {
   private def materialize(s: SparkSession, name: String, df: DataFrame,
                           maxRows: Int = 10000): DataFrame = {
     import scala.jdk.CollectionConverters._
-    planHashes(name) =
-      graft.Graft.md5_8(df.queryExecution.optimizedPlan.canonicalized.toString)
+    planHashes(name) = graft.Graft.planSignature(df)
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Sources.materialize($name): result exceeds $maxRows rows — " +

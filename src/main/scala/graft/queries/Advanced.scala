@@ -222,6 +222,87 @@ object Advanced {
     // literally true (within 5% of exact — 2.5σ at rsd=0.02; the HLL
     // merge is order-independent, so the Spark value is deterministic).
     // A sketch regression flips the row red in CORRECTNESS.
+    // ENGINE-MANAGED session windows (session_window, Spark 3.2+) —
+    // the third spelling of sessionization after the batch
+    // gaps-and-islands window (q21) and the hand-rolled
+    // transformWithState timers (q170): the engine merges overlapping
+    // [ts, ts+gap) intervals per key and closes a session when the
+    // watermark passes its end. Emission uses the §5.8 sentinel-flush
+    // convention (a 2030 event for unused user -21 closes every real
+    // session; its own session stays open and must be absent), so the
+    // oracle is the plain relational reconstruction. BOUNDARY NOTE:
+    // session_window's interval is half-open — an event at exactly
+    // last+gap starts a NEW session — so the oracle breaks on
+    // `ms - prev >= gap` where the q21/q170 hand-rolled forms break on
+    // `>` (documented API semantics, not internals).
+    "q202_session_window" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_sw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stage = java.nio.file.Files.createTempDirectory("graft_sw_")
+      try {
+        val ev0 = events(s, d)
+        ev0.select(col("user_id"), col("ts"))
+          .filter(col("user_id") <= 20)
+          .unionByName(ev0.limit(1).select(lit(-21L).as("user_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts")))
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val schema = s.read.parquet(stage.toString).schema
+        val q = s.readStream.schema(schema).parquet(stage.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
+    // Count-min sketch (spark-sketch) — the frequency-estimate member
+    // of the sketch family (q43 HLL distinct, q76 HLL merge, q81
+    // Misra-Gries heavy hitters, q118 exact bitmaps): one codegen'd
+    // mergeable aggregate builds the sketch (O(width·depth) partials —
+    // the 100 TB shape), the driver deserializes the KB-sized result
+    // (bounded driver material, like the k-means centroids), and the
+    // top-10 exact-count keys are probed against it. CMS guarantees
+    // est ≥ exact always, and est ≤ exact + eps·N with confidence
+    // 1−δ per key; with a FIXED seed both contracts are deterministic
+    // per SF, so the oracle pins them TRUE alongside the
+    // DuckDB-recomputable exact counts (est itself is
+    // sketch-hash-derived — the q41/q44 contract-oracle stance).
+    "q203_count_min" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val skBytes = li.agg(
+          expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val epsN = math.ceil(0.001 * li.count()).toLong
+      // top-10 keys probed DRIVER-side against the deserialized sketch
+      // (10 bounded rows — the q197 materialize pattern; avoids a udf
+      // for a probe the driver already holds the sketch for)
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+        .collect().map { r =>
+          val k = r.getLong(0); val exact = r.getLong(1)
+          val e = cms.estimateCount(k)
+          (k, exact, e >= exact, e <= exact + epsN)
+        }.toSeq
+      import s.implicits._
+      top.toDF("l_partkey", "n_exact", "lower_ok", "upper_ok")
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    }),
+
     "q43_approx_distinct" -> ((s, d) => {
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1651,6 +1732,44 @@ object Advanced {
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
          TRUE AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // engine-managed session windows replayed relationally in EXACT µs
+    // (no ms truncation anywhere — the fixture has sub-ms timestamps);
+    // break on >= gap: session_window's [ts, ts+gap) interval is
+    // half-open, an event at exactly last+gap starts a new session
+    "q202_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE user_id <= 20),
+         x AS (
+           SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+           FROM e),
+         f AS (
+           SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM x),
+         s AS (
+           SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         g AS (
+           SELECT user_id, sid, MIN(us) AS start_us,
+             MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, start_us, end_us,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM g ORDER BY user_id, start_us""",
+    // exact top-10 frequencies recomputable; the CMS probe contracts
+    // (est >= exact always; est <= exact + ceil(eps*N) at the fixed
+    // seed) pinned TRUE — the q43 contract-oracle stance
+    "q203_count_min" ->
+      """WITH t AS (
+           SELECT l_partkey, COUNT(*) AS n_exact FROM lineitem
+           GROUP BY 1 ORDER BY n_exact DESC, l_partkey LIMIT 10)
+         SELECT l_partkey, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+         FROM t ORDER BY n_exact DESC, l_partkey""",
     "q52_stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
          COUNT(*) AS n,

@@ -210,16 +210,28 @@ object Graph {
   private[graft] def orientEdges(edges: DataFrame, aCol: String,
                                  bCol: String,
                                  byDegree: Boolean): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     if (!byDegree)
-      // id order: rank(x) = x, already a < b
-      e.select(col("a").as("src"), col("b").as("dst"),
+      // id order: rank(x) = x, already a < b (no checkpoint: this
+      // plan references e exactly as often as the old inline form)
+      e0.select(col("a").as("src"), col("b").as("dst"),
         col("b").as("rdst"))
     else {
+      // checkpoint BOTH the canonical edge list and the oriented
+      // result (the labelPropagation discipline, ext/Graph.scala
+      // labelPropagation): the degree path references e three times
+      // (degree aggregate + two rank joins) and the caller references
+      // the oriented edges three more (two wedge legs + the closing
+      // join) — without the cuts an expensive upstream edge
+      // construction (q179's basket self-join + p95 threshold) re-runs
+      // per reference (measured: 10.9 s vs 3.9 s for the id form at
+      // sf0.1; with the cuts the orientation overhead is one degree
+      // aggregate + join on the materialized ~5%-dense edge list)
+      val e = e0.localCheckpoint(true)
       val deg = e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -233,6 +245,7 @@ object Graph {
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
         when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rdst"))
+        .localCheckpoint(true)
     }
   }
 }

@@ -146,6 +146,44 @@ object Relational {
         .orderBy(col("l_returnflag"), col("metric"))
     }),
 
+    // listagg (Spark 4.0 SQL) — ordered string aggregation WITHIN
+    // GROUP, the last §2.6 aggregate spelling the surface lacked
+    // (collect_list + array_join is the pre-4.0 workaround; this is
+    // the ANSI form). Deterministic because the ORDER BY key is unique
+    // within each group; DuckDB's string_agg(... ORDER BY) is the
+    // exact counterpart.
+    "q204_listagg" -> ((s, d) => {
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Spark 4 string COLLATION — semantic string comparison as an
+    // engine surface (UTF8_LCASE = case-insensitive equality/grouping/
+    // distinct) instead of lower() normalization at every call site.
+    // The fixture mixes case deterministically (even keys upper, odd
+    // lower) so case-sensitive and case-insensitive distincts MUST
+    // diverge; equality against a collated literal exercises the
+    // comparison path. Oracle = the lower() spelling of the same
+    // semantics (collation-naive engines normalize; a collation-aware
+    // engine must agree with them on these aggregate counts).
+    "q205_collation" -> ((s, d) => {
+      val mixed = table(s, d, "part")
+        .withColumn("brand_mixed",
+          when(pmod(col("p_partkey"), lit(2)) === 0, upper(col("p_brand")))
+            .otherwise(lower(col("p_brand"))))
+      mixed.agg(
+        countDistinct(collate(col("brand_mixed"), "UTF8_LCASE"))
+          .as("n_ci"),
+        countDistinct(col("brand_mixed")).as("n_cs"),
+        count(when(collate(col("brand_mixed"), "UTF8_LCASE")
+          === lit("Brand#32"), 1)).as("n_eq_ci"))
+    }),
+
     // Ranking-window-function suite (§2.9 completeness): ntile,
     // percent_rank, cume_dist, nth_value over a total (cents, orderkey)
     // order within each priority class. Explicit full-row frame on
@@ -457,6 +495,24 @@ object Relational {
            UNION ALL
            SELECT l_returnflag, 'n_lines', n_lines FROM w)
          ORDER BY l_returnflag, metric""",
+    // string_agg(... ORDER BY) is DuckDB's listagg
+    "q204_listagg" ->
+      """SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    // lower() normalization = the collation-naive spelling of the
+    // same case-insensitive semantics
+    "q205_collation" ->
+      """WITH m AS (
+           SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                       ELSE lower(p_brand) END AS brand_mixed
+           FROM part)
+         SELECT CAST(COUNT(DISTINCT lower(brand_mixed)) AS BIGINT) AS n_ci,
+           CAST(COUNT(DISTINCT brand_mixed) AS BIGINT) AS n_cs,
+           CAST(COUNT(CASE WHEN lower(brand_mixed) = 'brand#32'
+                      THEN 1 END) AS BIGINT) AS n_eq_ci
+         FROM m""",
     // same id/bin integer math replayed serially
     "q129_equidepth_bins" ->
       """WITH t AS (

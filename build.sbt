@@ -20,6 +20,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // which would otherwise be the literal last stdout line after the
 // summary even with undecorated forked output.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not the task graph —
+// exclude it from the unused-key lint so every run isn't prefixed by a
+// spurious warning block
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

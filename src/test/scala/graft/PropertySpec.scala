@@ -280,4 +280,70 @@ class PropertySpec extends SparkSpec {
       assert(toks == encode(w), s"engine disagrees with model for $w")
     }
   }
+
+  test("triangles: degree-oriented == id-ordered == Scala model on random graphs") {
+    // the equivalence claim behind q179's production path, pinned on
+    // adversarial shapes the fixture graph can't produce: random dense
+    // and sparse multigraph-ish edge lists with self-loops and both
+    // orientations of the same pair (canonicalization must absorb them)
+    val edgeGen = for {
+      n <- Gen.choose(3, 10)
+      m <- Gen.choose(1, 25)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield es
+    val cases = sample(edgeGen, 25, seed = 41L)
+    cases.zipWithIndex.foreach { case (es, i) =>
+      val df = es.toDF("a", "b")
+      // driver-side model: canonical undirected simple graph, count
+      // triangles per node by brute force
+      val adj = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = adj.flatMap(e => Set(e._1, e._2)).toList.sorted
+      def conn(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+      val model = (for {
+        Seq(x, y, z) <- nodes.combinations(3)
+        if conn(x, y) && conn(y, z) && conn(x, z)
+        v <- Seq(x, y, z)
+      } yield v).toList.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      def got(df2: org.apache.spark.sql.DataFrame) =
+        df2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val idOrdered = got(graft.ext.Graph.triangleCounts(df, "a", "b"))
+      val degOriented = got(
+        graft.ext.Graph.triangleCountsDegreeOriented(df, "a", "b"))
+      assert(idOrdered == model, s"case $i: id-ordered vs model")
+      assert(degOriented == model, s"case $i: degree-oriented vs model")
+    }
+  }
+
+  test("BMP codec: decode(encode) recovers exact stats on random images") {
+    val imgGen = for {
+      w <- Gen.choose(1, 9)   // small widths hit every padding residue
+      h <- Gen.choose(1, 5)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.toVector)
+    val cases = sample(imgGen, 40, seed = 97L)
+    val media = cases.zipWithIndex.map { case ((w, h, px), i) =>
+      def at(x: Int, y: Int) =
+        (px((y * w + x) * 3), px((y * w + x) * 3 + 1), px((y * w + x) * 3 + 2))
+      graft.ext.Multimodal.MediaIn(i.toLong,
+        graft.ext.Multimodal.encodeBmp(w, h, at))
+    }
+    val out = graft.ext.Multimodal.decodeBmpBatched(
+        spark.createDataset(media), batchSize = 7)
+      .collect().map(o => o.media_id -> o).toMap
+    cases.zipWithIndex.foreach { case ((w, h, px), i) =>
+      val o = out(i.toLong)
+      assert((o.width, o.height) == ((w, h)), s"case $i dims")
+      val n = w * h
+      def chan(c: Int) = (0 until n).map(p => px(p * 3 + c))
+      assert(math.abs(o.mean_r - chan(0).sum.toDouble / n) < 1e-12, s"case $i r")
+      assert(math.abs(o.mean_g - chan(1).sum.toDouble / n) < 1e-12, s"case $i g")
+      assert(math.abs(o.mean_b - chan(2).sum.toDouble / n) < 1e-12, s"case $i b")
+      assert((o.tl_r, o.tl_g, o.tl_b) == ((px(0), px(1), px(2))), s"case $i tl")
+    }
+  }
 }

@@ -1384,6 +1384,50 @@ object Advanced {
       } finally deleteRecursively(stage)
     }),
 
+    // Stream-stream RIGHT OUTER interval join — the last cell of the
+    // join-type matrix (q65 inner, q148 left outer, q171 left semi,
+    // q196 full outer): the RIGHT side's state store emits null-padded
+    // purchases once the watermark passes p_ts (the q196 right-side
+    // gate); same sentinel-flush staging, so the oracle is the plain
+    // relational right outer join and the sentinels stay absent.
+    "q207_stream_right_outer_join" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_roj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_roj_")
+      try {
+        val schema = stageEventsWithFlushSentinels(s, d, stage)
+        def side(tpe: String) = graft.Graft.normalizeTs(
+            s.readStream.schema(schema).parquet(stage.toString))
+          .filter(col("event_type") === tpe)
+        val clicks = side("click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = side("purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 12 hours"),
+          "right_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(col("click_id"), col("purchase_id"),
+            col("p_user").as("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+              .as("lag_us"))
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     "q148_stream_outer_join" -> ((s0, d) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1987,6 +2031,31 @@ object Advanced {
            UNION ALL SELECT * FROM un_c
            UNION ALL SELECT * FROM un_p)
          ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""",
+    // the right-side mirror of q148: matched pairs plus null-padded
+    // purchases with no click in their 12h lookback — the sentinels
+    // close every real purchase's gate, plain relational right outer
+    "q207_stream_right_outer_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         c AS (SELECT event_id AS click_id, user_id, us AS click_us
+           FROM ev WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+           FROM ev WHERE event_type = 'purchase'),
+         matched AS (
+           SELECT click_id, purchase_id, p.user_id AS user_id,
+             p_us - click_us AS lag_us
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p_us >= click_us AND p_us <= click_us + 43200000000),
+         unmatched AS (
+           SELECT CAST(NULL AS BIGINT) AS click_id, purchase_id,
+             p.user_id AS user_id, CAST(NULL AS BIGINT) AS lag_us
+           FROM p
+           WHERE NOT EXISTS (
+               SELECT 1 FROM c WHERE c.user_id = p.user_id
+                 AND p_us >= click_us AND p_us <= click_us + 43200000000))
+         SELECT * FROM (SELECT * FROM matched
+           UNION ALL SELECT * FROM unmatched)
+         ORDER BY purchase_id, click_id NULLS FIRST""",
     // the staged 2030 sentinels pass every real click's 12h deadline,
     // so this is the plain relational LEFT OUTER interval join
     "q148_stream_outer_join" ->

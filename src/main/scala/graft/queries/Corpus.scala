@@ -766,6 +766,44 @@ object Corpus {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // Bloom-broadcast decontamination (BloomJoin over gram hashes) —
+    // q162's exact broadcast gram set costs O(set) to ship; at a 100 TB
+    // corpus with a large benchmark suite the production pre-filter is
+    // an O(bits) Bloom of the eval grams, probed corpus-side BEFORE any
+    // exchange, with the (rare) survivors exactly confirmed by the
+    // equi-join — false positives cost shuffle only, false negatives
+    // are impossible (the Bloom property), so the result is EXACTLY the
+    // exact recompute and the oracle needs no sketch model (q74's
+    // stance, composed with the q162 fixture: same injected snippet,
+    // same 8-gram keys). Output = per-doc shared-gram counts.
+    "q206_bloom_decontaminate" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val docs0 = table(s, d, "documents")
+      val snippet = broadcast(docs0.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(lower(col("text")), " "), 1, 15), " ")
+          .as("snip")))
+      val corpus = spreadIfNarrow(docs0, col("doc_id")).crossJoin(snippet)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(23)) === 7,
+            concat(lower(col("text")), lit(" "), col("snip")))
+            .otherwise(lower(col("text"))))
+        .drop("snip")
+      def grams(df: DataFrame, out: String) = df
+        .select(col("doc_id"),
+          explode(graft.ext.NearDup.shingleHashes(
+            split(col("text"), " "), 8)).as(out))
+      val bench = grams(corpus.filter(pmod(col("doc_id"), lit(97)) === 0), "bgh")
+        .select(col("bgh")).distinct()
+      val train = grams(corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0), "gh")
+      // eager count of the SMALL side sizes the Bloom (bench grams are
+      // the broadcast-dim analogue — KBs of bitmap, not the gram set)
+      val m = math.max(1L, bench.count())
+      graft.ops.BloomJoin.join(train, bench, "gh", "bgh",
+          expectedDimRows = m, fpp = 0.001)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Intra-document repeated-passage spans (ext.NearDup
     // .repeatedSpans): 3-gram start positions whose gram already
     // occurred EARLIER in the same doc, coalesced into excisable
@@ -1621,6 +1659,38 @@ object Corpus {
            CAST(COUNT(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+    // exact recompute with STRING grams (q38's hash-equivalence
+    // stance), mirroring ShingleHashes semantics precisely: plain
+    // split (no empty-token filter), per-doc DISTINCT windows,
+    // whole-text fallback below k=8 tokens. The Bloom pre-filter
+    // cannot change the result (no false negatives; positives are
+    // removed by the exact confirm join), so no sketch model appears
+    // here — identical to q74's stance.
+    "q206_bloom_decontaminate" ->
+      """WITH snip AS (
+           SELECT array_to_string(string_split(lower(text), ' ')[1:15], ' ')
+             AS s
+           FROM documents WHERE doc_id = 0),
+         corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 23 = 7
+                  THEN lower(text) || ' ' || (SELECT s FROM snip)
+                  ELSE lower(text) END AS t
+           FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                      for i in generate_series(1, len(w)-7)])
+             END AS kgs
+           FROM toks),
+         g AS (SELECT doc_id, unnest(kgs) AS kg FROM sh),
+         bench AS (SELECT DISTINCT kg FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, COUNT(*) AS n_shared
+         FROM g JOIN bench USING (kg)
+         WHERE doc_id % 97 <> 0
+         GROUP BY doc_id ORDER BY doc_id""",
     // q78's injection fixture + q160's islands machinery: bench grams
     // distinct-ed, train positions semi-joined, runs coalesced
     "q162_decontaminate_spans" ->

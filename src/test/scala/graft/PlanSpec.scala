@@ -148,6 +148,9 @@ class PlanSpec extends SparkSpec {
       // decontamination spans themselves flow through a broadcast
       // SEMI-join — keyed, not a product)
       "q162_decontaminate_spans",
+      // q206: the same 1-row snippet injection; the Bloom pre-filter is
+      // a scan predicate and the confirm join is keyed on the gram hash
+      "q206_bloom_decontaminate",
       // q99/q100: BM25's (N, avgdl) corpus stats are ONE broadcast row
       // cross-joined onto the matched postings — O(|matched|) work,
       // scale-safe by construction (same class as q46's scalar)

@@ -122,6 +122,33 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out.mean_b - mean(_._3)) < 1e-12)
   }
 
+  test("BMP codec: negative height (top-down row order) decodes the same image") {
+    // flip a bottom-up encoding into the top-down variant by negating
+    // the height field and reversing the stored row order — the decoder
+    // must land on identical stats and the SAME top-left pixel
+    val pix = Map(
+      (0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
+      (0, 1) -> (7, 8, 9), (1, 1) -> (10, 11, 12))
+    val up = Multimodal.encodeBmp(2, 2, (x, y) => pix((x, y)))
+    val down = up.clone()
+    java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -2)
+    val stride = 8 // 2*3 padded to 8
+    for (i <- 0 until stride) {
+      down(54 + i) = up(54 + stride + i)
+      down(54 + stride + i) = up(54 + i)
+    }
+    val out = Multimodal.decodeBmpBatched(spark.createDataset(Seq(
+      Multimodal.MediaIn(1L, up), Multimodal.MediaIn(2L, down))))
+      .collect().map(o => o.media_id -> o).toMap
+    assert(out(1L).height == 2 && out(2L).height == 2)
+    Seq(1L, 2L).foreach { id =>
+      val o = out(id)
+      assert((o.tl_r, o.tl_g, o.tl_b) == ((1, 2, 3)), s"media $id corner")
+      assert(math.abs(o.mean_r - 5.5) < 1e-12 && math.abs(o.mean_g - 6.5) < 1e-12)
+    }
+  }
+
   test("BMP codec: corrupt media fails loudly, not as silent garbage") {
     val bad = Array.fill[Byte](60)(0x42)
     val e = intercept[org.apache.spark.SparkException](

@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * (header-math dimensions/features from the bytes). The Spark-side
   * contract — schema, batch shape, partitioning, column signatures —
   * is real and tested; swapping the fake for a codec-backed vectorized
-  * UDF (e.g. Arrow-batched) changes only the leaf expressions. One
-  * format IS decoded for real: uncompressed 24-bit BMP
-  * ([[decodeBmp]]/[[decodeBmpBatched]], pure JVM — q201), which
-  * demonstrates actual pixels flowing through the same batched path.
+  * UDF (e.g. Arrow-batched) changes only the leaf expressions. Two
+  * formats ARE decoded for real, pure JVM, through the same batched
+  * path: uncompressed 24-bit BMP ([[decodeBmp]]/[[decodeBmpBatched]],
+  * q201 — actual pixels) and 16-bit mono PCM WAV
+  * ([[decodeWav]]/[[decodeWavBatched]], q209 — actual samples).
   */
 object Multimodal {
 
@@ -258,6 +259,126 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batchCounter.foreach(_.add(1))
         batch.iterator.map(m => decodeBmp(m.media_id, m.media))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codec #2: PCM WAV (pure JVM). The audio counterpart of the
+  // BMP decoder: a RIFF chunk WALK (fmt / junk / data in any order,
+  // odd-sized chunks padded to even), not a fixed-offset read — the
+  // fixture inserts an odd-sized junk chunk between fmt and data so a
+  // decoder that assumes samples start at byte 44 reads garbage.
+  // ---------------------------------------------------------------
+
+  /** Decoded WAV record. All-integer on purpose (exact sums, no float
+    * convention needed): `first_s` is the order-sensitive probe (wrong
+    * data offset ⇒ wrong first sample while `peak`/`sum_s` may still
+    * collide), `sum_s`/`sumsq_s` are exact 64-bit moments a caller
+    * derives mean/RMS from.
+    */
+  case class WavOut(media_id: Long, sample_rate: Int, n_samples: Long,
+                    duration_ms: Long, peak: Int, first_s: Int,
+                    sum_s: Long, sumsq_s: Long)
+
+  /** Encode a 16-bit mono PCM WAV (RIFF/WAVE, fmt chunk, an odd-sized
+    * "junk" filler chunk + its mandated pad byte, then data). `sample(t)`
+    * gives the t-th sample in [-32768, 32767]. Fixture builder for the
+    * decode oracle; deterministic byte-for-byte.
+    */
+  def encodeWav(sampleRate: Int, nSamples: Int, sample: Int => Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples > 0)
+    val junk = Array[Byte]('x', 'y', 'z') // odd size 3 → 1 pad byte
+    val dataSize = nSamples * 2
+    val riffSize = 4 + (8 + 16) + (8 + junk.length + 1) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(junk.length)
+      .put(junk).put(0.toByte)           // odd chunk → pad to even
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var t = 0
+    while (t < nSamples) {
+      val s = sample(t)
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $t out of range")
+      buf.putShort(s.toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 16-bit mono PCM WAV by WALKING the RIFF chunks: validates
+    * magic/format, reads `fmt ` wherever it appears, skips unknown
+    * chunks (honoring the odd-size pad byte), and locates `data` by its
+    * tag — never by a fixed offset. Throws IllegalArgumentException on
+    * anything it can't decode — corrupt media must fail loudly, not
+    * produce silent garbage features.
+    */
+  private[ext] def decodeWav(id: Long, bytes: Array[Byte]): WavOut = {
+    require(bytes.length >= 44, s"media $id: too short for WAV")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", s"media $id: not a WAV")
+    var pos = 12
+    var rate = -1; var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val ck = tag(pos); val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"media $id: truncated chunk $ck")
+      ck match {
+        case "fmt " =>
+          require(len >= 16, s"media $id: short fmt chunk")
+          val fmt = buf.getShort(pos + 8).toInt
+          val ch = buf.getShort(pos + 10).toInt
+          val bits = buf.getShort(pos + 22).toInt
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"media $id: unsupported WAV (fmt=$fmt ch=$ch bits=$bits)")
+          rate = buf.getInt(pos + 12)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned: odd size → pad
+    }
+    require(rate > 0, s"media $id: no fmt chunk")
+    require(dataOff >= 0 && dataLen % 2 == 0, s"media $id: no PCM data")
+    val n = dataLen / 2
+    require(n > 0, s"media $id: empty PCM data")
+    var sum = 0L; var sumsq = 0L; var peak = 0
+    val first = buf.getShort(dataOff).toInt
+    var i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + i * 2).toInt
+      sum += s; sumsq += s.toLong * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 1
+    }
+    WavOut(id, rate, n.toLong, n.toLong * 1000L / rate, peak, first, sum, sumsq)
+  }
+
+  /** Batched WAV decode — [[decodeBatched]]'s shape with the REAL audio
+    * codec in the leaf (same context-per-batch seam as
+    * [[decodeBmpBatched]]).
+    */
+  def decodeWavBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                       batchSize: Int = 64,
+                       batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[WavOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[WavOut] =
+      org.apache.spark.sql.Encoders.product[WavOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.map(m => decodeWav(m.media_id, m.media))
       }
     }
   }

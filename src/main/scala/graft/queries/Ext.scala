@@ -642,6 +642,29 @@ object Ext {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio decode (q201's counterpart for the audio modality):
+    // 16-bit mono PCM WAV through the batched mapPartitions path. The
+    // fixture encoder inserts an odd-sized junk chunk between fmt and
+    // data, so the decoder MUST walk RIFF chunks (with word-alignment
+    // padding) rather than assume samples at byte 44 — `first_s` is the
+    // probe that flips red if it doesn't. Samples are a closed-form
+    // function of (doc_id, t), so DuckDB recomputes rate, exact integer
+    // moments, peak and the first sample analytically with no codec.
+    "q209_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(31)) === 4)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val ns = (50 + n % 64).toInt
+          Multimodal.MediaIn(n, Multimodal.encodeWav(8000, ns,
+            t => (((n * 37 + t.toLong * t * 11) % 4001) - 2000).toInt))
+        }
+      Multimodal.decodeWavBatched(media).toDF().orderBy(col("media_id"))
+    }),
+
     // Int8 embedding quantization with exact reconstruction-error
     // audit: scale, L1 mass of the quantized vector, and worst-case
     // per-element error — the compression step before a 100 TB ANN
@@ -1268,6 +1291,26 @@ object Ext {
            CAST((doc_id + 7) % 256 AS INT) AS tl_g,
            CAST((doc_id + 13) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // full analytic recompute of the WAV fixture: per-sample values from
+    // the (doc_id, t) closed form over a generated series — exact integer
+    // moments, no codec needed
+    "q209_wav_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(50 + doc_id % 64 AS BIGINT) AS ns
+           FROM documents WHERE doc_id % 31 = 4),
+         s AS (
+           SELECT doc_id, ns,
+             (doc_id*37 + ts.t*ts.t*11) % 4001 - 2000 AS v
+           FROM d,
+           LATERAL (SELECT unnest(generate_series(0, CAST(ns - 1 AS INT))) AS t) ts)
+         SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           ns AS n_samples,
+           CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(doc_id*37 % 4001 - 2000 AS INT) AS first_s,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(SUM(v*v) AS BIGINT) AS sumsq_s
+         FROM s GROUP BY doc_id, ns ORDER BY media_id""",
     // ASCII payloads: byte k == ascii(char k); header parse is plain math
     "q91_media_batch_decode" ->
       """SELECT doc_id AS media_id,

@@ -149,6 +149,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: round-trip exact; chunk walk skips the odd junk chunk") {
+    val samples = Array(100, -200, 32767, -32768, 0, 7)
+    val bytes = Multimodal.encodeWav(8000, samples.length, samples(_))
+    // the junk LIST chunk sits where a fixed-offset reader expects data:
+    // bytes 36..39 must NOT be "data" (they are "LIST"), so a decoder
+    // that skips the chunk walk reads garbage here
+    assert(new String(bytes, 36, 4, "US-ASCII") == "LIST")
+    val out = Multimodal.decodeWavBatched(
+      spark.createDataset(Seq(Multimodal.MediaIn(5L, bytes)))).collect()(0)
+    assert(out.sample_rate == 8000 && out.n_samples == samples.length)
+    assert(out.duration_ms == samples.length * 1000L / 8000)
+    assert(out.first_s == 100 && out.peak == 32768)
+    assert(out.sum_s == samples.map(_.toLong).sum)
+    assert(out.sumsq_s == samples.map(s => s.toLong * s).sum)
+  }
+
+  test("WAV codec: corrupt/unsupported media fails loudly") {
+    val bad = "RIFFxxxxWAVEnope".getBytes("US-ASCII") ++ Array.fill[Byte](40)(1)
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeWavBatched(
+        spark.createDataset(Seq(Multimodal.MediaIn(1L, bad)))).collect())
+    // stereo is out of scope and must be rejected, not misread as mono
+    val mono = Multimodal.encodeWav(8000, 4, _ => 1)
+    val stereo = mono.clone()
+    java.nio.ByteBuffer.wrap(stereo)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2)
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodeWavBatched(
+        spark.createDataset(Seq(Multimodal.MediaIn(2L, stereo)))).collect())
+  }
+
   test("BMP codec: corrupt media fails loudly, not as silent garbage") {
     val bad = Array.fill[Byte](60)(0x42)
     val e = intercept[org.apache.spark.SparkException](

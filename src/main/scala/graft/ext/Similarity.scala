@@ -191,6 +191,139 @@ object Similarity {
     fwd.join(rev, Seq("id_a", "id_b"))
   }
 
+  /** Directed kNN navigation graph from any scored pair relation
+    * (id_a, id_b, cos6): symmetrize, keep each node's `k` best
+    * neighbors (cos6 desc, id). Unlike [[mutualKnnFromPairs]] the
+    * reverse direction is NOT required, so hub-adjacent nodes keep
+    * their outbound links — the denser, navigable graph a beam search
+    * ([[graphBeamTopK]]) needs, vs the mutual graph's cluster-analysis
+    * sparsity. Output is directed (id, nb).
+    */
+  def knnGraphFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val canon = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos6"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sym = canon.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("cos6"))
+      .unionByName(canon.select(col("id_b").as("id"),
+        col("id_a").as("nb"), col("cos6")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos6").desc, col("nb"))
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("id"), col("nb"))
+  }
+
+  /** Query-aware entry points for [[graphBeamTopK]]: each query's LSH
+    * band-bucket mates (fine buckets — default 2 bands × 8 bits), capped
+    * to `perQuery` by a deterministic hash so seeding costs no cosine.
+    * The standard graph-ANN seeding move: enter the graph NEAR the
+    * query instead of at fixed global points, which keeps recall flat
+    * as the corpus grows (fixed entry points decay — the beam can't
+    * cross a growing graph in bounded hops).
+    */
+  def lshSeedCandidates(queries: DataFrame, corpus: DataFrame,
+                        nPlanes: Int = 16, bandBits: Int = 8,
+                        perQuery: Int = 16): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val cb = corpus.select(col("id"),
+      explode(lshBandKeys(col("vec"), nPlanes, bandBits)).as("bk"))
+    val qk = queries.select(col("qid"),
+      explode(lshBandKeys(col("qvec"), nPlanes, bandBits)).as("bk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(xxhash64(lit("seedsel"), col("id")), col("id"))
+    broadcast(qk).join(cb, Seq("bk"))
+      .select(col("qid"), col("id")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perQuery)
+      .select(col("qid"), col("id"))
+  }
+
+  /** Global hash-uniform entry points (qid × nSeeds corpus ids with the
+    * smallest seed hash) — the connectivity fallback unioned with
+    * [[lshSeedCandidates]] so a query whose buckets are empty still
+    * enters the graph somewhere.
+    */
+  def uniformSeedCandidates(queries: DataFrame, corpus: DataFrame,
+                            nSeeds: Int = 8): DataFrame = {
+    val seeds = corpus
+      .select(col("id"), xxhash64(lit("seed"), col("id")).as("__h"))
+      .orderBy(col("__h"), col("id")).limit(nSeeds)
+      .select(col("id"))
+    queries.select(col("qid")).crossJoin(broadcast(seeds))
+  }
+
+  /** HNSW-class graph ANN: hop-synchronous beam search over a prebuilt
+    * proximity graph (e.g. [[knnGraphFromPairs]]). HNSW itself is a
+    * sequential-insert structure that doesn't distribute; the
+    * Spark-shaped equivalent is exactly this — navigate a precomputed
+    * kNN graph from per-query entry points, expanding a per-query beam
+    * of the best-scored frontier one hop at a time:
+    *
+    *  1. entry points: `seeds` (qid, id) — [[lshSeedCandidates]] ∪
+    *     [[uniformSeedCandidates]] in the standard composition;
+    *  2. each hop: frontier ⋈ adjacency (equi-join, O(frontier·degree))
+    *     → drop already-visited (qid,id) via left-anti → fetch vectors
+    *     by one corpus equi-join → score with the native codegen'd
+    *     cosine against the BROADCAST query set;
+    *  3. next frontier = each query's `beam` best newly-visited nodes
+    *     (cos desc, id tiebreak); after `hops` rounds the answer is the
+    *     global top-k of everything visited.
+    *
+    * Work is O(queries · beam · degree) per hop — independent of corpus
+    * size, the property that makes graph ANN the latency-optimal scale
+    * path; the corpus appears only as the probed side of equi-joins.
+    * Reused relations (adjacency, the growing visited set) are
+    * localCheckpoint'ed: each is referenced 2+ times per hop, and Spark
+    * re-executes shared subtrees per reference (the labelPropagation /
+    * orientEdges discipline).
+    */
+  def graphBeamTopK(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
+                    seeds: DataFrame, k: Int, beam: Int = 8,
+                    hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val adj = edges
+      .select(col("id"), col("nb"))
+      .unionByName(edges.select(col("nb").as("id"), col("id").as("nb")))
+      .dropDuplicates("id", "nb")
+      .localCheckpoint()
+    val qb = broadcast(queries.select(col("qid"), col("qvec")))
+    // (qid, id) candidates -> (qid, id, cos); queries broadcast, corpus
+    // probed by equi-join on id
+    def score(cand: DataFrame): DataFrame =
+      cand.join(corpus, Seq("id"))
+        .join(qb, Seq("qid"))
+        .select(col("qid"), col("id"),
+          cosineNative(col("qvec"), col("vec")).as("cos"))
+    def topBeam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= beam).select(col("qid"), col("id"))
+    }
+    var visited = score(seeds.select(col("qid"), col("id")).distinct())
+      .localCheckpoint()
+    var frontier = topBeam(visited)
+    for (_ <- 0 until hops) {
+      val fresh = frontier.join(adj, Seq("id"))
+        .select(col("qid"), col("nb").as("id")).distinct()
+        .join(visited.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti")
+      val scored = score(fresh).localCheckpoint()
+      visited = visited.unionByName(scored).localCheckpoint()
+      frontier = topBeam(scored)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    visited.filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("nid"), col("rank"),
+        roundz(col("cos"), 6).as("cos6"))
+  }
+
   /** Nearest-centroid index of a vector against a driver-side centroid
     * matrix — one narrow native pass (graft.expr.ArgMaxCosine), no join,
     * no shuffle. The matrix rides into executors as a foldable literal

@@ -208,4 +208,71 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((10L, 11L)))
   }
+
+  test("knnGraphFromPairs: out-degree capped at k; hub keeps outbound links mutual would drop") {
+    import spark.implicits._
+    // hub 1 is everyone's candidate; nodes 2/3/4 each prefer the hub.
+    // With k=1 the mutual graph keeps only (1, best-of-hub); the
+    // navigation graph keeps EVERY node's outbound edge to its best.
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7))
+      .toDF("id_a", "id_b", "cos6")
+    val nav = Similarity.knnGraphFromPairs(pairs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nav == Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val mutual = Similarity.mutualKnnFromPairs(pairs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == Set((1L, 2L)))
+    // degree cap holds for any k
+    val deg = Similarity.knnGraphFromPairs(pairs, k = 2)
+      .groupBy(col("id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(deg <= 2)
+  }
+
+  test("graphBeamTopK: walks hops beyond the seed set to the true neighbor") {
+    import spark.implicits._
+    // chain in 2-D angle space: node i at angle i*10°; query at 52° —
+    // true top-1 is node 5. Seed ONLY node 0 (cos ≈ 0.6 to the query):
+    // reaching node 5 requires walking the chain, so a pass proves the
+    // hops contribute beyond seed scoring.
+    def v(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = (0 to 9).map(i => (i.toLong, v(i * 10.0)))
+      .toDF("id", "vec")
+    val edges = (0 to 8).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id", "nb") // symmetrized inside graphBeamTopK
+    val qs = Seq((100L, v(52.0))).toDF("qid", "qvec")
+    val seeds = Seq((100L, 0L)).toDF("qid", "id")
+    val out = Similarity.graphBeamTopK(qs, corpus, edges, seeds,
+        k = 2, beam = 2, hops = 6)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 6L))
+    // determinism: same inputs, same ranked list
+    val again = Similarity.graphBeamTopK(qs, corpus, edges, seeds,
+        k = 2, beam = 2, hops = 6)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(again == Seq(5L, 6L))
+    // bounded hops: 2 hops from node 0 can reach at best node 2
+    val short = Similarity.graphBeamTopK(qs, corpus, edges, seeds,
+        k = 1, beam = 2, hops = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(short == Seq(2L))
+  }
+
+  test("lshSeedCandidates: per-query cap holds; seeds share a band with the query") {
+    val qs = emb.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val seeds = Similarity.lshSeedCandidates(qs, emb, perQuery = 5)
+    val perQ = seeds.groupBy(col("qid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perQ <= 5)
+    // every seed collides with its query on ≥1 band key by construction
+    val qk = qs.select(col("qid"),
+      explode(Similarity.lshBandKeys(col("qvec"), 16, 8)).as("bk"))
+    val ck = emb.select(col("id"),
+      explode(Similarity.lshBandKeys(col("vec"), 16, 8)).as("bk"))
+    val legal = qk.join(ck, Seq("bk")).select("qid", "id").distinct()
+    assert(seeds.join(legal, Seq("qid", "id"), "left_anti").count() == 0)
+  }
 }

@@ -900,6 +900,34 @@ object Advanced {
         ORDER BY lang""")
     }),
 
+    // Spark 4 SQL-defined UDFs (CREATE FUNCTION ... RETURNS ... RETURN
+    // expr): catalog-resident scalar functions authored IN SQL — the
+    // surface that lets query authors package expression logic with no
+    // JVM code. Declared temporary here (session catalog), one function
+    // calling the other so nested resolution is exercised; the analyzer
+    // INLINES the bodies, so the physical plan is identical to writing
+    // the expressions by hand — zero per-row call overhead, full
+    // codegen. Money stays in exact BIGINT cents so SUM order can't
+    // drift. Oracle: the UDF bodies inlined as plain SQL.
+    "q211_sql_udf" -> ((s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_disc_cents(
+                 p DOUBLE, disc DOUBLE) RETURNS BIGINT
+               RETURN CAST(round(p * (1 - disc) * 100, 0) AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_charge_cents(
+                 p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+               RETURN CAST(round(g_disc_cents(p, disc) * (1 + tax), 0)
+                           AS BIGINT)""")
+      s.sql("""
+        SELECT l_returnflag AS flag,
+               SUM(g_disc_cents(l_extendedprice, l_discount)) AS disc_cents,
+               SUM(g_charge_cents(l_extendedprice, l_discount, l_tax))
+                 AS charge_cents,
+               COUNT(*) AS n
+        FROM g_lineitem
+        GROUP BY l_returnflag ORDER BY flag""")
+    }),
+
     // SQL pipe syntax (Spark 4.0+, SQL:2023-adjacent `|>` operators) —
     // the second SQL-only front door next to q90: the same engine
     // surface driven through piped FROM/WHERE/EXTEND/AGGREGATE/ORDER
@@ -1639,6 +1667,17 @@ object Advanced {
          CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50
          FROM documents WHERE n_chars > 100
          GROUP BY lang ORDER BY lang""",
+    // UDF bodies inlined (what Spark's analyzer does too)
+    "q211_sql_udf" ->
+      """SELECT l_returnflag AS flag,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS disc_cents,
+         CAST(SUM(CAST(round(
+                CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT) * (1 + l_tax), 0) AS BIGINT)) AS BIGINT)
+           AS charge_cents,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
     "q93_cogroup_reconcile" ->
       """SELECT o_orderkey AS k,
          CAST(round(o_totalprice*100) AS BIGINT) AS o_cents,

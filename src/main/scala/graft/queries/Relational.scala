@@ -152,6 +152,25 @@ object Relational {
     // the ANSI form). Deterministic because the ORDER BY key is unique
     // within each group; DuckDB's string_agg(... ORDER BY) is the
     // exact counterpart.
+    // Schema-evolution union (U2 at corpus lifetime): an old corpus
+    // drop (3 columns) unioned with the current 5-column schema via
+    // unionByName(allowMissingColumns = true) — name-based alignment
+    // with NULL back-fill, the engine surface every long-lived dataset
+    // needs when a positional UNION would silently misalign or reject.
+    // Oracle: UNION ALL with the missing columns spelled as NULLs.
+    "q208_union_evolve" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val legacy = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val current = docs.filter(col("doc_id") % 3 =!= 0)
+      legacy.unionByName(current, allowMissingColumns = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_known"))
+        .orderBy(col("lang"))
+    }),
+
     "q204_listagg" -> ((s, d) => {
       val n = table(s, d, "nation")
       val r = table(s, d, "region")
@@ -496,6 +515,18 @@ object Relational {
            SELECT l_returnflag, 'n_lines', n_lines FROM w)
          ORDER BY l_returnflag, metric""",
     // string_agg(... ORDER BY) is DuckDB's listagg
+    "q208_union_evolve" ->
+      """WITH u AS (
+           SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 3 <> 0)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS chars_known
+         FROM u GROUP BY lang ORDER BY lang""",
     "q204_listagg" ->
       """SELECT r_name,
            string_agg(n_name, ',' ORDER BY n_name) AS nations

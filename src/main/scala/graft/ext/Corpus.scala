@@ -825,4 +825,71 @@ object Corpus {
     merges.foldLeft(split(words, "")) {
       case (toks, (a, b)) => applyBpeMerge(toks, a, b)
     }
+
+  /** k-anonymity suppression over quasi-identifier columns — the
+    * aggregate privacy guard beside [[scrubPii]]'s per-row regexes: any
+    * combination of quasi values shared by fewer than `k` rows is
+    * suppressed (every quasi column → "*"), so no released row's quasi
+    * tuple isolates fewer than k individuals. One count over the quasi
+    * key (window form here; the equivalent aggregate-then-join-back
+    * spelling shuffles the same key once and broadcasts the rare-group
+    * set when it is small — the 100 TB variant). Adds
+    * `anon_suppressed`; deterministic, no generalization hierarchy —
+    * suppression is the conservative base policy.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty && k > 0)
+    val w = Window.partitionBy(quasi.map(col): _*)
+    val withN = df.withColumn("__n", count(lit(1)).over(w))
+    quasi.foldLeft(withN) { (d, q) =>
+      d.withColumn(q, when(col("__n") >= k, col(q)).otherwise(lit("*")))
+    }.withColumn("anon_suppressed", col("__n") < k).drop("__n")
+  }
+
+  /** Input/output rows of [[packBinsFFD]]. */
+  case class DocW(id: Long, stratum: String, w: Long)
+  case class PackedDoc(id: Long, stratum: String, w: Long,
+                       bin: Long, nf_bin: Long)
+
+  /** First-fit-decreasing bin packing per stratum — [[packShards]]'s
+    * quality upgrade when padding waste matters (context-window packing
+    * for training batches): the cumsum form fills shards in arrival
+    * order and lets the straddling document overflow its shard; FFD
+    * sorts each stratum's documents by descending weight and places
+    * each in the FIRST bin it fits, so no bin ever exceeds `budget`
+    * (callers filter documents with w > budget — an oversized document
+    * would otherwise open its own over-budget bin) and the bin count is
+    * within 11/9·OPT + 1. Sequential by nature, so the parallel unit is
+    * the STRATUM: one `repartition(stratum)` + in-partition sort, then
+    * one mapPartitions pass; at 100 TB a hot stratum salts into S
+    * sub-streams packed independently (bin ids offset by sub-stream —
+    * the FFD bound holds per sub-stream). `nf_bin` is the bin next-fit
+    * would assign ON THE SAME sorted order, emitted from the same pass
+    * so callers (and the q212 contract) can pin that first-fit never
+    * loses to the one-open-bin strategy it strictly generalizes.
+    */
+  def packBinsFFD(docs: org.apache.spark.sql.Dataset[DocW],
+                  budget: Long): org.apache.spark.sql.Dataset[PackedDoc] = {
+    require(budget > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[PackedDoc] =
+      org.apache.spark.sql.Encoders.product[PackedDoc]
+    docs.repartition(col("stratum"))
+      .sortWithinPartitions(col("stratum"), col("w").desc, col("id"))
+      .mapPartitions { it =>
+        var cur: String = null
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var nfBin = -1L; var nfLoad = 0L
+        it.map { d =>
+          if (d.stratum != cur) {
+            cur = d.stratum; loads.clear(); nfBin = -1L; nfLoad = 0L
+          }
+          var b = loads.indexWhere(_ + d.w <= budget)
+          if (b < 0) { loads += 0L; b = loads.length - 1 }
+          loads(b) += d.w
+          if (nfBin < 0 || nfLoad + d.w > budget) { nfBin += 1; nfLoad = 0L }
+          nfLoad += d.w
+          PackedDoc(d.id, d.stratum, d.w, b.toLong, nfBin)
+        }
+      }
+  }
 }

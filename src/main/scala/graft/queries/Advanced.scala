@@ -928,6 +928,23 @@ object Advanced {
         GROUP BY l_returnflag ORDER BY flag""")
     }),
 
+    // Parameterized SQL (Spark 3.4+/4): named-parameter binding via
+    // spark.sql(text, args) plus the IDENTIFIER() clause for the table
+    // name — the injection-safe front door for templated queries (a
+    // string-spliced table name or literal is the classic SQL-injection
+    // hole; parameter markers bind VALUES, IDENTIFIER binds NAMES, and
+    // the analyzer rejects anything else). Same relational result as
+    // the literal spelling, which is exactly what the oracle runs.
+    "q214_parameterized_sql" -> ((s, d) => {
+      table(s, d, "documents").createOrReplaceTempView("g_docs_param")
+      s.sql(
+        """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+           FROM IDENTIFIER(:tbl) WHERE n_chars >= :minc
+           GROUP BY lang ORDER BY lang""",
+        Map("tbl" -> "g_docs_param", "minc" -> 120))
+    }),
+
     // SQL pipe syntax (Spark 4.0+, SQL:2023-adjacent `|>` operators) —
     // the second SQL-only front door next to q90: the same engine
     // surface driven through piped FROM/WHERE/EXTEND/AGGREGATE/ORDER
@@ -1678,6 +1695,12 @@ object Advanced {
            AS charge_cents,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+    // the de-parameterized spelling the binding must be equivalent to
+    "q214_parameterized_sql" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE n_chars >= 120
+         GROUP BY lang ORDER BY lang""",
     "q93_cogroup_reconcile" ->
       """SELECT o_orderkey AS k,
          CAST(round(o_totalprice*100) AS BIGINT) AS o_cents,

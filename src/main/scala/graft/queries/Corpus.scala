@@ -892,6 +892,59 @@ object Corpus {
     // dedup, q56 gate); the whole card is a handful of map-side-
     // combined aggregates unioned — each metric's scan prunes to the
     // columns it needs.
+    // k-anonymity release audit (the aggregate privacy guard beside
+    // q60's per-row PII scrub): quasi-identifier tuples — (lang,
+    // source, a 97-bucket length attribute, fine enough that rare
+    // combinations exist at every SF) — shared by < k rows are
+    // suppressed to '*'. Fully relational, so DuckDB replays the exact
+    // suppression decision per group.
+    "q213_k_anonymity" -> ((s, d) => {
+      val base = docs(s, d).withColumn("bucket",
+        pmod(col("n_chars"), lit(97)).cast("string"))
+      CorpusOps.kAnonymize(base, Seq("lang", "source", "bucket"), k = 5)
+        .groupBy(col("lang"), col("source"), col("bucket"),
+          col("anon_suppressed"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("lang"), col("source"), col("bucket"),
+          col("anon_suppressed"))
+    }),
+
+    // First-fit-decreasing context-window packing (q59's quality
+    // upgrade): per-lang FFD bins with the budget as a HARD cap —
+    // unlike the cumsum shards, no bin overflows. The bin assignment is
+    // algorithmic (sequential within stratum), so the oracle pins exact
+    // conservation totals plus the three packing invariants as contract
+    // booleans: no bin exceeds budget, FFD never uses more bins than
+    // same-order next-fit (emitted from the same pass), and the count
+    // respects the ceil(total/budget) lower bound.
+    "q212_ffd_binpack" -> ((s, d) => {
+      import s.implicits._
+      val budget = 1500L
+      val dw = docs(s, d)
+        .select(col("doc_id").as("id"), col("lang").as("stratum"),
+          size(split(lower(col("text")), " ")).cast("long").as("w"))
+        .filter(col("w") <= budget)
+        .as[CorpusOps.DocW]
+      // one materialization: the packed relation feeds both the
+      // per-stratum rollup and the per-bin load audit
+      val pk = CorpusOps.packBinsFFD(dw, budget).toDF().localCheckpoint()
+      val loads = pk.groupBy(col("stratum"), col("bin"))
+        .agg(sum(col("w")).as("load"))
+        .groupBy(col("stratum")).agg(max(col("load")).as("__maxload"))
+      pk.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tokens_total"),
+          (max(col("bin")) + 1).as("__nb"),
+          (max(col("nf_bin")) + 1).as("__nnf"))
+        .join(loads, Seq("stratum"))
+        .select(col("stratum").as("lang"), col("n_docs"),
+          col("tokens_total"),
+          (col("__maxload") <= budget).as("no_overflow"),
+          (col("__nb") <= col("__nnf")).as("ffd_le_nextfit"),
+          (col("__nb") >= floor((col("tokens_total") + lit(budget - 1))
+            / lit(budget)).cast("long")).as("ffd_ge_lowerbound"))
+        .orderBy(col("lang"))
+    }),
+
     "q200_data_card" -> ((s, d) => {
       val base = table(s, d, "documents")
       val toks = base.select(
@@ -1817,6 +1870,31 @@ object Corpus {
     // → stage-2 grams on the REBUILT token stream → second excision
     // every card metric recomputed from the base table with the same
     // operator definitions (q32/q35/q56 spellings)
+    // identical suppression decision replayed per quasi group
+    "q213_k_anonymity" ->
+      """WITH g AS (
+           SELECT lang, source,
+             CAST(n_chars % 97 AS VARCHAR) AS bucket,
+             COUNT(*) OVER (PARTITION BY lang, source, n_chars % 97)
+               AS n
+           FROM documents)
+         SELECT CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+           CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+           CASE WHEN n >= 5 THEN bucket ELSE '*' END AS bucket,
+           n < 5 AS anon_suppressed, COUNT(*) AS n_rows
+         FROM g GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    // conservation totals are exact; the packing invariants are in-job
+    // contract booleans (the assignment itself is algorithmic state)
+    "q212_ffd_binpack" ->
+      """WITH dw AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS tokens_total,
+           TRUE AS no_overflow, TRUE AS ffd_le_nextfit,
+           TRUE AS ffd_ge_lowerbound
+         FROM dw WHERE w <= 1500 GROUP BY lang ORDER BY lang""",
     "q200_data_card" ->
       """WITH tok AS (
            SELECT len(list_filter(string_split(lower(text), ' '),

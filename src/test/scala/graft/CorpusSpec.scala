@@ -490,4 +490,39 @@ class CorpusSpec extends SparkSpec {
       .collect()(0).getSeq[String](0).toList
     assert(got == List("ll", "l"))
   }
+
+  test("packBinsFFD: hand fixture — first-fit beats next-fit, no overflow, stratum reset") {
+    // weights 6,5,4,3,2 @ budget 10, sorted desc:
+    //   FFD: bin0 [6,4], bin1 [5,3,2]            → 2 bins
+    //   NF (same order): [6] [5,4] [3,2]         → 3 bins
+    val docs = spark.createDataset(Seq(
+      Corpus.DocW(1L, "en", 6L), Corpus.DocW(2L, "en", 5L),
+      Corpus.DocW(3L, "en", 4L), Corpus.DocW(4L, "en", 3L),
+      Corpus.DocW(5L, "en", 2L),
+      // second stratum: packer state must reset
+      Corpus.DocW(6L, "de", 9L), Corpus.DocW(7L, "de", 9L)))
+    val out = Corpus.packBinsFFD(docs, budget = 10L).collect()
+      .map(p => p.id -> p).toMap
+    assert(out(1L).bin == 0L && out(3L).bin == 0L) // 6+4 share bin0
+    assert(out(2L).bin == 1L && out(4L).bin == 1L && out(5L).bin == 1L)
+    assert(out.values.filter(_.stratum == "en").map(_.nf_bin).max == 2L)
+    // per-bin loads never exceed budget
+    val loads = out.values.groupBy(p => (p.stratum, p.bin))
+      .view.mapValues(_.map(_.w).sum)
+    assert(loads.values.forall(_ <= 10L), loads.toMap)
+    // de stratum restarts at bin 0 with two solo bins
+    assert(out(6L).bin == 0L && out(7L).bin == 1L)
+  }
+
+  test("kAnonymize: rare quasi tuples suppressed to '*', common kept") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("de", "book") // rare: 1 < k
+    ).toDF("lang", "source")
+    val got = Corpus.kAnonymize(df, Seq("lang", "source"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(got.count(_ == (("en", "web", false))) == 3)
+    assert(got.count(_ == (("*", "*", true))) == 1)
+  }
 }

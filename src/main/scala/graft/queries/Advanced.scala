@@ -945,6 +945,64 @@ object Advanced {
         Map("tbl" -> "g_docs_param", "minc" -> 120))
     }),
 
+    // Spark 4 SQL session variables + EXECUTE IMMEDIATE: a threshold is
+    // computed INTO a session variable (SET VAR with a scalar subquery)
+    // and consumed by dynamic SQL through a USING bind — the catalog-
+    // level state surface for multi-statement SQL sessions (vs q214's
+    // per-call parameter map). DECLARE OR REPLACE keeps the entry
+    // idempotent inside the shared Verify session.
+    "q215_session_variables" -> ((s, d) => {
+      table(s, d, "documents").createOrReplaceTempView("g_docs_var")
+      s.sql("DECLARE OR REPLACE VARIABLE g_minchars BIGINT DEFAULT 0")
+      s.sql("""SET VAR g_minchars =
+                 (SELECT CAST(floor(avg(n_chars)) AS BIGINT)
+                  FROM g_docs_var)""")
+      s.sql("""EXECUTE IMMEDIATE
+                 'SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS chars
+                  FROM g_docs_var WHERE n_chars >= :minc
+                  GROUP BY lang ORDER BY lang'
+               USING g_minchars AS minc""")
+    }),
+
+    // Spark 4 SQL scripting (BEGIN…END control flow): a WHILE loop
+    // doubles a budget until it clears the p95 document length — the
+    // procedural surface for logic that previously forced a driver
+    // round-trip per step; the script runs entirely inside the engine
+    // and returns its final SELECT. Oracle: the loop's closed form
+    // (smallest power of two ≥ target).
+    "q216_sql_scripting" -> ((s, d) => {
+      table(s, d, "documents").createOrReplaceTempView("g_docs_script")
+      s.sql("""BEGIN
+                 DECLARE target BIGINT;
+                 DECLARE b BIGINT DEFAULT 1;
+                 SET target = (SELECT CAST(ceil(percentile(n_chars, 0.95))
+                                           AS BIGINT)
+                               FROM g_docs_script);
+                 WHILE b < target DO
+                   SET b = b * 2;
+                 END WHILE;
+                 SELECT b AS budget, target;
+               END""")
+    }),
+
+    // approx_top_k in its exact regime: k and maxItemsTracked both
+    // above the key cardinality make the sketch lossless AND complete
+    // (the q43/q81 stance: pin the approximate surface where it is
+    // provably exact), so every key comes back with its exact count and
+    // the deterministic (count desc, key) re-rank + limit happens
+    // OUTSIDE the sketch — boundary ties inside the sketch's own
+    // unspecified tie order never reach the compare.
+    "q217_approx_topk" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .agg(expr("approx_top_k(l_suppkey, 20000, 20000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").cast("long").as("suppkey"),
+          col("e.count").as("n"))
+        .orderBy(col("n").desc, col("suppkey"))
+        .limit(5)
+    }),
+
     // SQL pipe syntax (Spark 4.0+, SQL:2023-adjacent `|>` operators) —
     // the second SQL-only front door next to q90: the same engine
     // surface driven through piped FROM/WHERE/EXTEND/AGGREGATE/ORDER
@@ -1701,6 +1759,33 @@ object Advanced {
          CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents WHERE n_chars >= 120
          GROUP BY lang ORDER BY lang""",
+    // the variable's scalar subquery inlined into the WHERE
+    "q215_session_variables" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents
+         WHERE n_chars >= (SELECT CAST(floor(avg(n_chars)) AS BIGINT)
+                           FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    // the WHILE loop replayed as a recursive doubling CTE — exact
+    // integer arithmetic, no float log2
+    "q216_sql_scripting" ->
+      """WITH RECURSIVE tgt AS (
+           SELECT CAST(ceil(quantile_cont(n_chars, 0.95)) AS BIGINT)
+             AS target
+           FROM documents),
+         dbl AS (
+           SELECT CAST(1 AS BIGINT) AS b FROM tgt
+           UNION ALL
+           SELECT b * 2 FROM dbl, tgt WHERE b < tgt.target)
+         SELECT (SELECT MAX(b) FROM dbl) AS budget,
+                (SELECT target FROM tgt) AS target""",
+    // the sketch is complete+exact at these params, so the oracle is
+    // the plain exact top-5
+    "q217_approx_topk" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS suppkey, COUNT(*) AS n
+         FROM lineitem GROUP BY l_suppkey
+         ORDER BY n DESC, suppkey LIMIT 5""",
     "q93_cogroup_reconcile" ->
       """SELECT o_orderkey AS k,
          CAST(round(o_totalprice*100) AS BIGINT) AS o_cents,

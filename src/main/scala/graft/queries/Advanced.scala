@@ -993,6 +993,30 @@ object Advanced {
     // the deterministic (count desc, key) re-rank + limit happens
     // OUTSIDE the sketch — boundary ties inside the sketch's own
     // unspecified tie order never reach the compare.
+    // Dynamic-gap session windows: session_window with a PER-ROW gap
+    // (clicks cool off in 5 minutes, everything else in 30) — the
+    // engine merges each event's [ts, ts+gap) interval with any
+    // overlapping session, so the timeout policy itself is data-driven
+    // (q202 pins the fixed-gap streaming form; this pins the per-row
+    // semantics). Oracle: running-max-end islands in exact µs — a
+    // session breaks exactly when ts clears every prior member's
+    // ts+gap, the half-open interval rule.
+    "q218_dynamic_gap_sessions" -> ((s, d) => {
+      events(s, d)
+        .filter(col("user_id") <= 30)
+        .groupBy(
+          session_window(col("ts"),
+            when(col("event_type") === "click", "5 minutes")
+              .otherwise("30 minutes")),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     "q217_approx_topk" -> ((s, d) => {
       table(s, d, "lineitem")
         .agg(expr("approx_top_k(l_suppkey, 20000, 20000)").as("tk"))
@@ -1780,6 +1804,37 @@ object Advanced {
            SELECT b * 2 FROM dbl, tgt WHERE b < tgt.target)
          SELECT (SELECT MAX(b) FROM dbl) AS budget,
                 (SELECT target FROM tgt) AS target""",
+    // per-row-gap islands: a session breaks when ts clears the running
+    // max of every prior member's ts+gap (half-open intervals, exact µs)
+    "q218_dynamic_gap_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN 300000000
+                  ELSE 1800000000 END AS gap
+           FROM events WHERE user_id <= 30),
+         x AS (
+           SELECT user_id, us, gap,
+             MAX(us + gap) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+           FROM e),
+         f AS (
+           SELECT user_id, us, gap,
+             CASE WHEN prev_end IS NULL OR us >= prev_end
+                  THEN 1 ELSE 0 END AS brk
+           FROM x),
+         s AS (
+           SELECT user_id, us, gap,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         g AS (
+           SELECT user_id, sid, MIN(us) AS start_us,
+             MAX(us + gap) AS end_us, COUNT(*) AS n_events
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, start_us, end_us,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM g ORDER BY user_id, start_us""",
     // the sketch is complete+exact at these params, so the oracle is
     // the plain exact top-5
     "q217_approx_topk" ->

@@ -31,6 +31,29 @@ object Events {
     graft.Graft.normalizeTs(table(s, d, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Forward-fill (LOCF) imputation: carry each user's last PURCHASE
+    // amount forward across their sparse event stream —
+    // last(ignoreNulls) over an unbounded-preceding row frame keyed by
+    // the total order (ts, event_id). The standard sensor/state
+    // imputation operator; one user-keyed window shuffle, values stay
+    // exact BIGINT cents (no float arithmetic touches the carried
+    // value). Rows before a user's first purchase stay NULL — the
+    // honest no-observation answer.
+    "q219_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("user_id") <= 40)
+        .withColumn("purchase_cents",
+          when(col("event_type") === "purchase", cents(col("value"))))
+        .withColumn("filled_cents",
+          last(col("purchase_cents"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("filled_cents"))
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
     // Last-writer-wins dedup per key — the deterministic window
     // formulation of the reference's JS-Map dedup (task.ts:187-209,
     // SURVEY.md §2.6 A1): latest event per user, total order by
@@ -480,6 +503,17 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    // IGNORE NULLS carry over the same (ts, event_id) total order
+    "q219_forward_fill" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value*100) AS BIGINT) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS filled_cents
+         FROM events WHERE user_id <= 40
+         ORDER BY user_id, us, event_id""",
     "q19_lastwins_dedup" ->
       """SELECT user_id, event_type AS last_type,
          CAST(round(value*100) AS BIGINT) AS last_value_cents

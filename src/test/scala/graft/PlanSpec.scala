@@ -235,4 +235,32 @@ class PlanSpec extends SparkSpec {
     val p = graft.ops.Active911.pipeline(env).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"))
   }
+
+  test("join hints steer the physical strategy without changing the answer") {
+    // the user-facing knob for the §4 join-strategy row: the same
+    // orders⋈customer equi-join planned three ways on demand, results
+    // byte-identical. At 100 TB this is how a pipeline forces SHJ when
+    // the build side fits memory but exceeds the broadcast threshold,
+    // or forbids a broadcast the size estimator got wrong.
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    graft.Graft.table(spark, d, "orders").createOrReplaceTempView("ph_o")
+    graft.Graft.table(spark, d, "customer").createOrReplaceTempView("ph_c")
+    def run(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint */ c_mktsegment,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM ph_o JOIN ph_c ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    val byHint = Seq("SHUFFLE_HASH(ph_c)", "MERGE(ph_o)", "BROADCAST(ph_c)")
+      .map { h =>
+        val df = run(h)
+        (h, df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      }
+    assert(byHint(0)._2.contains("ShuffledHashJoin"), byHint(0)._2)
+    assert(byHint(1)._2.contains("SortMergeJoin"), byHint(1)._2)
+    assert(byHint(2)._2.contains("BroadcastHashJoin"), byHint(2)._2)
+    assert(byHint.map(_._3).distinct.size == 1, "hinted results diverge")
+  }
 }

@@ -93,12 +93,28 @@ object Graft {
     * hash each JVM, and `tools/plan_diff.py` reads run-to-run noise as
     * plan drift (observed r4→r5→r6: q50/q68/q81/q91/q93/q136-class
     * churned every round with unchanged code).
+    *
+    * v2 (r6): each line's tokens are additionally SORTED in place.
+    * Catalyst's canonicalized conjunct order is not stable — the same
+    * q74 plan prints `Filter (isnotnull(x) AND UDF(x))` on one run and
+    * the operands swapped on the next (likewise `multicommutativeop`
+    * argument lists; measured flipping within one JVM) — so a
+    * commutation-sensitive hash churns with unchanged code. Sorting
+    * tokens within each line (line ORDER kept — that is the operator
+    * tree) makes the fingerprint invariant to commutative reorder while
+    * any real change (operator, column, extra predicate) still lands in
+    * some line's token multiset. Hashes are NOT comparable across the
+    * v1→v2 boundary (diff r6+ artifacts against r6+ artifacts).
     */
   def planSignature(df: DataFrame): String = md5_8(
     df.queryExecution.optimizedPlan.canonicalized.toString
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-f]{6,}", "@x")
-      .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X"))
+      .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X")
+      .split("\n")
+      .map(_.split("[(),]|\\sAND\\s|\\sOR\\s").map(_.trim)
+        .filter(_.nonEmpty).sorted.mkString("|"))
+      .mkString("\n"))
 
   /** Signed-zero-safe round for float-emitting oracle columns (SURVEY §5
     * convention). `round` of a tiny negative (e.g. a covariance cell that

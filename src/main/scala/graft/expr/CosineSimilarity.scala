@@ -101,6 +101,7 @@ object GraftFunctions {
   val PqEncodeName = "graft_pq_encode"
   val PqAdcName = "graft_pq_adc"
   val AsOfOnName = "graft_asof_on"
+  val GeohashName = "graft_geohash"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -134,7 +135,8 @@ object GraftFunctions {
     PqEncodeName -> (exprs => PqEncode(exprs(0), exprs(1))),
     PqAdcName -> (exprs => PqAdcDistance(exprs(0), exprs(1), exprs(2))),
     AsOfOnName -> (exprs => graft.plans.AsOfJoin.AsOfOn(
-      exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))))
+      exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))),
+    GeohashName -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{roundz, table}
+import graft.expr.GeohashEncode
+import graft.ext.{Geo => GeoOps}
+
+/** Geospatial query family (round 6, SURVEY.md §2.14 EXT geo): the
+  * consumer-side operators for the reference's geo-coded alert domain
+  * (task.ts:172-184 emits latitude/longitude) — nearest-site assignment,
+  * radius pair search, density binning, geohash bucketing.
+  *
+  * The harness tables carry no coordinates, so each query derives
+  * deterministic lat/lon from integer keys with overflow-safe hashing
+  * (key reduced mod m BEFORE the Knuth multiply — SURVEY §5 convention)
+  * and EXACT-integer milli-degrees; both engines compute the same
+  * doubles from the same integers in the same operation order, so the
+  * only cross-engine float surface is the haversine trig itself,
+  * absorbed by `roundz(…, 4)` on km outputs.
+  *
+  * Longitude stays in [-120, 120): the grid-cell radius join does not
+  * wrap cells at ±180 (Geo.radiusJoinKm scaladoc) — a production
+  * deployment near the antimeridian pre-rotates longitudes.
+  */
+object Geo {
+
+  /** Derived alert points: lat ∈ [-60, 60) and lon ∈ [-120, 120) in
+    * exact integer milli-degrees, then one division to double.
+    */
+  private def points(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .select(col("event_id"),
+        (col("event_id") % 120000 * lit(2654435761L) % 120000)
+          .as("lat_milli"),
+        (col("event_id") % 240000 * lit(2654435761L) % 240000)
+          .as("lon_milli"))
+      .withColumn("lat", col("lat_milli") / lit(1000.0) - lit(60.0))
+      .withColumn("lon", col("lon_milli") / lit(1000.0) - lit(120.0))
+
+  private val PointsSql =
+    """pts AS (
+         SELECT event_id,
+           event_id % 120000 * 2654435761 % 120000 AS lat_milli,
+           event_id % 240000 * 2654435761 % 240000 AS lon_milli
+         FROM events),
+       p AS (
+         SELECT event_id, lat_milli, lon_milli,
+           lat_milli / 1000.0 - 60.0 AS lat,
+           lon_milli / 1000.0 - 120.0 AS lon
+         FROM pts)"""
+
+  /** Stations: one per nation row (dimension-sized), integer-exact
+    * half-degree coordinates.
+    */
+  private def stations(s: SparkSession, d: String): DataFrame =
+    table(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("st_key"),
+        (col("n_nationkey") * 47 % 120 - 60 + lit(0.5)).as("st_lat"),
+        (col("n_nationkey") * 83 % 240 - 120 + lit(0.5)).as("st_lon"))
+
+  private val StationsSql =
+    """st AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS st_key,
+           n_nationkey * 47 % 120 - 60 + 0.5 AS st_lat,
+           n_nationkey * 83 % 240 - 120 + 0.5 AS st_lon
+         FROM nation)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Nearest station per alert point: broadcast the dimension-sized
+    // station table, map-side argmin via min(struct) — the fact side
+    // never shuffles more than its own id-keyed partial-agg combine.
+    // Deterministic tie-break on (round(d, 6), st_key).
+    "q220_nearest_station" -> ((s, d) => {
+      GeoOps.nearestSite(points(s, d), "event_id",
+          col("lat"), col("lon"),
+          stations(s, d), "st_key", col("st_lat"), col("st_lon"))
+        .select(col("event_id"), col("site_key").as("st_key"),
+          roundz(col("dist_km"), 4).as("dist_km4"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Alert pairs within 50 km — grid-cell candidate join (3×3
+    // neighborhood at 1° cells; 1° ≥ 50 km / (111 km × cos 60°) so the
+    // neighborhood is complete over this data's |lat| ≤ 60), exact
+    // haversine refine. The oracle is the independent all-pairs
+    // spelling — exactly the LSH-vs-exact pattern of q36/q39.
+    "q221_radius_pairs" -> ((s, d) => {
+      val p = points(s, d)
+      val a = p.filter(col("event_id") % 4 === 0)
+        .select(col("event_id").as("a_id"), col("lat"), col("lon"))
+      val b = p.filter(col("event_id") % 4 === 1)
+        .select(col("event_id").as("b_id"), col("lat"), col("lon"))
+      GeoOps.radiusJoinKm(a, "a_id", b, "b_id", "lat", "lon",
+          radiusKm = 50.0, cellDeg = 1.0)
+        .select(col("a_id"), col("b_id"),
+          roundz(col("dist_km"), 4).as("dist_km4"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Density heatmap: alerts per 1° grid cell with the cell centroid.
+    // Centroids divide EXACT integer milli-degree sums (BIGINT on both
+    // engines) so the aggregation order can't perturb the float — the
+    // only division happens once, after the aggregate.
+    "q222_spatial_bin" -> ((s, d) => {
+      val p = points(s, d)
+      val (cy, cx) = GeoOps.cell(col("lat"), col("lon"), 1.0)
+      p.groupBy(cy.as("cell_y"), cx.as("cell_x"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lat_milli")).as("slat"),
+          sum(col("lon_milli")).as("slon"))
+        .select(col("cell_y"), col("cell_x"), col("n"),
+          roundz(col("slat").cast("double") / col("n") / lit(1000.0)
+            - lit(60.0), 6).as("centroid_lat"),
+          roundz(col("slon").cast("double") / col("n") / lit(1000.0)
+            - lit(120.0), 6).as("centroid_lon"))
+        .orderBy(col("cell_y"), col("cell_x"))
+    }),
+
+    // Native geohash bucketing: the codegen'd base-32 encoder on every
+    // point (precision 5 ≈ 4.9 km cells), plus the count of the point's
+    // 2-char prefix region — the prefix IS the coarser cell, no
+    // re-encode. Oracle recomputes the encode arithmetically (generated
+    // bit-interleave SQL, identical double quantization).
+    "q223_geohash_cells" -> ((s, d) => {
+      val p = points(s, d).filter(col("event_id") <= 3000)
+      val gh = p.withColumn("gh5",
+        GeoOps.geohash(p, col("lat"), col("lon"), 5))
+      val regions = gh.groupBy(substring(col("gh5"), 1, 2).as("region"))
+        .agg(count(lit(1)).as("region_n"))
+      gh.join(regions, substring(col("gh5"), 1, 2) === col("region"))
+        .select(col("event_id"), col("gh5"), col("region_n"))
+        .orderBy(col("event_id"))
+    }))
+
+  private def hav(lat1: String, lon1: String,
+                  lat2: String, lon2: String): String =
+    GeoOps.haversineKmSql(lat1, lon1, lat2, lon2)
+
+  val oracles: Map[String, String] = Map(
+    "q220_nearest_station" ->
+      s"""WITH $PointsSql, $StationsSql,
+          x AS (
+            SELECT p.event_id, st.st_key,
+              ${hav("p.lat", "p.lon", "st.st_lat", "st.st_lon")} AS d
+            FROM p CROSS JOIN st),
+          r AS (
+            SELECT event_id, st_key, d,
+              ROW_NUMBER() OVER (PARTITION BY event_id
+                ORDER BY round(d, 6), st_key) AS rn
+            FROM x)
+          SELECT event_id, st_key, round(d, 4) + 0.0 AS dist_km4
+          FROM r WHERE rn = 1 ORDER BY event_id""",
+    "q221_radius_pairs" ->
+      s"""WITH $PointsSql,
+          a AS (SELECT event_id AS a_id, lat, lon FROM p
+                WHERE event_id % 4 = 0),
+          b AS (SELECT event_id AS b_id, lat, lon FROM p
+                WHERE event_id % 4 = 1),
+          j AS (
+            SELECT a.a_id, b.b_id,
+              ${hav("a.lat", "a.lon", "b.lat", "b.lon")} AS d
+            FROM a CROSS JOIN b)
+          SELECT a_id, b_id, round(d, 4) + 0.0 AS dist_km4
+          FROM j WHERE d < 50.0 ORDER BY a_id, b_id""",
+    "q222_spatial_bin" ->
+      s"""WITH $PointsSql
+          SELECT CAST(floor(lat / 1.0) AS BIGINT) AS cell_y,
+            CAST(floor(lon / 1.0) AS BIGINT) AS cell_x,
+            COUNT(*) AS n,
+            round(CAST(SUM(lat_milli) AS DOUBLE) / COUNT(*) / 1000.0
+              - 60.0, 6) + 0.0 AS centroid_lat,
+            round(CAST(SUM(lon_milli) AS DOUBLE) / COUNT(*) / 1000.0
+              - 120.0, 6) + 0.0 AS centroid_lon
+          FROM p GROUP BY 1, 2 ORDER BY cell_y, cell_x""",
+    "q223_geohash_cells" ->
+      s"""WITH $PointsSql,
+          f AS (SELECT event_id, lat, lon FROM p WHERE event_id <= 3000),
+          q AS (
+            SELECT event_id,
+              ${GeohashEncode.quantLonSql("lon", 5)} AS lonq,
+              ${GeohashEncode.quantLatSql("lat", 5)} AS latq
+            FROM f),
+          c AS (
+            SELECT event_id,
+              ${GeohashEncode.interleaveSql("lonq", "latq", 5)} AS code
+            FROM q),
+          g AS (
+            SELECT event_id,
+              ${GeohashEncode.charsSql("code", 5)} AS gh5
+            FROM c),
+          r AS (
+            SELECT substr(gh5, 1, 2) AS region, COUNT(*) AS region_n
+            FROM g GROUP BY 1)
+          SELECT g.event_id, g.gh5, r.region_n
+          FROM g JOIN r ON substr(g.gh5, 1, 2) = r.region
+          ORDER BY g.event_id""")
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{roundz, table}
+import graft.ext.{Metrics => M}
+
+/** Evaluation-metric query family (round 6, SURVEY.md §2.14 EXT): ROC
+  * AUC, two-sample KS, Cohen's kappa, Bradley–Terry preference
+  * strengths, per-group isotonic (PAVA) calibration — the measurement
+  * layer of a data pipeline, over the `events`/`documents` tables.
+  *
+  * Label/score material is derived deterministically from integer
+  * columns (exact cents, overflow-safe reduced-mod hashing — SURVEY §5)
+  * so every statistic is an exact-integer computation with one final
+  * division, identical across engines before the defensive `roundz`.
+  */
+object Metrics {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROC AUC of the exact-cents value as a classifier score for
+    // "purchase" — Mann–Whitney rank-sum with average-rank ties, one
+    // group-by on the score + one window over DISTINCT scores
+    // (cardinality-bounded, not row-bounded).
+    "q224_auc_roc" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      M.aucROC(ev, cents(col("value")), col("event_type") === "purchase")
+        .select(col("n_pos"), col("n_neg"), roundz(col("auc"), 6).as("auc6"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov distance between the purchase and
+    // click value distributions: exact integer max of |ca·Nb − cb·Na|,
+    // one division; ks_at = smallest cents value attaining the max.
+    "q225_ks_two_sample" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+      M.ksTwoSample(ev, cents(col("value")),
+          col("event_type") === "purchase")
+        .select(col("n_a"), col("n_b"), roundz(col("ks_d"), 6).as("ks_d6"),
+          col("ks_at"))
+    }),
+
+    // Cohen's kappa between two length-based "annotators" over
+    // documents (different thresholds → genuine disagreement band):
+    // exact k×k contingency integers, one division.
+    "q226_cohen_kappa" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val ra = when(col("n_chars") >= 600, 2)
+        .when(col("n_chars") >= 200, 1).otherwise(0)
+      val rb = when(length(col("text")) >= 650, 2)
+        .when(length(col("text")) >= 180, 1).otherwise(0)
+      M.cohenKappa(docs, ra, rb)
+        .select(col("n"), roundz(col("po"), 6).as("po6"),
+          roundz(col("pe"), 6).as("pe6"), roundz(col("kappa"), 6).as("kappa6"))
+    }),
+
+    // Bradley–Terry strengths from pairwise "contests": within each
+    // user, every event-type pair is a comparison won by the type with
+    // the larger exact-cents total (ties: no win either way). The
+    // distributed phase reduces 100 TB of events to an O(items²) win
+    // matrix; the MM iteration runs on that driver-side model material
+    // (k-means-centroid precedent). Oracle pins the win/loss matrix
+    // exactly; strength semantics are pinned by the stationarity
+    // residual boolean here + the closed-form 2-item MetricsSpec case.
+    "q227_bradley_terry" -> ((s, d) => {
+      val t = table(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(cents(col("value"))).as("tot"))
+      val x = t.select(col("user_id"), col("event_type").as("ia"),
+        col("tot").as("ta"))
+      val y = t.select(col("user_id"), col("event_type").as("ib"),
+        col("tot").as("tb"))
+      val pairs = x.join(y, Seq("user_id")).filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(sum(when(col("ta") > col("tb"), 1L).otherwise(0L)).as("wa"),
+          sum(when(col("tb") > col("ta"), 1L).otherwise(0L)).as("wb"))
+      M.bradleyTerry(pairs, "ia", "ib", "wa", "wb")
+        .select(col("item"), col("wins"), col("losses"),
+          col("stationary_ok"), col("loglik_monotone"))
+        .orderBy(col("item"))
+    }),
+
+    // Per-group isotonic calibration: bin the score (cents div 2000),
+    // empirical success rate per bin from a deterministic
+    // score-correlated label, PAVA within each event-type group
+    // (groups parallel, bins sequential inside one task). Fitted values
+    // divide exact merged Long sums once → they equal the oracle's
+    // O(b³) minimax form max_{j≤i} min_{k≥i} mean(j..k) bit-for-bit.
+    "q228_isotonic_calibration" -> ((s, d) => {
+      val c = cents(col("value"))
+      val binned = table(s, d, "events")
+        .select(col("event_type"),
+          floor(c / lit(2000.0)).cast("long").as("bin"),
+          when(col("event_id") % 1000 * lit(2654435761L) % 50000 < c, 1L)
+            .otherwise(0L).as("y"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+      M.isotonicFit(binned, "event_type", "bin", "pos", "n")
+        .select(col("event_type"), col("bin"), col("pos"), col("n"),
+          roundz(col("fitted"), 6).as("fitted6"))
+        .orderBy(col("event_type"), col("bin"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q224_auc_roc" ->
+      """WITH s AS (
+           SELECT CAST(round(value*100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         g AS (SELECT s, COUNT(*) AS n, SUM(y) AS np FROM s GROUP BY s),
+         r AS (
+           SELECT np, n,
+             SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - n AS below
+           FROM g)
+         SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+           round(CAST(SUM(np * (2*below + n + 1)) - SUM(np)*(SUM(np)+1)
+               AS DOUBLE) / CAST(2 * SUM(np) * (SUM(n) - SUM(np)) AS DOUBLE),
+             6) + 0.0 AS auc6
+         FROM r""",
+    "q225_ks_two_sample" ->
+      """WITH f AS (
+           SELECT CAST(round(value*100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         g AS (SELECT v, SUM(a) AS na, COUNT(*) - SUM(a) AS nb
+               FROM f GROUP BY v),
+         c AS (
+           SELECT v,
+             SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+           FROM g),
+         t AS (SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM c),
+         d AS (
+           SELECT c.v, abs(c.ca * t.n_b - c.cb * t.n_a) AS num,
+             t.n_a, t.n_b
+           FROM c, t)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) + 0.0
+             AS ks_d6,
+           v AS ks_at
+         FROM d ORDER BY num DESC, v LIMIT 1""",
+    "q226_cohen_kappa" ->
+      """WITH c AS (
+           SELECT
+             CASE WHEN n_chars >= 600 THEN 2
+                  WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN length(text) >= 650 THEN 2
+                  WHEN length(text) >= 180 THEN 1 ELSE 0 END AS rb
+           FROM documents),
+         cells AS (SELECT ra, rb, COUNT(*) AS c FROM c GROUP BY ra, rb),
+         rows_ AS (SELECT ra, SUM(c) AS rowc FROM cells GROUP BY ra),
+         cols_ AS (SELECT rb, SUM(c) AS colc FROM cells GROUP BY rb),
+         pe AS (
+           SELECT COALESCE(SUM(rowc * colc), 0) AS pe_num
+           FROM rows_ JOIN cols_ ON rows_.ra = cols_.rb),
+         a AS (
+           SELECT SUM(c) AS n,
+             COALESCE(SUM(CASE WHEN ra = rb THEN c END), 0) AS diag
+           FROM cells)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS po6,
+           round(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6) + 0.0
+             AS pe6,
+           round(CAST(n * diag - pe_num AS DOUBLE) /
+             CAST(n * n - pe_num AS DOUBLE), 6) + 0.0 AS kappa6
+         FROM a, pe""",
+    // win/loss matrix recomputed exactly; strength convergence pinned
+    // by in-job contract booleans (see the queries entry + MetricsSpec)
+    "q227_bradley_terry" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             SUM(CAST(round(value*100) AS BIGINT)) AS tot
+           FROM events GROUP BY user_id, event_type),
+         p AS (
+           SELECT x.event_type AS ia, y.event_type AS ib,
+             CASE WHEN x.tot > y.tot THEN 1 ELSE 0 END AS wa,
+             CASE WHEN y.tot > x.tot THEN 1 ELSE 0 END AS wb
+           FROM t x JOIN t y
+             ON x.user_id = y.user_id AND x.event_type < y.event_type),
+         u AS (
+           SELECT ia AS item, wa AS w, wb AS l FROM p
+           UNION ALL
+           SELECT ib, wb, wa FROM p)
+         SELECT item, CAST(SUM(w) AS BIGINT) AS wins,
+           CAST(SUM(l) AS BIGINT) AS losses,
+           TRUE AS stationary_ok, TRUE AS loglik_monotone
+         FROM u GROUP BY item ORDER BY item""",
+    "q228_isotonic_calibration" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(round(value*100) AS BIGINT) / 2000.0)
+               AS BIGINT) AS bin,
+             CASE WHEN event_id % 1000 * 2654435761 % 50000 <
+                       CAST(round(value*100) AS BIGINT)
+                  THEN 1 ELSE 0 END AS y
+           FROM events),
+         b AS (SELECT g, bin, SUM(y) AS pos, COUNT(*) AS n
+               FROM e GROUP BY g, bin),
+         r AS (
+           SELECT g, bin, pos, n,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY bin) AS rn,
+             SUM(pos) OVER (PARTITION BY g ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(n) OVER (PARTITION BY g ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cn
+           FROM b),
+         m AS (
+           SELECT j.g, j.rn AS j, k.rn AS k,
+             CAST(k.cp - j.cp + j.pos AS DOUBLE) /
+               CAST(k.cn - j.cn + j.n AS DOUBLE) AS mean
+           FROM r j JOIN r k ON j.g = k.g AND j.rn <= k.rn),
+         i1 AS (
+           SELECT b2.g, b2.rn AS i, m.j, MIN(m.mean) AS v
+           FROM r b2 JOIN m ON m.g = b2.g AND m.j <= b2.rn AND m.k >= b2.rn
+           GROUP BY b2.g, b2.rn, m.j),
+         f AS (SELECT g, i, MAX(v) AS fitted FROM i1 GROUP BY g, i)
+         SELECT r.g AS event_type, r.bin, CAST(r.pos AS BIGINT) AS pos,
+           CAST(r.n AS BIGINT) AS n, round(f.fitted, 6) + 0.0 AS fitted6
+         FROM r JOIN f ON f.g = r.g AND f.i = r.rn
+         ORDER BY event_type, bin""")
+}

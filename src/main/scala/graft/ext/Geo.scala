@@ -109,6 +109,43 @@ object Geo {
   def cell(latCol: Column, lonCol: Column, cellDeg: Double): (Column, Column) =
     (floor(latCol / lit(cellDeg)), floor(lonCol / lit(cellDeg)))
 
+  /** Point-in-polygon (geofence) by the crossing-number rule: a ray
+    * from the point toward +x (lon) crosses an odd number of polygon
+    * edges iff the point is inside. The polygon is a driver-side
+    * literal (vertex list, implicitly closed), so the test unrolls into
+    * a static codegen'd sum of per-edge `when` terms — no UDF, no join;
+    * the fence rides along inside whatever scan predicate it's used in.
+    * Degenerate on-boundary points follow the half-open `(y1 > y) !=
+    * (y2 > y)` convention (top vertex counted once). The SQL twin
+    * [[pointInPolygonSql]] is generated from the SAME vertex list in
+    * the same operation order.
+    */
+  def pointInPolygon(latCol: Column, lonCol: Column,
+                     poly: Seq[(Double, Double)]): Column = {
+    require(poly.length >= 3, "polygon needs >= 3 vertices")
+    val crossings = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      when((lit(y1) > latCol) =!= (lit(y2) > latCol),
+        when(lonCol < lit(x1) + (latCol - lit(y1)) *
+          lit(x2 - x1) / lit(y2 - y1), 1).otherwise(0)).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** SQL spelling of [[pointInPolygon]] — same vertices, same ops. */
+  def pointInPolygonSql(latSql: String, lonSql: String,
+                        poly: Seq[(Double, Double)]): String = {
+    val terms = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      s"(CASE WHEN ($y1 > $latSql) <> ($y2 > $latSql) THEN " +
+        s"(CASE WHEN $lonSql < $x1 + ($latSql - $y1) * " +
+        s"(${x2 - x1}) / (${y2 - y1}) THEN 1 ELSE 0 END) ELSE 0 END)"
+    }.mkString(" + ")
+    s"(($terms) % 2 = 1)"
+  }
+
   /** All (a, b) pairs with haversine(a, b) < radiusKm, via grid-cell
     * candidate generation. PRECONDITION (checked by the caller's data
     * construction, asserted in GeoSpec): `cellDeg` ≥ radiusKm /

@@ -113,6 +113,36 @@ object Metrics {
           (col("n") * col("n") - col("pe_num"))).as("kappa"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns: χ² = Σ_cells (O − E)²/E with E = row·col/N, summed over
+    * the FULL row×col grid (zero-observed cells included — omitting
+    * them understates the statistic). Counts and marginals are exact
+    * integers; E and the per-cell terms are doubles in a fixed spelling
+    * mirrored by the oracle, the final Σ defensively rounded by the
+    * caller (BM25 precedent for small float sums).
+    *
+    * Output (one row): `n`, `dof`, `chi2` (raw double).
+    */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("ra"), b.as("cb"))
+      .groupBy(col("ra"), col("cb")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("ra")).agg(sum(col("o")).as("rs"))
+    val cols = cells.groupBy(col("cb")).agg(sum(col("o")).as("cs"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val grid = rows.crossJoin(cols).crossJoin(broadcast(n))
+      .join(cells, Seq("ra", "cb"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e",
+        (col("rs") * col("cs")).cast("double") / col("n"))
+      .withColumn("t",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    grid.groupBy(col("n"))
+      .agg(sum(col("t")).as("chi2"),
+        ((countDistinct(col("ra")) - 1) *
+          (countDistinct(col("cb")) - 1)).as("dof"))
+      .select(col("n"), col("dof"), col("chi2"))
+  }
+
   /** Bradley–Terry strengths from a win-count relation
     * (`item_a`, `item_b`, `wins_a`, `wins_b`), via the classic MM
     * update p_i ← W_i / Σ_{j≠i} n_ij/(p_i+p_j), normalized each round.

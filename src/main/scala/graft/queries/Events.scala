@@ -500,6 +500,71 @@ object Events {
       folded.select(col("event_type"), col("r.day").as("day"),
           col("r.n").as("n"), graft.Graft.roundz(col("r.e"), 6).as("ewma6"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Interval-union coverage: each event opens a value-proportional
+    // interval [ts, ts + cents·1s); per user, merge overlapping
+    // intervals (islands over the running max end — the interval form
+    // of q21's gap sessionization) and report merged-island count and
+    // total covered microseconds. Classic "actual busy time" dedup —
+    // naive sum(duration) double-counts overlaps. Exact integer µs.
+    "q231_interval_union" -> ((s, d) => {
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("end_us", col("us") + cents(col("value")) * 1000000L)
+        .withColumn("prev_end",
+          max(col("end_us")).over(order
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_new",
+          when(col("prev_end").isNull || col("us") > col("prev_end"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("is_new")).over(order
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("island"))
+        .agg(min(col("us")).as("s0"), max(col("end_us")).as("e0"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e0") - col("s0")).as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Holt linear (double-exponential) smoothing of the daily
+    // event-type volume: level l = α·y + (1−α)(l+b), trend
+    // b = β·(l−l_prev) + (1−β)·b_prev — the trend-aware sibling of
+    // q175's EWMA, same one-pass indexed fold over the sorted daily
+    // series; DuckDB replays the recurrence rank-by-rank (identical op
+    // order → identical floats, l_new spelled once per side and reused
+    // in the trend update by literal repetition of the expression).
+    "q233_holt_linear" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      def lNew(x: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+        lit(0.3) * x.getField("n") +
+          lit(0.7) * (prev.getField("l") + prev.getField("b"))
+      val folded = daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"))
+        .select(col("event_type"),
+          explode(aggregate(col("xs"),
+            array().cast("array<struct<day:bigint,n:bigint,l:double,b:double>>"),
+            (acc, x) => {
+              val prev = element_at(acc, -1)
+              concat(acc, array(struct(
+                x.getField("day").as("day"), x.getField("n").as("n"),
+                when(size(acc) === 0, x.getField("n").cast("double"))
+                  .otherwise(lNew(x, prev)).as("l"),
+                when(size(acc) === 0, lit(0.0))
+                  .otherwise(lit(0.2) * (lNew(x, prev) - prev.getField("l")) +
+                    lit(0.8) * prev.getField("b")).as("b"))))
+            })).as("r"))
+      folded.select(col("event_type"), col("r.day").as("day"),
+          col("r.n").as("n"), graft.Graft.roundz(col("r.l"), 6).as("level6"),
+          graft.Graft.roundz(col("r.b"), 6).as("trend6"))
+        .orderBy(col("event_type"), col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -767,6 +832,65 @@ object Events {
          SELECT event_type, day, CAST(n AS BIGINT) AS n,
            round(ew, 6) + 0.0 AS ewma6
          FROM e ORDER BY event_type, day""",
+    // running-max-end islands in exact µs, then two aggregates
+    "q231_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + CAST(round(value*100) AS BIGINT) * 1000000
+               AS end_us
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, us, end_us,
+             MAX(end_us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+           FROM iv),
+         f AS (
+           SELECT user_id, event_id, us, end_us,
+             CASE WHEN prev_end IS NULL OR us > prev_end
+                  THEN 1 ELSE 0 END AS is_new
+           FROM m),
+         g AS (
+           SELECT user_id, us, end_us,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS island
+           FROM f),
+         i AS (
+           SELECT user_id, island, MIN(us) AS s0, MAX(end_us) AS e0
+           FROM g GROUP BY user_id, island)
+         SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(e0 - s0) AS BIGINT) AS covered_us
+         FROM i GROUP BY user_id ORDER BY user_id""",
+    // the Holt recurrence replayed rank-by-rank; l_new repeated
+    // literally inside the trend update (same double both sides)
+    "q233_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rk
+           FROM daily),
+         h AS (
+           SELECT event_type, day, n, rk, CAST(n AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b
+           FROM r WHERE rk = 1
+           UNION ALL
+           SELECT r.event_type, r.day, r.n, r.rk,
+             CAST(0.3 AS DOUBLE) * r.n
+               + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+             CAST(0.2 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * r.n
+               + CAST(0.7 AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST(0.8 AS DOUBLE) * h.b
+           FROM r JOIN h ON r.event_type = h.event_type
+                        AND r.rk = h.rk + 1)
+         SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           round(l, 6) + 0.0 AS level6, round(b, 6) + 0.0 AS trend6
+         FROM h ORDER BY event_type, day""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

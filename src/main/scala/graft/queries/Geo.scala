@@ -29,7 +29,7 @@ object Geo {
   /** Derived alert points: lat ∈ [-60, 60) and lon ∈ [-120, 120) in
     * exact integer milli-degrees, then one division to double.
     */
-  private def points(s: SparkSession, d: String): DataFrame =
+  private[queries] def points(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .select(col("event_id"),
         (col("event_id") % 120000 * lit(2654435761L) % 120000)
@@ -39,7 +39,7 @@ object Geo {
       .withColumn("lat", col("lat_milli") / lit(1000.0) - lit(60.0))
       .withColumn("lon", col("lon_milli") / lit(1000.0) - lit(120.0))
 
-  private val PointsSql =
+  private[queries] val PointsSql =
     """pts AS (
          SELECT event_id,
            event_id % 120000 * 2654435761 % 120000 AS lat_milli,
@@ -50,6 +50,49 @@ object Geo {
            lat_milli / 1000.0 - 60.0 AS lat,
            lon_milli / 1000.0 - 120.0 AS lon
          FROM pts)"""
+
+  /** Concave 8-vertex geofence (lat, lon) — shared between the Spark
+    * predicate and the generated oracle SQL (single source of truth).
+    */
+  private val Fence: Seq[(Double, Double)] = Seq(
+    (-40.5, -80.5), (-50.5, 20.5), (10.5, 60.5), (0.5, 10.5),
+    (45.5, 30.5), (30.5, -30.5), (40.5, -60.5), (0.5, -90.5))
+
+  /** Clustered synthetic sky for density clustering: 60% of points land
+    * ±1° around 7 integer-derived centers, the rest uniform — densities
+    * that survive every SF, all arithmetic exact-integer before one
+    * division (mirrored literally in [[ClusteredSql]]).
+    */
+  private[queries] def clusteredPoints(s: SparkSession, d: String): DataFrame = {
+    val h1 = col("event_id") % 120000 * lit(2654435761L) % 120000
+    val h2 = col("event_id") % 240000 * lit(2654435761L) % 240000
+    val cidx = col("event_id") % 7
+    val cLat = cidx * 13 % 100 - 50 + lit(0.5)
+    val cLon = cidx * 29 % 200 - 100 + lit(0.5)
+    val member = col("event_id") % 10 < 6
+    table(s, d, "events").select(col("event_id"),
+      when(member, cLat + (h1 % 2000 / lit(1000.0) - lit(1.0)))
+        .otherwise(h1 / lit(1000.0) - lit(60.0)).as("lat"),
+      when(member, cLon + (h2 % 2000 / lit(1000.0) - lit(1.0)))
+        .otherwise(h2 / lit(1000.0) - lit(120.0)).as("lon"))
+  }
+
+  private[queries] val ClusteredSql =
+    """cp AS (
+         SELECT event_id,
+           CASE WHEN event_id % 10 < 6
+             THEN event_id % 7 * 13 % 100 - 50 + 0.5
+               + (event_id % 120000 * 2654435761 % 120000 % 2000
+                  / 1000.0 - 1.0)
+             ELSE event_id % 120000 * 2654435761 % 120000 / 1000.0 - 60.0
+           END AS lat,
+           CASE WHEN event_id % 10 < 6
+             THEN event_id % 7 * 29 % 200 - 100 + 0.5
+               + (event_id % 240000 * 2654435761 % 240000 % 2000
+                  / 1000.0 - 1.0)
+             ELSE event_id % 240000 * 2654435761 % 240000 / 1000.0 - 120.0
+           END AS lon
+         FROM events)"""
 
   /** Stations: one per nation row (dimension-sized), integer-exact
     * half-degree coordinates.
@@ -118,6 +161,66 @@ object Geo {
         .orderBy(col("cell_y"), col("cell_x"))
     }),
 
+    // Geofence: point-in-polygon by the crossing-number rule against a
+    // concave 8-vertex fence. The polygon is a driver-side literal, so
+    // the test is a static codegen'd per-edge sum fused into the scan —
+    // no join, no UDF; at 100 TB the fence is a free scan predicate.
+    // Oracle SQL is GENERATED from the same vertex list (same ops).
+    "q229_geofence" -> ((s, d) => {
+      points(s, d)
+        .filter(GeoOps.pointInPolygon(col("lat"), col("lon"), Fence))
+        .select(col("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Grid-density clustering (DBSCAN-style at cell granularity) over a
+    // CLUSTERED synthetic sky (60% of points land ±1° around 7 centers,
+    // the rest uniform): 2° cells → 3×3 neighborhood counts → core
+    // cells by a scale-free threshold (nb·80 > N, exact integers) →
+    // connected components over 8-adjacent core cells (the hash-min +
+    // pointer-jump ladder of NearDup.connectedComponents). Noise never
+    // reaches the component stage — the corpus-sized data is gone after
+    // one cell aggregate. Oracle: same build + recursive-CTE closure
+    // (the q69 pattern) over the tiny core-cell graph.
+    "q230_grid_density_clusters" -> ((s, d) => {
+      val p = clusteredPoints(s, d)
+      // referenced by both the neighborhood sum and the core join —
+      // checkpoint so the corpus aggregate runs once (orientEdges
+      // discipline, SURVEY §9)
+      val cellsDf = p
+        .groupBy(floor(col("lat") / lit(2.0)).as("cy"),
+          floor(col("lon") / lit(2.0)).as("cx"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nTotal = cellsDf.agg(sum(col("n")).as("ntot"))
+      val off = array(lit(-1L), lit(0L), lit(1L))
+      val nb = cellsDf
+        .withColumn("dy", explode(off)).withColumn("dx", explode(off))
+        .groupBy((col("cy") + col("dy")).as("cy"),
+          (col("cx") + col("dx")).as("cx"))
+        .agg(sum(col("n")).as("nb"))
+      val cores = cellsDf.join(nb, Seq("cy", "cx"))
+        .crossJoin(broadcast(nTotal))
+        .filter(col("nb") * 80 > col("ntot"))
+        .select(col("cy"), col("cx"), col("n"),
+          (col("cy") * 1000 + col("cx")).as("ck"))
+        .localCheckpoint(true) // tiny; anchors the CC iteration input
+      val edges = cores.select(col("ck"), col("cy"), col("cx"))
+        .withColumn("dy", explode(off)).withColumn("dx", explode(off))
+        .filter(!(col("dy") === 0 && col("dx") === 0))
+        .select(col("ck").as("ka"),
+          ((col("cy") + col("dy")) * 1000 + col("cx") + col("dx")).as("kb"))
+        .join(cores.select(col("ck").as("kb")), Seq("kb"))
+        .filter(col("ka") < col("kb"))
+      val comps = graft.ext.NearDup
+        .connectedComponents(edges, "ka", "kb")
+        .select(col("id").as("ck"), col("comp"))
+      cores.join(comps, Seq("ck"), "left")
+        .select(col("cy"), col("cx"), col("n"),
+          coalesce(col("comp"), col("ck")).as("cluster"))
+        .orderBy(col("cy"), col("cx"))
+    }),
+
     // Native geohash bucketing: the codegen'd base-32 encoder on every
     // point (precision 5 ≈ 4.9 km cells), plus the count of the point's
     // 2-char prefix region — the prefix IS the coarser cell, no
@@ -174,6 +277,41 @@ object Geo {
             round(CAST(SUM(lon_milli) AS DOUBLE) / COUNT(*) / 1000.0
               - 120.0, 6) + 0.0 AS centroid_lon
           FROM p GROUP BY 1, 2 ORDER BY cell_y, cell_x""",
+    "q229_geofence" ->
+      s"""WITH $PointsSql
+          SELECT event_id FROM p
+          WHERE ${GeoOps.pointInPolygonSql("lat", "lon", Fence)}
+          ORDER BY event_id""",
+    "q230_grid_density_clusters" ->
+      s"""WITH RECURSIVE $ClusteredSql,
+          cells AS (
+            SELECT CAST(floor(lat / 2.0) AS BIGINT) AS cy,
+              CAST(floor(lon / 2.0) AS BIGINT) AS cx, COUNT(*) AS n
+            FROM cp GROUP BY 1, 2),
+          tot AS (SELECT SUM(n) AS ntot FROM cells),
+          nb AS (
+            SELECT c.cy + dy.d AS cy, c.cx + dx.d AS cx, SUM(c.n) AS nbn
+            FROM cells c,
+              (VALUES (-1), (0), (1)) dy(d),
+              (VALUES (-1), (0), (1)) dx(d)
+            GROUP BY 1, 2),
+          cores AS (
+            SELECT c.cy, c.cx, c.n, c.cy * 1000 + c.cx AS ck
+            FROM cells c JOIN nb ON nb.cy = c.cy AND nb.cx = c.cx, tot
+            WHERE nb.nbn * 80 > tot.ntot),
+          e0 AS (
+            SELECT a.ck AS src, b.ck AS dst
+            FROM cores a JOIN cores b
+              ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+                AND a.ck <> b.ck),
+          reach(id, comp) AS (
+            SELECT ck, ck FROM cores
+            UNION
+            SELECT e0.dst, r.comp FROM reach r JOIN e0 ON e0.src = r.id),
+          lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+          SELECT c.cy, c.cx, CAST(c.n AS BIGINT) AS n, l.comp AS cluster
+          FROM cores c JOIN lab l ON l.id = c.ck
+          ORDER BY c.cy, c.cx""",
     "q223_geohash_cells" ->
       s"""WITH $PointsSql,
           f AS (SELECT event_id, lat, lon FROM p WHERE event_id <= 3000),

@@ -83,6 +83,16 @@ object Metrics {
         .orderBy(col("item"))
     }),
 
+    // Pearson chi-square independence test: event_type × value
+    // tercile contingency (full grid, zero cells included). Exact
+    // integer marginals; E and the per-cell terms in one fixed double
+    // spelling both sides.
+    "q232_chi_square" -> ((s, d) => {
+      val bucket = floor(cents(col("value")) / lit(16334.0)).cast("long")
+      M.chiSquare(table(s, d, "events"), col("event_type"), bucket)
+        .select(col("n"), col("dof"), roundz(col("chi2"), 6).as("chi2_6"))
+    }),
+
     // Per-group isotonic calibration: bin the score (cents div 2000),
     // empirical success rate per bin from a deterministic
     // score-correlated label, PAVA within each event-type group
@@ -168,6 +178,26 @@ object Metrics {
            round(CAST(n * diag - pe_num AS DOUBLE) /
              CAST(n * n - pe_num AS DOUBLE), 6) + 0.0 AS kappa6
          FROM a, pe""",
+    "q232_chi_square" ->
+      """WITH c AS (
+           SELECT event_type AS ra,
+             CAST(floor(CAST(round(value*100) AS BIGINT) / 16334.0)
+               AS BIGINT) AS cb
+           FROM events),
+         cells AS (SELECT ra, cb, COUNT(*) AS o FROM c GROUP BY ra, cb),
+         rows_ AS (SELECT ra, SUM(o) AS rs FROM cells GROUP BY ra),
+         cols_ AS (SELECT cb, SUM(o) AS cs FROM cells GROUP BY cb),
+         nn AS (SELECT SUM(o) AS n FROM cells),
+         grid AS (
+           SELECT r.ra, k.cb, COALESCE(e.o, 0) AS o,
+             CAST(r.rs * k.cs AS DOUBLE) / n.n AS ee
+           FROM rows_ r CROSS JOIN cols_ k CROSS JOIN nn n
+           LEFT JOIN cells e ON e.ra = r.ra AND e.cb = k.cb)
+         SELECT CAST(n.n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT) *
+             CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof,
+           round(SUM((o - ee) * (o - ee) / ee), 6) + 0.0 AS chi2_6
+         FROM grid, nn n GROUP BY n.n""",
     // win/loss matrix recomputed exactly; strength convergence pinned
     // by in-job contract booleans (see the queries entry + MetricsSpec)
     "q227_bradley_terry" ->

@@ -78,6 +78,29 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - 0.4) < 1e-12)
   }
 
+  test("chiSquare: closed form on a 2x2 table, zero for independence, " +
+      "zero-observed cells included") {
+    // O = [[10, 20], [30, 40]]: N=100, chi2 = N(ad-bc)^2/(r1 r2 c1 c2)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = Metrics.chiSquare(rows.toDF("ra", "cb"),
+      col("ra"), col("cb")).head()
+    val expected = 100.0 * math.pow(10 * 40 - 20 * 30, 2) /
+      (30.0 * 70.0 * 40.0 * 60.0)
+    assert(got.getLong(0) == 100L && got.getLong(1) == 1L)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-9)
+    // perfectly proportional table → chi2 == 0
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    assert(Metrics.chiSquare(ind.toDF("ra", "cb"), col("ra"), col("cb"))
+      .head().getDouble(2) == 0.0)
+    // a category pair never observed together still contributes (O=0,E>0)
+    val z = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+    val chi = Metrics.chiSquare(z.toDF("ra", "cb"), col("ra"), col("cb"))
+      .head().getDouble(2)
+    assert(math.abs(chi - 4.0) < 1e-12) // full separation of 2x2 with n=4
+  }
+
   test("bradleyTerry: 2-item closed form (strength ratio = win ratio), " +
       "booleans hold") {
     val pairs = Seq(("x", "y", 30L, 10L)).toDF("ia", "ib", "wa", "wb")

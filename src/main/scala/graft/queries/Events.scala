@@ -565,6 +565,58 @@ object Events {
           col("r.n").as("n"), graft.Graft.roundz(col("r.l"), 6).as("level6"),
           graft.Graft.roundz(col("r.b"), 6).as("trend6"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Purged time-series split with embargo (the leakage-safe CV for
+    // temporally-autocorrelated data, López de Prado's purged K-fold):
+    // 5 equal time-ordered folds (ntile on the (us, event_id) total
+    // order), fold 2 is the test block, and TRAIN rows inside a 7-day
+    // embargo of the test block's span are PURGED — they'd leak
+    // near-boundary information. One global sort for the fold spine
+    // (at 100 TB: range-partition on precomputed time quantiles
+    // instead), one broadcast scalar for the test-span bounds.
+    "q234_purged_time_split" -> ((s, d) => {
+      val w = Window.orderBy(col("us"), col("event_id"))
+      val ev = events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("fold", ntile(5).over(w))
+      val bounds = ev.filter(col("fold") === 2)
+        .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val emb = 7L * 86400L * 1000000L
+      ev.crossJoin(broadcast(bounds))
+        .select(col("event_id"),
+          when(col("fold") === 2, "test")
+            .when(col("us") >= col("lo") - emb &&
+              col("us") <= col("hi") + emb, "purged")
+            .otherwise("train").as("role"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent preceding click within 7 days (forward-carry of the last
+    // click over the strictly-preceding frame — q219's pattern with an
+    // exclusive upper bound), then revenue rolls up per click. The
+    // marketing-analytics operator the as-of join family serves;
+    // one user-keyed window shuffle + one keyed aggregate.
+    "q237_attribution" -> ((s, d) => {
+      val prior = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val emb = 7L * 86400L * 1000000L
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(prior))
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", col("us")),
+            ignoreNulls = true).over(prior))
+        .filter(col("event_type") === "purchase" &&
+          col("click_id").isNotNull && col("us") - col("click_us") <= emb)
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(cents(col("value"))).as("attributed_cents"))
+        .orderBy(col("click_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -891,6 +943,36 @@ object Events {
          SELECT event_type, day, CAST(n AS BIGINT) AS n,
            round(l, 6) + 0.0 AS level6, round(b, 6) + 0.0 AS trend6
          FROM h ORDER BY event_type, day""",
+    "q234_purged_time_split" ->
+      """WITH f AS (
+           SELECT event_id, epoch_us(ts) AS us,
+             ntile(5) OVER (ORDER BY epoch_us(ts), event_id) AS fold
+           FROM events),
+         b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM f WHERE fold = 2)
+         SELECT event_id,
+           CASE WHEN fold = 2 THEN 'test'
+                WHEN us >= b.lo - 604800000000 AND us <= b.hi + 604800000000
+                  THEN 'purged'
+                ELSE 'train' END AS role
+         FROM f, b ORDER BY event_id""",
+    "q237_attribution" ->
+      """WITH c AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value*100) AS BIGINT) AS cents,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+               IGNORE NULLS) OVER w AS click_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT click_id, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+         FROM c
+         WHERE event_type = 'purchase' AND click_id IS NOT NULL
+           AND us - click_us <= 604800000000
+         GROUP BY click_id ORDER BY click_id""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

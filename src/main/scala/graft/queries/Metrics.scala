@@ -83,6 +83,31 @@ object Metrics {
         .orderBy(col("item"))
     }),
 
+    // Per-label centroid-distance outlier screen over embeddings: the
+    // complement of q109's per-dimension z² — distance to the OWN
+    // label's centroid catches mislabeled/cross-cluster vectors that
+    // global moments miss. Two narrow posexplode passes (at 100 TB the
+    // centroid pass is the one-scan GramMoments UDAF; the distance
+    // pass joins the O(labels·dim) centroid relation). Rounded-distance
+    // ordering with vec_id tie-break (q109's determinism convention).
+    "q236_centroid_outliers" -> ((s, d) => {
+      val f = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("v").cast("double").as("v"))
+      val cent = f.groupBy(col("label"), col("i"))
+        .agg((sum(col("v")) / count(lit(1))).as("mu"))
+      f.join(cent, Seq("label", "i"))
+        .withColumn("dd", (col("v") - col("mu")) * (col("v") - col("mu")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sqrt(sum(col("dd"))).as("dist"))
+        .select(col("vec_id"), col("label"),
+          roundz(col("dist"), 4).as("dist4"))
+        .orderBy(col("dist4").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Pearson chi-square independence test: event_type × value
     // tercile contingency (full grid, zero cells included). Exact
     // integer marginals; E and the per-cell terms in one fixed double
@@ -178,6 +203,21 @@ object Metrics {
            round(CAST(n * diag - pe_num AS DOUBLE) /
              CAST(n * n - pe_num AS DOUBLE), 6) + 0.0 AS kappa6
          FROM a, pe""",
+    "q236_centroid_outliers" ->
+      """WITH f AS (
+           SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT label, i, SUM(v) / COUNT(*) AS mu
+           FROM f GROUP BY label, i),
+         sc AS (
+           SELECT f.vec_id, f.label,
+             sqrt(SUM((f.v - c.mu) * (f.v - c.mu))) AS dist
+           FROM f JOIN cent c ON c.label = f.label AND c.i = f.i
+           GROUP BY f.vec_id, f.label)
+         SELECT vec_id, label, round(dist, 4) + 0.0 AS dist4
+         FROM sc ORDER BY dist4 DESC, vec_id LIMIT 20""",
     "q232_chi_square" ->
       """WITH c AS (
            SELECT event_type AS ra,

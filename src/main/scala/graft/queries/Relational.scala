@@ -416,7 +416,37 @@ object Relational {
     "q183_label_propagation" -> ((s, d) =>
       graft.ext.Graph.labelPropagation(coPurchaseEdges(s, d),
           "sa", "sb", "nc", rounds = 3)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // Negative-edge sampling for link prediction over the part↔supplier
+    // bipartite graph: contrastive training needs non-edges, and at
+    // scale you can NOT enumerate the V×V complement — instead each
+    // part proposes k hash-derived candidate suppliers (O(parts·k),
+    // overflow-safe reduced-mod hashing), validates them with a semi
+    // join, and anti-joins the observed edge set. Deterministic, no
+    // RNG, no grid materialization.
+    "q235_negative_edges" -> ((s, d) => {
+      val pos = table(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("cand_s"))
+        .distinct()
+      val maxS = table(s, d, "supplier")
+        .agg(max(col("s_suppkey")).cast("long").as("ms"))
+      val cand = table(s, d, "part")
+        .select(col("p_partkey").cast("long").as("p"))
+        .crossJoin(broadcast(maxS))
+        .withColumn("i", explode(sequence(lit(0L), lit(9L))))
+        .withColumn("cand_s",
+          (col("p") % 100000 * lit(2654435761L) + col("i") * lit(40503L))
+            % 100000 % col("ms") + 1)
+        .select(col("p"), col("cand_s")).distinct()
+      val valid = cand.join(table(s, d, "supplier")
+          .select(col("s_suppkey").cast("long").as("cand_s")),
+        Seq("cand_s"), "left_semi")
+      valid.join(pos, Seq("p", "cand_s"), "left_anti")
+        .select(col("p").as("p_partkey"), col("cand_s").as("neg_suppkey"))
+        .orderBy(col("p_partkey"), col("neg_suppkey"))
+    }))
 
   /** The supplier co-purchase graph shared by q179/q183: p95-thresholded
     * common-customer pair counts. The bipartite projection is the
@@ -695,5 +725,21 @@ object Relational {
          l3 AS (SELECT src AS node, label FROM (
              SELECT src, label, row_number() OVER (PARTITION BY src
                ORDER BY wv DESC, label) AS rk FROM v3) WHERE rk = 1)
-         SELECT node, label FROM l3 ORDER BY node""")
+         SELECT node, label FROM l3 ORDER BY node""",
+    "q235_negative_edges" ->
+      """WITH ms AS (SELECT MAX(s_suppkey) AS ms FROM supplier),
+         cand AS (
+           SELECT DISTINCT p.p_partkey AS p,
+             (p.p_partkey % 100000 * 2654435761 + i.i * 40503)
+               % 100000 % ms.ms + 1 AS cand_s
+           FROM part p, ms, generate_series(0, 9) AS i(i)),
+         valid AS (
+           SELECT c.p, c.cand_s FROM cand c
+           JOIN supplier s ON s.s_suppkey = c.cand_s),
+         pos AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                 FROM lineitem)
+         SELECT v.p AS p_partkey, CAST(v.cand_s AS BIGINT) AS neg_suppkey
+         FROM valid v LEFT JOIN pos e ON e.p = v.p AND e.s = v.cand_s
+         WHERE e.p IS NULL
+         ORDER BY p_partkey, neg_suppkey""")
 }

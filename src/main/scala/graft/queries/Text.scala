@@ -407,12 +407,57 @@ object Text {
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("h"))
+    }),
+
+    // Zipf rank-frequency slope: OLS of ln(count) on ln(rank) over the
+    // top-1000 tokens — the one-number corpus-health check (natural
+    // text ≈ −1; boilerplate/spam skews it). One token aggregate, one
+    // rank window over DISTINCT tokens, a 5-sum OLS reduce; ln() is the
+    // only libm surface, absorbed by roundz (BM25 precedent).
+    "q238_zipf_slope" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val xy = counts
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+        .filter(col("r") <= 1000)
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          graft.Graft.roundz((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope6"))
     }))
 
   private def hitsSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    "q238_zipf_slope" ->
+      """WITH t AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         f AS (SELECT tok, COUNT(*) AS c FROM t WHERE tok <> ''
+               GROUP BY tok),
+         r AS (
+           SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+           FROM f),
+         x AS (
+           SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+           FROM r WHERE r <= 1000),
+         a AS (
+           SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM x)
+         SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS slope6
+         FROM a""",
     "q18_token_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t

@@ -213,7 +213,21 @@ class PlanSpec extends SparkSpec {
       "q183_label_propagation",
       // q193: the ONE-row integrity scalar broadcasts onto the 5-row
       // fold-size rollup (q46's scalar class)
-      "q193_group_kfold")
+      "q193_group_kfold",
+      // q220: the dimension-sized station table broadcasts against
+      // every point for the argmin fold — q40's deliberate
+      // broadcast-NL class (site tables are thousands of rows at most)
+      "q220_nearest_station",
+      // q225/q226/q232/q234: ONE-row scalar broadcasts (sample sizes /
+      // pe numerator / N / test-fold bounds) onto bounded relations —
+      // q46's scalar class
+      "q225_ks_two_sample",
+      "q226_cohen_kappa",
+      "q232_chi_square",
+      "q234_purged_time_split",
+      // q235: the max-supplier-key scalar is ONE broadcast row onto
+      // the parts relation; candidate/positive joins are keyed
+      "q235_negative_edges")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

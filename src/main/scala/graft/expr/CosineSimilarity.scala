@@ -102,6 +102,7 @@ object GraftFunctions {
   val PqAdcName = "graft_pq_adc"
   val AsOfOnName = "graft_asof_on"
   val GeohashName = "graft_geohash"
+  val HilbertName = "graft_hilbert"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -136,7 +137,9 @@ object GraftFunctions {
     PqAdcName -> (exprs => PqAdcDistance(exprs(0), exprs(1), exprs(2))),
     AsOfOnName -> (exprs => graft.plans.AsOfJoin.AsOfOn(
       exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))),
-    GeohashName -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))))
+    GeohashName -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
+    HilbertName -> (exprs => HilbertKey(exprs(0), exprs(1),
+      litInt(exprs(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1716,10 +1716,32 @@ object Advanced {
         s.catalog.dropTempView(name)
         out
       } finally deleteRecursively(stage)
+    }),
+
+    // Spark 4 GROUP BY ALL / ORDER BY ALL sugar (the analyst-facing
+    // shorthand DuckDB popularized): grouping keys inferred from the
+    // non-aggregate select items, ordering over the full select list.
+    // Same plan as the explicit spelling — the oracle IS the explicit
+    // spelling, so the sugar's inference is what's under test.
+    "q241_group_order_all" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("g_events_all")
+      s.sql("""SELECT event_type,
+               unix_micros(ts) div 86400000000 AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+               FROM g_events_all GROUP BY ALL ORDER BY ALL""")
     }))
 
 
   val oracles: Map[String, String] = Map(
+    // the EXPLICIT spelling — the sugar's key inference is under test
+    "q241_group_order_all" ->
+      """SELECT event_type,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
     // nfc_normalize is DuckDB's spelling of graft_normalize; floor()
     // before the BIGINT cast on both sides (DuckDB's double->int cast
     // rounds, Spark's truncates)

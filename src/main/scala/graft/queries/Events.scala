@@ -617,6 +617,53 @@ object Events {
         .agg(count(lit(1)).as("n_purchases"),
           sum(cents(col("value"))).as("attributed_cents"))
         .orderBy(col("click_id"))
+    }),
+
+    // Quantile normalization: map each event-type's value distribution
+    // onto the POOLED distribution by relative rank (batch-effect
+    // correction — microarray lineage, same trick for calibrating
+    // per-source quality scores before a global threshold). Pure
+    // integer rank arithmetic: group rank r of g_n maps to pooled
+    // position ceil(r·pool_n/g_n), one equi-join on the position.
+    // Window counts (COUNT OVER) instead of scalar cross-joins.
+    "q240_quantile_normalize" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("c"))
+      val pool = ev
+        .withColumn("pr", row_number().over(
+          Window.orderBy(col("c"), col("event_id"))))
+        .select(col("pr"), col("c").as("norm_cents"))
+      val g = ev
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("c"), col("event_id"))))
+        .withColumn("gn", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("pn", count(lit(1)).over(
+          Window.partitionBy()))
+        .withColumn("pr", expr("(r * pn + gn - 1) div gn"))
+      g.join(pool, Seq("pr"))
+        .select(col("event_id"), col("c").as("cents"), col("norm_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sliding exact median: `percentile(c, 0.5)` as a WINDOW aggregate
+    // over the trailing 7-row frame — exact rolling median per user
+    // (robust smoother; the window-frame twin of q66's global
+    // quantiles). Interpolated midpoints are .5-exact doubles on both
+    // engines (DuckDB `median` interpolates identically).
+    "q242_sliding_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("med",
+          expr("percentile(cast(round(value*100) as bigint), 0.5D)")
+            .over(w))
+        .select(col("event_id"), col("user_id"), col("med"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -973,6 +1020,33 @@ object Events {
          WHERE event_type = 'purchase' AND click_id IS NOT NULL
            AND us - click_us <= 604800000000
          GROUP BY click_id ORDER BY click_id""",
+    "q240_quantile_normalize" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+         pool AS (
+           SELECT ROW_NUMBER() OVER (ORDER BY c, event_id) AS pr,
+             c AS norm_cents
+           FROM ev),
+         g AS (
+           SELECT event_id, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY c, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS gn,
+             COUNT(*) OVER () AS pn
+           FROM ev),
+         j AS (
+           SELECT event_id, c, (r * pn + gn - 1) // gn AS pr FROM g)
+         SELECT j.event_id, j.c AS cents, p.norm_cents
+         FROM j JOIN pool p ON p.pr = j.pr
+         ORDER BY j.event_id""",
+    "q242_sliding_median" ->
+      """SELECT event_id, user_id,
+         median(CAST(round(value*100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+         FROM events ORDER BY event_id""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

@@ -235,6 +235,23 @@ object Geo {
       gh.join(regions, substring(col("gh5"), 1, 2) === col("region"))
         .select(col("event_id"), col("gh5"), col("region_n"))
         .orderBy(col("event_id"))
+    }),
+
+    // Hilbert space-filling key over integer milli-degree coordinates —
+    // the strictly-locality-preserving layout key beside graft_zorder:
+    // consecutive keys are ALWAYS grid neighbors (no Z-shaped jumps),
+    // so sorting a 100 TB point table by this key makes contiguous key
+    // ranges compact spatial blobs (range scan = spatial prune).
+    // Per-row native codegen'd expression; the oracle replays the
+    // identical integer recurrence level-by-level in a recursive CTE.
+    // Order 17 covers lat_milli's [0, 120000).
+    "q239_hilbert_key" -> ((s, d) => {
+      val p = points(s, d).filter(col("event_id") <= 3000)
+      graft.expr.GraftFunctions.register(s)
+      p.select(col("event_id"),
+          call_function(graft.expr.GraftFunctions.HilbertName,
+            col("lat_milli"), col("lon_milli"), lit(17)).as("h"))
+        .orderBy(col("event_id"))
     }))
 
   private def hav(lat1: String, lon1: String,
@@ -333,5 +350,13 @@ object Geo {
             FROM g GROUP BY 1)
           SELECT g.event_id, g.gh5, r.region_n
           FROM g JOIN r ON substr(g.gh5, 1, 2) = r.region
-          ORDER BY g.event_id""")
+          ORDER BY g.event_id""",
+    "q239_hilbert_key" ->
+      s"""WITH RECURSIVE $PointsSql,
+          src AS (SELECT event_id, lat_milli, lon_milli FROM pts
+                  WHERE event_id <= 3000),
+          ${graft.expr.HilbertKey.recursiveSql("hc", "src", "event_id",
+             "lat_milli", "lon_milli", 17)}
+          SELECT id AS event_id, d AS h FROM hc WHERE s = 0
+          ORDER BY event_id""")
 }

@@ -38,7 +38,8 @@ class CodegenCompileSpec extends SparkSpec {
         s"graft_argmax_cosine(vec, $cents) AS j",
         s"graft_pq_encode(vec, $cb) AS k",
         s"graft_pq_adc(graft_pq_encode(vec, $cb), vec, $cb) AS l",
-        "graft_geohash(CAST(57.64911 AS DOUBLE), CAST(10.40744 AS DOUBLE), 5) AS m"
+        "graft_geohash(CAST(57.64911 AS DOUBLE), CAST(10.40744 AS DOUBLE), 5) AS m",
+        "graft_hilbert(x, y, 8) AS n"
       ).collect()
       assert(out.length == 1)
       assert(out.head.getLong(7) == ZOrderRef.zref(7L, 9L, 16))

@@ -77,6 +77,25 @@ class GeoSpec extends SparkSpec {
     assert(out.getString(0) == "u4pru")
   }
 
+  test("hilbert key: bijective on the full order-4 grid, consecutive " +
+      "keys are ALWAYS grid neighbors, masks high bits") {
+    import graft.expr.HilbertKey
+    val n = 16 // order 4
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertKey.xy2d(4, x, y), (x, y))
+    val ds = cells.sortBy(_._1)
+    // bijection onto [0, 256)
+    assert(ds.map(_._1) == (0L until 256L))
+    // the defining Hilbert property (Z-order does NOT have it):
+    // d and d+1 are 4-neighbors in the grid
+    ds.zip(ds.tail).foreach { case ((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=${d2 - 1}: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // inputs above the order's range mask down (oracle base-case parity)
+    assert(HilbertKey.xy2d(4, 16 + 3, 32 + 7) == HilbertKey.xy2d(4, 3, 7))
+  }
+
   test("radius join equals brute force on seeded points (incl. cell " +
       "boundaries)") {
     val rnd = new scala.util.Random(13)

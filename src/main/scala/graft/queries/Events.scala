@@ -664,6 +664,85 @@ object Events {
             .over(w))
         .select(col("event_id"), col("user_id"), col("med"))
         .orderBy(col("event_id"))
+    }),
+
+    // Time-weighted average (TWAP): each observation holds until the
+    // next one, so its weight is the gap to the successor (`lead`);
+    // the last observation carries no weight. Σc·dt and Σdt stay exact
+    // BIGINT, one division — the uniform mean over-weights bursts,
+    // TWAP is the honest "average held value" (financial lineage).
+    "q244_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("c", cents(col("value")))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_weighted"),
+          sum(col("dt")).as("span_us"),
+          graft.Graft.roundz(sum(col("c") * col("dt")).cast("double") /
+            sum(col("dt")), 6).as("twap6"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Rolling Pearson correlation between the daily click and purchase
+    // volumes over a trailing 14-day window: all six window sums are
+    // exact integers, the correlation is one closed-form double both
+    // engines spell identically; degenerate windows (zero variance)
+    // yield NULL on both sides.
+    "q245_rolling_corr" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, Window.currentRow)
+      val sums = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      sums.select(col("day"), col("x"), col("y"),
+          graft.Graft.roundz(
+            when((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy")))
+                  .cast("double"))), 6).as("corr6"))
+        .orderBy(col("day"))
+    }),
+
+    // Winsorization at the exact per-group p05/p95 rank positions:
+    // thresholds are the group-sorted values at ceil(0.05n)/ceil(0.95n)
+    // (pure integer positions — no interpolation, no float quantiles),
+    // values clip to [lo, hi]. The robust-preprocessing twin of q66's
+    // approximate quantiles: at 100 TB you'd swap the rank window for
+    // the sketch, same clip join.
+    "q246_winsorize" -> ((s, d) => {
+      val wg = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("event_id"))
+      val ranked = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("c"))
+        .withColumn("r", row_number().over(wg))
+        .withColumn("gn", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val thr = ranked
+        .filter(col("r") === expr("(gn * 5 + 99) div 100") ||
+          col("r") === expr("(gn * 95 + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      ranked.join(thr, Seq("event_type"))
+        .select(col("event_id"), col("c").as("cents"),
+          least(greatest(col("c"), col("lo")), col("hi"))
+            .as("winsorized_cents"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1047,6 +1126,61 @@ object Events {
            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
          FROM events ORDER BY event_id""",
+    "q244_twap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+         l AS (
+           SELECT user_id, c,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) - us AS dt
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_weighted,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           round(CAST(SUM(c * dt) AS DOUBLE) / SUM(dt), 6) + 0.0 AS twap6
+         FROM l WHERE dt IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "q245_rolling_corr" ->
+      """WITH daily AS (
+           SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT day, x, y,
+             COUNT(*) OVER w AS n, SUM(x) OVER w AS sx,
+             SUM(y) OVER w AS sy, SUM(x * x) OVER w AS sxx,
+             SUM(y * y) OVER w AS syy, SUM(x * y) OVER w AS sxy
+           FROM daily
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+             round(CAST(n*sxy - sx*sy AS DOUBLE) /
+               sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)), 6)
+               + 0.0
+           END AS corr6
+         FROM s ORDER BY day""",
+    "q246_winsorize" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+         r AS (
+           SELECT event_id, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY c, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS gn
+           FROM ev),
+         t AS (
+           SELECT event_type, MIN(c) AS lo, MAX(c) AS hi FROM r
+           WHERE r = (gn * 5 + 99) // 100 OR r = (gn * 95 + 99) // 100
+           GROUP BY event_type)
+         SELECT r.event_id, r.c AS cents,
+           least(greatest(r.c, t.lo), t.hi) AS winsorized_cents
+         FROM r JOIN t ON t.event_type = r.event_type
+         ORDER BY r.event_id""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

@@ -118,6 +118,28 @@ object Metrics {
         .select(col("n"), col("dof"), roundz(col("chi2"), 6).as("chi2_6"))
     }),
 
+    // Benford leading-digit screen: observed first-digit distribution
+    // of positive cents vs the log10(1 + 1/d) expectation, with the
+    // per-digit chi-square contribution — the classic fabricated-data
+    // tripwire. Leading digit extracted from the DECIMAL STRING (exact
+    // on both engines — no float log at the extraction site).
+    "q247_benford" -> ((s, d) => {
+      val digits = table(s, d, "events")
+        .select(cents(col("value")).as("c")).filter(col("c") > 0)
+        .select(substring(col("c").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+      digits
+        .withColumn("n", sum(col("o")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("e", log10(lit(1.0) + lit(1.0) / col("digit")) * col("n"))
+        .select(col("digit"), col("o"),
+          roundz(col("e"), 4).as("expected4"),
+          roundz((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+            .as("contrib6"))
+        .orderBy(col("digit"))
+    }),
+
     // Per-group isotonic calibration: bin the score (cents div 2000),
     // empirical success rate per bin from a deterministic
     // score-correlated label, PAVA within each event-type group
@@ -218,6 +240,19 @@ object Metrics {
            GROUP BY f.vec_id, f.label)
          SELECT vec_id, label, round(dist, 4) + 0.0 AS dist4
          FROM sc ORDER BY dist4 DESC, vec_id LIMIT 20""",
+    "q247_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events)
+           WHERE c > 0),
+         g AS (SELECT digit, COUNT(*) AS o FROM d GROUP BY digit),
+         w AS (
+           SELECT digit, o, SUM(o) OVER () AS n,
+             log10(1.0 + 1.0 / digit) * (SUM(o) OVER ()) AS e
+           FROM g)
+         SELECT digit, o, round(e, 4) + 0.0 AS expected4,
+           round((o - e) * (o - e) / e, 6) + 0.0 AS contrib6
+         FROM w ORDER BY digit""",
     "q232_chi_square" ->
       """WITH c AS (
            SELECT event_type AS ra,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.Graft.table
+import graft.Graft.{roundz, table}
 
 /** Relational operator coverage over the harness TPC-H-ish tables
   * (SURVEY.md §2.4 J2/J3, §2.6 A4, §2.8 U2, §2.9): scans, filters,
@@ -446,6 +446,40 @@ object Relational {
       valid.join(pos, Seq("p", "cand_s"), "left_anti")
         .select(col("p").as("p_partkey"), col("cand_s").as("neg_suppkey"))
         .orderBy(col("p_partkey"), col("neg_suppkey"))
+    }),
+
+    // Item-item cosine similarity over implicit feedback (the
+    // neighborhood-method recsys core): suppliers as items, customers
+    // as users, sim(i,j) = n_ij / sqrt(n_i·n_j) from exact distinct
+    // co-customer counts; top-3 neighbors per supplier. The pair build
+    // is the q121/q179 basket self-join (per-customer fanout bounded
+    // by basket²); ranks order on the ROUNDED sim (q220's determinism
+    // convention) with the neighbor id as tie-break.
+    "q243_item_similarity" -> ((s, d) => {
+      val bask = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          col("l_suppkey").cast("long").as("sv"))
+        .distinct()
+        .localCheckpoint(true) // referenced by pair build AND marginals
+      val deg = bask.groupBy(col("sv")).agg(count(lit(1)).as("n1"))
+      val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+      val sim = pairs
+        .join(deg.toDF("sa", "na"), Seq("sa"))
+        .join(deg.toDF("sb", "nb"), Seq("sb"))
+        .withColumn("sim6", roundz(col("nc").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sa")).orderBy(col("sim6").desc, col("sb"))
+      sim.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("sa"), col("rk"), col("sb"), col("sim6"))
+        .orderBy(col("sa"), col("rk"))
     }))
 
   /** The supplier co-purchase graph shared by q179/q183: p95-thresholded
@@ -741,5 +775,27 @@ object Relational {
          SELECT v.p AS p_partkey, CAST(v.cand_s AS BIGINT) AS neg_suppkey
          FROM valid v LEFT JOIN pos e ON e.p = v.p AND e.s = v.cand_s
          WHERE e.p IS NULL
-         ORDER BY p_partkey, neg_suppkey""")
+         ORDER BY p_partkey, neg_suppkey""",
+    "q243_item_similarity" ->
+      """WITH bask AS (
+           SELECT DISTINCT o.o_custkey AS c, CAST(l.l_suppkey AS BIGINT) AS sv
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         deg AS (SELECT sv, COUNT(*) AS n1 FROM bask GROUP BY sv),
+         pairs AS (
+           SELECT a.sv AS sa, b.sv AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.sv <> b.sv
+           GROUP BY 1, 2),
+         sim AS (
+           SELECT p.sa, p.sb,
+             round(CAST(p.nc AS DOUBLE) /
+               sqrt(CAST(da.n1 * db.n1 AS DOUBLE)), 6) + 0.0 AS sim6
+           FROM pairs p JOIN deg da ON da.sv = p.sa
+                        JOIN deg db ON db.sv = p.sb),
+         r AS (
+           SELECT sa, sb, sim6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sa
+               ORDER BY sim6 DESC, sb) AS BIGINT) AS rk
+           FROM sim)
+         SELECT sa, rk, sb, sim6 FROM r WHERE rk <= 3
+         ORDER BY sa, rk""")
 }

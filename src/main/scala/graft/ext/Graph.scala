@@ -253,4 +253,47 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** k-core decomposition (the densest-region extractor — community
+    * seeds, spam-farm detection, coreness as a document-authority
+    * feature): synchronized peeling — each round drops EVERY node whose
+    * degree within the surviving set is < k, until stable. Unique
+    * fixpoint regardless of order; the sync formulation is what a
+    * relational engine replays exactly.
+    *
+    * Scale shape: one round = two semi-joins of the (checkpointed)
+    * symmetric edge list against the alive set + one degree aggregate —
+    * O(|E|) per round, the [[NearDup.connectedComponents]] discipline
+    * (localCheckpoint per round, convergence by count).
+    *
+    * Returns (node, core_deg) — the surviving nodes with their final
+    * within-core degree.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    def coreDeg(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    var alive = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var n = alive.count()
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIter) {
+      val next = coreDeg(alive).filter(col("core_deg") >= k)
+        .select(col("src").as("node")).localCheckpoint(true)
+      val m = next.count()
+      stable = m == n
+      n = m
+      alive = next
+      it += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(s"kCore did not converge in $maxIter")
+    coreDeg(alive).select(col("src").as("node"), col("core_deg"))
+  }
 }

@@ -1730,6 +1730,37 @@ object Advanced {
                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
                  AS day_cents
                FROM g_events_all GROUP BY ALL ORDER BY ALL""")
+    }),
+
+    // Map-typed higher-order functions (§2.13 functions surface):
+    // per-user type→count and type→cents MAPS (map_from_entries over
+    // the sorted entry list), map_filter keeps busy types (n ≥ 5),
+    // map_zip_with aligns the two maps by key (unmatched keys surface
+    // as NULL structs and drop), transform_keys uppercases, and the
+    // map explodes back to rows. The oracle is the PLAIN relational
+    // spelling (GROUP BY + HAVING) — the map algebra must round-trip
+    // to exactly that.
+    "q250_map_hofs" -> ((s, d) => {
+      val g = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val maps = g.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("n"))))).as("mn"),
+          map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("c"))))).as("mc"))
+      maps
+        .withColumn("busy", map_filter(col("mn"), (_, v) => v >= 5))
+        .withColumn("mz", map_zip_with(col("busy"), col("mc"),
+          (_, n, c) => when(n.isNotNull,
+            struct(n.as("n"), c.as("cents")))))
+        .withColumn("mu", transform_keys(col("mz"), (k, _) => upper(k)))
+        .select(col("user_id"), explode(col("mu")).as(Seq("etype", "s")))
+        .filter(col("s").isNotNull)
+        .select(col("user_id"), col("etype"),
+          col("s.n").as("n"), col("s.cents").as("cents"))
+        .orderBy(col("user_id"), col("etype"))
     }))
 
 
@@ -1742,6 +1773,12 @@ object Advanced {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
            AS day_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    // the map algebra must reduce to this relational spelling
+    "q250_map_hofs" ->
+      """SELECT user_id, upper(event_type) AS etype, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY user_id, event_type
+         HAVING COUNT(*) >= 5 ORDER BY user_id, etype""",
     // nfc_normalize is DuckDB's spelling of graft_normalize; floor()
     // before the BIGINT cast on both sides (DuckDB's double->int cast
     // rounds, Spark's truncates)

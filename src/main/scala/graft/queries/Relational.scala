@@ -480,7 +480,19 @@ object Relational {
         .filter(col("rk") <= 3)
         .select(col("sa"), col("rk"), col("sb"), col("sim6"))
         .orderBy(col("sa"), col("rk"))
-    }))
+    }),
+
+    // 4-core of the co-purchase graph (graft.ext.Graph.kCore):
+    // synchronized peeling — every round drops ALL nodes with
+    // within-core degree < 4 — to the unique maximal subgraph of
+    // min-degree ≥ 4; community seeds / coreness as an authority
+    // feature. Oracle replays the peel round-by-round in a recursive
+    // CTE with aggregation in the recursive term (fixed 30 rounds —
+    // the fixpoint re-emits itself once stable, so round 30 IS the
+    // core as long as Spark's convergence check passed earlier).
+    "q251_kcore" -> ((s, d) =>
+      graft.ext.Graph.kCore(coPurchaseEdges(s, d), "sa", "sb", k = 4)
+        .orderBy(col("node"))))
 
   /** The supplier co-purchase graph shared by q179/q183: p95-thresholded
     * common-customer pair counts. The bipartite projection is the
@@ -797,5 +809,35 @@ object Relational {
                ORDER BY sim6 DESC, sb) AS BIGINT) AS rk
            FROM sim)
          SELECT sa, rk, sb, sim6 FROM r WHERE rk <= 3
-         ORDER BY sa, rk""")
+         ORDER BY sa, rk""",
+    // the sync peel replayed: round r+1 keeps nodes with >= 4
+    // neighbors among round-r survivors; 30 rounds >> observed
+    // convergence, and the fixpoint re-emits itself each round
+    "q251_kcore" ->
+      """WITH RECURSIVE bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p),
+         e0 AS (SELECT sa AS a, sb AS b FROM p, st WHERE nc >= m),
+         e AS (SELECT a AS src, b AS dst FROM e0
+               UNION ALL SELECT b, a FROM e0),
+         alive(round, node) AS (
+           SELECT 0, src FROM (SELECT DISTINCT src FROM e)
+           UNION ALL
+           SELECT t.round + 1, t.src FROM (
+             SELECT a.round AS round, e.src AS src, COUNT(*) AS deg
+             FROM e JOIN alive a ON a.node = e.src
+                    JOIN alive b ON b.node = e.dst AND b.round = a.round
+             WHERE a.round < 30
+             GROUP BY a.round, e.src) t
+           WHERE t.deg >= 4),
+         core AS (SELECT node FROM alive WHERE round = 30)
+         SELECT e.src AS node, COUNT(*) AS core_deg
+         FROM e JOIN core c1 ON c1.node = e.src
+                JOIN core c2 ON c2.node = e.dst
+         GROUP BY e.src ORDER BY node""")
 }

@@ -458,10 +458,72 @@ object Sources {
               col("value.count").as("n"), col("value.sum").as("cents"))
             .orderBy(col("event_type")))
       } finally { deleteRecursively(stage); deleteRecursively(ckpt) }
+    }),
+
+    // File-source option surface: recursiveFileLookup walks an
+    // arbitrary directory tree (partition inference OFF — the escape
+    // hatch for lakes that aren't hive-laid-out) and pathGlobFilter
+    // keeps only *.parquet leaves, skipping a planted decoy sidecar.
+    // A misapplied glob or a non-recursive walk loses rows → the
+    // content aggregate can't hash-match.
+    "q248_file_options" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_fopt_")
+      try {
+        val docs = table(s, d, "documents")
+        docs.filter(col("lang") === "en")
+          .write.mode("overwrite").parquet(s"$stage/a")
+        docs.filter(col("lang") === "de")
+          .write.mode("overwrite").parquet(s"$stage/b/nested")
+        Files.write(Paths.get(s"$stage/b/nested/decoy.txt"),
+          "not parquet".getBytes("UTF-8"))
+        val read = s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(stage.toString)
+        materialize(s, "q248_file_options", read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
+    // Managed-table lifecycle (the catalog path SQL-only users live
+    // on): saveAsTable into the warehouse, SQL INSERT INTO appends,
+    // read back through the catalog name. Content-checked against the
+    // source recompute — a lost append or stale snapshot can't match.
+    "q249_managed_table" -> ((s, d) => {
+      val tab = "g_mtab_q249"
+      s.sql(s"DROP TABLE IF EXISTS $tab")
+      try {
+        table(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .write.mode("overwrite").saveAsTable(tab)
+        s.sql(s"""INSERT INTO $tab
+                  SELECT event_id, user_id,
+                    CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM parquet.`$d/events.parquet`
+                  WHERE event_type = 'click'""")
+        materialize(s, "q249_managed_table",
+          s.table(tab).groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .orderBy(col("user_id")))
+      } finally { s.sql(s"DROP TABLE IF EXISTS $tab"); () }
     }))
 
 
   val oracles: Map[String, String] = Map(
+    "q248_file_options" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
+           AS chars
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY lang""",
+    "q249_managed_table" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type IN ('purchase', 'click')
+         GROUP BY user_id ORDER BY user_id""",
     // v1 rows (even ids) contribute NULL quality; v2 rows carry the flag
     "q75_schema_evolution" ->
       """SELECT lang, COUNT(*) AS n_docs,

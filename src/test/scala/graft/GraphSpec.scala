@@ -146,4 +146,22 @@ class GraphSpec extends SparkSpec {
     assert(got == exp)
     assert(gotId == exp)
   }
+
+  test("kCore: peels a pendant chain transitively, keeps the clique, " +
+      "and is iterative (not the static min-degree check)") {
+    import spark.implicits._
+    // K5 on 0..4, plus a chain 4-10-11-12 and a 3-star at 20: the
+    // 3-core must peel the chain TRANSITIVELY (10 has degree 2 only
+    // after 11 falls — a single static pass would keep neither order)
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val star = Seq((20L, 21L), (20L, 22L), (20L, 23L))
+    val edges = (k5 ++ chain ++ star).toDF("a", "b")
+    val core = Graph.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 4L)) // within-core degrees: K5
+    // k above the max coreness → empty
+    assert(Graph.kCore(edges, "a", "b", k = 5).count() == 0L)
+  }
 }

@@ -743,6 +743,30 @@ object Events {
           least(greatest(col("c"), col("lo")), col("hi"))
             .as("winsorized_cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // New-vs-returning cohort curve: per day, users seen for the FIRST
+    // time vs returning actives, plus the cumulative distinct-user
+    // count (= cumsum of new — no distinct-over-window needed). Two
+    // keyed aggregates + one ordered cumsum, exact integers.
+    "q254_new_vs_returning" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val first = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val perDay = days.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"))
+      perDay
+        .withColumn("cum_users", sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1181,6 +1205,26 @@ object Events {
            least(greatest(r.c, t.lo), t.hi) AS winsorized_cents
          FROM r JOIN t ON t.event_type = r.event_type
          ORDER BY r.event_id""",
+    "q254_new_vs_returning" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS first_day FROM days
+               GROUP BY user_id),
+         p AS (
+           SELECT d.day,
+             SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+               AS new_users,
+             SUM(CASE WHEN d.day <> f.first_day THEN 1 ELSE 0 END)
+               AS returning_users
+           FROM days d JOIN f ON f.user_id = d.user_id
+           GROUP BY d.day)
+         SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(returning_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM p ORDER BY day""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

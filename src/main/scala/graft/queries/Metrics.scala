@@ -140,6 +140,62 @@ object Metrics {
         .orderBy(col("digit"))
     }),
 
+    // Rank-biased overlap (RBO@20, truncated, p = 0.9) between two
+    // supplier rankings — total-revenue rank vs account-balance rank:
+    // the top-weighted ranking-agreement metric beside q100's RRF.
+    // X_d (overlap at depth d) is computed WITHOUT a depth×item
+    // product: group items by m = max(rank_a, rank_b), left-join the
+    // 1..20 depth spine on m, cumulative-sum — X_d = #{max(ra,rb) ≤ d}.
+    // All counts exact; p^(d-1) is the only libm surface.
+    "q252_rbo" -> ((s, d) => {
+      val wA = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("sk"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bal").desc, col("sk"))
+      val rev = table(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev"))
+      val bal = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("sk"),
+          round(col("s_acctbal") * 100, 0).cast("long").as("bal"))
+      val ranked = rev.join(bal, Seq("sk"))
+        .withColumn("ra", row_number().over(wA))
+        .withColumn("rb", row_number().over(wB))
+        .withColumn("m", greatest(col("ra"), col("rb")))
+        .filter(col("m") <= 20)
+        .groupBy(col("m")).agg(count(lit(1)).as("cm"))
+      val spine = s.range(1, 21).select(col("id").as("dpt"))
+      val xd = spine.join(ranked, col("dpt") === col("m"), "left")
+        .withColumn("xd", sum(coalesce(col("cm"), lit(0L))).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dpt"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      xd.agg(roundz(sum(lit(0.1) * pow(lit(0.9), col("dpt") - 1) *
+            col("xd").cast("double") / col("dpt")), 6).as("rbo6"),
+          max(col("xd")).as("overlap20"))
+    }),
+
+    // Gini coefficient of supplier revenue concentration: from the
+    // ascending-sorted exact-cents totals, G = (2Σi·xᵢ − (n+1)Σxᵢ)
+    // / (n·Σxᵢ) — integers until one division. The source-dominance
+    // number for mixture planning (a 0.9-Gini corpus is one crawl).
+    "q253_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev"), col("sk"))
+      table(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("total_cents"),
+          sum(col("i") * col("rev")).as("iwr"))
+        .select(col("n"), col("total_cents"),
+          roundz((lit(2L) * col("iwr") - (col("n") + 1) * col("total_cents"))
+            .cast("double") / (col("n") * col("total_cents")), 6)
+            .as("gini6"))
+    }),
+
     // Per-group isotonic calibration: bin the score (cents div 2000),
     // empirical success rate per bin from a deterministic
     // score-correlated label, PAVA within each event-type group
@@ -240,6 +296,45 @@ object Metrics {
            GROUP BY f.vec_id, f.label)
          SELECT vec_id, label, round(dist, 4) + 0.0 AS dist4
          FROM sc ORDER BY dist4 DESC, vec_id LIMIT 20""",
+    "q252_rbo" ->
+      """WITH rev AS (
+           SELECT CAST(l_suppkey AS BIGINT) AS sk,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         bal AS (
+           SELECT CAST(s_suppkey AS BIGINT) AS sk,
+             CAST(round(s_acctbal*100) AS BIGINT) AS bal
+           FROM supplier),
+         r AS (
+           SELECT rev.sk,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, rev.sk) AS ra,
+             ROW_NUMBER() OVER (ORDER BY bal DESC, rev.sk) AS rb
+           FROM rev JOIN bal ON bal.sk = rev.sk),
+         m AS (
+           SELECT greatest(ra, rb) AS m, COUNT(*) AS cm FROM r
+           WHERE greatest(ra, rb) <= 20 GROUP BY 1),
+         sp AS (SELECT d AS dpt FROM generate_series(1, 20) g(d)),
+         x AS (
+           SELECT sp.dpt,
+             SUM(COALESCE(m.cm, 0)) OVER (ORDER BY sp.dpt
+               ROWS UNBOUNDED PRECEDING) AS xd
+           FROM sp LEFT JOIN m ON m.m = sp.dpt)
+         SELECT round(SUM(0.1 * pow(0.9, dpt - 1) *
+             CAST(xd AS DOUBLE) / dpt), 6) + 0.0 AS rbo6,
+           CAST(MAX(xd) AS BIGINT) AS overlap20
+         FROM x""",
+    "q253_gini" ->
+      """WITH rev AS (
+           SELECT CAST(l_suppkey AS BIGINT) AS sk,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, sk) AS i
+           FROM rev)
+         SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS total_cents,
+           round(CAST(2*SUM(i*rev) - (COUNT(*)+1)*SUM(rev) AS DOUBLE) /
+             CAST(COUNT(*)*SUM(rev) AS DOUBLE), 6) + 0.0 AS gini6
+         FROM r""",
     "q247_benford" ->
       """WITH d AS (
            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit

@@ -510,6 +510,28 @@ object Sources {
             .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
             .orderBy(col("user_id")))
       } finally { s.sql(s"DROP TABLE IF EXISTS $tab"); () }
+    }),
+
+    // Corrupt-file resilience: a 100 TB lake WILL contain truncated/
+    // garbage objects; `ignoreCorruptFiles` skips them at scan time
+    // instead of failing the job. A planted garbage *.parquet sits
+    // beside the good files — the read must survive AND return exactly
+    // the good rows (SourcesSpec pins the complement: without the
+    // option the same read throws).
+    "q255_corrupt_skip" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_corrupt_")
+      try {
+        table(s, d, "documents").filter(col("lang").isin("en", "fr"))
+          .write.mode("overwrite").parquet(s"$stage/out")
+        Files.write(Paths.get(s"$stage/out/zz_garbage.parquet"),
+          Array.fill[Byte](256)(0x5a))
+        val read = s.read.option("ignoreCorruptFiles", "true")
+          .parquet(s"$stage/out")
+        materialize(s, "q255_corrupt_skip", read
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
     }))
 
 
@@ -518,6 +540,11 @@ object Sources {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
            AS chars
          FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY lang""",
+    "q255_corrupt_skip" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
+           AS chars
+         FROM documents WHERE lang IN ('en', 'fr')
          GROUP BY lang ORDER BY lang""",
     "q249_managed_table" ->
       """SELECT user_id, COUNT(*) AS n,

@@ -38,4 +38,25 @@ class SourcesSpec extends SparkSpec {
         .foreach(Files.deleteIfExists(_))
     }
   }
+
+  test("q255 complement: without ignoreCorruptFiles the garbage " +
+      "parquet fails the read loudly") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_corrupt_spec_")
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$stage/out")
+      Files.write(stage.resolve("out/zz_garbage.parquet"),
+        Array.fill[Byte](256)(0x5a))
+      // default (strict): the scan must surface the corruption
+      val ex = intercept[org.apache.spark.SparkException] {
+        spark.read.parquet(s"$stage/out").count()
+      }
+      assert(ex.getMessage != null)
+      // lenient: exactly the good rows survive
+      val n = spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(s"$stage/out").count()
+      assert(n == 2L)
+    } finally graft.Graft.deleteRecursively(stage)
+  }
 }

@@ -767,6 +767,40 @@ object Events {
           Window.orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy(col("day"))
+    }),
+
+    // Lead-lag analysis: Pearson correlation between daily clicks and
+    // purchases shifted by lag ∈ [−3, 3] — "does today's click volume
+    // predict purchases L days out?". The click side expands ×7 lags
+    // (an equi-join on the shifted day, no product), six exact-integer
+    // sums per lag, one closed-form double.
+    "q256_lead_lag" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .localCheckpoint(true) // expanded side AND join target
+      val shifted = daily.select(col("day"), col("x"))
+        .withColumn("lag", explode(sequence(lit(-3L), lit(3L))))
+        .withColumn("jday", col("day") + col("lag"))
+      val joined = shifted.join(
+        daily.select(col("day").as("jday"), col("y")), Seq("jday"))
+      joined.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("lag"), col("n_days"),
+          graft.Graft.roundz(
+            when((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n_days") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n_days") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n_days") * col("syy") - col("sy") * col("sy")))
+                  .cast("double"))), 6).as("corr6"))
+        .orderBy(col("lag"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1225,6 +1259,29 @@ object Events {
            CAST(SUM(new_users) OVER (ORDER BY day
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
          FROM p ORDER BY day""",
+    "q256_lead_lag" ->
+      """WITH daily AS (
+           SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           FROM events GROUP BY 1),
+         sh AS (
+           SELECT d.day + l.lag AS jday, l.lag, d.x
+           FROM daily d CROSS JOIN generate_series(-3, 3) l(lag)),
+         j AS (
+           SELECT sh.lag, sh.x, d2.y
+           FROM sh JOIN daily d2 ON d2.day = sh.jday),
+         a AS (
+           SELECT lag, COUNT(*) AS n_days, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+           FROM j GROUP BY lag)
+         SELECT lag, n_days,
+           CASE WHEN (n_days*sxx - sx*sx) * (n_days*syy - sy*sy) > 0 THEN
+             round(CAST(n_days*sxy - sx*sy AS DOUBLE) /
+               sqrt(CAST((n_days*sxx - sx*sx) * (n_days*syy - sy*sy)
+                 AS DOUBLE)), 6) + 0.0
+           END AS corr6
+         FROM a ORDER BY lag""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

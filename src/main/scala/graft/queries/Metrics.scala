@@ -196,6 +196,83 @@ object Metrics {
             .as("gini6"))
     }),
 
+    // Kaplan–Meier survival over user lifetimes: duration = days from
+    // first to last event, censored when the user's LAST event is a
+    // 'view' (still active). S(t) = Π_{t'≤t} (1 − d/n) computed as
+    // exp(ordered-cumsum of ln) — the cumulative sum runs in the SAME
+    // t-order on both engines, so the float recursion is identical
+    // (q175's determinism argument for window folds).
+    "q257_kaplan_meier" -> ((s, d) => {
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+        .withColumn("us", unix_micros(col("ts")))
+      val lifet = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"), max(col("us")).as("l"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("lw"))
+        .select(col("user_id"),
+          expr("(l - f) div 86400000000").as("t"),
+          (col("lw.event_type") =!= "view").cast("long").as("ev"))
+      val byT = lifet.groupBy(col("t"))
+        .agg(count(lit(1)).as("all_t"), sum(col("ev")).as("d_t"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      val risk = byT
+        .withColumn("n_risk",
+          sum(col("all_t")).over(w.rowsBetween(0,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("lnf",
+          when(col("d_t") < col("n_risk"),
+            log(lit(1.0) - col("d_t").cast("double") / col("n_risk")))
+            .otherwise(lit(0.0)))
+        .withColumn("dead", // once the whole risk set dies, S pins to 0
+          max((col("d_t") === col("n_risk")).cast("long")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .withColumn("s",
+          when(col("dead") > 0, lit(0.0)).otherwise(
+            exp(sum(col("lnf")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))))
+      risk.select(col("t"), col("n_risk"), col("d_t"),
+          roundz(col("s"), 6).as("surv6"))
+        .orderBy(col("t"))
+    }),
+
+    // Two-proportion A/B test with Wilson 95% intervals: variants by
+    // user-id parity, conversion = any purchase; pooled z-statistic
+    // and per-variant Wilson bounds — closed-form doubles from exact
+    // integer counts, spelled identically on both engines.
+    "q258_ab_test" -> ((s, d) => {
+      val users = table(s, d, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val v = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val t = v
+        .withColumn("tn", sum(col("n")).over(wAll))
+        .withColumn("tc", sum(col("c")).over(wAll))
+      val p = col("c").cast("double") / col("n")
+      val po = (col("tc") - col("c")).cast("double") / (col("tn") - col("n"))
+      val ph = col("tc").cast("double") / col("tn")
+      val zc = lit(1.96)
+      val z2 = lit(1.96) * lit(1.96)
+      t.select(col("variant"), col("n"), col("c"),
+          roundz(p, 6).as("rate6"),
+          roundz((p - po) / sqrt(ph * (lit(1.0) - ph) *
+            (lit(1.0) / col("n") + lit(1.0) / (col("tn") - col("n")))), 6)
+            .as("z6"),
+          roundz((p + z2 / (lit(2L) * col("n")) - zc *
+            sqrt(p * (lit(1.0) - p) / col("n") +
+              z2 / (lit(4L) * col("n") * col("n")))) /
+            (lit(1.0) + z2 / col("n")), 6).as("wilson_lo6"),
+          roundz((p + z2 / (lit(2L) * col("n")) + zc *
+            sqrt(p * (lit(1.0) - p) / col("n") +
+              z2 / (lit(4L) * col("n") * col("n")))) /
+            (lit(1.0) + z2 / col("n")), 6).as("wilson_hi6"))
+        .orderBy(col("variant"))
+    }),
+
     // Per-group isotonic calibration: bin the score (cents div 2000),
     // empirical success rate per bin from a deterministic
     // score-correlated label, PAVA within each event-type group
@@ -296,6 +373,73 @@ object Metrics {
            GROUP BY f.vec_id, f.label)
          SELECT vec_id, label, round(dist, 4) + 0.0 AS dist4
          FROM sc ORDER BY dist4 DESC, vec_id LIMIT 20""",
+    "q257_kaplan_meier" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         lw AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l
+                FROM e GROUP BY user_id),
+         last_t AS (
+           SELECT user_id, event_type FROM (
+             SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY us DESC, event_id DESC) AS rn
+             FROM e)
+           WHERE rn = 1),
+         lt AS (
+           SELECT lw.user_id, (lw.l - lw.f) // 86400000000 AS t,
+             CASE WHEN last_t.event_type <> 'view' THEN 1 ELSE 0 END AS ev
+           FROM lw JOIN last_t ON last_t.user_id = lw.user_id),
+         bt AS (SELECT t, COUNT(*) AS all_t, SUM(ev) AS d_t
+                FROM lt GROUP BY t),
+         r AS (
+           SELECT t, d_t,
+             SUM(all_t) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_risk
+           FROM bt),
+         sv AS (
+           SELECT t, n_risk, d_t,
+             MAX(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             SUM(CASE WHEN d_t < n_risk
+                 THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_risk)
+                 ELSE 0.0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns
+           FROM r)
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_t AS BIGINT) AS d_t,
+           round(CASE WHEN dead > 0 THEN 0.0 ELSE exp(lns) END, 6) + 0.0
+             AS surv6
+         FROM sv ORDER BY t""",
+    "q258_ab_test" ->
+      """WITH u AS (
+           SELECT user_id % 2 AS variant, user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1, 2),
+         v AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+               FROM u GROUP BY variant),
+         t AS (SELECT variant, n, c, SUM(n) OVER () AS tn,
+                 SUM(c) OVER () AS tc FROM v)
+         SELECT variant, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+           round(CAST(c AS DOUBLE) / n, 6) + 0.0 AS rate6,
+           round((CAST(c AS DOUBLE) / n
+               - CAST(tc - c AS DOUBLE) / (tn - n)) /
+             sqrt(CAST(tc AS DOUBLE) / tn
+               * (1.0 - CAST(tc AS DOUBLE) / tn)
+               * (1.0 / n + 1.0 / (tn - n))), 6) + 0.0 AS z6,
+           round((CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n) - 1.96 *
+             sqrt(CAST(c AS DOUBLE) / n * (1.0 - CAST(c AS DOUBLE) / n)
+                 / n
+               + 1.96 * 1.96 / (4 * n * n))) / (1.0 + 1.96 * 1.96 / n),
+             6) + 0.0 AS wilson_lo6,
+           round((CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n) + 1.96 *
+             sqrt(CAST(c AS DOUBLE) / n * (1.0 - CAST(c AS DOUBLE) / n)
+                 / n
+               + 1.96 * 1.96 / (4 * n * n))) / (1.0 + 1.96 * 1.96 / n),
+             6) + 0.0 AS wilson_hi6
+         FROM t ORDER BY variant""",
     "q252_rbo" ->
       """WITH rev AS (
            SELECT CAST(l_suppkey AS BIGINT) AS sk,

@@ -254,6 +254,45 @@ object Graph {
     }
   }
 
+  /** Single-source BFS hop distances (frontier expansion — the "how
+    * far is everything from this hub" primitive under reachability
+    * audits and neighborhood features): iterative min-hop relaxation,
+    * one edge⋈frontier equi-join + min aggregate per round, O(|E|)
+    * shuffled rows per round, rounds = eccentricity of the source.
+    * Returns (node, hop) for REACHABLE nodes only.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+              source: Long, maxHops: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "hop").localCheckpoint(true)
+    var n = 1L
+    var grew = true
+    var it = 0
+    while (grew && it < maxHops) {
+      val next = dist
+        .join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+        .union(dist)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+      val m = next.count()
+      grew = m != n
+      n = m
+      dist = next
+      it += 1
+    }
+    if (grew)
+      throw new IllegalStateException(s"bfsHops did not settle in $maxHops")
+    dist
+  }
+
   /** k-core decomposition (the densest-region extractor — community
     * seeds, spam-farm detection, coreness as a document-authority
     * feature): synchronized peeling — each round drops EVERY node whose

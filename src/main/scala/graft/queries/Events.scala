@@ -801,6 +801,39 @@ object Events {
                   (col("n_days") * col("syy") - col("sy") * col("sy")))
                   .cast("double"))), 6).as("corr6"))
         .orderBy(col("lag"))
+    }),
+
+    // Additive seasonal decomposition of the daily event volume
+    // (STL-lite): trend = centered 7-day moving average, seasonal =
+    // weekday mean (epoch-day mod 7 — calendar-free) re-centered by
+    // the grand mean, residual = n − trend − seasonal. Every mean
+    // divides exact integer sums once; components re-add to n up to
+    // the shared double spelling.
+    "q260_seasonal_decompose" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val wWd = Window.partitionBy(col("wd"))
+      val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val g = daily
+        .withColumn("wd", col("day") % 7)
+        .withColumn("grand",
+          sum(col("n")).over(wAll).cast("double") /
+            count(lit(1)).over(wAll))
+        .withColumn("wmean",
+          sum(col("n")).over(wWd).cast("double") /
+            count(lit(1)).over(wWd))
+        .withColumn("trend",
+          sum(col("n")).over(wMa).cast("double") /
+            count(lit(1)).over(wMa))
+        .withColumn("seasonal", col("wmean") - col("grand"))
+      g.select(col("day"), col("n"),
+          graft.Graft.roundz(col("trend"), 6).as("trend6"),
+          graft.Graft.roundz(col("seasonal"), 6).as("seasonal6"),
+          graft.Graft.roundz(
+            col("n") - col("trend") - col("seasonal"), 6).as("resid6"))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1282,6 +1315,26 @@ object Events {
                  AS DOUBLE)), 6) + 0.0
            END AS corr6
          FROM a ORDER BY lag""",
+    "q260_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+             COUNT(*) AS n
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT day, n, day % 7 AS wd,
+             CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER () AS grand,
+             CAST(SUM(n) OVER (PARTITION BY day % 7) AS DOUBLE) /
+               COUNT(*) OVER (PARTITION BY day % 7) AS wmean,
+             CAST(SUM(n) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) /
+               COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+           FROM daily)
+         SELECT day, CAST(n AS BIGINT) AS n,
+           round(trend, 6) + 0.0 AS trend6,
+           round(wmean - grand, 6) + 0.0 AS seasonal6,
+           round(n - trend - (wmean - grand), 6) + 0.0 AS resid6
+         FROM g ORDER BY day""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

@@ -273,6 +273,39 @@ object Metrics {
         .orderBy(col("variant"))
     }),
 
+    // EXACT global median WITHOUT a global sort: binary search on the
+    // VALUE DOMAIN — each probe is one predicate-count scan ("how many
+    // ≤ mid"), so the k-th order statistic costs O(log range) narrow
+    // passes instead of a total shuffle-sort. THE way to exact order
+    // statistics at 100 TB (the driver holds two Longs, never data);
+    // the sketch (q66) answers approximately in one pass, this answers
+    // exactly in ~17. Lower and upper medians both found; their
+    // midpoint is .5-exact.
+    "q261_distributed_median" -> ((s, d) => {
+      import s.implicits._
+      val c = table(s, d, "events").select(cents(col("value")).as("c"))
+        .localCheckpoint(true) // ~34 probe scans share one materialization
+      val n = c.count()
+      val (mn, mx) = {
+        val r = c.agg(min(col("c")), max(col("c"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def kth(k: Long): Long = {
+        var lo = mn
+        var hi = mx
+        while (lo < hi) {
+          val mid = lo + (hi - lo) / 2
+          val le = c.filter(col("c") <= mid).count()
+          if (le >= k) hi = mid else lo = mid + 1
+        }
+        lo
+      }
+      val medLo = kth((n + 1) / 2)
+      val medHi = kth(n / 2 + 1)
+      Seq((n, medLo, medHi, (medLo + medHi) / 2.0))
+        .toDF("n", "med_lo", "med_hi", "median")
+    }),
+
     // Per-group isotonic calibration: bin the score (cents div 2000),
     // empirical success rate per bin from a deterministic
     // score-correlated label, PAVA within each event-type group
@@ -373,6 +406,19 @@ object Metrics {
            GROUP BY f.vec_id, f.label)
          SELECT vec_id, label, round(dist, 4) + 0.0 AS dist4
          FROM sc ORDER BY dist4 DESC, vec_id LIMIT 20""",
+    "q261_distributed_median" ->
+      """WITH c AS (
+           SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+         r AS (
+           SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+             COUNT(*) OVER () AS n
+           FROM c)
+         SELECT MAX(n) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_lo,
+           MAX(CASE WHEN rn = n // 2 + 1 THEN c END) AS med_hi,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) +
+            MAX(CASE WHEN rn = n // 2 + 1 THEN c END)) / 2.0 AS median
+         FROM r""",
     "q257_kaplan_meier" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS us

@@ -492,7 +492,23 @@ object Relational {
     // core as long as Spark's convergence check passed earlier).
     "q251_kcore" -> ((s, d) =>
       graft.ext.Graph.kCore(coPurchaseEdges(s, d), "sa", "sb", k = 4)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+
+    // Single-source BFS from the busiest supplier (highest co-purchase
+    // degree, smallest-id tie-break) — hop distances over the p95
+    // graph via graft.ext.Graph.bfsHops (one edge⋈frontier equi-join +
+    // min aggregate per round). The source id is ONE collected scalar
+    // (k-means-centroid class); oracle replays the expansion as a
+    // bounded-hop recursive CTE with MIN(hop) dedup.
+    "q259_bfs_hops" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d).localCheckpoint(true)
+      val deg = e.select(col("sa").as("node"))
+        .union(e.select(col("sb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val src = deg.orderBy(col("dg").desc, col("node"))
+        .limit(1).collect()(0).getAs[Number](0).longValue
+      graft.ext.Graph.bfsHops(e, "sa", "sb", src).orderBy(col("node"))
+    }))
 
   /** The supplier co-purchase graph shared by q179/q183: p95-thresholded
     * common-customer pair counts. The bipartite projection is the
@@ -839,5 +855,36 @@ object Relational {
          SELECT e.src AS node, COUNT(*) AS core_deg
          FROM e JOIN core c1 ON c1.node = e.src
                 JOIN core c2 ON c2.node = e.dst
-         GROUP BY e.src ORDER BY node""")
+         GROUP BY e.src ORDER BY node""",
+    // frontier expansion replayed as a bounded-hop recursion; UNION
+    // dedups (node, hop) pairs, MIN(hop) collapses to the BFS distance
+    "q259_bfs_hops" ->
+      """WITH RECURSIVE bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p),
+         e0 AS (SELECT sa AS a, sb AS b FROM p, st WHERE nc >= m),
+         sym AS (
+           SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+           FROM e0
+           UNION ALL
+           SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM e0),
+         deg AS (SELECT src AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+         s0 AS (
+           SELECT node FROM (
+             SELECT node, ROW_NUMBER() OVER (ORDER BY dg DESC, node) AS rn
+             FROM deg)
+           WHERE rn = 1),
+         reach(node, hop) AS (
+           SELECT node, 0 FROM s0
+           UNION
+           SELECT sym.dst, r.hop + 1
+           FROM reach r JOIN sym ON sym.src = r.node
+           WHERE r.hop < 30)
+         SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+         FROM reach GROUP BY node ORDER BY node""")
 }

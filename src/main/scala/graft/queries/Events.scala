@@ -834,6 +834,31 @@ object Events {
           graft.Graft.roundz(
             col("n") - col("trend") - col("seasonal"), 6).as("resid6"))
         .orderBy(col("day"))
+    }),
+
+    // Day-over-day audience overlap: Jaccard between consecutive days'
+    // DISTINCT user sets — the audience-stability/churn pulse.
+    // |A∩B| from an equi-join on (user, day+1), |A∪B| = |A|+|B|−|A∩B|,
+    // exact integers, one division.
+    "q262_audience_overlap" -> ((s, d) => {
+      val du = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .localCheckpoint(true) // both sides of the shifted self-join
+      val sizes = du.groupBy(col("day")).agg(count(lit(1)).as("nu"))
+      val inter = du.select(col("user_id"), (col("day") + 1).as("day"))
+        .join(du, Seq("user_id", "day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("ni"))
+      sizes.select(col("day"), col("nu"))
+        .join(sizes.select((col("day") + 1).as("day"),
+          col("nu").as("prev_nu")), Seq("day"))
+        .join(inter, Seq("day"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .select(col("day"), col("prev_nu"), col("nu"), col("ni"),
+          graft.Graft.roundz(col("ni").cast("double") /
+            (col("prev_nu") + col("nu") - col("ni")), 6).as("jaccard6"))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1335,6 +1360,23 @@ object Events {
            round(wmean - grand, 6) + 0.0 AS seasonal6,
            round(n - trend - (wmean - grand), 6) + 0.0 AS resid6
          FROM g ORDER BY day""",
+    "q262_audience_overlap" ->
+      """WITH du AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+           FROM events),
+         sz AS (SELECT day, COUNT(*) AS nu FROM du GROUP BY day),
+         iv AS (
+           SELECT a.day + 1 AS day, COUNT(*) AS ni
+           FROM du a JOIN du b
+             ON b.user_id = a.user_id AND b.day = a.day + 1
+           GROUP BY a.day + 1)
+         SELECT s.day, p.nu AS prev_nu, s.nu, COALESCE(iv.ni, 0) AS ni,
+           round(CAST(COALESCE(iv.ni, 0) AS DOUBLE) /
+             (p.nu + s.nu - COALESCE(iv.ni, 0)), 6) + 0.0 AS jaccard6
+         FROM sz s JOIN sz p ON p.day = s.day - 1
+         LEFT JOIN iv ON iv.day = s.day
+         ORDER BY s.day""",
     "q169_rate_anomaly" ->
       """WITH daily AS (
            SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

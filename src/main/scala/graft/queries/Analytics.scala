@@ -1,0 +1,633 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{roundz, table}
+
+/** Drift / correlation / ranking-evaluation analytics (round 6,
+  * SURVEY.md §2.14 EXT): Spearman rank correlation, population
+  * stability index, autocorrelation, CUSUM changepoint, NDCG, mutual
+  * information, subsample confidence intervals, Theil–Sen slope,
+  * Heaps'-law vocabulary growth, and per-source diversity indices —
+  * the monitoring layer that sits beside the Metrics evaluation family.
+  *
+  * Determinism conventions (SURVEY §5): every statistic reduces to
+  * exact integer counts/cents first; each float division happens once
+  * in an identical spelling on both engines; any float SUM whose
+  * operand order could differ across engines runs as an ORDERED window
+  * cumsum (the q175/q257 argument) or is avoided entirely via the
+  * n-scaled-integer trick (x_t − mean lifted to n·x_t − Σx, exact in
+  * Long). `roundz` normalizes signed zero at every float emission.
+  */
+object Analytics {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** events with ts normalized to TIMESTAMP (the parquet physical type
+    * varies by harness generation — Graft.normalizeTs absorbs either).
+    */
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.Graft.normalizeTs(table(s, d, "events"))
+
+  private def day(c: Column): Column =
+    expr(s"unix_micros(${c.toString}) div 86400000000")
+
+  /** Gap-filled daily series over [min_day, max_day]: (day, x). */
+  private def dailySpine(daily: DataFrame): DataFrame = {
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spearman rank correlation between supplier revenue and account
+    // balance: row_number ranks with sk tie-break make both rankings
+    // total orders (no tie handling → the classic 1 − 6Σd²/(n(n²−1))
+    // identity is EXACT in integers until one division). One shuffle
+    // for the revenue agg, two cardinality-bounded rank windows.
+    "q263_spearman" -> ((s, d) => {
+      val rev = table(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      val bal = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("sk"),
+          cents(col("s_acctbal")).as("bal"))
+      rev.join(bal, Seq("sk"))
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("rev"), col("sk"))).cast("long"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("bal"), col("sk"))).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sd2"))
+        .select(col("n"), col("sd2"),
+          roundz(lit(1.0) - lit(6.0) * col("sd2") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"), 6)
+            .as("rho6"))
+    }),
+
+    // Population Stability Index between interleaved day-parity
+    // periods: fixed 10-bin value grid (so absent bins still appear),
+    // Laplace +1 smoothing keeps ln finite, per-bin contribution plus
+    // an ORDERED running total (the float-sum-order fix) whose last
+    // row is the PSI. The whole statistic is two integer count
+    // vectors — at 100 TB it is one groupBy over (parity, bin).
+    "q264_psi" -> ((s, d) => {
+      val binned = events(s, d)
+        .select((day(col("ts")) % 2).as("p"),
+          least(floor(cents(col("value")) / lit(10000L)), lit(9L))
+            .cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("cb"))
+      val spine = s.range(0, 10).select(col("id").as("bin"))
+      val grid = spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val wAll = Window.partitionBy()
+      val t = grid
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+      val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
+      val pb = (col("cb") + 1).cast("double") / (col("nb") + 10)
+      val wOrd = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("contrib", (pa - pb) * log(pa / pb))
+        .select(col("bin"), col("ca"), col("cb"),
+          roundz(col("contrib"), 6).as("contrib6"),
+          roundz(sum(col("contrib")).over(wOrd), 6).as("psi_cum6"))
+        .orderBy(col("bin"))
+    }),
+
+    // Autocorrelation of the daily event count at lags 1..7, EXACT in
+    // integers: lift x_t − x̄ to X_t = n·x_t − Σx (Long), then
+    // acf_L = ΣX_t·X_{t+L} / ΣX_t² is a single division of two exact
+    // Long sums — no float mean enters the pipeline. Leads come from
+    // one ordered window over the gap-filled spine (consecutive days →
+    // lead(L) IS day+L).
+    "q265_acf" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(day(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val filled = dailySpine(daily)
+      val wAll = Window.partitionBy()
+      val w = Window.orderBy(col("day"))
+      val xx = filled
+        .withColumn("xc", count(lit(1)).over(wAll) * col("x") -
+          sum(col("x")).over(wAll))
+      val leads = xx.select(col("day") +: col("xc") +:
+        (1 to 7).map(l => lead(col("xc"), l).over(w).as(s"l$l")): _*)
+      val aggCols = sum(col("xc") * col("xc")).as("den") ::
+        (1 to 7).map(l => sum(col("xc") * col(s"l$l")).as(s"n$l")).toList
+      val agg = leads.agg(aggCols.head, aggCols.tail: _*)
+      agg.select(col("den"),
+          posexplode(array((1 to 7).map(l => col(s"n$l")): _*))
+            .as(Seq("i", "num")))
+        .select((col("i") + 1).as("lag"),
+          roundz(col("num").cast("double") / col("den"), 6).as("acf6"))
+        .orderBy(col("lag"))
+    }),
+
+    // CUSUM changepoint screen on daily purchase revenue: the
+    // mean-centered cumulative sum runs entirely in Longs via the same
+    // n-scale lift (C_t = Σ(n·x_i − Σx) — exact, so the argmax is an
+    // integer comparison), and only the reported magnitude divides by
+    // n once. Tie-break: earliest day attaining max |C_t|.
+    "q266_cusum" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(day(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val filled = dailySpine(daily)
+      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x")).over(wAll))
+        .withColumn("c", sum(col("n") * col("x") - col("s")).over(wOrd))
+        .orderBy(abs(col("c")).desc, col("day"))
+        .limit(1)
+        .select(col("n").as("n_days"), col("day").as("cp_day"),
+          roundz(abs(col("c")).cast("double") / col("n") / 100.0, 4)
+            .as("cusum_max4"))
+    }),
+
+    // NDCG@10 of each nation's revenue-ranked supplier list against
+    // account-balance relevance grades {0,1,2}: both DCG and ideal DCG
+    // accumulate as ORDERED window cumsums (positive terms → the group
+    // max IS the total, and the summation order is pinned on both
+    // engines). The candidate pool is the top-10 by revenue; ideal
+    // order re-sorts that pool by grade (sk tie-break pins float
+    // order). One agg + two rank windows per nation.
+    "q267_ndcg" -> ((s, d) => {
+      val rev = table(s, d, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("sk"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      val sup = table(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("sk"),
+          col("s_nationkey").cast("long").as("nk"),
+          cents(col("s_acctbal")).as("bal"))
+      val rel = when(col("bal") >= 500000L, 2L)
+        .when(col("bal") >= 0L, 1L).otherwise(0L)
+      val pool = rev.join(sup, Seq("sk"))
+        .withColumn("rel", rel)
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("nk"))
+            .orderBy(col("rev").desc, col("sk"))))
+        .filter(col("i") <= 10)
+        .withColumn("ig", row_number().over(
+          Window.partitionBy(col("nk"))
+            .orderBy(col("rel").desc, col("sk"))))
+      val gain = pow(lit(2.0), col("rel")) - 1.0
+      val wI = Window.partitionBy(col("nk")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wG = Window.partitionBy(col("nk")).orderBy(col("ig"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pool
+        .withColumn("dcg_c", sum(gain / log2(col("i") + 1.0)).over(wI))
+        .withColumn("idcg_c", sum(gain / log2(col("ig") + 1.0)).over(wG))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("k"), max(col("dcg_c")).as("dcg"),
+          max(col("idcg_c")).as("idcg"))
+        .select(col("nk"), col("k"), roundz(col("dcg"), 6).as("dcg6"),
+          roundz(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+            .otherwise(lit(0.0)), 6).as("ndcg6"))
+        .orderBy(col("nk"))
+    }),
+
+    // Mutual information between event_type and the value tercile
+    // (q232's contingency, the information-theoretic complement of its
+    // chi-square): per-cell term c/n·ln(c·n/(r·k)) from exact integer
+    // marginals, with an ORDERED running total (terms can be negative,
+    // so the last row — not a max — carries I(X;Y)).
+    "q268_mutual_info" -> ((s, d) => {
+      val cells = table(s, d, "events")
+        .select(col("event_type").as("ra"),
+          floor(cents(col("value")) / lit(16334.0)).cast("long").as("cb"))
+        .groupBy(col("ra"), col("cb")).agg(count(lit(1)).as("c"))
+      val t = cells
+        .withColumn("r", sum(col("c")).over(Window.partitionBy(col("ra"))))
+        .withColumn("k", sum(col("c")).over(Window.partitionBy(col("cb"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      val term = col("c").cast("double") / col("n") *
+        log(col("c").cast("double") * col("n") / (col("r") * col("k")))
+      val wOrd = Window.orderBy(col("ra"), col("cb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("term", term)
+        .select(col("ra"), col("cb"), col("c"),
+          roundz(col("term"), 6).as("mi_term6"),
+          roundz(sum(col("term")).over(wOrd), 6).as("mi_cum6"))
+        .orderBy(col("ra"), col("cb"))
+    }),
+
+    // Subsample-and-aggregate confidence band: 20 deterministic
+    // half-samples via overflow-safe reduced-mod hashing (reduce the
+    // key mod 10⁴ BEFORE the Knuth multiply — SURVEY §5), each rep's
+    // mean an exact Long-ratio division; the cross-rep band uses only
+    // MIN/MAX (order-insensitive), never a float sum. The rep fan-out
+    // is a narrow explode — at 100 TB this is the one-scan replacement
+    // for a resample loop.
+    "q269_subsample_ci" -> ((s, d) => {
+      val reps = table(s, d, "events")
+        .select(col("event_id"), cents(col("value")).as("c"))
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0L), lit(19L))).as("rep"))
+        .filter(pmod((col("event_id") % 10000 + col("rep")) *
+          lit(2654435761L), lit(10000L)) < 5000)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("mean", col("sc").cast("double") / col("n"))
+      val wAll = Window.partitionBy()
+      reps.select(col("rep"), col("n"), roundz(col("mean"), 6).as("mean6"),
+          roundz(min(col("mean")).over(wAll), 6).as("lo6"),
+          roundz(max(col("mean")).over(wAll), 6).as("hi6"))
+        .orderBy(col("rep"))
+    }),
+
+    // Theil–Sen robust trend of the daily event count: median pairwise
+    // slope over the gap-filled spine. Day-pairs are O(days²) —
+    // calendar-bounded, NOT data-bounded, so the quadratic is over a
+    // few thousand rows at any corpus size. Slopes are exact-integer
+    // ratios (deterministic IEEE doubles); ordering ties break on
+    // (span, day) so the lower-median row is pinned on both engines.
+    "q270_theil_sen" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(day(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val filled = dailySpine(daily).localCheckpoint(true)
+      val a = filled.select(col("day").as("di"), col("x").as("xi"))
+      val b = filled.select(col("day").as("dj"), col("x").as("xj"))
+      val pairs = a.crossJoin(b).filter(col("di") < col("dj"))
+        .select(((col("xj") - col("xi")).cast("double") /
+            (col("dj") - col("di"))).as("slope"),
+          (col("dj") - col("di")).as("span"), col("di"))
+      val rn = row_number().over(
+        Window.orderBy(col("slope"), col("span"), col("di")))
+      val med = pairs.withColumn("rn", rn)
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+      val lvl = filled.withColumn("rn", row_number().over(
+          Window.orderBy(col("x"), col("day"))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("nd").as("n_days"), col("x").as("median_level"))
+      med.select(col("np").as("n_pairs"),
+          roundz(col("slope"), 6).as("sen_slope6"))
+        .crossJoin(broadcast(lvl))
+        .select(col("n_days"), col("n_pairs"), col("sen_slope6"),
+          col("median_level"))
+    }),
+
+    // Heaps'-law vocabulary growth: V(n) at ten document-count
+    // checkpoints. Each token contributes at its FIRST document (one
+    // min-agg over the exploded token stream — the 100 TB shape), docs
+    // fold into ten rank-decile BUCKETS (so the cumsum runs over 10
+    // rows, never per-doc; at scale the rank comes from dense ids /
+    // a range-partitioned global index — q94's machinery — instead of
+    // the single-partition row_number spelled here for the oracle).
+    // β̂ is the log-log slope between the first and last checkpoint
+    // from MIN/MAX endpoints of the monotone cumulative series.
+    "q271_heaps_law" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+      val ranked = table(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id")))
+          .cast("long"))
+        .withColumn("dn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("k",
+          least(expr("(rn - 1) div (dn div 10) + 1"), lit(10L)))
+      val perDoc = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val firstDoc = toks.groupBy(col("token"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("new_tok"))
+      val buckets = ranked
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(firstDoc, Seq("doc_id"), "left")
+        .groupBy(col("k"))
+        .agg(max(col("rn")).as("n_docs"),
+          sum(coalesce(col("n_tok"), lit(0L))).as("tok_k"),
+          sum(coalesce(col("new_tok"), lit(0L))).as("voc_k"))
+      val wOrd = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      buckets
+        .withColumn("n_tokens", sum(col("tok_k")).over(wOrd))
+        .withColumn("vocab", sum(col("voc_k")).over(wOrd))
+        .withColumn("beta6", roundz(
+          (log(max(col("vocab")).over(wAll).cast("double")) -
+            log(min(col("vocab")).over(wAll).cast("double"))) /
+          (log(max(col("n_tokens")).over(wAll).cast("double")) -
+            log(min(col("n_tokens")).over(wAll).cast("double"))), 6))
+        .select(col("k"), col("n_docs"), col("n_tokens"), col("vocab"),
+          col("beta6"))
+        .orderBy(col("k"))
+    }),
+
+    // Per-source corpus diversity over languages: richness, Simpson
+    // index as an EXACT integer identity ((n²−Σc²)/n² — no float sum),
+    // and Shannon entropy via ln(n) − (Σ c·ln c)/n with the Σ as an
+    // ordered-by-lang window cumsum whose last row is kept (float
+    // order pinned). One groupBy over (source, lang) at any scale.
+    "q272_diversity_index" -> ((s, d) => {
+      val cl = table(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val wSrc = Window.partitionBy(col("source"))
+      val wOrd = Window.partitionBy(col("source")).orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("source")).orderBy(col("lang").desc)
+      cl.withColumn("n", sum(col("c")).over(wSrc))
+        .withColumn("s2", sum(col("c") * col("c")).over(wSrc))
+        .withColumn("rich", count(lit(1)).over(wSrc))
+        .withColumn("clnc_cum",
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .over(wOrd))
+        .withColumn("pick", row_number().over(wPick))
+        .filter(col("pick") === 1)
+        .select(col("source"), col("n"), col("rich").as("richness"),
+          roundz((col("n") * col("n") - col("s2")).cast("double") /
+            (col("n") * col("n")), 6).as("simpson6"),
+          roundz(log(col("n").cast("double")) -
+            col("clnc_cum") / col("n"), 6).as("shannon6"))
+        .orderBy(col("source"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q263_spearman" ->
+      """WITH rev AS (
+           SELECT CAST(l_suppkey AS BIGINT) AS sk,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         bal AS (
+           SELECT CAST(s_suppkey AS BIGINT) AS sk,
+             CAST(round(s_acctbal*100) AS BIGINT) AS bal
+           FROM supplier),
+         r AS (
+           SELECT ROW_NUMBER() OVER (ORDER BY rev, rev.sk) AS ra,
+             ROW_NUMBER() OVER (ORDER BY bal, rev.sk) AS rb
+           FROM rev JOIN bal ON bal.sk = rev.sk)
+         SELECT COUNT(*) AS n,
+           CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sd2,
+           round(1.0 - 6.0 * SUM((ra - rb) * (ra - rb)) /
+             CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6)
+             + 0.0 AS rho6
+         FROM r""",
+    "q264_psi" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 % 2 AS p,
+             least(CAST(round(value*100) AS BIGINT) // 10000, 9) AS bin
+           FROM events),
+         g AS (
+           SELECT bin,
+             SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS cb
+           FROM e GROUP BY bin),
+         sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         grid AS (
+           SELECT sp.bin, COALESCE(g.ca, 0) AS ca, COALESCE(g.cb, 0) AS cb
+           FROM sp LEFT JOIN g ON g.bin = sp.bin),
+         t AS (
+           SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+           FROM grid),
+         c AS (
+           SELECT bin, ca, cb,
+             (CAST(ca + 1 AS DOUBLE) / (na + 10)
+               - CAST(cb + 1 AS DOUBLE) / (nb + 10)) *
+             ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) /
+                (CAST(cb + 1 AS DOUBLE) / (nb + 10))) AS contrib
+           FROM t)
+         SELECT bin, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+           round(contrib, 6) + 0.0 AS contrib6,
+           round(SUM(contrib) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING),
+             6) + 0.0 AS psi_cum6
+         FROM c ORDER BY bin""",
+    "q265_acf" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM f),
+         xc AS (
+           SELECT f.day, tot.n * f.x - tot.s AS xc FROM f, tot),
+         l AS (
+           SELECT xc,
+             lead(xc, 1) OVER (ORDER BY day) AS l1,
+             lead(xc, 2) OVER (ORDER BY day) AS l2,
+             lead(xc, 3) OVER (ORDER BY day) AS l3,
+             lead(xc, 4) OVER (ORDER BY day) AS l4,
+             lead(xc, 5) OVER (ORDER BY day) AS l5,
+             lead(xc, 6) OVER (ORDER BY day) AS l6,
+             lead(xc, 7) OVER (ORDER BY day) AS l7
+           FROM xc),
+         a AS (
+           SELECT SUM(xc * xc) AS den,
+             SUM(xc * l1) AS n1, SUM(xc * l2) AS n2, SUM(xc * l3) AS n3,
+             SUM(xc * l4) AS n4, SUM(xc * l5) AS n5, SUM(xc * l6) AS n6,
+             SUM(xc * l7) AS n7
+           FROM l)
+         SELECT 1 AS lag, round(CAST(n1 AS DOUBLE) / den, 6) + 0.0 AS acf6
+           FROM a
+         UNION ALL SELECT 2, round(CAST(n2 AS DOUBLE) / den, 6) + 0.0 FROM a
+         UNION ALL SELECT 3, round(CAST(n3 AS DOUBLE) / den, 6) + 0.0 FROM a
+         UNION ALL SELECT 4, round(CAST(n4 AS DOUBLE) / den, 6) + 0.0 FROM a
+         UNION ALL SELECT 5, round(CAST(n5 AS DOUBLE) / den, 6) + 0.0 FROM a
+         UNION ALL SELECT 6, round(CAST(n6 AS DOUBLE) / den, 6) + 0.0 FROM a
+         UNION ALL SELECT 7, round(CAST(n7 AS DOUBLE) / den, 6) + 0.0 FROM a
+         ORDER BY lag""",
+    "q266_cusum" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM f),
+         c AS (
+           SELECT f.day, tot.n,
+             SUM(tot.n * f.x - tot.s)
+               OVER (ORDER BY f.day ROWS UNBOUNDED PRECEDING) AS c
+           FROM f, tot)
+         SELECT CAST(n AS BIGINT) AS n_days, day AS cp_day,
+           round(CAST(abs(c) AS DOUBLE) / n / 100.0, 4) + 0.0 AS cusum_max4
+         FROM c ORDER BY abs(c) DESC, day LIMIT 1""",
+    "q267_ndcg" ->
+      """WITH rev AS (
+           SELECT CAST(l_suppkey AS BIGINT) AS sk,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         sup AS (
+           SELECT CAST(s_suppkey AS BIGINT) AS sk,
+             CAST(s_nationkey AS BIGINT) AS nk,
+             CAST(round(s_acctbal*100) AS BIGINT) AS bal
+           FROM supplier),
+         pool0 AS (
+           SELECT sup.nk, rev.sk, rev.rev,
+             CASE WHEN bal >= 500000 THEN 2
+                  WHEN bal >= 0 THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY sup.nk
+               ORDER BY rev DESC, rev.sk) AS i
+           FROM rev JOIN sup ON sup.sk = rev.sk),
+         pool AS (
+           SELECT nk, sk, rel, i,
+             ROW_NUMBER() OVER (PARTITION BY nk
+               ORDER BY rel DESC, sk) AS ig
+           FROM pool0 WHERE i <= 10),
+         cums AS (
+           SELECT nk,
+             SUM((pow(2.0, rel) - 1.0) / log2(i + 1.0))
+               OVER (PARTITION BY nk ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS dcg_c,
+             SUM((pow(2.0, rel) - 1.0) / log2(ig + 1.0))
+               OVER (PARTITION BY nk ORDER BY ig
+                 ROWS UNBOUNDED PRECEDING) AS idcg_c
+           FROM pool)
+         SELECT nk, COUNT(*) AS k,
+           round(MAX(dcg_c), 6) + 0.0 AS dcg6,
+           round(CASE WHEN MAX(idcg_c) > 0.0
+             THEN MAX(dcg_c) / MAX(idcg_c) ELSE 0.0 END, 6) + 0.0 AS ndcg6
+         FROM cums GROUP BY nk ORDER BY nk""",
+    "q268_mutual_info" ->
+      """WITH cells AS (
+           SELECT event_type AS ra,
+             CAST(floor(CAST(round(value*100) AS BIGINT) / 16334.0)
+               AS BIGINT) AS cb,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT ra, cb, c,
+             SUM(c) OVER (PARTITION BY ra) AS r,
+             SUM(c) OVER (PARTITION BY cb) AS k,
+             SUM(c) OVER () AS n
+           FROM cells),
+         w AS (
+           SELECT ra, cb, c,
+             CAST(c AS DOUBLE) / n *
+               ln(CAST(c AS DOUBLE) * n / (r * k)) AS term
+           FROM t)
+         SELECT ra, cb, CAST(c AS BIGINT) AS c,
+           round(term, 6) + 0.0 AS mi_term6,
+           round(SUM(term) OVER (ORDER BY ra, cb ROWS UNBOUNDED PRECEDING),
+             6) + 0.0 AS mi_cum6
+         FROM w ORDER BY ra, cb""",
+    "q269_subsample_ci" ->
+      """WITH reps AS (
+           SELECT r.rep, COUNT(*) AS n,
+             SUM(CAST(round(e.value*100) AS BIGINT)) AS sc
+           FROM events e
+           CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS rep) r
+           WHERE (e.event_id % 10000 + r.rep) * 2654435761 % 10000 < 5000
+           GROUP BY r.rep),
+         m AS (SELECT rep, n, CAST(sc AS DOUBLE) / n AS mean FROM reps)
+         SELECT rep, CAST(n AS BIGINT) AS n,
+           round(mean, 6) + 0.0 AS mean6,
+           round(MIN(mean) OVER (), 6) + 0.0 AS lo6,
+           round(MAX(mean) OVER (), 6) + 0.0 AS hi6
+         FROM m ORDER BY rep""",
+    "q270_theil_sen" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         pairs AS (
+           SELECT CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope,
+             b.day - a.day AS span, a.day AS di
+           FROM f a JOIN f b ON a.day < b.day),
+         med AS (
+           SELECT slope, COUNT(*) OVER () AS np,
+             ROW_NUMBER() OVER (ORDER BY slope, span, di) AS rn
+           FROM pairs),
+         lvl AS (
+           SELECT x, COUNT(*) OVER () AS nd,
+             ROW_NUMBER() OVER (ORDER BY x, day) AS rn
+           FROM f)
+         SELECT CAST(lvl.nd AS BIGINT) AS n_days,
+           CAST(med.np AS BIGINT) AS n_pairs,
+           round(med.slope, 6) + 0.0 AS sen_slope6,
+           CAST(lvl.x AS BIGINT) AS median_level
+         FROM med, lvl
+         WHERE med.rn = (med.np + 1) // 2 AND lvl.rn = (lvl.nd + 1) // 2""",
+    "q271_heaps_law" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         ranked AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id)
+             AS BIGINT) AS rn
+           FROM documents),
+         per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM tk GROUP BY 1),
+         first_doc AS (
+           SELECT doc_id, COUNT(*) AS new_tok FROM (
+             SELECT token, MIN(doc_id) AS doc_id FROM tk GROUP BY token) t
+           GROUP BY doc_id),
+         rk AS (
+           SELECT rn, doc_id,
+             least((rn - 1) // ((SELECT COUNT(*) FROM ranked) // 10) + 1,
+               10) AS k
+           FROM ranked),
+         buckets AS (
+           SELECT r.k, MAX(r.rn) AS n_docs,
+             SUM(COALESCE(p.n_tok, 0)) AS tok_k,
+             SUM(COALESCE(fd.new_tok, 0)) AS voc_k
+           FROM rk r
+           LEFT JOIN per_doc p ON p.doc_id = r.doc_id
+           LEFT JOIN first_doc fd ON fd.doc_id = r.doc_id
+           GROUP BY r.k),
+         chk AS (
+           SELECT k, n_docs,
+             SUM(tok_k) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS n_tokens,
+             SUM(voc_k) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS vocab
+           FROM buckets)
+         SELECT k, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           round((ln(CAST(MAX(vocab) OVER () AS DOUBLE)) -
+                  ln(CAST(MIN(vocab) OVER () AS DOUBLE))) /
+                 (ln(CAST(MAX(n_tokens) OVER () AS DOUBLE)) -
+                  ln(CAST(MIN(n_tokens) OVER () AS DOUBLE))), 6) + 0.0
+             AS beta6
+         FROM chk ORDER BY k""",
+    "q272_diversity_index" ->
+      """WITH cl AS (
+           SELECT source, lang, COUNT(*) AS c
+           FROM documents GROUP BY source, lang),
+         t AS (
+           SELECT source, lang, c,
+             SUM(c) OVER (PARTITION BY source) AS n,
+             SUM(c * c) OVER (PARTITION BY source) AS s2,
+             COUNT(*) OVER (PARTITION BY source) AS rich,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               OVER (PARTITION BY source ORDER BY lang
+                 ROWS UNBOUNDED PRECEDING) AS clnc_cum,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang DESC)
+               AS pick
+           FROM cl)
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(rich AS BIGINT) AS richness,
+           round(CAST(n * n - s2 AS DOUBLE) / (n * n), 6) + 0.0
+             AS simpson6,
+           round(ln(CAST(n AS DOUBLE)) - clnc_cum / n, 6) + 0.0
+             AS shannon6
+         FROM t WHERE pick = 1 ORDER BY source""")
+}

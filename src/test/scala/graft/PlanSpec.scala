@@ -227,7 +227,11 @@ class PlanSpec extends SparkSpec {
       "q234_purged_time_split",
       // q235: the max-supplier-key scalar is ONE broadcast row onto
       // the parts relation; candidate/positive joins are keyed
-      "q235_negative_edges")
+      "q235_negative_edges",
+      // q270: Theil–Sen's day-pair product is CALENDAR-bounded (O(days²)
+      // over the gap-filled spine, never data-bounded), and the final
+      // 1-row median × 1-row level combine is q46's scalar class
+      "q270_theil_sen")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.Graft.{roundz, table}
+import graft.Graft.{deleteRecursively, roundz, table}
 
 /** Drift / correlation / ranking-evaluation analytics (round 6,
   * SURVEY.md §2.14 EXT): Spearman rank correlation, population
@@ -33,6 +34,40 @@ object Analytics {
 
   private def day(c: Column): Column =
     expr(s"unix_micros(${c.toString}) div 86400000000")
+
+  /** Write `df` as ONE parquet file named `n`.parquet inside `watch`,
+    * with an explicit mtime so `maxFilesPerTrigger=1` streams files in
+    * a pinned order (q147's staging convention).
+    */
+  private def stageWatchFile(df: DataFrame, watch: java.nio.file.Path,
+      n: String, mt: Long): Unit = {
+    val dir = watch.getParent.resolve(n + "_" + watch.getFileName + "_dir")
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val src = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+      val it = st.iterator()
+      var found: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) found = p
+      }
+      found
+    }
+    val dst = watch.resolve(n + ".parquet")
+    java.nio.file.Files.copy(src, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mt))
+  }
+
+  /** One far-future event (§5.8 sentinel-flush): pushes the terminal
+    * watermark past every real window end so append-mode emission is
+    * the plain relational recompute; the sentinel's own window stays
+    * open and never emits.
+    */
+  private def wmSentinel(s: SparkSession, id: Long, tpe: String): DataFrame =
+    s.range(1).select(lit(id).as("event_id"),
+      to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+      lit(id).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
 
   /** Gap-filled daily series over [min_day, max_day]: (day, x). */
   private def dailySpine(daily: DataFrame): DataFrame = {
@@ -356,6 +391,165 @@ object Analytics {
           roundz(log(col("n").cast("double")) -
             col("clnc_cum") / col("n"), 6).as("shannon6"))
         .orderBy(col("source"))
+    }),
+
+    // Stream-stream UNION with INDEPENDENT watermarks (30 min vs 2 h):
+    // Spark's global watermark is the MIN across inputs, so the slower
+    // side gates emission for both. Each side gets its own §5.8
+    // sentinel file — the terminal min-watermark lands at 2030−2h,
+    // past every real window end, so the append-mode emission equals
+    // the plain relational recompute of the unioned aggregate (no
+    // watermark arithmetic in the oracle). The sentinels' own windows
+    // stay open and never emit.
+    "q273_stream_union" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_union_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_union_")
+      val watchA = stage.resolve("wa")
+      val watchB = stage.resolve("wb")
+      java.nio.file.Files.createDirectories(watchA)
+      java.nio.file.Files.createDirectories(watchB)
+      try {
+        stageWatchFile(ev.filter(col("event_type") === "click"),
+          watchA, "01", 1000000000000L)
+        stageWatchFile(wmSentinel(s, -81L, "__wm_flush_a"),
+          watchA, "02", 1000000100000L)
+        stageWatchFile(ev.filter(col("event_type") === "purchase"),
+          watchB, "01", 1000000000000L)
+        stageWatchFile(wmSentinel(s, -82L, "__wm_flush_b"),
+          watchB, "02", 1000000100000L)
+        val schema = s.read.parquet(watchA.toString).schema
+        val a = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watchA.toString)
+          .withWatermark("ts", "30 minutes")
+        val b = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watchB.toString)
+          .withWatermark("ts", "2 hours")
+        val q = a.unionByName(b)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy(col("win_start_us"), col("event_type"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
+    // CHAINED stateful operators in one streaming query (the Spark-4
+    // multi-stateful surface): a 30-minute windowed aggregate feeds a
+    // second 2-hour windowed re-aggregate via window(window_col, ...) —
+    // watermark propagates through the first stateful operator to gate
+    // the second. §5.8 sentinel flush closes every real window at both
+    // levels; the sentinel's level-1 window never emits, so it never
+    // reaches level 2. Oracle recomputes both levels relationally
+    // (sub-window count = distinct 30-min slots inside each 2-h slot).
+    "q274_stream_chained_agg" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val name = "stream_chain_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+      val t0 = to_timestamp(lit("2024-01-16 00:00:00"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_chain_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        stageWatchFile(ev.filter(col("ts") < t0), watch, "01",
+          1000000000000L)
+        stageWatchFile(ev.filter(col("ts") >= t0), watch, "02",
+          1000000100000L)
+        stageWatchFile(wmSentinel(s, -83L, "__wm_flush"), watch, "03",
+          1000000200000L)
+        val schema = s.read.parquet(watch.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .groupBy(window(col("window"), "2 hours"), col("event_type"))
+          .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("cents"),
+            count(lit(1)).as("n_subwindows"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = s.table(name)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n_events"), col("cents"),
+            col("n_subwindows"))
+          .orderBy(col("win_start_us"), col("event_type"))
+        s.catalog.dropTempView(name)
+        out
+      } finally deleteRecursively(stage)
+    }),
+
+    // Matryoshka truncation audit: how much of each embedding's energy
+    // survives prefix truncation to 8/16/32 of 64 dims — the
+    // retention ratio r_k = Σ_{i<k}v_i²/Σv_i² per vector (q236's
+    // per-vector float-sum + round-4 determinism precedent), then
+    // per-(label, k) rollups using only order-insensitive aggregates
+    // (count / threshold-count / min / max on the ROUNDED ratio).
+    "q275_matryoshka_eval" -> ((s, d) => {
+      val f = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("v").cast("double").as("v"))
+      val per = f.groupBy(col("vec_id"), col("label"))
+        .agg(sum(when(col("i") < 8, col("v") * col("v")).otherwise(0.0))
+            .as("s8"),
+          sum(when(col("i") < 16, col("v") * col("v")).otherwise(0.0))
+            .as("s16"),
+          sum(when(col("i") < 32, col("v") * col("v")).otherwise(0.0))
+            .as("s32"),
+          sum(col("v") * col("v")).as("den"))
+      val stacked = per.select(col("label"),
+          posexplode(array(
+            roundz(col("s8") / col("den"), 4),
+            roundz(col("s16") / col("den"), 4),
+            roundz(col("s32") / col("den"), 4))).as(Seq("ki", "r4")))
+        .select(col("label"),
+          element_at(array(lit(8), lit(16), lit(32)), col("ki") + 1)
+            .as("k"), col("r4"))
+      stacked.groupBy(col("label"), col("k"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("r4") >= 0.9, 1L).otherwise(0L)).as("n_ge90"),
+          min(col("r4")).as("min_r4"), max(col("r4")).as("max_r4"))
+        .orderBy(col("label"), col("k"))
+    }),
+
+    // Leakage-safe out-of-fold target encoding: each (category, fold)
+    // cell's encoding is the mean target over the OTHER folds —
+    // (S_cat − S_cat,f)/(N_cat − N_cat,f), exact integer sums with one
+    // division (the supervised-feature counterpart of q193's
+    // GroupKFold split integrity). Two aggregates at any scale; rows
+    // where the category exists only inside fold f are excluded on
+    // both engines (no out-of-fold evidence → no encoding).
+    "q276_target_encoding" -> ((s, d) => {
+      val per = table(s, d, "events")
+        .groupBy(col("event_type"), (col("user_id") % 5).as("fold"))
+        .agg(count(lit(1)).as("n_fold"), sum(cents(col("value"))).as("sf"))
+      val wCat = Window.partitionBy(col("event_type"))
+      per
+        .withColumn("nc", sum(col("n_fold")).over(wCat))
+        .withColumn("sc", sum(col("sf")).over(wCat))
+        .filter(col("nc") > col("n_fold"))
+        .select(col("event_type"), col("fold"), col("n_fold"),
+          (col("nc") - col("n_fold")).as("n_oof"),
+          roundz((col("sc") - col("sf")).cast("double") /
+            (col("nc") - col("n_fold")), 6).as("enc6"))
+        .orderBy(col("event_type"), col("fold"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -629,5 +823,68 @@ object Analytics {
              AS simpson6,
            round(ln(CAST(n AS DOUBLE)) - clnc_cum / n, 6) + 0.0
              AS shannon6
-         FROM t WHERE pick = 1 ORDER BY source""")
+         FROM t WHERE pick = 1 ORDER BY source""",
+    // §5.8 sentinel-flush: the oracle is the PLAIN relational
+    // recompute of the unioned hourly aggregate — the staged sentinels
+    // guarantee every real window closed, so no watermark arithmetic
+    // appears here (the min-across-inputs policy is exercised, not
+    // encoded)
+    "q273_stream_union" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS us, event_type,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         SELECT (us // 3600000000) * 3600000000 AS win_start_us,
+           event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         FROM e GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "q274_stream_chained_agg" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 1800000000 AS w30, event_type,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         sub AS (
+           SELECT w30, event_type, COUNT(*) AS n, SUM(cents) AS cents
+           FROM e GROUP BY 1, 2)
+         SELECT (w30 // 4) * 7200000000 AS win_start_us, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           COUNT(*) AS n_subwindows
+         FROM sub GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    "q275_matryoshka_eval" ->
+      """WITH f AS (
+           SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         per AS (
+           SELECT vec_id, label,
+             SUM(CASE WHEN i <= 8 THEN v*v ELSE 0 END) AS s8,
+             SUM(CASE WHEN i <= 16 THEN v*v ELSE 0 END) AS s16,
+             SUM(CASE WHEN i <= 32 THEN v*v ELSE 0 END) AS s32,
+             SUM(v*v) AS den
+           FROM f GROUP BY vec_id, label),
+         st AS (
+           SELECT label, 8 AS k, round(s8/den, 4) + 0.0 AS r4 FROM per
+           UNION ALL
+           SELECT label, 16, round(s16/den, 4) + 0.0 FROM per
+           UNION ALL
+           SELECT label, 32, round(s32/den, 4) + 0.0 FROM per)
+         SELECT label, k, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN r4 >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ge90,
+           MIN(r4) AS min_r4, MAX(r4) AS max_r4
+         FROM st GROUP BY label, k ORDER BY label, k""",
+    "q276_target_encoding" ->
+      """WITH per AS (
+           SELECT event_type, user_id % 5 AS fold, COUNT(*) AS n_fold,
+             SUM(CAST(round(value*100) AS BIGINT)) AS sf
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, fold, n_fold, sf,
+             SUM(n_fold) OVER (PARTITION BY event_type) AS nc,
+             SUM(sf) OVER (PARTITION BY event_type) AS sc
+           FROM per)
+         SELECT event_type, fold, CAST(n_fold AS BIGINT) AS n_fold,
+           CAST(nc - n_fold AS BIGINT) AS n_oof,
+           round(CAST(sc - sf AS DOUBLE) / (nc - n_fold), 6) + 0.0 AS enc6
+         FROM t WHERE nc > n_fold ORDER BY event_type, fold""")
 }

@@ -178,4 +178,60 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("CBO column stats flip a filtered dim join from sort-merge to " +
+      "broadcast (stats-driven planning)") {
+    // the 100 TB planner story: a selective dim filter is only
+    // broadcast-able if the optimizer KNOWS it is selective. Without
+    // column stats the filtered dim keeps the full-table size estimate
+    // (SizeInBytesOnly visitors pass the child size through Filter) and
+    // the join plans as SMJ; ANALYZE ... FOR ALL COLUMNS + CBO applies
+    // the predicate's selectivity and the same query plans as BHJ.
+    // Asserted on the STATIC physical plan (sparkPlan) so AQE's runtime
+    // rescue cannot mask the difference; results must match exactly.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    // sf0.1: the 3-column dim parquet is a few hundred KB — safely ABOVE
+    // the 16 KB threshold without stats, while the 49-row filtered
+    // estimate with column stats is a couple of KB — safely below
+    val d = "/root/testdata/sf0.1"
+    val wh = java.nio.file.Files.createTempDirectory("graft_cbo_").toString
+    s.sql("DROP TABLE IF EXISTS g_cbo_dim")
+    s.sql("DROP TABLE IF EXISTS g_cbo_fact")
+    try {
+      Graft.table(s, d, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"), col("p_name"))
+        .write.mode("overwrite").option("path", s"$wh/dim")
+        .saveAsTable("g_cbo_dim")
+      Graft.table(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("l_partkey"),
+          col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$wh/fact")
+        .saveAsTable("g_cbo_fact")
+      def joined = s.table("g_cbo_fact")
+        .join(s.table("g_cbo_dim").filter(col("p_partkey") < 50),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val before = joined.queryExecution.sparkPlan.toString
+      assert(before.contains("SortMergeJoin"),
+        s"expected SMJ before ANALYZE:\n$before")
+      val rowsBefore = joined.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      s.sql("ANALYZE TABLE g_cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("ANALYZE TABLE g_cbo_fact COMPUTE STATISTICS")
+      val after = joined.queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"expected BHJ after ANALYZE:\n$after")
+      val rowsAfter = joined.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      assert(rowsBefore == rowsAfter && rowsAfter.nonEmpty,
+        "stats changed the physical strategy but must not change results")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS g_cbo_dim")
+      s.sql("DROP TABLE IF EXISTS g_cbo_fact")
+    }
+  }
 }

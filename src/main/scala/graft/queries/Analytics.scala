@@ -69,6 +69,21 @@ object Analytics {
       lit(id).as("user_id"), lit(tpe).as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
 
+  /** Materialize a small result so the staging dir can be deleted
+    * before returning (Sources.materialize's contract: capped collect,
+    * real plan hash recorded for Bench via the shared registry).
+    */
+  private def materialize(s: SparkSession, name: String, df: DataFrame,
+      maxRows: Int = 10000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Sources.planHashes(name) = graft.Graft.planSignature(df)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Analytics.materialize($name): result exceeds $maxRows rows — " +
+        "materialize is for bounded results only")
+    s.createDataFrame(rows.toSeq.asJava, df.schema)
+  }
+
   /** Gap-filled daily series over [min_day, max_day]: (day, x). */
   private def dailySpine(daily: DataFrame): DataFrame = {
     val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
@@ -529,6 +544,72 @@ object Analytics {
         .orderBy(col("label"), col("k"))
     }),
 
+    // foreachBatch UPSERT sink with versioned state and an idempotent
+    // redelivery guard: each micro-batch folds its per-user delta into
+    // the previous batch's published state (read v{id−1} → merge →
+    // write v{id}); the pre-write existence check makes a REPLAYED
+    // batch id a no-op — the same discipline a 100 TB exactly-once
+    // foreachBatch sink needs (Spark guarantees batch-id stability
+    // across restarts, the sink must supply idempotency). Final state
+    // must equal the plain batch aggregate — that equality IS the
+    // oracle; batch boundaries cannot leak into the result.
+    "q277_stream_upsert_sink" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.Graft.normalizeTs(table(s, d, "events"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_upsert_")
+      val watch = stage.resolve("watch")
+      val state = stage.resolve("state")
+      java.nio.file.Files.createDirectories(watch)
+      java.nio.file.Files.createDirectories(state)
+      try {
+        val t0 = to_timestamp(lit("2024-01-10 00:00:00"))
+        val t1 = to_timestamp(lit("2024-01-20 00:00:00"))
+        stageWatchFile(ev.filter(col("ts") < t0), watch, "01",
+          1000000000000L)
+        stageWatchFile(ev.filter(col("ts") >= t0 && col("ts") < t1),
+          watch, "02", 1000000100000L)
+        stageWatchFile(ev.filter(col("ts") >= t1), watch, "03",
+          1000000200000L)
+        val schema = s.read.parquet(watch.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val vdir = state.resolve(s"v$id")
+            if (!java.nio.file.Files.exists(vdir)) { // replay guard
+              val delta = batch.groupBy(col("user_id"))
+                .agg(count(lit(1)).as("n"),
+                  sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+              val prev = state.resolve(s"v${id - 1}")
+              val merged =
+                if (java.nio.file.Files.exists(prev))
+                  s.read.parquet(prev.toString).unionByName(delta)
+                    .groupBy(col("user_id"))
+                    .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+                else delta
+              merged.write.mode("overwrite").parquet(vdir.toString)
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val last = scala.util.Using.resource(
+            java.nio.file.Files.list(state)) { st =>
+          val it = st.iterator()
+          var best = -1L
+          while (it.hasNext) {
+            val v = it.next().getFileName.toString.stripPrefix("v").toLong
+            if (v > best) best = v
+          }
+          best
+        }
+        materialize(s, "q277_stream_upsert_sink",
+          s.read.parquet(state.resolve(s"v$last").toString)
+            .orderBy(col("user_id")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Leakage-safe out-of-fold target encoding: each (category, fold)
     // cell's encoding is the mean target over the OTHER folds —
     // (S_cat − S_cat,f)/(N_cat − N_cat,f), exact integer sums with one
@@ -873,6 +954,12 @@ object Analytics {
              AS n_ge90,
            MIN(r4) AS min_r4, MAX(r4) AS max_r4
          FROM st GROUP BY label, k ORDER BY label, k""",
+    // the oracle IS the no-batch-boundary recompute: the foreachBatch
+    // versioned-state fold must be invisible in the final totals
+    "q277_stream_upsert_sink" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q276_target_encoding" ->
       """WITH per AS (
            SELECT event_type, user_id % 5 AS fold, COUNT(*) AS n_fold,

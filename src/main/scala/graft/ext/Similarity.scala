@@ -59,6 +59,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 
+  /** ColBERT-style late-interaction MaxSim: score(doc) = Σ over query
+    * vectors of MAX over the doc's vectors of cos(q, v) — multi-vector
+    * retrieval where a document is a BAG of vectors, not one pooled
+    * embedding. Shape: broadcast query set × corpus vector scan (q40's
+    * class — at 100 TB the corpus side swaps in any ANN shortlist),
+    * one (doc, qid) max aggregate (order-insensitive), then the Σ over
+    * qid as an ORDERED cumsum so the float summation order is pinned
+    * on both engines (SURVEY §5).
+    *
+    * @param queryVecs (qid, qvec) — the small, broadcast side
+    * @param docVecs   (doc, vec) — one row per document vector
+    */
+  def maxSim(queryVecs: DataFrame, docVecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(docVecs.sparkSession)
+    val best = docVecs.crossJoin(broadcast(queryVecs))
+      .select(col("doc"), col("qid"),
+        cosineNative(col("qvec"), col("vec")).as("cos"))
+      .groupBy(col("doc"), col("qid"))
+      .agg(max(col("cos")).as("best"))
+    val wOrd = Window.partitionBy(col("doc")).orderBy(col("qid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("doc")).orderBy(col("qid").desc)
+    best
+      .withColumn("maxsim", sum(col("best")).over(wOrd))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("doc"), col("maxsim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: hash-derived value
     * in [-1, 1) from (plane index, dimension index). Zero-egress, seed-free
     * reproducibility — the planes are a pure function of (p, j).

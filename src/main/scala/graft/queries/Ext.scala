@@ -543,6 +543,30 @@ object Ext {
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
+    // ColBERT-style late-interaction retrieval (Similarity.maxSim):
+    // documents are BAGS of vectors (label = the bag), queries are a
+    // 4-vector set, score = Σ_q max_v cos(q, v). The per-(doc, q) max
+    // is order-insensitive, the Σ over q is an ordered cumsum, and the
+    // native cosine accumulates in ascending index order — the q40
+    // determinism stack. Broadcast query set × corpus scan (q40's
+    // class; ANN shortlists swap in at scale).
+    "q278_maxsim_retrieval" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val docs = emb.filter(col("vec_id") >= 4)
+        .select(col("label").as("doc"), col("embedding").as("vec"))
+      val nv = emb.filter(col("vec_id") >= 4)
+        .groupBy(col("label").as("doc")).agg(count(lit(1)).as("n_vecs"))
+      Similarity.maxSim(qs, docs).join(nv, Seq("doc"))
+        .select(col("doc"), col("n_vecs"),
+          roundz(col("maxsim"), 6).as("maxsim6"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("maxsim6").desc, col("doc"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
     // Hard-negative mining for contrastive training: each query's top-3
     // most-similar vectors with a DIFFERENT label — the "hard" negatives
     // that actually move a retrieval/embedding model (random negatives
@@ -1638,6 +1662,39 @@ object Ext {
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "q278_maxsim_retrieval" ->
+      """WITH f AS (
+           SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (
+           SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM f GROUP BY vec_id),
+         dots AS (
+           SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS doc,
+             SUM(a.v * b.v) AS dot
+           FROM f a JOIN f b ON a.i = b.i
+           WHERE a.vec_id < 4 AND b.vec_id >= 4
+           GROUP BY a.vec_id, b.vec_id, b.label),
+         sims AS (
+           SELECT d.doc, d.qid, d.dot / (na.nrm * nb.nrm) AS cos
+           FROM dots d JOIN norms na ON na.vec_id = d.qid
+                       JOIN norms nb ON nb.vec_id = d.cid),
+         best AS (SELECT doc, qid, MAX(cos) AS best
+                  FROM sims GROUP BY doc, qid),
+         sc AS (
+           SELECT doc,
+             SUM(best) OVER (PARTITION BY doc ORDER BY qid
+               ROWS UNBOUNDED PRECEDING) AS ms,
+             ROW_NUMBER() OVER (PARTITION BY doc ORDER BY qid DESC)
+               AS pick
+           FROM best),
+         nv AS (SELECT label AS doc, COUNT(*) AS n_vecs
+                FROM embeddings WHERE vec_id >= 4 GROUP BY label)
+         SELECT sc.doc, nv.n_vecs, round(sc.ms, 6) + 0.0 AS maxsim6,
+           ROW_NUMBER() OVER (ORDER BY round(sc.ms, 6) + 0.0 DESC, sc.doc)
+             AS rank
+         FROM sc JOIN nv ON nv.doc = sc.doc
+         WHERE pick = 1 ORDER BY rank""",
     // q40's machinery plus the label anti-predicate — full recompute
     "q156_hard_negatives" ->
       """WITH f AS (

@@ -231,7 +231,11 @@ class PlanSpec extends SparkSpec {
       // q270: Theil–Sen's day-pair product is CALENDAR-bounded (O(days²)
       // over the gap-filled spine, never data-bounded), and the final
       // 1-row median × 1-row level combine is q46's scalar class
-      "q270_theil_sen")
+      "q270_theil_sen",
+      // q278: MaxSim's bounded broadcast query set × corpus vector scan
+      // is q40's deliberate broadcast-NL class; ANN shortlists swap in
+      // at scale (Similarity.maxSim scaladoc)
+      "q278_maxsim_retrieval")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -82,6 +82,60 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q07: rank-filter compiles to WindowGroupLimit (per-group top-k " +
+      "prune before the full sort)") {
+    // Spark 4's window-group-limit pushdown: rank()<=k must NOT rank
+    // every row — the optimizer inserts a per-partition limit that
+    // drops losers BEFORE the window sort materializes. This is the
+    // difference between "sort every group" and "keep k per group" at
+    // 100 TB fan-in.
+    val p = plan("q07_window_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not plan a WindowGroupLimit:\n$p")
+  }
+
+  test("runtime Bloom filter injects a fact-side semi-filter for a " +
+      "selective dim join (InjectRuntimeFilter)") {
+    // the engine-managed counterpart of ops/BloomJoin: with the runtime
+    // filter optimizer enabled and thresholds scaled to test data, a
+    // selective dim filter must inject bloom_filter_agg/might_contain
+    // onto the fact scan side — rows that cannot join die before the
+    // shuffle. Result equality vs the unfiltered plan is pinned.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import org.apache.spark.sql.functions._
+    val dd = "/root/testdata/sf0.01"
+    val li = Graft.table(s, dd, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = Graft.table(s, dd, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+    val p = joined.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain") || p.contains("bloom_filter"),
+      s"no runtime bloom filter injected:\n$p")
+    val got = joined.head()
+    // equality vs a session with the rewrite off
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val li2 = Graft.table(s2, dd, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord2 = Graft.table(s2, dd, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val want = li2.join(ord2, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty")).head()
+    assert(got == want, s"bloom-filtered result diverged: $got vs $want")
+  }
+
   test("q40: plans the native CosineSimilarity expression") {
     val df = SparkEntry.queries("q40_cosine_topk")(spark, d)
     def hasCosine(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =

@@ -610,6 +610,51 @@ object Analytics {
       } finally deleteRecursively(stage)
     }),
 
+    // Write–Audit–Publish: the admission-control deployment pattern —
+    // each batch lands in a STAGING dir, runs the one-scan constraint
+    // suite (ops/Audit.tableAudit: row count, nulls, bounds, key
+    // uniqueness fused into one aggregate), and only a fully-green
+    // audit ATOMICALLY renames staging into the published tree; a red
+    // audit discards staging and publishes nothing. Batch 1 is clean;
+    // batch 2 carries a planted violation (null lang, negative
+    // n_chars) and MUST NOT leak — the oracle recomputes published
+    // content from scratch, so any leak or loss flips every row.
+    "q279_write_audit_publish" -> ((s, d) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wap_")
+      val published = stage.resolve("published")
+      java.nio.file.Files.createDirectories(published)
+      try {
+        val docs = table(s, d, "documents")
+        def publishIfClean(df: DataFrame, name: String): Boolean = {
+          val staging = stage.resolve("staging_" + name)
+          df.write.mode("overwrite").parquet(staging.toString)
+          val audit = graft.ops.Audit.tableAudit(
+            s.read.parquet(staging.toString), uniqueKey = Seq("doc_id"),
+            notNull = Seq("doc_id", "lang"),
+            bounds = Map("n_chars" -> (0.0, 1e9)))
+          val ok = audit.filter(!col("ok")).count() == 0
+          if (ok)
+            java.nio.file.Files.move(staging, published.resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else deleteRecursively(staging)
+          ok
+        }
+        val clean = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val dirty = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+            lit("corrupt").as("text"), lit(null).cast("string").as("lang"),
+            lit("bad").as("source"), lit(-5L).as("n_chars")))
+        val ok1 = publishIfClean(clean, "batch1")
+        val ok2 = publishIfClean(dirty, "batch2")
+        materialize(s, "q279_write_audit_publish",
+          s.read.parquet(s"$published/*")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+            .withColumn("published_ok", lit(ok1 && !ok2))
+            .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Leakage-safe out-of-fold target encoding: each (category, fold)
     // cell's encoding is the mean target over the OTHER folds —
     // (S_cat − S_cat,f)/(N_cat − N_cat,f), exact integer sums with one
@@ -954,6 +999,13 @@ object Analytics {
              AS n_ge90,
            MIN(r4) AS min_r4, MAX(r4) AS max_r4
          FROM st GROUP BY label, k ORDER BY label, k""",
+    // the oracle recomputes the published tree from scratch: the clean
+    // batch must be there in full, the red batch entirely absent
+    "q279_write_audit_publish" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars, TRUE AS published_ok
+         FROM documents WHERE doc_id % 2 = 0
+         GROUP BY lang ORDER BY lang""",
     // the oracle IS the no-batch-boundary recompute: the foreachBatch
     // versioned-state fold must be invisible in the final totals
     "q277_stream_upsert_sink" ->

@@ -98,6 +98,9 @@ object Analytics {
     // total orders (no tie handling → the classic 1 − 6Σd²/(n(n²−1))
     // identity is EXACT in integers until one division). One shuffle
     // for the revenue agg, two cardinality-bounded rank windows.
+    // Long headroom: n(n²−1) and Σd² stay under 2⁶³ for n < 2M ranked
+    // entities — dimension-sized by construction (suppliers), never
+    // fact-sized.
     "q263_spearman" -> ((s, d) => {
       val rev = table(s, d, "lineitem")
         .groupBy(col("l_suppkey").cast("long").as("sk"))
@@ -350,8 +353,11 @@ object Analytics {
         .withColumn("rn", row_number().over(Window.orderBy(col("doc_id")))
           .cast("long"))
         .withColumn("dn", count(lit(1)).over(Window.partitionBy()))
+        // greatest(…, 1): a <10-doc corpus degrades to one bucket on
+        // BOTH engines instead of div-by-zero asymmetry (Spark null vs
+        // DuckDB error)
         .withColumn("k",
-          least(expr("(rn - 1) div (dn div 10) + 1"), lit(10L)))
+          least(expr("(rn - 1) div greatest(dn div 10, 1) + 1"), lit(10L)))
       val perDoc = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"))
       val firstDoc = toks.groupBy(col("token"))
@@ -902,7 +908,8 @@ object Analytics {
            GROUP BY doc_id),
          rk AS (
            SELECT rn, doc_id,
-             least((rn - 1) // ((SELECT COUNT(*) FROM ranked) // 10) + 1,
+             least((rn - 1) //
+               greatest((SELECT COUNT(*) FROM ranked) // 10, 1) + 1,
                10) AS k
            FROM ranked),
          buckets AS (

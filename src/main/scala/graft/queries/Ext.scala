@@ -543,6 +543,48 @@ object Ext {
       Similarity.bruteTopK(qs, corpus, 5).orderBy(col("qid"), col("rank"))
     }),
 
+    // LSH parameter sweep — the tuning curve behind every banded
+    // near-dup config in the library: the SAME 16-hash MinHash
+    // signature banded as 4×4 / 8×2 / 16×1, recall measured against an
+    // injected ground truth (near-copies with one appended token on
+    // ≥14-token docs, so the planted Jaccard is high and analyzable).
+    // Contract booleans pin the theory: per-config recall floors
+    // (collision probability 1−(1−J^r)^b rises as r shrinks) and
+    // endpoint monotonicity recall(16×1) ≥ recall(4×4). The three
+    // sweep legs are bounded driver-side counts (q261's scalar class)
+    // over a checkpointed ~500-doc sample — the sweep is how a 100 TB
+    // dedup picks (b, r) BEFORE the full-corpus run.
+    "q280_lsh_param_recall" -> ((s, d) => {
+      import s.implicits._
+      val base = table(s, d, "documents")
+        .filter(col("doc_id") < 400 &&
+          size(split(lower(col("text")), " ")) >= 14)
+        .select(col("doc_id"), col("text"))
+      val inj = base.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" zqparamtoken")).as("text"))
+      val u = base.unionByName(inj).localCheckpoint(true)
+      val truth = u.filter(col("doc_id") >= 500000L)
+        .select((col("doc_id") - 500000L).as("id_a"),
+          col("doc_id").as("id_b")).localCheckpoint(true)
+      val nTruth = truth.count()
+      val recall = Seq(4, 8, 16).map { b =>
+        val cands = NearDup.candidatePairs(
+          NearDup.signed(u, "doc_id", "text", k = 16, bands = b))
+        val found = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .count()
+        b -> found.toDouble / nTruth
+      }.toMap
+      val monotone = recall(16) >= recall(4)
+      Seq(
+        (4L, 4L, nTruth, recall(4) >= 0.5, monotone),
+        (8L, 2L, nTruth, recall(8) >= 0.8, monotone),
+        (16L, 1L, nTruth, recall(16) >= 0.9, monotone))
+        .toDF("bands", "rows_per_band", "n_truth", "floor_ok",
+          "monotone_ok")
+        .orderBy(col("bands"))
+    }),
+
     // ColBERT-style late-interaction retrieval (Similarity.maxSim):
     // documents are BAGS of vectors (label = the bag), queries are a
     // 4-vector set, score = Σ_q max_v cos(q, v). The per-(doc, q) max
@@ -1662,6 +1704,23 @@ object Ext {
            FROM sims)
          SELECT qid, nid, rank, cos6 FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // contract oracle: n_truth recomputed exactly; the recall floors and
+    // endpoint monotonicity are deterministic booleans pinned TRUE (the
+    // hash stack is seed-free, so the sweep is a pure function of the
+    // corpus)
+    "q280_lsh_param_recall" ->
+      """WITH t AS (
+           SELECT COUNT(*) AS n FROM documents
+           WHERE doc_id < 400 AND doc_id % 7 = 3
+             AND len(string_split(lower(text), ' ')) >= 14)
+         SELECT * FROM (
+           SELECT CAST(4 AS BIGINT) AS bands,
+             CAST(4 AS BIGINT) AS rows_per_band,
+             CAST(n AS BIGINT) AS n_truth,
+             TRUE AS floor_ok, TRUE AS monotone_ok FROM t
+           UNION ALL SELECT 8, 2, CAST(n AS BIGINT), TRUE, TRUE FROM t
+           UNION ALL SELECT 16, 1, CAST(n AS BIGINT), TRUE, TRUE FROM t) x
+         ORDER BY bands""",
     "q278_maxsim_retrieval" ->
       """WITH f AS (
            SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,

@@ -190,6 +190,49 @@ object Relational {
     // comparison path. Oracle = the lower() spelling of the same
     // semantics (collation-naive engines normalize; a collation-aware
     // engine must agree with them on these aggregate counts).
+    // Three-valued-logic pin: NOT IN against a subquery CONTAINING A
+    // NULL is the classic silent-wrong-answer trap — every comparison
+    // to the NULL is UNKNOWN, so NOT IN returns ZERO rows, while the
+    // equivalent-looking NOT EXISTS correlates per-row and returns the
+    // true anti-join count. Both engines implement standard SQL here;
+    // the query pins that this engine does too (and documents why the
+    // library's anti-joins are spelled as anti joins, never NOT IN).
+    "q281_not_in_nulls" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("g_niv_c")
+      table(s, d, "orders").createOrReplaceTempView("g_niv_o")
+      s.sql("""
+        WITH c AS (SELECT c_custkey FROM g_niv_c),
+             o AS (SELECT o_custkey FROM g_niv_o
+                   UNION ALL SELECT CAST(NULL AS BIGINT)),
+             ne AS (SELECT COUNT(*) AS n FROM c
+                    WHERE NOT EXISTS (SELECT 1 FROM o
+                                      WHERE o.o_custkey = c.c_custkey)),
+             ni AS (SELECT COUNT(*) AS n FROM c
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM o))
+        SELECT 'not_exists' AS variant, n FROM ne
+        UNION ALL SELECT 'not_in', n FROM ni
+        ORDER BY variant""")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other under the null-safe operator and match nothing
+    // under plain =. Pinned as the pair of counts — and a scale note:
+    // null-safe joins funnel EVERY null-keyed row into one hash
+    // partition, so production plans should split the null stratum
+    // (the q98 salting discipline) before a null-safe shuffle.
+    "q282_null_safe_join" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("g_nsj_c")
+      table(s, d, "supplier").createOrReplaceTempView("g_nsj_s")
+      s.sql("""
+        WITH a AS (SELECT nullif(c_custkey % 50, 0) AS k FROM g_nsj_c),
+             b AS (SELECT nullif(s_suppkey % 50, 0) AS k FROM g_nsj_s),
+             eq AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.k = b.k),
+             ns AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.k <=> b.k)
+        SELECT 'equi' AS variant, n FROM eq
+        UNION ALL SELECT 'null_safe', n FROM ns
+        ORDER BY variant""")
+    }),
+
     "q205_collation" -> ((s, d) => {
       val mixed = table(s, d, "part")
         .withColumn("brand_mixed",
@@ -626,6 +669,27 @@ object Relational {
          GROUP BY r_name ORDER BY r_name""",
     // lower() normalization = the collation-naive spelling of the
     // same case-insensitive semantics
+    "q281_not_in_nulls" ->
+      """WITH c AS (SELECT c_custkey FROM customer),
+           o AS (SELECT o_custkey FROM orders
+                 UNION ALL SELECT CAST(NULL AS BIGINT)),
+           ne AS (SELECT COUNT(*) AS n FROM c
+                  WHERE NOT EXISTS (SELECT 1 FROM o
+                                    WHERE o.o_custkey = c.c_custkey)),
+           ni AS (SELECT COUNT(*) AS n FROM c
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM o))
+         SELECT 'not_exists' AS variant, n FROM ne
+         UNION ALL SELECT 'not_in', n FROM ni
+         ORDER BY variant""",
+    "q282_null_safe_join" ->
+      """WITH a AS (SELECT nullif(c_custkey % 50, 0) AS k FROM customer),
+           b AS (SELECT nullif(s_suppkey % 50, 0) AS k FROM supplier),
+           eq AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.k = b.k),
+           ns AS (SELECT COUNT(*) AS n FROM a JOIN b
+                  ON a.k IS NOT DISTINCT FROM b.k)
+         SELECT 'equi' AS variant, n FROM eq
+         UNION ALL SELECT 'null_safe', n FROM ns
+         ORDER BY variant""",
     "q205_collation" ->
       """WITH m AS (
            SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)

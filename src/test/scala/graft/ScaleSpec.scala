@@ -179,6 +179,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+      "partitions at runtime") {
+    // the other half of the 100 TB scan story beside static pruning
+    // (q64/q155): when the fact is partitioned on the join key and the
+    // dim filter's surviving keys are only known at runtime, DPP turns
+    // the dim's broadcast result into a partition filter on the fact
+    // scan — 7 of 10 partition directories are never read. Plan must
+    // carry a dynamicpruning expression; results must equal the
+    // DPP-off session.
+    val wh = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val d0 = "/root/testdata/sf0.01"
+    Graft.table(spark, d0, "lineitem")
+      .withColumn("pk", pmod(col("l_orderkey"), lit(10)))
+      .write.mode("overwrite").partitionBy("pk").parquet(s"$wh/fact")
+    Graft.table(spark, d0, "nation")
+      .select(pmod(col("n_nationkey"), lit(10)).as("k"), col("n_name"))
+      .dropDuplicates("k")
+      .write.mode("overwrite").parquet(s"$wh/dim")
+    def run(s: org.apache.spark.sql.SparkSession): (String, Long) = {
+      val fact = s.read.parquet(s"$wh/fact")
+      val dim = s.read.parquet(s"$wh/dim")
+        .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
+      val j = fact.join(dim, col("pk") === col("k"))
+        .agg(count(lit(1))).as("n")
+      (j.queryExecution.executedPlan.toString, j.head().getLong(0))
+    }
+    val on = spark.newSession()
+    on.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "true")
+    val off = spark.newSession()
+    off.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "false")
+    val (planOn, nOn) = run(on)
+    val (planOff, nOff) = run(off)
+    assert(planOn.contains("dynamicpruning"),
+      s"no dynamic pruning expression in:\n$planOn")
+    assert(!planOff.contains("dynamicpruning"))
+    assert(nOn == nOff && nOn > 0, s"DPP changed the answer: $nOn vs $nOff")
+  }
+
   test("CBO column stats flip a filtered dim join from sort-merge to " +
       "broadcast (stats-driven planning)") {
     // the 100 TB planner story: a selective dim filter is only

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Advanced, Analytics, Corpus, Events, Ext, Geo, Metrics, Relational, Sources, Text}
+import graft.queries.{Advanced, Analytics, Corpus, Events, Ext, Geo, Metrics, Relational, Sources, Stats, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,7 +71,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++ Ext.queries ++
       Advanced.queries ++ Corpus.queries ++ Sources.queries ++ Geo.queries ++
-      Metrics.queries ++ Analytics.queries
+      Metrics.queries ++ Analytics.queries ++ Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (hash/LSH-based ops, the
@@ -81,5 +81,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Ext.oracles ++
       Advanced.oracles ++ Corpus.oracles ++ Sources.oracles ++ Geo.oracles ++
-      Metrics.oracles ++ Analytics.oracles
+      Metrics.oracles ++ Analytics.oracles ++ Stats.oracles
 }

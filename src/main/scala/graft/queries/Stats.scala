@@ -1,0 +1,1088 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft.{roundz, table}
+
+/** Hypothesis-testing / inferential statistics family (round 6,
+  * SURVEY.md §2.14 EXT): Mann–Whitney U, Benjamini–Hochberg FDR,
+  * Kendall tau-b, and the log-rank test — the classical
+  * nonparametric-inference layer that complements the descriptive
+  * Analytics family (q263–q272) and the evaluation Metrics family
+  * (q224–q228, q257–q258).
+  *
+  * Determinism conventions (SURVEY §5, the Analytics preamble): every
+  * statistic is reduced to exact BIGINT counts/rank-sums first; each
+  * float division/sqrt/ln happens once in an identical spelling on
+  * both engines; any float SUM whose accumulation order could differ
+  * is either avoided (integer-scaled) or run as an ORDERED window
+  * cumsum (the q175/q257 argument). `roundz` normalizes signed zero.
+  *
+  * 100 TB design notes per query are inline; the common theme is that
+  * each statistic aggregates to a domain-bounded relation (distinct
+  * cent values, hypothesis buckets, survival days, fixed-size per-group
+  * samples) before any single-partition window runs, so the wide stage
+  * is O(domain), not O(rows).
+  */
+object Stats {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    graft.Graft.normalizeTs(table(s, d, "events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mann–Whitney U (Wilcoxon rank-sum) comparing the `value`
+    // distribution of 'purchase' vs 'click' events, with full tie
+    // handling. Everything up to the final z is exact integer
+    // arithmetic: for each distinct cent value v with t ties of which
+    // n1v are group-1, the doubled average rank is 2c+t+1 (c = count
+    // of strictly smaller rows), so 2·R1 = Σ n1v·(2c+t+1) is a BIGINT;
+    // 2·U1 = 2·R1 − n1(n1+1); the tie correction Σ(t³−t) is a BIGINT.
+    // One float spelling at the end:
+    //   z = (2U1 − n1n2) / sqrt(n1·n2·((N+1)N(N−1) − T) / (3N(N−1))).
+    // Scale: the groupBy collapses the fact table to distinct cent
+    // values (domain-bounded: value ∈ [0,500] → ≤50k rows), so the
+    // single-partition rank window is O(domain) regardless of SF.
+    // Long headroom: (N+1)N(N−1) needs N < 2×10⁶ ranked rows; beyond
+    // that, divide T through by N(N−1) in double first (documented
+    // trade: exactness of the tie term for headroom).
+    "q283_mann_whitney" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").cast("long").as("g"),
+          cents(col("value")).as("v"))
+      val byv = e.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"), sum(col("g")).as("n1v"))
+      val w = Window.orderBy(col("v"))
+      val ranked = byv.withColumn("c",
+        coalesce(sum(col("t")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("n1v")).as("n1"),
+        sum(col("n1v") * (lit(2L) * col("c") + col("t") + 1)).as("two_r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      tot.select(
+          col("n1"), (col("n") - col("n1")).as("n2"),
+          (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"),
+          col("tsum"), col("n"))
+        .select(col("n1"), col("n2"), col("two_u1"), col("tsum"),
+          roundz((col("two_u1") - col("n1") * col("n2")).cast("double") /
+            sqrt((col("n1") * col("n2")).cast("double") *
+              (((col("n") + 1) * col("n") * (col("n") - 1)) - col("tsum"))
+                .cast("double") /
+              (lit(3.0) * (col("n") * (col("n") - 1)).cast("double"))), 6)
+            .as("z6"))
+    }),
+
+    // Benjamini–Hochberg FDR over m=64 simultaneous two-proportion
+    // tests (purchase rate of each event_id%64 bucket vs the pooled
+    // rate). The per-bucket z has an exact integer numerator
+    // (kᵢN − nᵢK) and one sqrt; the monotone p-surrogate 1/(1+z²)
+    // preserves the BH ordering without needing erf on either engine.
+    // The BH step-up is pure windowing: rank p ascending, keep where
+    // p ≤ r/m, kmax = max kept rank, reject rank ≤ kmax.
+    // Scale: one groupBy to 64 rows; every window after that is over
+    // m rows — O(hypotheses), never O(events). Long headroom:
+    // nᵢ·K·(N−K) needs N ≲ 5×10⁶; past that, pre-divide by N in
+    // double (z spelling change on both sides).
+    "q284_fdr_bh" -> ((s, d) => {
+      val byb = table(s, d, "events")
+        .groupBy(pmod(col("event_id"), lit(64)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "purchase").cast("long")).as("k"))
+      val wAll = Window.partitionBy()
+      val t = byb
+        .withColumn("tn", sum(col("n")).over(wAll))
+        .withColumn("tk", sum(col("k")).over(wAll))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("z",
+          (col("k") * col("tn") - col("n") * col("tk")).cast("double") /
+            sqrt((col("n") * col("tk") * (col("tn") - col("tk")))
+              .cast("double")))
+        .withColumn("p", lit(1.0) / (lit(1.0) + col("z") * col("z")))
+      val r = t.withColumn("r",
+        row_number().over(Window.orderBy(col("p"), col("bucket")))
+          .cast("long"))
+        .withColumn("keep",
+          col("p") <= col("r").cast("double") / col("m").cast("double"))
+      r.withColumn("kmax",
+          coalesce(max(when(col("keep"), col("r"))).over(wAll), lit(0L)))
+        .select(col("bucket"), col("n"), col("k"),
+          roundz(col("z"), 6).as("z6"), roundz(col("p"), 6).as("p6"),
+          col("r"), (col("r") <= col("kmax")).as("rejected"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Kendall tau-b per nation between customer account balance and
+    // total order value, on a FIXED-SIZE deterministic per-nation
+    // sample (hash-ranked top-120): concordant/discordant/tie pair
+    // counts are exact integers from a within-group self-join; tau-b's
+    // two sqrt factors are the only floats. Scale: the cap makes the
+    // pair join O(groups · k²) — constant per group at any SF (the
+    // estimator-error trade is O(1/√k), documented; the uncapped exact
+    // tau would be O(n²) per group and is the reason inversion-count
+    // merges exist). The sample is keyed by a multiplicative hash of
+    // the custkey so it is stable across engines and partitionings.
+    "q285_kendall_tau" -> ((s, d) => {
+      val ov = table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("v"))
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("b"))
+        .join(ov, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_custkey").cast("long").as("ck"), col("b"), col("v"))
+      val wk = Window.partitionBy(col("nk"))
+        .orderBy(pmod(col("ck") * lit(2654435761L), lit(1000000007L)),
+          col("ck"))
+      val samp = cust.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 120).drop("rn")
+      val a = samp.select(col("nk"), col("ck").as("cka"),
+        col("b").as("ba"), col("v").as("va"))
+      val b = samp.select(col("nk"), col("ck").as("ckb"),
+        col("b").as("bb"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("nk")).filter(col("cka") < col("ckb"))
+        .withColumn("sb", signum(col("bb") - col("ba")).cast("long"))
+        .withColumn("sv", signum(col("vb") - col("va")).cast("long"))
+      val g = pairs.groupBy(col("nk")).agg(
+        count(lit(1)).as("pairs"),
+        sum((col("sb") * col("sv") === 1).cast("long")).as("conc"),
+        sum((col("sb") * col("sv") === -1).cast("long")).as("disc"),
+        sum((col("sb") === 0).cast("long")).as("tb"),
+        sum((col("sv") === 0).cast("long")).as("tv"))
+      g.select(col("nk"), col("pairs"), col("conc"), col("disc"),
+          col("tb"), col("tv"),
+          roundz((col("conc") - col("disc")).cast("double") /
+            (sqrt((col("pairs") - col("tb")).cast("double")) *
+              sqrt((col("pairs") - col("tv")).cast("double"))), 6)
+            .as("tau6"))
+        .orderBy(col("nk"))
+    }),
+
+    // Log-rank test comparing survival (user lifetime in days, q257's
+    // censoring convention: censored iff the last event is a 'view')
+    // between the user_id-parity cohorts. Per death-day: d₁, d₂ exact
+    // integers; at-risk n₁, n₂ via reverse cumsum windows; the
+    // E₁ = Σ d·n₁/n and V = Σ d·(n₁/n)(n₂/n)(n−d)/(n−1) float sums run
+    // as ORDERED window cumsums over day (identical fold order on both
+    // engines — the q257 argument); χ² = (O₁−E₁)²/V once at the end.
+    // Scale: the survival relation is O(users) after one groupBy, then
+    // O(distinct days) for the windows — both domain-bounded.
+    "q286_log_rank" -> ((s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val lifet = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"), max(col("us")).as("l"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("lw"))
+        .select(pmod(col("user_id"), lit(2)).cast("long").as("g"),
+          expr("(l - f) div 86400000000").as("t"),
+          (col("lw.event_type") =!= "view").cast("long").as("ev"))
+      val byT = lifet.groupBy(col("t")).agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("a2"),
+        sum(when(col("g") === 0, col("ev")).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d2"))
+      val w = Window.orderBy(col("t"))
+      val risk = byT
+        .withColumn("n1", sum(col("a1")).over(
+          w.rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("n2", sum(col("a2")).over(
+          w.rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("dd", col("d1") + col("d2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .filter(col("dd") > 0)
+      val contrib = risk
+        .withColumn("e1c",
+          col("dd").cast("double") * col("n1").cast("double") /
+            col("nn").cast("double"))
+        .withColumn("vc",
+          when(col("nn") > 1,
+            col("dd").cast("double") *
+              (col("n1").cast("double") / col("nn").cast("double")) *
+              (col("n2").cast("double") / col("nn").cast("double")) *
+              ((col("nn") - col("dd")).cast("double") /
+                (col("nn") - 1).cast("double")))
+            .otherwise(lit(0.0)))
+      val cum = contrib
+        .withColumn("o1", sum(col("d1")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("e1", sum(col("e1c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("v", sum(col("vc")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(Window.orderBy(col("t").desc)))
+        .filter(col("rn") === 1)
+      cum.select(col("o1"), roundz(col("e1"), 6).as("e1_6"),
+        roundz(col("v"), 6).as("v6"),
+        roundz((col("o1").cast("double") - col("e1")) *
+          (col("o1").cast("double") - col("e1")) / col("v"), 6)
+          .as("chi2_6"))
+    }),
+
+    // Adamic–Adar link prediction on the basket co-occurrence part
+    // graph (parts appearing in the same order), over a 5%
+    // deterministic hash-sample of orders. For every non-adjacent
+    // 2-hop pair, AA = Σ_z 1/ln(deg z) over common neighbors z — the
+    // per-neighbor weight is fixed-point rounded to round(10⁶/ln deg)
+    // BEFORE summing so the score aggregation is an exact BIGINT sum
+    // in any order (the unordered-float-SUM trap, Analytics preamble).
+    // Scale: baskets are ≤7 lines → ≤21 pair instances per sampled
+    // order; with a constant sample rate, orders ∝ SF and parts ∝ SF
+    // keep mean degree CONSTANT, so wedge work Σ deg² = O(|parts|·d̄²)
+    // grows linearly with SF. The top-20 limit makes the final sort a
+    // TakeOrdered, not a global sort.
+    "q287_adamic_adar" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey").cast("long") * lit(2654435761L),
+          lit(20L)) === 0)
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk")).distinct()
+      val e = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      val deg = e.select(col("a").as("z")).unionAll(e.select(col("b")))
+        .groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      val w = deg.withColumn("wz",
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0)
+          .cast("long"))
+      val half = e.select(col("a").as("z"), col("b").as("nb"))
+        .unionAll(e.select(col("b"), col("a")))
+      val wedges = half.as("l")
+        .join(half.as("r"), col("l.z") === col("r.z"))
+        .filter(col("l.nb") < col("r.nb"))
+        .select(col("l.nb").as("a"), col("r.nb").as("b"), col("l.z"))
+      val cand = wedges.join(e, Seq("a", "b"), "left_anti")
+        .join(w.select(col("z"), col("wz")), Seq("z"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"), sum(col("wz")).as("aa_score"))
+      cand.orderBy(col("aa_score").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch per event type,
+    // k=16: hash user_id with the odd multiplier 2654435761 mod 2³²
+    // (a BIJECTION on [0,2³²), so distinct hashes = distinct users and
+    // the sketch is collision-free by construction), keep the k
+    // smallest, estimate distinct = (k−1)·2³²/h_k. The estimate and
+    // the exact count are emitted side by side. Mergeability (union of
+    // per-half sketches = whole-set sketch) is pinned in StatsSpec.
+    // Scale: the groupBy collapses to distinct (type, hash); the rank
+    // window runs per type over distinct users only. At 100 TB the
+    // k-smallest per type would run as a partial top-k aggregate
+    // (mergeable min-heaps) — the q68 TopKByScore UDAF is exactly that
+    // shape if the per-type distinct set ever stops fitting a window.
+    "q288_kmv_sketch" -> ((s, d) => {
+      val h = table(s, d, "events")
+        .select(col("event_type"),
+          pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+            .as("h"))
+        .distinct()
+      val wk = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val ranked = h.withColumn("rk", row_number().over(wk).cast("long"))
+      val kth = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_distinct"),
+          max(when(col("rk") === 16, col("h"))).as("hk"))
+      kth.select(col("event_type"), col("exact_distinct"),
+          col("hk"),
+          when(col("hk").isNotNull,
+            roundz(lit(15.0) * lit(4294967296.0) /
+              col("hk").cast("double"), 2))
+            .otherwise(col("exact_distinct").cast("double")).as("kmv_est2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Binary-segmentation changepoint on the gap-filled daily purchase
+    // count series: the between-segment SSE reduction at split t is
+    // (S_L·n − S·n_L)² / (n·n_L·n_R) — numerator exact BIGINT from
+    // prefix sums, three integer products, ONE float division at the
+    // end; argmax by (reduction desc, day) is deterministic because
+    // both engines compute bit-identical doubles from identical
+    // integer operands. Complements q266 (CUSUM criterion) with the
+    // variance-reduction criterion. Scale: O(days) rows after one
+    // groupBy — the window is calendar-bounded.
+    "q289_changepoint" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val f = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.orderBy(col("day"))
+      val wAll = Window.partitionBy()
+      val c = f
+        .withColumn("nl", row_number().over(w).cast("long"))
+        .withColumn("sl", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("stot", sum(col("x")).over(wAll))
+        .filter(col("nl") < col("n")) // split must leave a right segment
+      val g = c
+        .withColumn("num", col("sl") * col("n") - col("stot") * col("nl"))
+        .withColumn("red",
+          (col("num") * col("num")).cast("double") /
+            (col("n") * col("nl") * (col("n") - col("nl"))).cast("double"))
+      g.select(col("day").as("split_day"), col("nl").as("n_left"),
+          (col("n") - col("nl")).as("n_right"),
+          roundz(col("red"), 6).as("reduction6"),
+          roundz(col("sl").cast("double") / col("nl").cast("double"), 4)
+            .as("mean_left4"),
+          roundz((col("stot") - col("sl")).cast("double") /
+            (col("n") - col("nl")).cast("double"), 4).as("mean_right4"))
+        .orderBy(col("reduction6").desc, col("split_day")).limit(1)
+    }),
+
+    // DPO-style preference-pair construction over documents: within
+    // each (lang, source) prompt-cluster proxy, pair the
+    // highest-scoring document (chosen) with the lowest (rejected) by
+    // an integer quality score (whitespace token count), keep pairs
+    // with margin ≥ 5. Ties break on doc_id so the pairing is total.
+    // Scale: two rank windows per cluster, one shuffle on the cluster
+    // key; emitted pairs are O(clusters). The integer score keeps the
+    // margin exact.
+    "q290_preference_pairs" -> ((s, d) => {
+      val sc = table(s, d, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+      val wTop = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wBot = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("score"), col("doc_id").desc)
+      val ranked = sc
+        .withColumn("rt", row_number().over(wTop))
+        .withColumn("rb", row_number().over(wBot))
+      val top = ranked.filter(col("rt") === 1)
+        .select(col("lang"), col("source"), col("doc_id").as("chosen_id"),
+          col("score").as("chosen_score"))
+      val bot = ranked.filter(col("rb") === 1)
+        .select(col("lang"), col("source"),
+          col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+      top.join(bot, Seq("lang", "source"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .filter(col("margin") >= 5 && col("chosen_id") =!= col("rejected_id"))
+        .select(col("lang"), col("source"), col("chosen_id"),
+          col("rejected_id"), col("chosen_score"), col("rejected_score"),
+          col("margin"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // One-way ANOVA F across the five event types on value cents.
+    // Group sums S_g, squared sums Q_g are exact BIGINTs; the
+    // between-group term Σ S_g²/n_g runs as an ORDERED cumsum over the
+    // (tiny) group dimension with S_g squared in DOUBLE (BIGINT S_g²
+    // would overflow at ~SF1 — the double spelling is identical on
+    // both engines, so determinism survives where headroom wouldn't).
+    // Scale: one partial-aggregating groupBy; the window is O(k).
+    "q291_anova_f" -> ((s, d) => {
+      val g = table(s, d, "events")
+        .select(col("event_type").as("g"), cents(col("value")).as("x"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("qg"))
+      val w = Window.orderBy(col("g"))
+      val wAll = Window.partitionBy()
+      val c = g
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("n", sum(col("ng")).over(wAll))
+        .withColumn("stot", sum(col("sg")).over(wAll))
+        .withColumn("qtot", sum(col("qg")).over(wAll))
+        .withColumn("cum",
+          sum(col("sg").cast("double") * col("sg").cast("double") /
+            col("ng").cast("double")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+        .filter(col("rn") === 1)
+      val ssb = col("cum") - col("stot").cast("double") *
+        col("stot").cast("double") / col("n").cast("double")
+      val ssw = col("qtot").cast("double") - col("cum")
+      c.select(col("k"), col("n"),
+        roundz(ssb, 6).as("ssb6"), roundz(ssw, 6).as("ssw6"),
+        roundz((ssb / (col("k") - 1).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double")), 6).as("f6"))
+    }),
+
+    // Kruskal–Wallis H across all five event types: q283's doubled
+    // average-rank machinery generalized — per distinct cent value v,
+    // 2·avg-rank = 2c+t+1 exactly; per-group doubled rank sums 2R_g
+    // are BIGINTs; Σ(2R_g)²/n_g runs as an ordered cumsum over the k=5
+    // group rows (squares in DOUBLE for headroom); tie-corrected
+    // H_c = H / (1 − ΣT/(N³−N)). Scale: rank window over DISTINCT
+    // cents (domain-bounded); N³ needs N ≲ 2×10⁶ (same trade as q283).
+    "q292_kruskal_wallis" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .select(col("event_type").as("g"), cents(col("value")).as("v"))
+      val byv = e.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val wv = Window.orderBy(col("v"))
+      val ranked = byv.withColumn("c",
+        coalesce(sum(col("t")).over(wv.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      val byvg = e.groupBy(col("v"), col("g")).agg(count(lit(1)).as("ngv"))
+        .join(ranked, Seq("v"))
+      val byg = byvg.groupBy(col("g"))
+        .agg(sum(col("ngv")).as("ng"),
+          sum(col("ngv") * (lit(2L) * col("c") + col("t") + 1))
+            .as("tworg"))
+      val ties = ranked.agg(sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val wg = Window.orderBy(col("g"))
+      val wAll = Window.partitionBy()
+      val c = byg.crossJoin(broadcast(ties))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("srg",
+          sum(col("tworg").cast("double") * col("tworg").cast("double") /
+            col("ng").cast("double")).over(
+            wg.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+        .filter(col("rn") === 1)
+      val h = lit(3.0) * col("srg") /
+        (col("n") * (col("n") + 1)).cast("double") -
+        lit(3.0) * (col("n") + 1).cast("double")
+      c.select(col("n"), col("k"), col("tsum"),
+        roundz(h, 6).as("h6"),
+        roundz(h / (lit(1.0) - col("tsum").cast("double") /
+          (col("n") * col("n") * col("n") - col("n")).cast("double")), 6)
+          .as("hc6"))
+    }),
+
+    // McNemar's paired test: did each user purchase in the first vs
+    // second half of the observation window (day-15 split from the
+    // data's own min day)? The discordant cells b=n10, c=n01 drive
+    // χ² = (b−c)²/(b+c) and the continuity-corrected variant — exact
+    // integers, two final divisions. Scale: one groupBy to users, one
+    // to a single row.
+    "q293_mcnemar" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("pur"))
+      val lo = ev.agg(min(col("day")).as("lo"))
+      val per = ev.crossJoin(broadcast(lo))
+        .withColumn("p", least(expr("(day - lo) div 15"), lit(1L)))
+      val u = per.groupBy(col("user_id"))
+        .agg(max(when(col("p") === 0, col("pur")).otherwise(0L)).as("p1"),
+          max(when(col("p") === 1, col("pur")).otherwise(0L)).as("p2"))
+      val cells = u.agg(
+        sum((col("p1") === 1 && col("p2") === 1).cast("long")).as("n11"),
+        sum((col("p1") === 1 && col("p2") === 0).cast("long")).as("n10"),
+        sum((col("p1") === 0 && col("p2") === 1).cast("long")).as("n01"),
+        sum((col("p1") === 0 && col("p2") === 0).cast("long")).as("n00"))
+      val disc = col("n10") + col("n01")
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        roundz(when(disc > 0,
+          ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+            .cast("double") / disc.cast("double")).otherwise(lit(0.0)), 6)
+          .as("chi2_6"),
+        roundz(when(disc > 0,
+          ((abs(col("n10") - col("n01")) - 1) *
+           (abs(col("n10") - col("n01")) - 1)).cast("double") /
+            disc.cast("double")).otherwise(lit(0.0)), 6).as("chi2cc6"))
+    }),
+
+    // Friedman test: blocks = users, treatments = the five event
+    // types, response = per-(user,type) cents sum (0 for absent pairs
+    // via the user×type spine). Within-block average ranks use the
+    // 2c+t+1 integer trick per user; doubled treatment rank sums 2R_j
+    // are exact BIGINTs; χ²_F = 3·Σ(2R_j)²/(n·k·(k+1)) − 3n(k+1) with
+    // the Σ as an ordered cumsum over k rows (plain Friedman — no tie
+    // correction, documented). Emits one row per treatment (2R_j) with
+    // the replicated summary (the q258 shape). Scale: the rank window
+    // partitions BY USER over k=5 rows each — fully parallel.
+    "q294_friedman" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type").as("g"),
+          cents(col("value")).as("x"))
+      val types = ev.select(col("g")).distinct()
+      val spine = ev.select(col("user_id")).distinct().crossJoin(types)
+      val cell = spine.join(
+          ev.groupBy(col("user_id"), col("g")).agg(sum(col("x")).as("v")),
+          Seq("user_id", "g"), "left")
+        .select(col("user_id"), col("g"), coalesce(col("v"), lit(0L)).as("v"))
+      val byuv = cell.groupBy(col("user_id"), col("v"))
+        .agg(count(lit(1)).as("t"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("v"))
+      val ranked = byuv.withColumn("c",
+        coalesce(sum(col("t")).over(wu.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      val tworj = cell.join(ranked, Seq("user_id", "v"))
+        .groupBy(col("g"))
+        .agg(sum(lit(2L) * col("c") + col("t") + 1).as("two_rj"),
+          count(lit(1)).as("nu"))
+      val wAll = Window.partitionBy()
+      // (2R_j)² fits BIGINT comfortably (2R_j ≤ users·(2k+1)), so the
+      // cross-treatment Σ is EXACT and frame-order-free — no ordered
+      // cumsum needed here, unlike q291/q292 where squares overflow.
+      val c = tworj
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("srj", sum(col("two_rj") * col("two_rj")).over(wAll))
+      c.select(col("g"), col("nu").as("n_users"), col("two_rj"),
+          roundz(lit(3.0) * col("srj").cast("double") /
+            (col("nu") * col("k") * (col("k") + 1)).cast("double") -
+            lit(3.0) * (col("nu") * (col("k") + 1)).cast("double"), 6)
+            .as("chi2f6"))
+        .orderBy(col("g"))
+    }),
+
+    // Effect sizes for the q283 comparison (purchase vs click cents):
+    // Cohen's d from exact (n, S, Q) per group — variances spelled
+    // fully in DOUBLE ((nQ−S²)/(n(n−1)) would overflow BIGINT at ~SF1)
+    // — and Cliff's delta = (2U₁ − n₁n₂)/(n₁n₂), whose numerator
+    // reuses q283's exact doubled rank-sum identity (wins − losses =
+    // 2U₁ − n₁n₂). Scale: same domain-bounded rank window as q283.
+    "q295_effect_sizes" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "purchase").cast("long").as("g"),
+          cents(col("value")).as("v"))
+      val byv = e.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"), sum(col("g")).as("n1v"))
+      val w = Window.orderBy(col("v"))
+      val ranked = byv.withColumn("c",
+        coalesce(sum(col("t")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      val rk = ranked.agg(sum(col("t")).as("n"), sum(col("n1v")).as("n1"),
+        sum(col("n1v") * (lit(2L) * col("c") + col("t") + 1)).as("two_r1"))
+      val mom = e.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+          sum(col("v") * col("v")).as("qg"))
+      val m1 = mom.filter(col("g") === 1)
+        .select(col("ng").as("na"), col("sg").as("sa"), col("qg").as("qa"))
+      val m0 = mom.filter(col("g") === 0)
+        .select(col("ng").as("nb"), col("sg").as("sb"), col("qg").as("qb"))
+      val j = rk.crossJoin(broadcast(m1)).crossJoin(broadcast(m0))
+        .withColumn("two_u1",
+          col("two_r1") - col("n1") * (col("n1") + 1))
+        .withColumn("var1",
+          (col("na").cast("double") * col("qa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double")) /
+            (col("na").cast("double") * (col("na") - 1).cast("double")))
+        .withColumn("var0",
+          (col("nb").cast("double") * col("qb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double")) /
+            (col("nb").cast("double") * (col("nb") - 1).cast("double")))
+        .withColumn("sp", sqrt(
+          ((col("na") - 1).cast("double") * col("var1") +
+           (col("nb") - 1).cast("double") * col("var0")) /
+          (col("na") + col("nb") - 2).cast("double")))
+      j.select(col("na").as("n1"), col("nb").as("n2"),
+        roundz((col("sa").cast("double") / col("na").cast("double") -
+          col("sb").cast("double") / col("nb").cast("double")) / col("sp"),
+          6).as("cohens_d6"),
+        roundz((col("two_u1") - col("na") * col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("cliffs_delta6"))
+    }),
+
+    // Token-trigram novelty: split documents 80/20 train/test by the
+    // deterministic doc_id hash, then per language measure the share
+    // of DISTINCT test trigrams never seen in that language's train
+    // split — the classic memorization/novelty eval metric. Grams via
+    // the q38 sliding-slice spelling; one distinct-gram relation per
+    // split, one hash anti-join per language. Scale: distinct (lang,
+    // gram) collapses before any join; at 100 TB the gram key becomes
+    // xxhash64 (the q160 span-family convention) and the train side
+    // stays a semi-join probe — never a row-wise corpus shuffle.
+    "q296_ngram_novelty" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("toks"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(10L)) < 8)
+            .as("is_train"))
+        .filter(size(col("toks")) >= 3)
+      val grams = docs.select(col("lang"), col("is_train"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
+      val train = grams.filter(col("is_train"))
+        .select(col("lang"), col("gram")).distinct()
+      val test = grams.filter(!col("is_train"))
+        .select(col("lang"), col("gram")).distinct()
+      val novel = test.join(train, Seq("lang", "gram"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_novel"))
+      test.groupBy(col("lang")).agg(count(lit(1)).as("n_test_grams"))
+        .join(novel, Seq("lang"), "left")
+        .select(col("lang"), col("n_test_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          roundz(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_test_grams").cast("double"), 6).as("novelty6"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q283_mann_whitney" ->
+      """WITH e AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             CAST(round(value*100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         byv AS (
+           SELECT v, COUNT(*) AS t, SUM(g) AS n1v FROM e GROUP BY v),
+         ranked AS (
+           SELECT v, t, n1v,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM byv),
+         tot AS (
+           SELECT SUM(t) AS n, SUM(n1v) AS n1,
+             SUM(n1v * (2*c + t + 1)) AS two_r1,
+             SUM(t*t*t - t) AS tsum
+           FROM ranked)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+           CAST(two_r1 - n1*(n1+1) AS BIGINT) AS two_u1,
+           CAST(tsum AS BIGINT) AS tsum,
+           round(CAST(two_r1 - n1*(n1+1) - n1*(n - n1) AS DOUBLE) /
+             sqrt(CAST(n1*(n - n1) AS DOUBLE) *
+               CAST((n+1)*n*(n-1) - tsum AS DOUBLE) /
+               (3.0 * CAST(n*(n-1) AS DOUBLE))), 6) + 0.0 AS z6
+         FROM tot""",
+    "q284_fdr_bh" ->
+      """WITH byb AS (
+           SELECT CAST(event_id % 64 AS BIGINT) AS bucket, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT bucket, n, k,
+             SUM(n) OVER () AS tn, SUM(k) OVER () AS tk,
+             COUNT(*) OVER () AS m
+           FROM byb),
+         z AS (
+           SELECT bucket, n, k, m,
+             CAST(k*tn - n*tk AS DOUBLE) /
+               sqrt(CAST(n*tk*(tn-tk) AS DOUBLE)) AS z
+           FROM t),
+         p AS (
+           SELECT bucket, n, k, m, z, 1.0/(1.0 + z*z) AS p FROM z),
+         r AS (
+           SELECT bucket, n, k, m, z, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, bucket) AS BIGINT) AS r
+           FROM p),
+         kp AS (
+           SELECT bucket, n, k, z, p, r,
+             p <= CAST(r AS DOUBLE)/CAST(m AS DOUBLE) AS keep
+           FROM r),
+         km AS (
+           SELECT bucket, n, k, z, p, r,
+             COALESCE(MAX(CASE WHEN keep THEN r END) OVER (), 0) AS kmax
+           FROM kp)
+         SELECT bucket, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(z, 6) + 0.0 AS z6, round(p, 6) + 0.0 AS p6,
+           r, r <= kmax AS rejected
+         FROM km ORDER BY bucket""",
+    "q285_kendall_tau" ->
+      """WITH ov AS (
+           SELECT o_custkey,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS v
+           FROM orders GROUP BY 1),
+         cust AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nk,
+             CAST(c_custkey AS BIGINT) AS ck,
+             CAST(round(c_acctbal*100) AS BIGINT) AS b, v
+           FROM customer JOIN ov ON c_custkey = o_custkey),
+         samp AS (
+           SELECT nk, ck, b, v FROM (
+             SELECT nk, ck, b, v,
+               ROW_NUMBER() OVER (PARTITION BY nk
+                 ORDER BY (ck * 2654435761) % 1000000007, ck) AS rn
+             FROM cust) WHERE rn <= 120),
+         pairs AS (
+           SELECT a.nk,
+             CAST(sign(b.b - a.b) AS BIGINT) AS sb,
+             CAST(sign(b.v - a.v) AS BIGINT) AS sv
+           FROM samp a JOIN samp b ON a.nk = b.nk AND a.ck < b.ck),
+         g AS (
+           SELECT nk, COUNT(*) AS pairs,
+             SUM(CASE WHEN sb*sv = 1 THEN 1 ELSE 0 END) AS conc,
+             SUM(CASE WHEN sb*sv = -1 THEN 1 ELSE 0 END) AS disc,
+             SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS tb,
+             SUM(CASE WHEN sv = 0 THEN 1 ELSE 0 END) AS tv
+           FROM pairs GROUP BY nk)
+         SELECT nk, CAST(pairs AS BIGINT) AS pairs,
+           CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+           CAST(tb AS BIGINT) AS tb, CAST(tv AS BIGINT) AS tv,
+           round(CAST(conc - disc AS DOUBLE) /
+             (sqrt(CAST(pairs - tb AS DOUBLE)) *
+              sqrt(CAST(pairs - tv AS DOUBLE))), 6) + 0.0 AS tau6
+         FROM g ORDER BY nk""",
+    "q286_log_rank" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         lw AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l
+                FROM e GROUP BY user_id),
+         last_t AS (
+           SELECT user_id, event_type FROM (
+             SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY us DESC, event_id DESC) AS rn
+             FROM e)
+           WHERE rn = 1),
+         lifet AS (
+           SELECT CAST(lw.user_id % 2 AS BIGINT) AS g,
+             (lw.l - lw.f) // 86400000000 AS t,
+             CASE WHEN last_t.event_type <> 'view' THEN 1 ELSE 0 END AS ev
+           FROM lw JOIN last_t ON last_t.user_id = lw.user_id),
+         byt AS (
+           SELECT t,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a2,
+             SUM(CASE WHEN g = 0 THEN ev ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS d2
+           FROM lifet GROUP BY t),
+         risk AS (
+           SELECT t, d1, d2, d1 + d2 AS dd,
+             SUM(a1) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1,
+             SUM(a2) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n2
+           FROM byt),
+         fl AS (SELECT * FROM risk WHERE dd > 0),
+         contrib AS (
+           SELECT t, d1, dd, n1, n2, n1 + n2 AS nn,
+             CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) /
+               CAST(n1 + n2 AS DOUBLE) AS e1c,
+             CASE WHEN n1 + n2 > 1 THEN
+               CAST(dd AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+               (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+               (CAST(n1 + n2 - dd AS DOUBLE) /
+                CAST(n1 + n2 - 1 AS DOUBLE))
+             ELSE 0.0 END AS vc
+           FROM fl),
+         cum AS (
+           SELECT t,
+             SUM(d1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS o1,
+             SUM(e1c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS e1,
+             SUM(vc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v,
+             ROW_NUMBER() OVER (ORDER BY t DESC) AS rn
+           FROM contrib)
+         SELECT CAST(o1 AS BIGINT) AS o1, round(e1, 6) + 0.0 AS e1_6,
+           round(v, 6) + 0.0 AS v6,
+           round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v,
+             6) + 0.0 AS chi2_6
+         FROM cum WHERE rn = 1""",
+    "q287_adamic_adar" ->
+      """WITH li AS (
+           SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+             CAST(l_partkey AS BIGINT) AS pk
+           FROM lineitem
+           WHERE (CAST(l_orderkey AS BIGINT) * 2654435761) % 20 = 0),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT z, COUNT(*) AS deg FROM (
+             SELECT a AS z FROM e UNION ALL SELECT b FROM e)
+           GROUP BY z),
+         w AS (
+           SELECT z,
+             CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+               AS wz
+           FROM deg),
+         half AS (
+           SELECT a AS z, b AS nb FROM e
+           UNION ALL SELECT b, a FROM e),
+         wedges AS (
+           SELECT l.nb AS a, r.nb AS b, l.z
+           FROM half l JOIN half r ON l.z = r.z AND l.nb < r.nb),
+         cand AS (
+           SELECT wd.a, wd.b, wd.z FROM wedges wd
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.a = wd.a AND e.b = wd.b))
+         SELECT cand.a, cand.b, COUNT(*) AS common,
+           CAST(SUM(w.wz) AS BIGINT) AS aa_score
+         FROM cand JOIN w ON w.z = cand.z
+         GROUP BY cand.a, cand.b
+         ORDER BY aa_score DESC, a, b LIMIT 20""",
+    "q288_kmv_sketch" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             (user_id * 2654435761) % 4294967296 AS h
+           FROM events),
+         ranked AS (
+           SELECT event_type, h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY h) AS BIGINT) AS rk
+           FROM h),
+         kth AS (
+           SELECT event_type, COUNT(*) AS exact_distinct,
+             MAX(CASE WHEN rk = 16 THEN h END) AS hk
+           FROM ranked GROUP BY event_type)
+         SELECT event_type, CAST(exact_distinct AS BIGINT)
+             AS exact_distinct,
+           CAST(hk AS BIGINT) AS hk,
+           CASE WHEN hk IS NOT NULL
+             THEN round(15.0 * 4294967296.0 / CAST(hk AS DOUBLE), 2) + 0.0
+             ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_est2
+         FROM kth ORDER BY event_type""",
+    "q289_changepoint" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         c AS (
+           SELECT day,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS nl,
+             SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sl,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS stot
+           FROM f),
+         g AS (
+           SELECT day, nl, n, sl, stot,
+             CAST(sl*n - stot*nl AS BIGINT) AS num
+           FROM c WHERE nl < n)
+         SELECT day AS split_day, nl AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           round(CAST(num*num AS DOUBLE) /
+             CAST(n*nl*(n - nl) AS DOUBLE), 6) + 0.0 AS reduction6,
+           round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4) + 0.0
+             AS mean_left4,
+           round(CAST(stot - sl AS DOUBLE) / CAST(n - nl AS DOUBLE), 4)
+             + 0.0 AS mean_right4
+         FROM g ORDER BY reduction6 DESC, split_day LIMIT 1""",
+    "q290_preference_pairs" ->
+      """WITH sc AS (
+           SELECT lang, source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+               AS BIGINT) AS score
+           FROM documents),
+         ranked AS (
+           SELECT lang, source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY score DESC, doc_id) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY score, doc_id DESC) AS rb
+           FROM sc),
+         top AS (
+           SELECT lang, source, doc_id AS chosen_id,
+             score AS chosen_score FROM ranked WHERE rt = 1),
+         bot AS (
+           SELECT lang, source, doc_id AS rejected_id,
+             score AS rejected_score FROM ranked WHERE rb = 1)
+         SELECT top.lang, top.source, chosen_id, rejected_id,
+           chosen_score, rejected_score,
+           chosen_score - rejected_score AS margin
+         FROM top JOIN bot
+           ON top.lang = bot.lang AND top.source = bot.source
+         WHERE chosen_score - rejected_score >= 5
+           AND chosen_id <> rejected_id
+         ORDER BY top.lang, top.source""",
+    "q291_anova_f" ->
+      """WITH g AS (
+           SELECT event_type AS g, COUNT(*) AS ng,
+             SUM(CAST(round(value*100) AS BIGINT)) AS sg,
+             SUM(CAST(round(value*100) AS BIGINT)
+               * CAST(round(value*100) AS BIGINT)) AS qg
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT g, ng, sg, qg,
+             COUNT(*) OVER () AS k, SUM(ng) OVER () AS n,
+             SUM(sg) OVER () AS stot, SUM(qg) OVER () AS qtot,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE))
+               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY g DESC) AS rn
+           FROM g),
+         f AS (
+           SELECT k, n,
+             cum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ssb,
+             CAST(qtot AS DOUBLE) - cum AS ssw
+           FROM c WHERE rn = 1)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(ssb, 6) + 0.0 AS ssb6, round(ssw, 6) + 0.0 AS ssw6,
+           round((ssb / CAST(k - 1 AS DOUBLE)) /
+                 (ssw / CAST(n - k AS DOUBLE)), 6) + 0.0 AS f6
+         FROM f""",
+    "q292_kruskal_wallis" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(round(value*100) AS BIGINT) AS v
+           FROM events),
+         byv AS (SELECT v, COUNT(*) AS t FROM e GROUP BY v),
+         ranked AS (
+           SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM byv),
+         byvg AS (
+           SELECT e.g, e.v, COUNT(*) AS ngv FROM e GROUP BY e.g, e.v),
+         byg AS (
+           SELECT byvg.g, SUM(ngv) AS ng,
+             SUM(ngv * (2*ranked.c + ranked.t + 1)) AS tworg
+           FROM byvg JOIN ranked ON ranked.v = byvg.v
+           GROUP BY byvg.g),
+         ties AS (
+           SELECT SUM(t) AS n, SUM(t*t*t - t) AS tsum FROM ranked),
+         c AS (
+           SELECT g, ng, tworg, n, tsum,
+             COUNT(*) OVER () AS k,
+             SUM(CAST(tworg AS DOUBLE) * CAST(tworg AS DOUBLE)
+               / CAST(ng AS DOUBLE))
+               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS srg,
+             ROW_NUMBER() OVER (ORDER BY g DESC) AS rn
+           FROM byg, ties),
+         h AS (
+           SELECT n, k, tsum, srg,
+             3.0 * srg / CAST(n * (n + 1) AS DOUBLE)
+               - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+           FROM c WHERE rn = 1)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(tsum AS BIGINT) AS tsum, round(h, 6) + 0.0 AS h6,
+           round(h / (1.0 - CAST(tsum AS DOUBLE)
+             / CAST(n*n*n - n AS DOUBLE)), 6) + 0.0 AS hc6
+         FROM h""",
+    "q293_mcnemar" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+           FROM events),
+         lo AS (SELECT MIN(day) AS lo FROM ev),
+         per AS (
+           SELECT user_id, least((day - lo) // 15, 1) AS p, pur
+           FROM ev, lo),
+         u AS (
+           SELECT user_id,
+             MAX(CASE WHEN p = 0 THEN pur ELSE 0 END) AS p1,
+             MAX(CASE WHEN p = 1 THEN pur ELSE 0 END) AS p2
+           FROM per GROUP BY user_id),
+         cells AS (
+           SELECT
+             SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS n00
+           FROM u)
+         SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           round(CASE WHEN n10 + n01 > 0 THEN
+             CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+               / CAST(n10 + n01 AS DOUBLE) ELSE 0.0 END, 6) + 0.0
+             AS chi2_6,
+           round(CASE WHEN n10 + n01 > 0 THEN
+             CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+               / CAST(n10 + n01 AS DOUBLE) ELSE 0.0 END, 6) + 0.0
+             AS chi2cc6
+         FROM cells""",
+    "q294_friedman" ->
+      """WITH ev AS (
+           SELECT user_id, event_type AS g,
+             CAST(round(value*100) AS BIGINT) AS x
+           FROM events),
+         types AS (SELECT DISTINCT g FROM ev),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         cell AS (
+           SELECT users.user_id, types.g,
+             COALESCE(agg.v, 0) AS v
+           FROM users CROSS JOIN types
+           LEFT JOIN (SELECT user_id, g, SUM(x) AS v
+                      FROM ev GROUP BY user_id, g) agg
+             ON agg.user_id = users.user_id AND agg.g = types.g),
+         byuv AS (
+           SELECT user_id, v, COUNT(*) AS t FROM cell
+           GROUP BY user_id, v),
+         ranked AS (
+           SELECT user_id, v, t,
+             COALESCE(SUM(t) OVER (PARTITION BY user_id ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM byuv),
+         tworj AS (
+           SELECT cell.g,
+             SUM(2*ranked.c + ranked.t + 1) AS two_rj,
+             COUNT(*) AS nu
+           FROM cell JOIN ranked
+             ON ranked.user_id = cell.user_id AND ranked.v = cell.v
+           GROUP BY cell.g),
+         c AS (
+           SELECT g, nu, two_rj,
+             COUNT(*) OVER () AS k,
+             SUM(two_rj * two_rj) OVER () AS srj
+           FROM tworj)
+         SELECT g, CAST(nu AS BIGINT) AS n_users,
+           CAST(two_rj AS BIGINT) AS two_rj,
+           round(3.0 * CAST(srj AS DOUBLE)
+               / CAST(nu * k * (k + 1) AS DOUBLE)
+             - 3.0 * CAST(nu * (k + 1) AS DOUBLE), 6) + 0.0 AS chi2f6
+         FROM c ORDER BY g""",
+    "q295_effect_sizes" ->
+      """WITH e AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             AS g, CAST(round(value*100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         byv AS (
+           SELECT v, COUNT(*) AS t, SUM(g) AS n1v FROM e GROUP BY v),
+         ranked AS (
+           SELECT v, t, n1v,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM byv),
+         rk AS (
+           SELECT SUM(t) AS n, SUM(n1v) AS n1,
+             SUM(n1v * (2*c + t + 1)) AS two_r1
+           FROM ranked),
+         m1 AS (
+           SELECT COUNT(*) AS na, SUM(v) AS sa, SUM(v*v) AS qa
+           FROM e WHERE g = 1),
+         m0 AS (
+           SELECT COUNT(*) AS nb, SUM(v) AS sb, SUM(v*v) AS qb
+           FROM e WHERE g = 0),
+         j AS (
+           SELECT na, nb, sa, sb,
+             two_r1 - n1*(n1+1) AS two_u1,
+             (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) AS var1,
+             (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+               / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) AS var0
+           FROM rk, m1, m0),
+         sp AS (
+           SELECT na, nb, sa, sb, two_u1,
+             sqrt((CAST(na - 1 AS DOUBLE) * var1
+                 + CAST(nb - 1 AS DOUBLE) * var0)
+               / CAST(na + nb - 2 AS DOUBLE)) AS sp
+           FROM j)
+         SELECT CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
+           round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sp, 6) + 0.0
+             AS cohens_d6,
+           round(CAST(two_u1 - na*nb AS DOUBLE)
+             / CAST(na*nb AS DOUBLE), 6) + 0.0 AS cliffs_delta6
+         FROM sp""",
+    "q296_ngram_novelty" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+             (doc_id * 2654435761) % 10 < 8 AS is_train
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 3),
+         grams AS (
+           SELECT lang, is_train,
+             unnest([array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, len(toks)-2)]) AS gram
+           FROM docs),
+         train AS (
+           SELECT DISTINCT lang, gram FROM grams WHERE is_train),
+         test AS (
+           SELECT DISTINCT lang, gram FROM grams WHERE NOT is_train),
+         novel AS (
+           SELECT lang, COUNT(*) AS n_novel FROM test
+           WHERE NOT EXISTS (SELECT 1 FROM train
+             WHERE train.lang = test.lang AND train.gram = test.gram)
+           GROUP BY lang),
+         tot AS (
+           SELECT lang, COUNT(*) AS n_test_grams FROM test GROUP BY lang)
+         SELECT tot.lang, tot.n_test_grams,
+           CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+             / CAST(tot.n_test_grams AS DOUBLE), 6) + 0.0 AS novelty6
+         FROM tot LEFT JOIN novel ON novel.lang = tot.lang
+         ORDER BY tot.lang"""
+  )
+}

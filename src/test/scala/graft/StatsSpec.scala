@@ -1,0 +1,400 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stats-family specs (round 6, q283–q290): each statistic re-derived
+  * driver-side with an INDEPENDENT spelling — brute-force pair loops,
+  * float textbook formulas, set algebra — against the engine's
+  * exact-integer/windowed forms (the AnalyticsSpec convention; the
+  * DuckDB oracles share the relational shape by design, so these
+  * specs are the shape-independent check).
+  */
+class StatsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q283 Mann-Whitney: 2*U1 equals the brute pairwise count " +
+      "(wins*2 + ties) and z matches the textbook float formula") {
+    val r = SparkEntry.queries("q283_mann_whitney")(spark, d).head()
+    val (n1, n2, twoU1, tsum, z) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val rows = Graft.table(spark, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "purchase").cast("long"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val g1 = rows.filter(_._1 == 1L).map(_._2)
+    val g0 = rows.filter(_._1 == 0L).map(_._2)
+    assert(g1.length.toLong == n1 && g0.length.toLong == n2)
+    // brute U1: one win = 2, one tie = 1, summed (so it equals 2*U1)
+    var brute = 0L
+    for (a <- g1; b <- g0)
+      brute += (if (a > b) 2L else if (a == b) 1L else 0L)
+    assert(brute == twoU1)
+    val n = (n1 + n2).toDouble
+    val ties = (g1 ++ g0).groupBy(identity).values.map(_.length.toLong)
+    assert(ties.map(t => t * t * t - t).sum == tsum)
+    val varU = n1 * n2 / 12.0 *
+      ((n + 1) - tsum / (n * (n - 1)))
+    val zRef = (twoU1 / 2.0 - n1 * n2 / 2.0) / math.sqrt(varU)
+    assert(math.abs(z - zRef) < 5e-7)
+  }
+
+  test("q284 BH rejected set equals a driver-side run of the step-up " +
+      "procedure on independently computed z-scores") {
+    val out = SparkEntry.queries("q284_fdr_bh")(spark, d)
+      .select(col("bucket"), col("rejected")).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val byb = Graft.table(spark, d, "events")
+      .groupBy(pmod(col("event_id"), lit(64)).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("k"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val tn = byb.map(_._2).sum
+    val tk = byb.map(_._3).sum
+    val m = byb.length
+    val ps = byb.map { case (b, ni, ki) =>
+      val z = (ki * tn - ni * tk).toDouble /
+        math.sqrt((ni * tk * (tn - tk)).toDouble)
+      b -> 1.0 / (1.0 + z * z)
+    }
+    val sorted = ps.sortBy { case (b, p) => (p, b) }
+    val kmax = sorted.zipWithIndex
+      .filter { case ((_, p), i) => p <= (i + 1).toDouble / m }
+      .map(_._2 + 1).reduceOption(_ max _).getOrElse(0)
+    val expect = sorted.zipWithIndex
+      .map { case ((b, _), i) => b -> (i + 1 <= kmax) }.toMap
+    assert(out == expect)
+    assert(out.values.exists(identity) || kmax == 0) // procedure ran
+  }
+
+  test("q285 Kendall tau-b: engine pair counts equal a brute double " +
+      "loop over the same hash-capped per-nation sample") {
+    val eng = SparkEntry.queries("q285_kendall_tau")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ov = Graft.table(spark, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("v"))
+    val cust = Graft.table(spark, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("b"))
+      .join(ov, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+        col("b"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    val byNk = cust.groupBy(_._1).map { case (nk, xs) =>
+      val samp = xs.sortBy(x =>
+        (math.floorMod(x._2 * 2654435761L, 1000000007L), x._2)).take(120)
+      var (c, dd, tb, tv) = (0L, 0L, 0L, 0L)
+      for {
+        i <- samp.indices; j <- samp.indices
+        if samp(i)._2 < samp(j)._2
+      } {
+        val sb = java.lang.Long.signum(samp(j)._3 - samp(i)._3)
+        val sv = java.lang.Long.signum(samp(j)._4 - samp(i)._4)
+        if (sb * sv == 1) c += 1
+        else if (sb * sv == -1) dd += 1
+        if (sb == 0) tb += 1
+        if (sv == 0) tv += 1
+      }
+      nk -> (c, dd, tb, tv)
+    }
+    assert(eng == byNk)
+  }
+
+  test("q286 log-rank matches a driver-side textbook recompute of " +
+      "O1/E1/V from the same lifetimes") {
+    val r = SparkEntry.queries("q286_log_rank")(spark, d).head()
+    val (o1, e1, v, chi2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val ev = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3)))
+    val byU = ev.groupBy(_._1).map { case (u, xs) =>
+      val last = xs.maxBy(x => (x._2, x._3))
+      val t = (xs.map(_._2).max - xs.map(_._2).min) / 86400000000L
+      (u % 2, t, if (last._4 != "view") 1L else 0L)
+    }.toSeq
+    val days = byU.map(_._2).distinct.sorted
+    var (e1s, vs, o1s) = (0.0, 0.0, 0L)
+    for (t <- days) {
+      val d1 = byU.count(x => x._1 == 0 && x._2 == t && x._3 == 1L)
+      val d2 = byU.count(x => x._1 == 1 && x._2 == t && x._3 == 1L)
+      val dd = d1 + d2
+      val n1t = byU.count(x => x._1 == 0 && x._2 >= t).toDouble
+      val n2t = byU.count(x => x._1 == 1 && x._2 >= t).toDouble
+      val nn = n1t + n2t
+      if (dd > 0) {
+        o1s += d1
+        e1s += dd * n1t / nn
+        if (nn > 1) vs += dd * (n1t / nn) * (n2t / nn) * (nn - dd) / (nn - 1)
+      }
+    }
+    assert(o1 == o1s)
+    assert(math.abs(e1 - e1s) < 5e-7)
+    assert(math.abs(v - vs) < 5e-7)
+    val chiRef = (o1s - e1s) * (o1s - e1s) / vs
+    assert(math.abs(chi2 - chiRef) < 1e-5)
+  }
+
+  test("q287 Adamic-Adar top-20 equals a brute common-neighbor scan " +
+      "over the collected sampled graph") {
+    val eng = SparkEntry.queries("q287_adamic_adar")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val li = Graft.table(spark, d, "lineitem")
+      .filter(pmod(col("l_orderkey").cast("long") * lit(2654435761L),
+        lit(20L)) === 0)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val wz = adj.map { case (z, nbs) =>
+      z -> math.round(1000000.0 / math.log(nbs.size.toDouble))
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val cand = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      a = nodes(i); b = nodes(j)
+      if !edges.contains((a, b))
+      common = adj(a).intersect(adj(b))
+      if common.nonEmpty
+    } yield (a, b, common.size.toLong, common.toSeq.map(wz).sum)
+    val expect = cand.sortBy { case (a, b, _, s) => (-s, a, b) }.take(20)
+    assert(eng.toSeq == expect)
+  }
+
+  test("q288 KMV sketches are mergeable: union of per-half k-minima " +
+      "has the same k-th minimum as the whole set") {
+    val hs = Graft.table(spark, d, "events")
+      .select(col("event_type"),
+        pmod(col("user_id") * lit(2654435761L), lit(4294967296L)).as("h"),
+        pmod(col("event_id"), lit(2)).as("half"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val k = 16
+    for (tpe <- hs.map(_._1).distinct) {
+      val whole = hs.filter(_._1 == tpe).map(_._2).distinct.sorted
+      val sk0 = hs.filter(x => x._1 == tpe && x._3 == 0L).map(_._2)
+        .distinct.sorted.take(k)
+      val sk1 = hs.filter(x => x._1 == tpe && x._3 == 1L).map(_._2)
+        .distinct.sorted.take(k)
+      val merged = (sk0 ++ sk1).distinct.sorted.take(k)
+      assert(merged.toSeq == whole.take(k).toSeq,
+        s"KMV merge mismatch for $tpe")
+    }
+    // and the query's hk is the true 16th smallest distinct hash
+    val eng = SparkEntry.queries("q288_kmv_sketch")(spark, d).collect()
+    for (r <- eng) {
+      val whole = hs.filter(_._1 == r.getString(0)).map(_._2)
+        .distinct.sorted
+      if (whole.length >= k) assert(r.getLong(2) == whole(k - 1))
+    }
+  }
+
+  test("q289 changepoint maximizes brute two-segment SSE reduction") {
+    val r = SparkEntry.queries("q289_changepoint")(spark, d).head()
+    val (day, red) = (r.getLong(0), r.getDouble(3))
+    val daily = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val lo = daily.map(_._1).min
+    val hi = daily.map(_._1).max
+    val m = daily.toMap
+    val xs = (lo to hi).map(t => t -> m.getOrElse(t, 0L).toDouble)
+    def sse(v: Seq[Double]): Double = {
+      val mu = v.sum / v.length
+      v.map(x => (x - mu) * (x - mu)).sum
+    }
+    val total = sse(xs.map(_._2))
+    val best = (1 until xs.length).map { i =>
+      val (l, rr) = xs.splitAt(i)
+      (xs(i - 1)._1, total - sse(l.map(_._2)) - sse(rr.map(_._2)))
+    }.maxBy { case (t, g) => (g, -t) }
+    assert(day == best._1)
+    assert(math.abs(red - best._2) < 1e-4)
+  }
+
+  test("q291 ANOVA F matches the textbook mean-centered recompute") {
+    val r = SparkEntry.queries("q291_anova_f")(spark, d).head()
+    val (ssb, ssw, f) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val rows = Graft.table(spark, d, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1).toDouble))
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val all = rows.map(_._2)
+    val gm = all.sum / all.length
+    val ssbRef = groups.map { g =>
+      val m = g.sum / g.length; g.length * (m - gm) * (m - gm)
+    }.sum
+    val sswRef = groups.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val k = groups.size
+    val fRef = (ssbRef / (k - 1)) / (sswRef / (all.length - k))
+    assert(math.abs(ssb - ssbRef) < 1e-3 * math.abs(ssbRef))
+    assert(math.abs(ssw - sswRef) < 1e-3 * math.abs(sswRef))
+    assert(math.abs(f - fRef) < 1e-4 * math.abs(fRef) + 1e-6)
+  }
+
+  test("q292 Kruskal-Wallis H matches a brute average-rank recompute") {
+    val r = SparkEntry.queries("q292_kruskal_wallis")(spark, d).head()
+    val (n, hc) = (r.getLong(0), r.getDouble(4))
+    val rows = Graft.table(spark, d, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(rows.length.toLong == n)
+    val sorted = rows.map(_._2).sorted
+    val avgRank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.length }
+    val byG = rows.groupBy(_._1)
+    val hRef = 12.0 / (n * (n + 1)) * byG.values.map { g =>
+      val rs = g.map(x => avgRank(x._2)).sum
+      rs * rs / g.length
+    }.sum - 3 * (n + 1)
+    val ties = rows.groupBy(_._2).values
+      .map(t => math.pow(t.length, 3) - t.length).sum
+    val hcRef = hRef / (1.0 - ties / (math.pow(n.toDouble, 3) - n))
+    assert(math.abs(hc - hcRef) < 1e-4)
+  }
+
+  test("q293 McNemar cells partition the users and chi2 is the " +
+      "discordant-cell formula") {
+    val r = SparkEntry.queries("q293_mcnemar")(spark, d).head()
+    val (n11, n10, n01, n00, chi2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    val ev = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lo = ev.map(_._2).min
+    val byU = ev.groupBy(_._1).values.map { xs =>
+      val p1 = xs.exists(x => (x._2 - lo) / 15 == 0 && x._3 == 1L)
+      val p2 = xs.exists(x => (x._2 - lo) / 15 >= 1 && x._3 == 1L)
+      (p1, p2)
+    }.toSeq
+    assert(n11 == byU.count(x => x._1 && x._2))
+    assert(n10 == byU.count(x => x._1 && !x._2))
+    assert(n01 == byU.count(x => !x._1 && x._2))
+    assert(n00 == byU.count(x => !x._1 && !x._2))
+    if (n10 + n01 > 0) {
+      val ref = (n10 - n01).toDouble * (n10 - n01) / (n10 + n01)
+      assert(math.abs(chi2 - ref) < 5e-7)
+    }
+  }
+
+  test("q294 Friedman chi2 matches a brute within-block rank recompute") {
+    val out = SparkEntry.queries("q294_friedman")(spark, d).collect()
+    val chi2 = out.head.getDouble(3)
+    val rows = Graft.table(spark, d, "events")
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val types = rows.map(_._2).distinct.sorted
+    val k = types.length
+    val users = rows.map(_._1).distinct
+    val n = users.length
+    val rankSums = scala.collection.mutable.Map(
+      types.map(_ -> 0.0): _*)
+    for (u <- users) {
+      val sums = types.map(t =>
+        t -> rows.filter(x => x._1 == u && x._2 == t).map(_._3).sum)
+      val avgRank = sums.map(_._2).sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) =>
+          v -> xs.map(_._2 + 1).sum.toDouble / xs.length }
+      for ((t, v) <- sums) rankSums(t) += avgRank(v)
+    }
+    val chiRef = 12.0 / (n * k * (k + 1)) *
+      rankSums.values.map(r => r * r).sum - 3.0 * n * (k + 1)
+    assert(math.abs(chi2 - chiRef) < 1e-4)
+    // engine 2R_j doubles the brute rank sums
+    val engRj = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (t <- types)
+      assert(engRj(t) == math.round(2 * rankSums(t)))
+  }
+
+  test("q295 effect sizes: Cohen's d from sample moments, Cliff's " +
+      "delta from a brute pairwise dominance count") {
+    val r = SparkEntry.queries("q295_effect_sizes")(spark, d).head()
+    val (dEff, delta) = (r.getDouble(2), r.getDouble(3))
+    val rows = Graft.table(spark, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "purchase").cast("long"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1).toDouble))
+    val g1 = rows.filter(_._1 == 1L).map(_._2)
+    val g0 = rows.filter(_._1 == 0L).map(_._2)
+    def varS(v: Seq[Double]): Double = {
+      val m = v.sum / v.length
+      v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+    }
+    val sp = math.sqrt(((g1.length - 1) * varS(g1) +
+      (g0.length - 1) * varS(g0)) / (g1.length + g0.length - 2))
+    val dRef = (g1.sum / g1.length - g0.sum / g0.length) / sp
+    assert(math.abs(dEff - dRef) < 1e-5)
+    var dom = 0L
+    for (a <- g1; b <- g0)
+      dom += (if (a > b) 1L else if (a < b) -1L else 0L)
+    val deltaRef = dom.toDouble / (g1.length.toLong * g0.length)
+    assert(math.abs(delta - deltaRef) < 5e-7)
+  }
+
+  test("q296 trigram novelty matches driver-side set algebra") {
+    val eng = SparkEntry.queries("q296_ngram_novelty")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val docs = Graft.table(spark, d, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expect = docs.groupBy(_._2).flatMap { case (lang, xs) =>
+      val train = xs.filter(x =>
+        math.floorMod(x._1 * 2654435761L, 10L) < 8)
+        .flatMap(x => grams(x._3)).toSet
+      val test = xs.filter(x =>
+        math.floorMod(x._1 * 2654435761L, 10L) >= 8)
+        .flatMap(x => grams(x._3)).toSet
+      if (test.isEmpty) None
+      else Some(lang ->
+        (test.size.toLong, test.diff(train).size.toLong))
+    }
+    assert(eng == expect)
+  }
+
+  test("q290 preference pairs: chosen/rejected are the per-group " +
+      "argmax/argmin by (token count, doc_id)") {
+    val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    val docs = Graft.table(spark, d, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("sc"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    val expect = docs.groupBy(x => (x._1, x._2)).flatMap { case (g, xs) =>
+      val chosen = xs.minBy(x => (-x._4, x._3))
+      val rejected = xs.minBy(x => (x._4, -x._3))
+      val margin = chosen._4 - rejected._4
+      if (margin >= 5 && chosen._3 != rejected._3)
+        Some(g -> (chosen._3, rejected._3, margin))
+      else None
+    }
+    assert(eng == expect)
+  }
+}

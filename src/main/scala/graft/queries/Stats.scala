@@ -610,6 +610,224 @@ object Stats {
           roundz(coalesce(col("n_novel"), lit(0L)).cast("double") /
             col("n_test_grams").cast("double"), 6).as("novelty6"))
         .orderBy(col("lang"))
+    }),
+
+    // Mann–Kendall trend test on gap-filled daily event counts:
+    // S = Σ_{i<j} sgn(x_j − x_i) from a calendar-bounded pair join
+    // (O(days²) — bounded by the time window, never by data volume);
+    // Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 with the tie term
+    // exact; z uses the ±1 continuity correction. Everything is an
+    // exact BIGINT until the single /18.0 and the sqrt. The
+    // nonparametric complement of q270's Theil–Sen slope.
+    "q297_mann_kendall" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val f = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val pairs = f.as("a").join(f.as("b"), col("a.day") < col("b.day"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+      val ties = f.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t")).as("n"),
+          sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_term"))
+      val j = pairs.crossJoin(broadcast(ties))
+        .withColumn("varnum",
+          col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+            col("tie_term"))
+      j.select(col("n"), col("s"), col("varnum"),
+        roundz(col("s").cast("double") /
+          ((col("n") * (col("n") - 1)).cast("double") / lit(2.0)), 6)
+          .as("tau_mk6"),
+        roundz(when(col("s") =!= 0,
+          (col("s") - signum(col("s")).cast("long")).cast("double") /
+            sqrt(col("varnum").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)), 6).as("z6"))
+    }),
+
+    // Cochran's Q test: k binary "treatments" paired by user — the
+    // indicator is SF-ADAPTIVE ("did the user log MORE of this type
+    // than their own per-type mean", the integer compare cnt·k >
+    // total_u), so within-block variation survives any scale (a fixed
+    // absolute threshold saturates: at sf0.001 every cell passes ≥5
+    // and the Q denominator is exactly 0). Q = (k−1)·[k·ΣG_j² −
+    // (ΣG_j)²] / (k·ΣL_i − ΣL_i²) — G_j column sums, L_i row sums,
+    // ENTIRELY exact integers except the guarded final division.
+    // Generalizes q293's McNemar to k treatments. Scale: a users×types
+    // spine (k=5 wide), then narrow aggregates only.
+    "q298_cochran_q" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+      val types = ev.select(col("event_type")).distinct()
+      val cnt = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(types))
+      val cells = spine.join(cnt, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val wu = Window.partitionBy(col("user_id"))
+      val ut = cells
+        .withColumn("total", sum(col("cnt")).over(wu))
+        .withColumn("k", count(lit(1)).over(wu))
+        .withColumn("xx", (col("cnt") * col("k") > col("total"))
+          .cast("long"))
+      val gj = ut.groupBy(col("event_type")).agg(sum(col("xx")).as("g"))
+        .agg(count(lit(1)).as("k"), sum(col("g")).as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+      val li = ut.groupBy(col("user_id")).agg(sum(col("xx")).as("l"))
+        .agg(count(lit(1)).as("n_users"), sum(col("l")).as("sl"),
+          sum(col("l") * col("l")).as("sl2"))
+      val den = col("k") * col("sl") - col("sl2")
+      gj.crossJoin(broadcast(li))
+        .select(col("k"), col("n_users"), col("sg"), col("sl"),
+          roundz(when(den > 0, ((col("k") - 1) *
+            (col("k") * col("sg2") - col("sg") * col("sg"))).cast("double") /
+            den.cast("double")).otherwise(lit(0.0)), 6)
+            .as("q6"))
+    }),
+
+    // Brown–Forsythe homogeneity-of-variance test: one-way ANOVA F on
+    // |x − median_g| with the per-group LOWER median (the value at
+    // row_number (n+1) div 2 — a deterministic order statistic, no
+    // even-n averaging ambiguity across engines). Deviations are exact
+    // integers; the F stage reuses q291's ordered-cumsum spelling.
+    // Scale: one rank window per group + the O(k) F fold.
+    "q299_brown_forsythe" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .select(col("event_type").as("g"), cents(col("value")).as("x"))
+      val wg = Window.partitionBy(col("g")).orderBy(col("x"))
+      val wgAll = Window.partitionBy(col("g"))
+      val med = e
+        .withColumn("rn", row_number().over(wg).cast("long"))
+        .withColumn("ng", count(lit(1)).over(wgAll))
+        .filter(col("rn") === expr("(ng + 1) div 2"))
+        .select(col("g"), col("x").as("med"))
+      val z = e.join(med, Seq("g"))
+        .select(col("g"), abs(col("x") - col("med")).as("z"))
+      val byg = z.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+          sum(col("z") * col("z")).as("qg"))
+      val w = Window.orderBy(col("g"))
+      val wAll = Window.partitionBy()
+      val c = byg
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("n", sum(col("ng")).over(wAll))
+        .withColumn("stot", sum(col("sg")).over(wAll))
+        .withColumn("qtot", sum(col("qg")).over(wAll))
+        .withColumn("cum",
+          sum(col("sg").cast("double") * col("sg").cast("double") /
+            col("ng").cast("double")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(Window.orderBy(col("g").desc)))
+        .filter(col("rn") === 1)
+      val ssb = col("cum") - col("stot").cast("double") *
+        col("stot").cast("double") / col("n").cast("double")
+      val ssw = col("qtot").cast("double") - col("cum")
+      c.select(col("k"), col("n"),
+        roundz((ssb / (col("k") - 1).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double")), 6).as("bf_f6"))
+    }),
+
+    // q300: the composed statistical quality-monitoring pipeline —
+    // ONE pass over the daily purchase-cents series emits the
+    // monitoring dashboard row: Mann–Kendall trend direction (q297's
+    // S), the binary-segmentation changepoint (q289's criterion),
+    // first-half/second-half PSI drift (q264's ±-half smoothing), and
+    // the MAD anomaly-day count (q169's 3σ-equivalent screen with the
+    // deterministic lower median). Every sub-statistic keeps its
+    // family's exactness discipline; the composition shares the single
+    // gap-filled spine. Scale: all four legs are O(days) after the one
+    // fact-table groupBy — the monitoring layer costs one scan.
+    "q300_quality_monitor" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val f = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      // leg 1: Mann–Kendall S (trend direction)
+      val mk = f.as("a").join(f.as("b"), col("a.day") < col("b.day"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("mk_s"))
+      // leg 2: changepoint by max SSE reduction (q289)
+      val w = Window.orderBy(col("day"))
+      val wAll = Window.partitionBy()
+      val cp = f
+        .withColumn("nl", row_number().over(w).cast("long"))
+        .withColumn("sl", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("stot", sum(col("x")).over(wAll))
+        .filter(col("nl") < col("n"))
+        .withColumn("num", col("sl") * col("n") - col("stot") * col("nl"))
+        .withColumn("red",
+          (col("num").cast("double") / col("nl").cast("double")) *
+            (col("num").cast("double") /
+              (col("n") * (col("n") - col("nl"))).cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("red").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("day").as("cp_day"), roundz(col("red"), 4).as("cp_red4"),
+          col("n"))
+      // leg 3: PSI of the value distribution, first half vs second
+      val half = f.crossJoin(broadcast(
+          f.agg(expr("(max(day) + min(day) + 1) div 2").as("mid"),
+            max(col("x")).as("maxx"))))
+        .withColumn("p", (col("day") >= col("mid")).cast("long"))
+        .withColumn("bin", expr("(x * 10) div (maxx + 1)"))
+      val gbin = half.groupBy(col("bin"))
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("cb"))
+      val binSpine = half.agg(lit(0).as("__d"))
+        .select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(gbin, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val wb = Window.orderBy(col("bin"))
+      val psi = binSpine
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("contrib",
+          ((col("ca") + 1).cast("double") / (col("na") + 10).cast("double") -
+           (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")) *
+          log(((col("ca") + 1).cast("double") /
+            (col("na") + 10).cast("double")) /
+            ((col("cb") + 1).cast("double") /
+              (col("nb") + 10).cast("double"))))
+        .withColumn("cum", sum(col("contrib")).over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rk", row_number().over(Window.orderBy(col("bin").desc)))
+        .filter(col("rk") === 1)
+        .select(roundz(col("cum"), 6).as("psi6"))
+      // leg 4: MAD anomaly days (lower medians, 3·1.4826 screen)
+      val wf = Window.orderBy(col("x"))
+      val medX = f
+        .withColumn("rn", row_number().over(wf).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("x").as("med"))
+      val dev = f.crossJoin(broadcast(medX))
+        .withColumn("ad", abs(col("x") - col("med")))
+      val wad = Window.orderBy(col("ad"))
+      val mad = dev
+        .withColumn("rn", row_number().over(wad).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("ad").as("mad"), col("med"))
+      val anom = f.crossJoin(broadcast(mad))
+        .agg(sum((abs(col("x") - col("med")).cast("double") >
+          lit(3.0) * lit(1.4826) * col("mad").cast("double")).cast("long"))
+          .as("n_anomalies"))
+      mk.crossJoin(cp).crossJoin(psi).crossJoin(anom)
+        .select(col("n").as("n_days"), col("mk_s"),
+          signum(col("mk_s")).cast("long").as("trend_dir"),
+          col("cp_day"), col("cp_red4"), col("psi6"), col("n_anomalies"))
     })
   )
 
@@ -1083,6 +1301,201 @@ object Stats {
            round(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
              / CAST(tot.n_test_grams AS DOUBLE), 6) + 0.0 AS novelty6
          FROM tot LEFT JOIN novel ON novel.lang = tot.lang
-         ORDER BY tot.lang"""
+         ORDER BY tot.lang""",
+    "q297_mann_kendall" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         pairs AS (
+           SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+             AS s
+           FROM f a JOIN f b ON a.day < b.day),
+         ties AS (
+           SELECT SUM(t) AS n,
+             SUM(t * (t - 1) * (2*t + 5)) AS tie_term
+           FROM (SELECT x, COUNT(*) AS t FROM f GROUP BY x)),
+         j AS (
+           SELECT s, n,
+             n * (n - 1) * (2*n + 5) - tie_term AS varnum
+           FROM pairs, ties)
+         SELECT CAST(n AS BIGINT) AS n, s,
+           CAST(varnum AS BIGINT) AS varnum,
+           round(CAST(s AS DOUBLE)
+             / (CAST(n * (n - 1) AS DOUBLE) / 2.0), 6) + 0.0 AS tau_mk6,
+           round(CASE WHEN s <> 0 THEN
+             CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(varnum AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) + 0.0 AS z6
+         FROM j""",
+    "q298_cochran_q" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         users AS (SELECT DISTINCT user_id FROM ev),
+         cnt AS (
+           SELECT user_id, event_type, COUNT(*) AS cnt
+           FROM ev GROUP BY 1, 2),
+         cells AS (
+           SELECT users.user_id, types.event_type,
+             COALESCE(cnt.cnt, 0) AS cnt
+           FROM users CROSS JOIN types
+           LEFT JOIN cnt ON cnt.user_id = users.user_id
+             AND cnt.event_type = types.event_type),
+         ut AS (
+           SELECT user_id, event_type,
+             CASE WHEN cnt * (COUNT(*) OVER (PARTITION BY user_id)) >
+               SUM(cnt) OVER (PARTITION BY user_id)
+             THEN 1 ELSE 0 END AS xx
+           FROM cells),
+         gj AS (
+           SELECT COUNT(*) AS k, SUM(g) AS sg, SUM(g*g) AS sg2 FROM
+             (SELECT event_type, SUM(xx) AS g FROM ut GROUP BY 1)),
+         li AS (
+           SELECT COUNT(*) AS n_users, SUM(l) AS sl, SUM(l*l) AS sl2
+           FROM (SELECT user_id, SUM(xx) AS l FROM ut GROUP BY 1))
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(sg AS BIGINT) AS sg, CAST(sl AS BIGINT) AS sl,
+           round(CASE WHEN k * sl - sl2 > 0 THEN
+             CAST((k - 1) * (k * sg2 - sg * sg) AS DOUBLE)
+               / CAST(k * sl - sl2 AS DOUBLE) ELSE 0.0 END, 6) + 0.0
+             AS q6
+         FROM gj, li""",
+    "q299_brown_forsythe" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(round(value*100) AS BIGINT) AS x
+           FROM events),
+         med AS (
+           SELECT g, x AS med FROM (
+             SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS ng
+             FROM e)
+           WHERE rn = (ng + 1) // 2),
+         z AS (
+           SELECT e.g, abs(e.x - med.med) AS z
+           FROM e JOIN med ON med.g = e.g),
+         byg AS (
+           SELECT g, COUNT(*) AS ng, SUM(z) AS sg, SUM(z*z) AS qg
+           FROM z GROUP BY g),
+         c AS (
+           SELECT g, ng, sg, qg,
+             COUNT(*) OVER () AS k, SUM(ng) OVER () AS n,
+             SUM(sg) OVER () AS stot, SUM(qg) OVER () AS qtot,
+             SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE))
+               OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY g DESC) AS rn
+           FROM byg),
+         f AS (
+           SELECT k, n,
+             cum - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ssb,
+             CAST(qtot AS DOUBLE) - cum AS ssw
+           FROM c WHERE rn = 1)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round((ssb / CAST(k - 1 AS DOUBLE)) /
+                 (ssw / CAST(n - k AS DOUBLE)), 6) + 0.0 AS bf_f6
+         FROM f""",
+    "q300_quality_monitor" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         mk AS (
+           SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+             AS mk_s
+           FROM f a JOIN f b ON a.day < b.day),
+         cpre AS (
+           SELECT day,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS nl,
+             SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sl,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS stot
+           FROM f),
+         cg AS (
+           SELECT day, nl, n,
+             CAST(sl*n - stot*nl AS BIGINT) AS num
+           FROM cpre WHERE nl < n),
+         cred AS (
+           SELECT day, n,
+             (CAST(num AS DOUBLE) / CAST(nl AS DOUBLE)) *
+             (CAST(num AS DOUBLE) / CAST(n * (n - nl) AS DOUBLE)) AS red
+           FROM cg),
+         cp AS (
+           SELECT day AS cp_day, round(red, 4) + 0.0 AS cp_red4,
+             CAST(n AS BIGINT) AS n
+           FROM cred ORDER BY red DESC, day LIMIT 1),
+         lim AS (
+           SELECT (MAX(day) + MIN(day) + 1) // 2 AS mid,
+             MAX(x) AS maxx FROM f),
+         half AS (
+           SELECT CASE WHEN f.day >= lim.mid THEN 1 ELSE 0 END AS p,
+             (f.x * 10) // (lim.maxx + 1) AS bin
+           FROM f, lim),
+         gbin AS (
+           SELECT bin,
+             SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS cb
+           FROM half GROUP BY bin),
+         bsp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         grid AS (
+           SELECT bsp.bin, COALESCE(gbin.ca, 0) AS ca,
+             COALESCE(gbin.cb, 0) AS cb
+           FROM bsp LEFT JOIN gbin ON gbin.bin = bsp.bin),
+         pc AS (
+           SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+           FROM grid),
+         psic AS (
+           SELECT bin,
+             (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+               - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)) *
+             ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)) /
+                (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
+               AS contrib
+           FROM pc),
+         psi AS (
+           SELECT round(cum, 6) + 0.0 AS psi6 FROM (
+             SELECT SUM(contrib) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (ORDER BY bin DESC) AS rk
+             FROM psic)
+           WHERE rk = 1),
+         medx AS (
+           SELECT x AS med FROM (
+             SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT)
+               AS rn, COUNT(*) OVER () AS nn
+             FROM f)
+           WHERE rn = (nn + 1) // 2),
+         madq AS (
+           SELECT ad AS mad, med FROM (
+             SELECT abs(f.x - medx.med) AS ad, medx.med,
+               CAST(ROW_NUMBER() OVER (ORDER BY abs(f.x - medx.med))
+                 AS BIGINT) AS rn,
+               COUNT(*) OVER () AS nn
+             FROM f, medx)
+           WHERE rn = (nn + 1) // 2),
+         anom AS (
+           SELECT CAST(SUM(CASE WHEN
+               CAST(abs(f.x - madq.med) AS DOUBLE) >
+                 CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                   * CAST(madq.mad AS DOUBLE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+           FROM f, madq)
+         SELECT cp.n AS n_days, mk.mk_s,
+           CAST(sign(mk.mk_s) AS BIGINT) AS trend_dir,
+           cp.cp_day, cp.cp_red4, psi.psi6, anom.n_anomalies
+         FROM mk, cp, psi, anom"""
   )
 }

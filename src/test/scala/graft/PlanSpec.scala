@@ -289,7 +289,23 @@ class PlanSpec extends SparkSpec {
       // q278: MaxSim's bounded broadcast query set × corpus vector scan
       // is q40's deliberate broadcast-NL class; ANN shortlists swap in
       // at scale (Similarity.maxSim scaladoc)
-      "q278_maxsim_retrieval")
+      "q278_maxsim_retrieval",
+      // q291/q292/q295/q298: the (N, ΣT) / moment totals are ONE
+      // broadcast row cross-joined onto the k-group rows (q46's
+      // scalar class); the rank/group aggregates themselves are keyed
+      "q291_anova_f", "q292_kruskal_wallis", "q295_effect_sizes",
+      "q298_cochran_q",
+      // q293: the min-day origin is ONE broadcast row (q46's scalar
+      // class); the per-user pivot is a keyed groupBy
+      "q293_mcnemar",
+      // q294: the users × types spine is a deliberate k=5-wide
+      // broadcast product (blocks × treatments is the STATISTIC's
+      // domain); rank windows partition by user
+      "q294_friedman",
+      // q297/q300: the Mann–Kendall day-pair product is q270's
+      // CALENDAR-bounded class (O(days²) on the gap-filled spine);
+      // the mid/max/median/MAD combines are 1-row scalars (q169's)
+      "q297_mann_kendall", "q300_quality_monitor")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

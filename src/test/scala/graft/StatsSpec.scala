@@ -377,6 +377,138 @@ class StatsSpec extends SparkSpec {
     assert(eng == expect)
   }
 
+  test("q297 Mann-Kendall S and variance match the brute recompute") {
+    val r = SparkEntry.queries("q297_mann_kendall")(spark, d).head()
+    val (n, sEng, varnum, z) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+    val daily = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val lo = daily.map(_._1).min
+    val hi = daily.map(_._1).max
+    val m = daily.toMap
+    val xs = (lo to hi).map(t => m.getOrElse(t, 0L))
+    assert(n == xs.length.toLong)
+    var sRef = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      sRef += java.lang.Long.signum(xs(j) - xs(i))
+    assert(sEng == sRef)
+    val nn = xs.length.toLong
+    val tie = xs.groupBy(identity).values
+      .map(t => t.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(varnum == nn * (nn - 1) * (2 * nn + 5) - tie)
+    if (sRef != 0) {
+      val zRef = (sRef - java.lang.Long.signum(sRef)).toDouble /
+        math.sqrt(varnum / 18.0)
+      assert(math.abs(z - zRef) < 5e-7)
+    }
+  }
+
+  test("q298 Cochran Q matches the textbook row/column-sum formula " +
+      "on the adaptive above-own-mean indicators") {
+    val r = SparkEntry.queries("q298_cochran_q")(spark, d).head()
+    val (k, q) = (r.getLong(0), r.getDouble(4))
+    val raw = Graft.table(spark, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val types = raw.map(_._2).distinct.sorted
+    assert(k == types.length.toLong)
+    // complete blocks: missing (user, type) cells are zero counts
+    val cells = for {
+      u <- raw.map(_._1).distinct
+      t <- types
+    } yield (u, t,
+      raw.find(x => x._1 == u && x._2 == t).map(_._3).getOrElse(0L))
+    val xx = cells.map { case (u, t, c) =>
+      val total = cells.filter(_._1 == u).map(_._3).sum
+      (u, t, if (c * k > total) 1L else 0L)
+    }
+    val gj = types.map(t => xx.filter(_._2 == t).map(_._3).sum)
+    val li = xx.map(_._1).distinct
+      .map(u => xx.filter(_._1 == u).map(_._3).sum)
+    val den = k * li.sum - li.map(l => l * l).sum
+    if (den > 0) {
+      val qRef = (k - 1).toDouble *
+        (k * gj.map(g => g * g).sum - math.pow(gj.sum.toDouble, 2)) / den
+      assert(math.abs(q - qRef) < 1e-4)
+    } else assert(q == 0.0)
+  }
+
+  test("q299 Brown-Forsythe equals ANOVA F on median-centered " +
+      "absolute deviations") {
+    val r = SparkEntry.queries("q299_brown_forsythe")(spark, d).head()
+    val f = r.getDouble(2)
+    val rows = Graft.table(spark, d, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val devs = rows.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.map(_._2).sorted
+      val med = sorted(((sorted.length + 1) / 2) - 1) // lower median
+      g.map(x => math.abs(x._2 - med).toDouble)
+    }
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      val sorted = g.map(_._2).sorted
+      val med = sorted(((sorted.length + 1) / 2) - 1)
+      g.map(x => math.abs(x._2 - med).toDouble)
+    }
+    val all = groups.flatten
+    val gm = all.sum / all.length
+    val ssb = groups.map { g =>
+      val m = g.sum / g.length; g.length * (m - gm) * (m - gm) }.sum
+    val ssw = groups.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }.sum
+    val k = groups.length
+    val fRef = (ssb / (k - 1)) / (ssw / (all.length - k))
+    assert(math.abs(f - fRef) < 1e-3 * math.abs(fRef) + 1e-6)
+    assert(devs.length == all.length)
+  }
+
+  test("q300 quality monitor: each leg agrees with its standalone " +
+      "family member on the same series") {
+    val r = SparkEntry.queries("q300_quality_monitor")(spark, d).head()
+    val (nDays, mkS, trendDir, cpDay, nAnom) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(6))
+    assert(trendDir == java.lang.Long.signum(mkS))
+    val daily = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val lo = daily.map(_._1).min
+    val hi = daily.map(_._1).max
+    val m = daily.toMap
+    val xs = (lo to hi).map(t => t -> m.getOrElse(t, 0L))
+    assert(nDays == xs.length.toLong)
+    // MK leg
+    var sRef = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      sRef += java.lang.Long.signum(xs(j)._2 - xs(i)._2)
+    assert(mkS == sRef)
+    // changepoint leg: brute argmax of the exact reduction formula
+    val n = xs.length.toLong
+    val stot = xs.map(_._2).sum
+    var best = (Long.MinValue, Double.MinValue)
+    var sl = 0L
+    for (i <- 1 until xs.length) {
+      sl += xs(i - 1)._2
+      val num = (sl * n - stot * i).toDouble
+      val red = (num / i) * (num / (n * (n - i)))
+      if (red > best._2) best = (xs(i - 1)._1, red)
+    }
+    assert(cpDay == best._1)
+    // MAD leg: recompute with lower medians
+    val sorted = xs.map(_._2).sorted
+    val med = sorted(((sorted.length + 1) / 2) - 1)
+    val ads = xs.map(x => math.abs(x._2 - med)).sorted
+    val mad = ads(((ads.length + 1) / 2) - 1)
+    val anomRef = xs.count(x =>
+      math.abs(x._2 - med).toDouble > 3.0 * 1.4826 * mad.toDouble)
+    assert(nAnom == anomRef.toLong)
+  }
+
   test("q290 preference pairs: chosen/rejected are the per-group " +
       "argmax/argmin by (token count, doc_id)") {
     val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)

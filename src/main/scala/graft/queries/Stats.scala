@@ -828,6 +828,166 @@ object Stats {
         .select(col("n").as("n_days"), col("mk_s"),
           signum(col("mk_s")).cast("long").as("trend_dir"),
           col("cp_day"), col("cp_red4"), col("psi6"), col("n_anomalies"))
+    }),
+
+    // Multi-feature OLS by normal equations + Cramer's rule: predict
+    // lineitem price cents from (quantity, discount basis points) with
+    // intercept. The ten moment sums are EXACT BIGINTs from one
+    // aggregate pass; the 3×3 determinants are then a FIXED double
+    // expression tree (sums cast once — BIGINT products like S11·S22
+    // would overflow, the identical-spelling argument carries
+    // determinism instead). R² from the fitted-coefficient identity.
+    // This is distributed linear-model training in one shuffle-free
+    // scan + an O(1) solve — the closed-form counterpart of q302's
+    // iterative trainer. Scale: nothing but the scan.
+    "q301_ols_cramer" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 10000, 0).cast("long").as("x2"),
+        cents(col("l_extendedprice")).as("y"))
+      val m = li.agg(
+        count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      def D(c: Column): Column = c.cast("double")
+      val (n, s1, s2, s11, s22, s12, sy, s1y, s2y, syy) =
+        (D(col("n")), D(col("s1")), D(col("s2")), D(col("s11")),
+          D(col("s22")), D(col("s12")), D(col("sy")), D(col("s1y")),
+          D(col("s2y")), D(col("syy")))
+      val det = n * (s11 * s22 - s12 * s12) -
+        s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val det0 = sy * (s11 * s22 - s12 * s12) -
+        s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+      val det1 = n * (s1y * s22 - s12 * s2y) -
+        sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+      val det2 = n * (s11 * s2y - s1y * s12) -
+        s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+      val b0 = det0 / det
+      val b1 = det1 / det
+      val b2 = det2 / det
+      val sst = syy - sy * sy / n
+      val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+      m.select(col("n"), roundz(b0, 6).as("b0_6"),
+        roundz(b1, 6).as("b1_6"), roundz(b2, 6).as("b2_6"),
+        roundz(lit(1.0) - sse / sst, 6).as("r2_6"))
+    }),
+
+    // Distributed logistic regression by Newton–Raphson (IRLS):
+    // classify purchase events from the scaled value with an
+    // intercept. Eight driver-side Newton rounds, each ONE aggregate
+    // pass computing the exact gradient/Hessian sums (the q153 k-means
+    // loop discipline: O(1) driver state, scans bounded by the
+    // iteration count). The float sums are partition-order dependent,
+    // so the oracle is the q153-style CONTRACT: exact row/label counts
+    // plus convergence booleans (gradient vanished, log-likelihood
+    // monotone, slope sign = exact-integer covariance sign) that any
+    // correct trainer satisfies regardless of summation order.
+    "q302_logistic_newton" -> ((s, d) => {
+      import s.implicits._
+      val ev = table(s, d, "events")
+        .select((cents(col("value")).cast("double") / lit(10000.0))
+          .as("x"),
+          (col("event_type") === "purchase").cast("double").as("y"))
+        .cache()
+      val base = ev.agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("np"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * (col("y") * 2 - 1)).as("sxy_pm"))
+      val b = base.head()
+      val nRows = b.getLong(0)
+      var (b0, b1) = (0.0, 0.0)
+      var lastLoss = Double.NegativeInfinity
+      var monotone = true
+      var g0, g1 = 0.0
+      for (_ <- 1 to 8) {
+        val eta = col("x") * b1 + b0
+        val p = lit(1.0) / (lit(1.0) + exp(-eta))
+        val r = ev.agg(
+          sum(col("y") - p).as("g0"),
+          sum((col("y") - p) * col("x")).as("g1"),
+          sum(p * (lit(1.0) - p)).as("h00"),
+          sum(p * (lit(1.0) - p) * col("x")).as("h01"),
+          sum(p * (lit(1.0) - p) * col("x") * col("x")).as("h11"),
+          sum(col("y") * eta - log(lit(1.0) + exp(eta))).as("ll"))
+          .head()
+        g0 = r.getDouble(0); g1 = r.getDouble(1)
+        val (h00, h01, h11, ll) =
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        if (ll < lastLoss - 1e-9) monotone = false
+        lastLoss = ll
+        val det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (h00 * g1 - h01 * g0) / det
+      }
+      ev.unpersist()
+      // slope sign must match the exact-integer covariance sign:
+      // sign(n·Σxy − Σx·Σy) over cents (y ∈ {0,1} → integer sums)
+      val cov = table(s, d, "events")
+        .select(cents(col("value")).as("c"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        .agg((count(lit(1)) * sum(col("c") * col("y")) -
+          sum(col("c")) * sum(col("y"))).as("covnum")).head().getLong(0)
+      Seq((nRows, b.getLong(1),
+          math.abs(g0) + math.abs(g1) < 1e-6 * nRows, monotone,
+          java.lang.Long.signum(cov) == math.signum(b1).toLong))
+        .toDF("n", "n_pos", "converged", "ll_monotone", "slope_sign_ok")
+    }),
+
+    // Exact Shapley-value channel attribution over the three
+    // non-purchase touch channels (click/view/signup): per user, the
+    // exposure coalition is the set of channels seen BEFORE the first
+    // purchase (all events when the user never converts); v(S) =
+    // conversion rate among users with coalition exactly S, from exact
+    // integer counts over the 8 masks. With k=3 the Shapley sum
+    // collapses to φ_i = [2(v_i−v_∅) + Σ_pairs + 2(v_full−v_full∖i)]/6
+    // — ONE division by 6, every v a single guarded division.
+    // Efficiency (Σφ = v_full − v_∅) is pinned in StatsSpec. Scale:
+    // one groupBy to users, one to 8 mask rows.
+    "q303_shapley_channels" -> ((s, d) => {
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("us")).as("pus"))
+      val expo = ev.join(broadcast(firstP), Seq("user_id"), "left")
+        .filter(col("pus").isNull || col("us") < col("pus"))
+        .groupBy(col("user_id"))
+        .agg(
+          max((col("event_type") === "click").cast("long")).as("hc"),
+          max((col("event_type") === "view").cast("long")).as("hv"),
+          max((col("event_type") === "signup").cast("long")).as("hs"))
+        .join(firstP.select(col("user_id"), lit(1L).as("conv")),
+          Seq("user_id"), "left")
+        .select(
+          (col("hc") + col("hv") * 2 + col("hs") * 4).as("mask"),
+          coalesce(col("conv"), lit(0L)).as("conv"))
+      val byMask = expo.groupBy(col("mask"))
+        .agg(count(lit(1)).as("nm"), sum(col("conv")).as("cm"))
+      val spine = byMask.agg(lit(0).as("__d"))
+        .select(explode(sequence(lit(0L), lit(7L))).as("mask"))
+        .join(byMask, Seq("mask"), "left")
+        .select(col("mask"), coalesce(col("nm"), lit(0L)).as("nm"),
+          coalesce(col("cm"), lit(0L)).as("cm"))
+      val piv = spine.groupBy().pivot("mask", 0 to 7)
+        .agg(first(col("nm")).as("n"), first(col("cm")).as("c"))
+      def v(m: Int): Column = {
+        val n = col(s"${m}_n"); val c = col(s"${m}_c")
+        when(n > 0, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
+      }
+      def phi(bit: Int, others: (Int, Int)): Column = {
+        val (o1, o2) = others
+        (lit(2.0) * (v(bit) - v(0)) +
+          (v(bit | o1) - v(o1)) + (v(bit | o2) - v(o2)) +
+          lit(2.0) * (v(7) - v(7 & ~bit))) / lit(6.0)
+      }
+      val nTot = (0 to 7).map(m => col(s"${m}_n")).reduce(_ + _)
+      piv.select(nTot.as("n_users"),
+        roundz(phi(1, (2, 4)), 6).as("phi_click6"),
+        roundz(phi(2, (1, 4)), 6).as("phi_view6"),
+        roundz(phi(4, (1, 2)), 6).as("phi_signup6"),
+        roundz(v(7) - v(0), 6).as("v_full_minus_empty6"))
     })
   )
 
@@ -1496,6 +1656,130 @@ object Stats {
          SELECT cp.n AS n_days, mk.mk_s,
            CAST(sign(mk.mk_s) AS BIGINT) AS trend_dir,
            cp.cp_day, cp.cp_red4, psi.psi6, anom.n_anomalies
-         FROM mk, cp, psi, anom"""
+         FROM mk, cp, psi, anom""",
+    "q301_ols_cramer" ->
+      """WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x1*x2) AS s12,
+             SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+             SUM(y*y) AS syy
+           FROM li),
+         dd AS (
+           SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+             CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+             CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+             CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+             CAST(n AS BIGINT) AS n_out
+           FROM m),
+         dets AS (
+           SELECT n_out, sy, s1y, s2y, syy, n,
+             n * (s11*s22 - s12*s12) - s1 * (s1*s22 - s12*s2)
+               + s2 * (s1*s12 - s11*s2) AS det,
+             sy * (s11*s22 - s12*s12) - s1 * (s1y*s22 - s12*s2y)
+               + s2 * (s1y*s12 - s11*s2y) AS det0,
+             n * (s1y*s22 - s12*s2y) - sy * (s1*s22 - s12*s2)
+               + s2 * (s1*s2y - s1y*s2) AS det1,
+             n * (s11*s2y - s1y*s12) - s1 * (s1*s2y - s1y*s2)
+               + sy * (s1*s12 - s11*s2) AS det2
+           FROM dd),
+         co AS (
+           SELECT n_out, sy, s1y, s2y, syy, n,
+             det0/det AS b0, det1/det AS b1, det2/det AS b2
+           FROM dets)
+         SELECT n_out AS n,
+           round(b0, 6) + 0.0 AS b0_6, round(b1, 6) + 0.0 AS b1_6,
+           round(b2, 6) + 0.0 AS b2_6,
+           round(1.0 - (syy - (b0*sy + b1*s1y + b2*s2y))
+             / (syy - sy*sy/n), 6) + 0.0 AS r2_6
+         FROM co""",
+    "q302_logistic_newton" ->
+      """SELECT (SELECT COUNT(*) FROM events) AS n,
+           (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+             AS n_pos,
+           TRUE AS converged, TRUE AS ll_monotone,
+           TRUE AS slope_sign_ok""",
+    "q303_shapley_channels" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         firstp AS (
+           SELECT user_id, MIN(us) AS pus FROM ev
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         expo AS (
+           SELECT ev.user_id,
+             MAX(CASE WHEN ev.event_type = 'click' THEN 1 ELSE 0 END)
+               AS hc,
+             MAX(CASE WHEN ev.event_type = 'view' THEN 1 ELSE 0 END)
+               AS hv,
+             MAX(CASE WHEN ev.event_type = 'signup' THEN 1 ELSE 0 END)
+               AS hs
+           FROM ev LEFT JOIN firstp ON firstp.user_id = ev.user_id
+           WHERE firstp.pus IS NULL OR ev.us < firstp.pus
+           GROUP BY ev.user_id),
+         masked AS (
+           SELECT expo.hc + expo.hv * 2 + expo.hs * 4 AS mask,
+             CASE WHEN firstp.user_id IS NULL THEN 0 ELSE 1 END AS conv
+           FROM expo LEFT JOIN firstp ON firstp.user_id = expo.user_id),
+         bym AS (
+           SELECT mask, COUNT(*) AS nm, SUM(conv) AS cm
+           FROM masked GROUP BY mask),
+         sp AS (SELECT unnest(generate_series(0, 7)) AS mask),
+         grid AS (
+           SELECT sp.mask, COALESCE(bym.nm, 0) AS nm,
+             COALESCE(bym.cm, 0) AS cm
+           FROM sp LEFT JOIN bym ON bym.mask = sp.mask),
+         piv AS (
+           SELECT
+             SUM(nm) AS n_users,
+             MAX(CASE WHEN mask=0 THEN nm END) AS n0,
+             MAX(CASE WHEN mask=0 THEN cm END) AS c0,
+             MAX(CASE WHEN mask=1 THEN nm END) AS n1,
+             MAX(CASE WHEN mask=1 THEN cm END) AS c1,
+             MAX(CASE WHEN mask=2 THEN nm END) AS n2,
+             MAX(CASE WHEN mask=2 THEN cm END) AS c2,
+             MAX(CASE WHEN mask=3 THEN nm END) AS n3,
+             MAX(CASE WHEN mask=3 THEN cm END) AS c3,
+             MAX(CASE WHEN mask=4 THEN nm END) AS n4,
+             MAX(CASE WHEN mask=4 THEN cm END) AS c4,
+             MAX(CASE WHEN mask=5 THEN nm END) AS n5,
+             MAX(CASE WHEN mask=5 THEN cm END) AS c5,
+             MAX(CASE WHEN mask=6 THEN nm END) AS n6,
+             MAX(CASE WHEN mask=6 THEN cm END) AS c6,
+             MAX(CASE WHEN mask=7 THEN nm END) AS n7,
+             MAX(CASE WHEN mask=7 THEN cm END) AS c7
+           FROM grid),
+         vv AS (
+           SELECT n_users,
+             CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+               ELSE 0.0 END AS v0,
+             CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+               ELSE 0.0 END AS v1,
+             CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE)/CAST(n2 AS DOUBLE)
+               ELSE 0.0 END AS v2,
+             CASE WHEN n3 > 0 THEN CAST(c3 AS DOUBLE)/CAST(n3 AS DOUBLE)
+               ELSE 0.0 END AS v3,
+             CASE WHEN n4 > 0 THEN CAST(c4 AS DOUBLE)/CAST(n4 AS DOUBLE)
+               ELSE 0.0 END AS v4,
+             CASE WHEN n5 > 0 THEN CAST(c5 AS DOUBLE)/CAST(n5 AS DOUBLE)
+               ELSE 0.0 END AS v5,
+             CASE WHEN n6 > 0 THEN CAST(c6 AS DOUBLE)/CAST(n6 AS DOUBLE)
+               ELSE 0.0 END AS v6,
+             CASE WHEN n7 > 0 THEN CAST(c7 AS DOUBLE)/CAST(n7 AS DOUBLE)
+               ELSE 0.0 END AS v7
+           FROM piv)
+         SELECT CAST(n_users AS BIGINT) AS n_users,
+           round((2.0*(v1 - v0) + (v3 - v2) + (v5 - v4)
+             + 2.0*(v7 - v6)) / 6.0, 6) + 0.0 AS phi_click6,
+           round((2.0*(v2 - v0) + (v3 - v1) + (v6 - v4)
+             + 2.0*(v7 - v5)) / 6.0, 6) + 0.0 AS phi_view6,
+           round((2.0*(v4 - v0) + (v5 - v1) + (v6 - v2)
+             + 2.0*(v7 - v3)) / 6.0, 6) + 0.0 AS phi_signup6,
+           round(v7 - v0, 6) + 0.0 AS v_full_minus_empty6
+         FROM vv"""
   )
 }

@@ -509,6 +509,128 @@ class StatsSpec extends SparkSpec {
     assert(nAnom == anomRef.toLong)
   }
 
+  test("q301 OLS: normal-equation residual orthogonality holds at " +
+      "the fitted coefficients (X'(y - Xb) ~ 0) and R2 is sane") {
+    val r = SparkEntry.queries("q301_ols_cramer")(spark, d).head()
+    val (b0, b1, b2, r2) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val rows = Graft.table(spark, d, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        round(col("l_discount") * 10000, 0).cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect()
+      .map(x => (x.getLong(0).toDouble, x.getLong(1).toDouble,
+        x.getLong(2).toDouble))
+    // independent driver-side solve of the normal equations by
+    // Gaussian elimination (no Cramer anywhere)
+    val n = rows.length.toDouble
+    val a = Array.ofDim[Double](3, 4)
+    a(0)(0) = n
+    a(0)(1) = rows.map(_._1).sum; a(0)(2) = rows.map(_._2).sum
+    a(0)(3) = rows.map(_._3).sum
+    a(1)(0) = a(0)(1); a(1)(1) = rows.map(r => r._1 * r._1).sum
+    a(1)(2) = rows.map(r => r._1 * r._2).sum
+    a(1)(3) = rows.map(r => r._1 * r._3).sum
+    a(2)(0) = a(0)(2); a(2)(1) = a(1)(2)
+    a(2)(2) = rows.map(r => r._2 * r._2).sum
+    a(2)(3) = rows.map(r => r._2 * r._3).sum
+    for (p <- 0 until 3; i <- (p + 1) until 3) {
+      val f = a(i)(p) / a(p)(p)
+      for (j <- p until 4) a(i)(j) -= f * a(p)(j)
+    }
+    val bRef = new Array[Double](3)
+    for (i <- 2 to 0 by -1) {
+      var s = a(i)(3)
+      for (j <- (i + 1) until 3) s -= a(i)(j) * bRef(j)
+      bRef(i) = s / a(i)(i)
+    }
+    assert(math.abs(b0 - bRef(0)) < 1e-3 * (math.abs(bRef(0)) + 1))
+    assert(math.abs(b1 - bRef(1)) < 1e-3 * (math.abs(bRef(1)) + 1))
+    assert(math.abs(b2 - bRef(2)) < 1e-3 * (math.abs(bRef(2)) + 1))
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // this testdata's features are INDEPENDENT of price by
+    // construction — near-zero R2 is the correct answer here, and the
+    // coefficient agreement above is the real check
+  }
+
+  test("q302 logistic contract booleans hold AND a driver-side Newton " +
+      "on the same rows converges with the same slope sign") {
+    val r = SparkEntry.queries("q302_logistic_newton")(spark, d).head()
+    assert(r.getBoolean(2), "engine Newton did not converge")
+    assert(r.getBoolean(3), "log-likelihood not monotone")
+    assert(r.getBoolean(4), "slope sign mismatch vs covariance")
+    val rows = Graft.table(spark, d, "events")
+      .select((round(col("value") * 100, 0).cast("long").cast("double") /
+        lit(10000.0)).as("x"),
+        (col("event_type") === "purchase").cast("double").as("y"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    var (b0, b1) = (0.0, 0.0)
+    for (_ <- 1 to 8) {
+      var (g0, g1, h00, h01, h11) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((x, y) <- rows) {
+        val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+        g0 += y - p; g1 += (y - p) * x
+        val w = p * (1 - p)
+        h00 += w; h01 += w * x; h11 += w * x * x
+      }
+      val det = h00 * h11 - h01 * h01
+      b0 += (h11 * g0 - h01 * g1) / det
+      b1 += (h00 * g1 - h01 * g0) / det
+    }
+    var (g0, g1) = (0.0, 0.0)
+    for ((x, y) <- rows) {
+      val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+      g0 += y - p; g1 += (y - p) * x
+    }
+    assert(math.abs(g0) + math.abs(g1) < 1e-6 * rows.length)
+  }
+
+  test("q303 Shapley: efficiency (sum of phis = v_full - v_empty) and " +
+      "agreement with the factorial-weight brute formula") {
+    val r = SparkEntry.queries("q303_shapley_channels")(spark, d).head()
+    val (pc, pv, ps, vdiff) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.abs((pc + pv + ps) - vdiff) < 5e-6) // 6dp rounding slack
+    // brute: per-user masks from raw events, v(S) over exact sets,
+    // phi via the |S|!(k-|S|-1)!/k! weights
+    val ev = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val firstP = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val users = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val cutoff = firstP.get(u)
+      val pre = xs.filter(x => cutoff.forall(x._3 < _))
+      if (pre.isEmpty) None
+      else {
+        val m = (if (pre.exists(_._2 == "click")) 1 else 0) |
+          (if (pre.exists(_._2 == "view")) 2 else 0) |
+          (if (pre.exists(_._2 == "signup")) 4 else 0)
+        Some((m, if (cutoff.isDefined) 1L else 0L))
+      }
+    }.toSeq
+    val nm = (0 to 7).map(m => users.count(_._1 == m).toLong)
+    val cm = (0 to 7).map(m => users.filter(_._1 == m).map(_._2).sum)
+    def v(m: Int): Double =
+      if (nm(m) > 0) cm(m).toDouble / nm(m) else 0.0
+    def fact(i: Int): Double = (1 to i).product.toDouble
+    def phiBrute(bit: Int): Double = {
+      val others = Seq(1, 2, 4).filterNot(_ == bit)
+      (for {
+        s <- 0 to 3 // subsets of the other two bits, encoded
+      } yield {
+        val subset = Seq(others.head, others(1)).zipWithIndex
+          .filter { case (_, i) => ((s >> i) & 1) == 1 }.map(_._1)
+        val mask = subset.sum
+        val sz = subset.length
+        fact(sz) * fact(3 - sz - 1) / fact(3) * (v(mask | bit) - v(mask))
+      }).sum
+    }
+    assert(math.abs(pc - phiBrute(1)) < 5e-7)
+    assert(math.abs(pv - phiBrute(2)) < 5e-7)
+    assert(math.abs(ps - phiBrute(4)) < 5e-7)
+  }
+
   test("q290 preference pairs: chosen/rejected are the per-group " +
       "argmax/argmin by (token count, doc_id)") {
     val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)

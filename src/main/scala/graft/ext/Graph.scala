@@ -69,6 +69,53 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities by unrolled power iteration on the
+    * DISTINCT directed edge set, L1-normalized each half-step and
+    * rounded to 12 dp (q113 pageRank's cross-engine float discipline:
+    * the in-neighbor SUM is partition-order dependent, so both engines
+    * re-align on the rounded values before the next round). Each round
+    * is two edge⋈score equi-joins + two O(1) normalization scalars —
+    * O(|E|) per round, localCheckpoint-free because iters is tiny and
+    * the lineage stays two joins deep per round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var scores = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), round(lit(1.0) / col("n_nodes"), 12).as("hub"),
+        round(lit(1.0) / col("n_nodes"), 12).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(scores.select(col("id"), col("hub")),
+          e("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("ar"))
+      val aNorm = aRaw.agg(sum(col("ar")).as("asum"))
+      val auth = nodes
+        .join(aRaw, nodes("id") === aRaw("dst"), "left").drop("dst")
+        .crossJoin(broadcast(aNorm))
+        .select(col("id"),
+          round(coalesce(col("ar"), lit(0.0)) / col("asum"), 12)
+            .as("auth"))
+      val hRaw = e.join(auth.select(col("id").as("aid"), col("auth")),
+          e("dst") === col("aid"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hr"))
+      val hNorm = hRaw.agg(sum(col("hr")).as("hsum"))
+      val hub = nodes
+        .join(hRaw, nodes("id") === hRaw("src"), "left").drop("src")
+        .crossJoin(broadcast(hNorm))
+        .select(col("id"),
+          round(coalesce(col("hr"), lit(0.0)) / col("hsum"), 12)
+            .as("hub"))
+      scores = hub.join(auth.withColumnRenamed("id", "aid"),
+          hub("id") === col("aid"))
+        .select(col("id"), col("hub"), col("auth"))
+    }
+    scores
+  }
+
   /** Event-stream transition edges: consecutive events per `keyCol`
     * (ordered by `orderCols`, which must be a total order) become
     * (prev node → node) edges with transition counts; self-loops drop.

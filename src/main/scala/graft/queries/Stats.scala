@@ -988,6 +988,138 @@ object Stats {
         roundz(phi(2, (1, 4)), 6).as("phi_view6"),
         roundz(phi(4, (1, 2)), 6).as("phi_signup6"),
         roundz(v(7) - v(0), 6).as("v_full_minus_empty6"))
+    }),
+
+    // HITS hubs & authorities on q113's event-transition graph — the
+    // second link-analysis algorithm beside PageRank, and the second
+    // use of the cross-engine iterative-float discipline: L1-normalize
+    // and round to 12 dp each half-step so both engines re-align
+    // before the next round (q113's oracle convention, unrolled twice
+    // in SQL). Scale: O(|E|) per round, two equi-joins + two scalar
+    // normalizations.
+    "q304_hits" -> ((s, d) => {
+      val ev = events(s, d)
+      val edges = graft.ext.Graph.transitionEdges(ev, col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
+        unix_micros(col("ts")), col("event_id"))
+      graft.ext.Graph.hits(edges, "src", "dst", iters = 2)
+        .select(col("id"), round(col("hub"), 8).as("hub8"),
+          round(col("auth"), 8).as("auth8"))
+        .orderBy(col("id"))
+    }),
+
+    // Embedding distribution drift between the vec_id-parity halves:
+    // per-dimension mean shift (rounded to 6 dp — the q42 float-sum
+    // mitigation: coordinate sums are partition-order dependent, the
+    // rounding re-aligns engines), the count of dimensions shifted
+    // beyond 0.02, and the cosine between the two ROUNDED mean vectors
+    // accumulated as an ordered cumsum over the 64 dims (identical
+    // fold order). The monitoring-layer screen for "did my embedding
+    // space move" — one narrow explode + an O(dims) window.
+    "q305_embedding_drift" -> ((s, d) => {
+      val f = table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(pmod(col("vec_id"), lit(2)).as("h"), col("i"),
+          col("v").cast("double").as("v"))
+      val byDim = f.groupBy(col("i")).agg(
+        roundz(avg(when(col("h") === 0, col("v"))), 6).as("ma"),
+        roundz(avg(when(col("h") === 1, col("v"))), 6).as("mb"))
+      val wAll = Window.partitionBy()
+      val wi = Window.orderBy(col("i"))
+      val acc = byDim
+        .withColumn("shift6", roundz(col("mb") - col("ma"), 6))
+        .withColumn("ndims", count(lit(1)).over(wAll))
+        .withColumn("nshift",
+          sum((abs(col("shift6")) > 0.02).cast("long")).over(wAll))
+        .withColumn("dot", sum(col("ma") * col("mb")).over(
+          wi.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("na", sum(col("ma") * col("ma")).over(
+          wi.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nb", sum(col("mb") * col("mb")).over(
+          wi.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("mx", max(abs(col("shift6"))).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy(col("i").desc)))
+        .filter(col("rn") === 1)
+      acc.select(col("ndims").as("n_dims"), col("nshift").as("n_shifted"),
+        roundz(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("mean_cos6"),
+        roundz(col("mx"), 6).as("max_abs_shift6"))
+    }),
+
+    // Interpolated trigram language model with held-out perplexity —
+    // completes the LM ladder (q105 bigram): train counts from the
+    // 80/20 hash split, per-token probability 0.5·p₃ + 0.3·p₂ +
+    // 0.15·p₁ + 0.05·1/(V+1) (the uniform floor keeps ln finite for
+    // unseen words), log-likelihood folded TWO-LEVEL — per-doc ordered
+    // cumsum (parallel across docs) then a doc-ordered O(docs) fold —
+    // so the float recursion is identical on both engines at any
+    // parallelism (the q175 argument, scaled). All count joins are
+    // keyed on the gram; at 100 TB grams key on xxhash64.
+    "q306_trigram_lm" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(10L)) < 8)
+            .as("is_train"))
+      val toks = docs
+        .select(col("doc_id"), col("is_train"),
+          posexplode(col("toks")).as(Seq("i", "tok")))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val ctx = toks
+        .withColumn("w2", lag(col("tok"), 1).over(wd))
+        .withColumn("w1", lag(col("tok"), 2).over(wd))
+      val train = ctx.filter(col("is_train"))
+      val uni = train.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val totals = uni.agg(sum(col("c1")).as("nn"),
+        count(lit(1)).as("vv"))
+      val big = train.filter(col("w2").isNotNull)
+        .groupBy(col("w2"), col("tok")).agg(count(lit(1)).as("c2"))
+      val tri = train.filter(col("w1").isNotNull)
+        .groupBy(col("w1"), col("w2"), col("tok"))
+        .agg(count(lit(1)).as("c3"))
+      val test = ctx.filter(!col("is_train") && col("w1").isNotNull)
+      val scored = test
+        .join(tri, Seq("w1", "w2", "tok"), "left")
+        .join(big.withColumnRenamed("c2", "c2b"), Seq("w2", "tok"), "left")
+        .join(big.select(col("w2").as("w1"), col("tok").as("w2"),
+          col("c2").as("c2ctx")), Seq("w1", "w2"), "left")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("c1ctx")),
+          Seq("w2"), "left")
+        .join(uni.select(col("tok"), col("c1").as("c1w")), Seq("tok"),
+          "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("p",
+          lit(0.5) * when(col("c2ctx").isNotNull && col("c3").isNotNull,
+            col("c3").cast("double") / col("c2ctx").cast("double"))
+            .otherwise(lit(0.0)) +
+          lit(0.3) * when(col("c1ctx").isNotNull && col("c2b").isNotNull,
+            col("c2b").cast("double") / col("c1ctx").cast("double"))
+            .otherwise(lit(0.0)) +
+          lit(0.15) * coalesce(
+            col("c1w").cast("double") / col("nn").cast("double"),
+            lit(0.0)) +
+          lit(0.05) / (col("vv") + 1).cast("double"))
+      val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val perDoc = scored
+        .withColumn("cll", sum(log(col("p"))).over(
+          wdoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i").desc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cll"), col("cnt"), col("vv"))
+      val wdid = Window.orderBy(col("doc_id"))
+      val tot = perDoc
+        .withColumn("ll", sum(col("cll")).over(
+          wdid.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ntok", sum(col("cnt")).over(
+          Window.partitionBy()))
+        .withColumn("rn2", row_number().over(
+          Window.orderBy(col("doc_id").desc)))
+        .filter(col("rn2") === 1)
+      tot.select(col("ntok").as("n_test_tokens"), col("vv").as("v_train"),
+        roundz(col("ll"), 4).as("ll4"),
+        roundz(exp(-col("ll") / col("ntok").cast("double")), 4).as("ppl4"))
     })
   )
 
@@ -1780,6 +1912,170 @@ object Stats {
            round((2.0*(v4 - v0) + (v5 - v1) + (v6 - v2)
              + 2.0*(v7 - v3)) / 6.0, 6) + 0.0 AS phi_signup6,
            round(v7 - v0, 6) + 0.0 AS v_full_minus_empty6
-         FROM vv"""
+         FROM vv""",
+    "q304_hits" ->
+      """WITH seq AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS node
+           FROM events),
+         tr AS (
+           SELECT node AS dst,
+             lag(node) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS src
+           FROM seq),
+         e AS (
+           SELECT DISTINCT src, dst FROM tr
+           WHERE src IS NOT NULL AND src <> dst),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes),
+         s0 AS (
+           SELECT id, round(1.0 / n, 12) AS hub,
+             round(1.0 / n, 12) AS auth
+           FROM nodes, nn),
+         a1r AS (
+           SELECT e.dst AS id, SUM(s.hub) AS ar
+           FROM e JOIN s0 s ON s.id = e.src GROUP BY 1),
+         a1s AS (SELECT SUM(ar) AS asum FROM a1r),
+         a1 AS (
+           SELECT n.id,
+             round(COALESCE(a1r.ar, 0) / a1s.asum, 12) AS auth
+           FROM nodes n CROSS JOIN a1s
+           LEFT JOIN a1r ON a1r.id = n.id),
+         h1r AS (
+           SELECT e.src AS id, SUM(a.auth) AS hr
+           FROM e JOIN a1 a ON a.id = e.dst GROUP BY 1),
+         h1s AS (SELECT SUM(hr) AS hsum FROM h1r),
+         h1 AS (
+           SELECT n.id,
+             round(COALESCE(h1r.hr, 0) / h1s.hsum, 12) AS hub
+           FROM nodes n CROSS JOIN h1s
+           LEFT JOIN h1r ON h1r.id = n.id),
+         a2r AS (
+           SELECT e.dst AS id, SUM(h.hub) AS ar
+           FROM e JOIN h1 h ON h.id = e.src GROUP BY 1),
+         a2s AS (SELECT SUM(ar) AS asum FROM a2r),
+         a2 AS (
+           SELECT n.id,
+             round(COALESCE(a2r.ar, 0) / a2s.asum, 12) AS auth
+           FROM nodes n CROSS JOIN a2s
+           LEFT JOIN a2r ON a2r.id = n.id),
+         h2r AS (
+           SELECT e.src AS id, SUM(a.auth) AS hr
+           FROM e JOIN a2 a ON a.id = e.dst GROUP BY 1),
+         h2s AS (SELECT SUM(hr) AS hsum FROM h2r),
+         h2 AS (
+           SELECT n.id,
+             round(COALESCE(h2r.hr, 0) / h2s.hsum, 12) AS hub
+           FROM nodes n CROSS JOIN h2s
+           LEFT JOIN h2r ON h2r.id = n.id)
+         SELECT h2.id, round(h2.hub, 8) + 0.0 AS hub8,
+           round(a2.auth, 8) + 0.0 AS auth8
+         FROM h2 JOIN a2 ON a2.id = h2.id
+         ORDER BY h2.id""",
+    "q305_embedding_drift" ->
+      """WITH f AS (
+           SELECT vec_id % 2 AS h,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         bydim AS (
+           SELECT i,
+             round(avg(CASE WHEN h = 0 THEN v END), 6) + 0.0 AS ma,
+             round(avg(CASE WHEN h = 1 THEN v END), 6) + 0.0 AS mb
+           FROM f GROUP BY i),
+         acc AS (
+           SELECT i, round(mb - ma, 6) + 0.0 AS shift6, ma, mb,
+             COUNT(*) OVER () AS ndims,
+             SUM(ma * mb) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS dot,
+             SUM(ma * ma) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS na,
+             SUM(mb * mb) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS nb,
+             ROW_NUMBER() OVER (ORDER BY i DESC) AS rn
+           FROM bydim),
+         agg2 AS (
+           SELECT SUM(CASE WHEN abs(round(mb - ma, 6) + 0.0) > 0.02
+               THEN 1 ELSE 0 END) AS nshift,
+             MAX(abs(round(mb - ma, 6) + 0.0)) AS mx
+           FROM bydim)
+         SELECT CAST(acc.ndims AS BIGINT) AS n_dims,
+           CAST(agg2.nshift AS BIGINT) AS n_shifted,
+           round(acc.dot / (sqrt(acc.na) * sqrt(acc.nb)), 6) + 0.0
+             AS mean_cos6,
+           round(agg2.mx, 6) + 0.0 AS max_abs_shift6
+         FROM acc, agg2 WHERE acc.rn = 1""",
+    "q306_trigram_lm" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             (doc_id * 2654435761) % 10 < 8 AS is_train
+           FROM documents),
+         toks AS (
+           SELECT doc_id, is_train,
+             generate_subscripts(toks, 1) - 1 AS i,
+             unnest(toks) AS tok
+           FROM docs),
+         ctx AS (
+           SELECT doc_id, is_train, i, tok,
+             lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+             lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1
+           FROM toks),
+         train AS (SELECT * FROM ctx WHERE is_train),
+         uni AS (SELECT tok, COUNT(*) AS c1 FROM train GROUP BY tok),
+         totals AS (SELECT SUM(c1) AS nn, COUNT(*) AS vv FROM uni),
+         big AS (
+           SELECT w2, tok, COUNT(*) AS c2 FROM train
+           WHERE w2 IS NOT NULL GROUP BY w2, tok),
+         tri AS (
+           SELECT w1, w2, tok, COUNT(*) AS c3 FROM train
+           WHERE w1 IS NOT NULL GROUP BY w1, w2, tok),
+         test AS (
+           SELECT * FROM ctx WHERE NOT is_train AND w1 IS NOT NULL),
+         scored AS (
+           SELECT test.doc_id, test.i,
+             CAST(0.5 AS DOUBLE) * (CASE
+               WHEN bctx.c2 IS NOT NULL AND tri.c3 IS NOT NULL
+               THEN CAST(tri.c3 AS DOUBLE) / CAST(bctx.c2 AS DOUBLE)
+               ELSE 0.0 END) +
+             CAST(0.3 AS DOUBLE) * (CASE
+               WHEN uctx.c1 IS NOT NULL AND bg.c2 IS NOT NULL
+               THEN CAST(bg.c2 AS DOUBLE) / CAST(uctx.c1 AS DOUBLE)
+               ELSE 0.0 END) +
+             CAST(0.15 AS DOUBLE) * COALESCE(
+               CAST(uw.c1 AS DOUBLE) / CAST(totals.nn AS DOUBLE), 0.0) +
+             CAST(0.05 AS DOUBLE) / CAST(totals.vv + 1 AS DOUBLE) AS p
+           FROM test
+           LEFT JOIN tri ON tri.w1 = test.w1 AND tri.w2 = test.w2
+             AND tri.tok = test.tok
+           LEFT JOIN big bg ON bg.w2 = test.w2 AND bg.tok = test.tok
+           LEFT JOIN big bctx ON bctx.w2 = test.w1
+             AND bctx.tok = test.w2
+           LEFT JOIN uni uctx ON uctx.tok = test.w2
+           LEFT JOIN uni uw ON uw.tok = test.tok
+           CROSS JOIN totals),
+         perdoc AS (
+           SELECT doc_id, cll, cnt FROM (
+             SELECT doc_id,
+               SUM(ln(p)) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS cll,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY i DESC) AS rn
+             FROM scored)
+           WHERE rn = 1),
+         tot AS (
+           SELECT ll, ntok FROM (
+             SELECT SUM(cll) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS ll,
+               SUM(cnt) OVER () AS ntok,
+               ROW_NUMBER() OVER (ORDER BY doc_id DESC) AS rn2
+             FROM perdoc)
+           WHERE rn2 = 1)
+         SELECT CAST(tot.ntok AS BIGINT) AS n_test_tokens,
+           CAST(totals.vv AS BIGINT) AS v_train,
+           round(tot.ll, 4) + 0.0 AS ll4,
+           round(exp(-tot.ll / CAST(tot.ntok AS DOUBLE)), 4) + 0.0
+             AS ppl4
+         FROM tot, totals"""
   )
 }

@@ -631,6 +631,113 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ps - phiBrute(4)) < 5e-7)
   }
 
+  test("q304 HITS: L1 normalization holds and a driver-side recompute " +
+      "of the unrolled rounds matches exactly") {
+    val out = SparkEntry.queries("q304_hits")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
+    assert(out.forall(x => x._2 >= 0 && x._3 >= 0))
+    val ev = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    val edges = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      s.zip(s.drop(1)).filter(p => p._1 != p._2)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var hub = nodes.map(_ -> r12(1.0 / nodes.length)).toMap
+    var auth = nodes.map(_ -> r12(1.0 / nodes.length)).toMap
+    for (_ <- 1 to 2) {
+      val ar = nodes.map(v =>
+        v -> edges.filter(_._2 == v).toSeq.map(e => hub(e._1)).sum).toMap
+      val as = ar.values.sum
+      auth = ar.map { case (k, x) => k -> r12(x / as) }
+      val hr = nodes.map(u =>
+        u -> edges.filter(_._1 == u).toSeq.map(e => auth(e._2)).sum).toMap
+      val hs = hr.values.sum
+      hub = hr.map { case (k, x) => k -> r12(x / hs) }
+    }
+    for ((id, h8, a8) <- out) {
+      assert(math.abs(h8 - hub(id)) < 5e-8, s"hub mismatch node $id")
+      assert(math.abs(a8 - auth(id)) < 5e-8, s"auth mismatch node $id")
+    }
+  }
+
+  test("q305 embedding drift matches a driver-side recompute of " +
+      "per-dim means, shifts, and the mean-vector cosine") {
+    val r = SparkEntry.queries("q305_embedding_drift")(spark, d).head()
+    val (nd, ns, cos, mx) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val rows = Graft.table(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(x => (x.getLong(0),
+        x.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    assert(nd == dims.toLong)
+    def mean(h: Long, i: Int): Double = {
+      val vs = rows.filter(_._1 % 2 == h).map(_._2(i))
+      val m = vs.sum / vs.length
+      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ma = (0 until dims).map(mean(0, _))
+    val mb = (0 until dims).map(mean(1, _))
+    val shifts = ma.zip(mb).map { case (a, b) =>
+      BigDecimal(b - a).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(ns == shifts.count(s => math.abs(s) > 0.02).toLong)
+    assert(math.abs(mx - shifts.map(math.abs).max) < 1e-9)
+    val dot = ma.zip(mb).map { case (a, b) => a * b }.sum
+    val cosRef = dot / (math.sqrt(ma.map(a => a * a).sum) *
+      math.sqrt(mb.map(b => b * b).sum))
+    assert(math.abs(cos - cosRef) < 1e-5)
+  }
+
+  test("q306 trigram LM: per-token probabilities are valid and the " +
+      "held-out log-likelihood matches a driver recompute") {
+    val r = SparkEntry.queries("q306_trigram_lm")(spark, d).head()
+    val (ntok, v, ll, ppl) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(ppl > 1.0)
+    val docs = Graft.table(spark, d, "documents")
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(x => (x.getLong(0), x.getString(1).split(" ", -1)))
+    val (train, test) = docs.partition(x =>
+      math.floorMod(x._1 * 2654435761L, 10L) < 8)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    val tri = scala.collection.mutable.Map[(String, String, String), Long]()
+    for ((_, t) <- train) {
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      t.zip(t.drop(1)).foreach(p => big(p) = big.getOrElse(p, 0L) + 1)
+      t.zip(t.drop(1)).zip(t.drop(2)).foreach { case ((a, b), c) =>
+        tri((a, b, c)) = tri.getOrElse((a, b, c), 0L) + 1 }
+    }
+    val nn = uni.values.sum.toDouble
+    val vv = uni.size.toDouble
+    var llRef = 0.0
+    var cnt = 0L
+    for ((_, t) <- test; i <- 2 until t.length) {
+      val (w1, w2, w3) = (t(i - 2), t(i - 1), t(i))
+      val p3 = big.get((w1, w2)).flatMap(c2 =>
+        tri.get((w1, w2, w3)).map(_.toDouble / c2)).getOrElse(0.0)
+      val p2 = uni.get(w2).flatMap(c1 =>
+        big.get((w2, w3)).map(_.toDouble / c1)).getOrElse(0.0)
+      val p1 = uni.get(w3).map(_.toDouble / nn).getOrElse(0.0)
+      val p = 0.5 * p3 + 0.3 * p2 + 0.15 * p1 + 0.05 / (vv + 1)
+      assert(p > 0 && p <= 1.000001)
+      llRef += math.log(p)
+      cnt += 1
+    }
+    assert(ntok == cnt)
+    assert(v == uni.size.toLong)
+    assert(math.abs(ll - llRef) < 1e-3)
+  }
+
   test("q290 preference pairs: chosen/rejected are the per-group " +
       "argmax/argmin by (token count, doc_id)") {
     val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)

@@ -1120,6 +1120,124 @@ object Stats {
       tot.select(col("ntok").as("n_test_tokens"), col("vv").as("v_train"),
         roundz(col("ll"), 4).as("ll4"),
         roundz(exp(-col("ll") / col("ntok").cast("double")), 4).as("ppl4"))
+    }),
+
+    // Split-conformal prediction interval for daily event counts: the
+    // predictor is the trailing-7-day mean (one float division from
+    // exact sums), calibration = odd days, test = even days; q̂ is the
+    // ⌈(n_cal+1)·0.9⌉-th smallest calibration residual — an ORDER
+    // STATISTIC (rank selection with a day tie-break), not an
+    // interpolated quantile, so both engines pick the identical
+    // element. Coverage on test days is then an exact count. The
+    // distribution-free uncertainty layer for the forecasting family
+    // (q233/q260). Scale: O(days) everywhere.
+    "q307_conformal" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val f = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.orderBy(col("day"))
+      val pred = f
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("s7", sum(col("x")).over(w.rowsBetween(-7, -1)))
+        .filter(col("rn") > 7)
+        .withColumn("res",
+          abs(col("x").cast("double") -
+            col("s7").cast("double") / lit(7.0)))
+        .withColumn("grp", pmod(col("day"), lit(2)))
+      val cal = pred.filter(col("grp") === 1)
+      val ncal = cal.agg(count(lit(1)).as("n_cal"))
+      val qhat = cal.crossJoin(broadcast(ncal))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("res"), col("day"))).cast("long"))
+        // ⌈(n+1)·0.9⌉ spelled in EXACT integers: ((n+1)·9 + 9) div 10 —
+        // a decimal-vs-double ceil at an integral product would
+        // otherwise pick different ranks on the two engines
+        .filter(col("rk") === expr("((n_cal + 1) * 9 + 9) div 10"))
+        .select(col("res").as("qhat"), col("n_cal"))
+      val test = pred.filter(col("grp") === 0)
+      test.crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_test"),
+          max(roundz(col("qhat"), 6)).as("qhat6"),
+          sum((col("res") <= col("qhat")).cast("long")).as("n_covered"))
+        .select(col("n_cal"), col("n_test"), col("qhat6"),
+          col("n_covered"),
+          roundz(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6).as("coverage6"))
+    }),
+
+    // Hill estimator of the heavy-tail index over order totals: the
+    // k=500 largest cents values via a rank window (WindowGroupLimit
+    // pushes the k-bound into the sort — O(k) after the scan), then
+    // H = (1/(k−1))·Σ ln(x₍ᵢ₎/x₍ₖ₎) as an ordered-by-rank cumsum (the
+    // q175 fold) and α̂ = 1/H. Tail-index monitoring tells a pipeline
+    // whether a metric even HAS a finite variance before anyone trusts
+    // a mean on it. Ranks are total (cents, then orderkey).
+    "q308_hill_tail" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .select(cents(col("o_totalprice")).as("x"),
+          col("o_orderkey").cast("long").as("ok"))
+      val wr = Window.orderBy(col("x").desc, col("ok"))
+      val k = 500
+      val top = o.withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= k)
+      val xk = top.filter(col("rk") === k).select(col("x").as("xk"))
+      val cum = top.filter(col("rk") < k).crossJoin(broadcast(xk))
+        .withColumn("lnterm",
+          log(col("x").cast("double") / col("xk").cast("double")))
+        .withColumn("cll", sum(col("lnterm")).over(
+          Window.orderBy(col("rk"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rk").desc)))
+        .filter(col("rn") === 1)
+      cum.select(lit(k.toLong).as("k"), col("xk"),
+        roundz(col("cll") / lit((k - 1).toDouble), 6).as("hill6"),
+        roundz(lit((k - 1).toDouble) / col("cll"), 6).as("alpha6"))
+    }),
+
+    // Stratified average-treatment-effect estimate: treatment =
+    // user-id parity (q258's A/B convention), outcome = converted,
+    // strata = activity buckets (total event count div 20, capped) —
+    // the covariate-adjustment layer over q258's raw two-proportion
+    // test. Per-stratum cell counts are exact; ATE_s is two divisions;
+    // the N-weighted combine runs as an ordered cumsum over the ≤8
+    // stratum rows (replicated-summary output, the q258 shape).
+    "q309_stratified_ate" -> ((s, d) => {
+      val users = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("act"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(pmod(col("user_id"), lit(2)).as("t"),
+          least(expr("act div 20"), lit(7L)).as("stratum"), col("conv"))
+      val cells = users.groupBy(col("stratum")).agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("c1"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("c0"))
+      val wAll = Window.partitionBy()
+      val ws = Window.orderBy(col("stratum"))
+      val r = cells
+        .withColumn("ntot", sum(col("n1") + col("n0")).over(wAll))
+        .withColumn("ate_s",
+          when(col("n1") > 0 && col("n0") > 0,
+            col("c1").cast("double") / col("n1").cast("double") -
+              col("c0").cast("double") / col("n0").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("ate_cum",
+          sum((col("n1") + col("n0")).cast("double") /
+            col("ntot").cast("double") * col("ate_s")).over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)))
+      r.select(col("stratum"), col("n1"), col("c1"), col("n0"), col("c0"),
+          roundz(col("ate_s"), 6).as("ate_s6"),
+          roundz(col("ate_cum"), 6).as("ate_cum6"))
+        .orderBy(col("stratum"))
     })
   )
 
@@ -2076,6 +2194,103 @@ object Stats {
            round(tot.ll, 4) + 0.0 AS ll4,
            round(exp(-tot.ll / CAST(tot.ntok AS DOUBLE)), 4) + 0.0
              AS ppl4
-         FROM tot, totals"""
+         FROM tot, totals""",
+    "q307_conformal" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         pred AS (
+           SELECT day, x, rn, s7,
+             abs(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0) AS res,
+             day % 2 AS grp
+           FROM (
+             SELECT day, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+               SUM(x) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+             FROM f)
+           WHERE rn > 7),
+         cal AS (SELECT * FROM pred WHERE grp = 1),
+         ncal AS (SELECT COUNT(*) AS n_cal FROM cal),
+         qhat AS (
+           SELECT res AS qhat, n_cal FROM (
+             SELECT cal.res, ncal.n_cal,
+               CAST(ROW_NUMBER() OVER (ORDER BY cal.res, cal.day)
+                 AS BIGINT) AS rk
+             FROM cal, ncal)
+           WHERE rk = ((n_cal + 1) * 9 + 9) // 10),
+         test AS (SELECT * FROM pred WHERE grp = 0)
+         SELECT MAX(qhat.n_cal) AS n_cal, COUNT(*) AS n_test,
+           MAX(round(qhat.qhat, 6) + 0.0) AS qhat6,
+           CAST(SUM(CASE WHEN test.res <= qhat.qhat THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           round(CAST(SUM(CASE WHEN test.res <= qhat.qhat
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0
+             AS coverage6
+         FROM test, qhat""",
+    "q308_hill_tail" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice*100) AS BIGINT) AS x,
+             CAST(o_orderkey AS BIGINT) AS ok
+           FROM orders),
+         top AS (
+           SELECT x, rk FROM (
+             SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x DESC, ok)
+                 AS BIGINT) AS rk
+             FROM o)
+           WHERE rk <= 500),
+         xk AS (SELECT x AS xk FROM top WHERE rk = 500),
+         cum AS (
+           SELECT rk,
+             SUM(ln(CAST(top.x AS DOUBLE) / CAST(xk.xk AS DOUBLE)))
+               OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cll,
+             ROW_NUMBER() OVER (ORDER BY rk DESC) AS rn,
+             xk.xk
+           FROM top, xk WHERE rk < 500)
+         SELECT CAST(500 AS BIGINT) AS k, xk,
+           round(cll / 499.0, 6) + 0.0 AS hill6,
+           round(499.0 / cll, 6) + 0.0 AS alpha6
+         FROM cum WHERE rn = 1""",
+    "q309_stratified_ate" ->
+      """WITH u AS (
+           SELECT user_id % 2 AS t,
+             least(COUNT(*) // 20, 7) AS stratum,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY user_id),
+         cells AS (
+           SELECT stratum,
+             SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN t = 1 THEN conv ELSE 0 END) AS c1,
+             SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN t = 0 THEN conv ELSE 0 END) AS c0
+           FROM u GROUP BY stratum),
+         r AS (
+           SELECT stratum, n1, c1, n0, c0,
+             SUM(n1 + n0) OVER () AS ntot,
+             CASE WHEN n1 > 0 AND n0 > 0 THEN
+               CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             ELSE 0.0 END AS ate_s
+           FROM cells),
+         c AS (
+           SELECT stratum, n1, c1, n0, c0, ate_s,
+             SUM(CAST(n1 + n0 AS DOUBLE) / CAST(ntot AS DOUBLE) * ate_s)
+               OVER (ORDER BY stratum ROWS UNBOUNDED PRECEDING)
+               AS ate_cum
+           FROM r)
+         SELECT stratum, CAST(n1 AS BIGINT) AS n1,
+           CAST(c1 AS BIGINT) AS c1, CAST(n0 AS BIGINT) AS n0,
+           CAST(c0 AS BIGINT) AS c0,
+           round(ate_s, 6) + 0.0 AS ate_s6,
+           round(ate_cum, 6) + 0.0 AS ate_cum6
+         FROM c ORDER BY stratum"""
   )
 }

@@ -305,7 +305,19 @@ class PlanSpec extends SparkSpec {
       // q297/q300: the Mann–Kendall day-pair product is q270's
       // CALENDAR-bounded class (O(days²) on the gap-filled spine);
       // the mid/max/median/MAD combines are 1-row scalars (q169's)
-      "q297_mann_kendall", "q300_quality_monitor")
+      "q297_mann_kendall", "q300_quality_monitor",
+      // q306: the (N, V) train totals are ONE broadcast row onto the
+      // scored test tokens (q105's vocab-scalar class); every gram
+      // join is keyed
+      "q306_trigram_lm",
+      // q304: HITS's node-count and L1-normalization sums are ONE-row
+      // broadcasts per half-step (q113's scalar class); the score
+      // propagation joins are keyed on src/dst
+      "q304_hits",
+      // q307/q308: the calibration count / q̂ / x₍ₖ₎ threshold are
+      // ONE-row broadcasts onto O(days) / O(k) relations (q46's
+      // scalar class)
+      "q307_conformal", "q308_hill_tail")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

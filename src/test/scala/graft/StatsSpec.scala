@@ -738,6 +738,80 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ll - llRef) < 1e-3)
   }
 
+  test("q307 conformal: qhat is the exact order statistic and " +
+      "coverage counts test residuals under it") {
+    val r = SparkEntry.queries("q307_conformal")(spark, d).head()
+    val (nCal, nTest, qhat, nCov) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val daily = Graft.normalizeTs(Graft.table(spark, d, "events"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val lo = daily.map(_._1).min; val hi = daily.map(_._1).max
+    val m = daily.toMap
+    val xs = (lo to hi).map(t => t -> m.getOrElse(t, 0L))
+    val pred = xs.indices.drop(7).map { i =>
+      val s7 = (i - 7 until i).map(j => xs(j)._2).sum
+      val res = math.abs(xs(i)._2.toDouble - s7.toDouble / 7.0)
+      (xs(i)._1, res)
+    }
+    val cal = pred.filter(_._1 % 2 == 1).sortBy(p => (p._2, p._1))
+    val test = pred.filter(_._1 % 2 == 0)
+    assert(nCal == cal.length.toLong && nTest == test.length.toLong)
+    val rkSel = ((cal.length + 1) * 9 + 9) / 10
+    val qRef = cal(rkSel - 1)._2
+    assert(math.abs(qhat - BigDecimal(qRef).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(nCov == test.count(_._2 <= qRef).toLong)
+  }
+
+  test("q308 Hill estimator matches the brute top-k recompute and " +
+      "alpha is its reciprocal") {
+    val r = SparkEntry.queries("q308_hill_tail")(spark, d).head()
+    val (k, xk, hill, alpha) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val xs = Graft.table(spark, d, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderkey").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (-x._1, x._2)).take(k.toInt).map(_._1)
+    assert(xk == xs.last)
+    val hRef = xs.init.map(x => math.log(x.toDouble / xs.last)).sum /
+      (k - 1)
+    assert(math.abs(hill - hRef) < 1e-5)
+    assert(math.abs(alpha - 1.0 / hRef) < 1e-3)
+  }
+
+  test("q309 stratified ATE: cells partition users and the cumulative " +
+      "weighted combine ends at the stratified estimate") {
+    val out = SparkEntry.queries("q309_stratified_ate")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val users = Graft.table(spark, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("act"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .collect().map(x => (x.getLong(0) % 2,
+        math.min(x.getLong(1) / 20, 7L), x.getLong(2)))
+    assert(out.map(x => x._2 + x._4).sum == users.length.toLong)
+    val ntot = users.length.toDouble
+    var cum = 0.0
+    for ((st, n1, c1, n0, c0, ateS, ateCum) <- out) {
+      assert(n1 == users.count(u => u._1 == 1 && u._2 == st).toLong)
+      assert(c1 == users.filter(u => u._1 == 1 && u._2 == st)
+        .map(_._3).sum)
+      assert(n0 == users.count(u => u._1 == 0 && u._2 == st).toLong)
+      assert(c0 == users.filter(u => u._1 == 0 && u._2 == st)
+        .map(_._3).sum)
+      val ref = if (n1 > 0 && n0 > 0)
+        c1.toDouble / n1 - c0.toDouble / n0 else 0.0
+      assert(math.abs(ateS - ref) < 5e-7)
+      cum += (n1 + n0) / ntot * ref
+      assert(math.abs(ateCum - cum) < 1e-5)
+    }
+  }
+
   test("q290 preference pairs: chosen/rejected are the per-group " +
       "argmax/argmin by (token count, doc_id)") {
     val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)

@@ -1238,6 +1238,90 @@ object Stats {
           roundz(col("ate_s"), 6).as("ate_s6"),
           roundz(col("ate_cum"), 6).as("ate_cum6"))
         .orderBy(col("stratum"))
+    }),
+
+    // Iterative proportional fitting (raking) of the event_type ×
+    // user-parity contingency table to UNIFORM target margins — the
+    // survey-weighting / panel-calibration primitive. Three unrolled
+    // rounds, each a row-margin scaling then a column-margin scaling
+    // (two partition windows over the 10-cell relation), weights
+    // rounded to 12 dp between half-steps (the q113/q304 iterative-
+    // float discipline). Margin convergence is pinned in StatsSpec.
+    // Scale: the table is O(types × groups) after one fact aggregate —
+    // IPF never touches rows again.
+    "q310_ipf_raking" -> ((s, d) => {
+      val cells = table(s, d, "events")
+        .groupBy(col("event_type").as("g"),
+          pmod(col("user_id"), lit(2)).as("p"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val wg = Window.partitionBy(col("g"))
+      val wp = Window.partitionBy(col("p"))
+      val base = cells
+        .withColumn("ntot", sum(col("n")).over(wAll))
+        .withColumn("nc", size(collect_set(col("p")).over(wAll)))
+        .withColumn("ng", size(collect_set(col("g")).over(wAll)))
+      var w: org.apache.spark.sql.DataFrame = base
+        .withColumn("w", col("n").cast("double"))
+      for (_ <- 1 to 3) {
+        w = w.withColumn("w",
+          round(col("w") *
+            (col("ntot").cast("double") / col("ng").cast("double")) /
+            sum(col("w")).over(wg), 12))
+        w = w.withColumn("w",
+          round(col("w") *
+            (col("ntot").cast("double") / col("nc").cast("double")) /
+            sum(col("w")).over(wp), 12))
+      }
+      w.select(col("g"), col("p"), col("n"), round(col("w"), 8).as("w8"))
+        .orderBy(col("g"), col("p"))
+    }),
+
+    // Linear-time MMD² between the vec_id-parity embedding halves
+    // (linear kernel): quadruples (x₂ⱼ,x₂ⱼ₊₁,y₂ⱼ,y₂ⱼ₊₁) paired by
+    // rank, h_j = ⟨x₀,x₁⟩+⟨y₀,y₁⟩−⟨x₀,y₁⟩−⟨x₁,y₀⟩ with each dot an
+    // exploded-coordinate sum rounded to 6 dp (the q39/q42 float
+    // mitigation), then an ordered cumsum over j for the mean — the
+    // O(n) two-sample test that makes all-pairs kernel MMD tractable,
+    // beside q225's KS (1-D) and q305's mean-shift screens.
+    "q311_mmd_linear" -> ((s, d) => {
+      val ranked = table(s, d, "embeddings")
+        .select(col("vec_id"), pmod(col("vec_id"), lit(2)).as("h"),
+          col("embedding"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("vec_id")))
+          .cast("long"))
+      val nmin = ranked.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("nmin"))
+      val paired = ranked.crossJoin(broadcast(nmin))
+        .filter(col("rn") <= col("nmin"))
+        .withColumn("j", expr("(rn - 1) div 2"))
+        .withColumn("s", pmod(col("rn") - 1, lit(2)))
+      val quad = paired
+        .select(col("j"), col("h"), col("s"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("j"), col("i"), col("h"), col("s"),
+          col("v").cast("double").as("v"))
+        .groupBy(col("j"), col("i"))
+        .agg(
+          sum(when(col("h") === 0 && col("s") === 0, col("v"))).as("x0"),
+          sum(when(col("h") === 0 && col("s") === 1, col("v"))).as("x1"),
+          sum(when(col("h") === 1 && col("s") === 0, col("v"))).as("y0"),
+          sum(when(col("h") === 1 && col("s") === 1, col("v"))).as("y1"))
+        .filter(col("x0").isNotNull && col("x1").isNotNull &&
+          col("y0").isNotNull && col("y1").isNotNull)
+      val hPerPair = quad.groupBy(col("j"))
+        .agg(roundz(sum(col("x0") * col("x1") + col("y0") * col("y1") -
+          col("x0") * col("y1") - col("x1") * col("y0")), 6).as("h6"))
+      val wj = Window.orderBy(col("j"))
+      val acc = hPerPair
+        .withColumn("cum", sum(col("h6")).over(
+          wj.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(Window.orderBy(col("j").desc)))
+        .filter(col("rn") === 1)
+      acc.select(col("np").as("n_pairs"),
+        roundz(col("cum") / col("np").cast("double"), 6).as("mmd2_6"))
     })
   )
 
@@ -2291,6 +2375,93 @@ object Stats {
            CAST(c0 AS BIGINT) AS c0,
            round(ate_s, 6) + 0.0 AS ate_s6,
            round(ate_cum, 6) + 0.0 AS ate_cum6
-         FROM c ORDER BY stratum"""
+         FROM c ORDER BY stratum""",
+    "q310_ipf_raking" ->
+      """WITH cells AS (
+           SELECT event_type AS g, user_id % 2 AS p, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         card AS (
+           SELECT COUNT(DISTINCT p) AS nc, COUNT(DISTINCT g) AS ng
+           FROM cells),
+         base AS (
+           SELECT g, p, n,
+             SUM(n) OVER () AS ntot,
+             card.nc, card.ng,
+             CAST(n AS DOUBLE) AS w
+           FROM cells, card),
+         r1 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY g), 12) AS w
+           FROM base),
+         c1 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(nc AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY p), 12) AS w
+           FROM r1),
+         r2 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY g), 12) AS w
+           FROM c1),
+         c2 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(nc AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY p), 12) AS w
+           FROM r2),
+         r3 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY g), 12) AS w
+           FROM c2),
+         c3 AS (
+           SELECT g, p, n, ntot, nc, ng,
+             round(w * (CAST(ntot AS DOUBLE) / CAST(nc AS DOUBLE))
+               / SUM(w) OVER (PARTITION BY p), 12) AS w
+           FROM r3)
+         SELECT g, p, CAST(n AS BIGINT) AS n,
+           round(w, 8) + 0.0 AS w8
+         FROM c3 ORDER BY g, p""",
+    "q311_mmd_linear" ->
+      """WITH ranked AS (
+           SELECT vec_id, vec_id % 2 AS h, embedding,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id % 2
+               ORDER BY vec_id) AS BIGINT) AS rn
+           FROM embeddings),
+         nmin AS (
+           SELECT MIN(c) AS nmin FROM (
+             SELECT h, COUNT(*) AS c FROM ranked GROUP BY h)),
+         paired AS (
+           SELECT (rn - 1) // 2 AS j, (rn - 1) % 2 AS s, h, embedding
+           FROM ranked, nmin WHERE rn <= nmin),
+         coords AS (
+           SELECT j, s, h,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM paired),
+         quad AS (
+           SELECT j, i,
+             SUM(CASE WHEN h = 0 AND s = 0 THEN v END) AS x0,
+             SUM(CASE WHEN h = 0 AND s = 1 THEN v END) AS x1,
+             SUM(CASE WHEN h = 1 AND s = 0 THEN v END) AS y0,
+             SUM(CASE WHEN h = 1 AND s = 1 THEN v END) AS y1
+           FROM coords GROUP BY j, i),
+         flt AS (
+           SELECT * FROM quad
+           WHERE x0 IS NOT NULL AND x1 IS NOT NULL
+             AND y0 IS NOT NULL AND y1 IS NOT NULL),
+         hp AS (
+           SELECT j, round(SUM(x0*x1 + y0*y1 - x0*y1 - x1*y0), 6) + 0.0
+             AS h6
+           FROM flt GROUP BY j),
+         acc AS (
+           SELECT SUM(h6) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             COUNT(*) OVER () AS np,
+             ROW_NUMBER() OVER (ORDER BY j DESC) AS rn
+           FROM hp)
+         SELECT CAST(np AS BIGINT) AS n_pairs,
+           round(cum / CAST(np AS DOUBLE), 6) + 0.0 AS mmd2_6
+         FROM acc WHERE rn = 1"""
   )
 }

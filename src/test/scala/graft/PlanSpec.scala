@@ -317,7 +317,10 @@ class PlanSpec extends SparkSpec {
       // q307/q308: the calibration count / q̂ / x₍ₖ₎ threshold are
       // ONE-row broadcasts onto O(days) / O(k) relations (q46's
       // scalar class)
-      "q307_conformal", "q308_hill_tail")
+      "q307_conformal", "q308_hill_tail",
+      // q311: the min-half-size alignment bound is ONE broadcast row
+      // onto the ranked vectors (q46's scalar class)
+      "q311_mmd_linear")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

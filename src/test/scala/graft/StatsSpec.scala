@@ -812,6 +812,71 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q310 IPF raking converges toward uniform margins and matches " +
+      "a driver-side unrolled recompute") {
+    val out = SparkEntry.queries("q310_ipf_raking")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val cells = Graft.table(spark, d, "events")
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(2)))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val ntot = cells.map(_._3).sum.toDouble
+    val gs = cells.map(_._1).distinct.sorted
+    val ps = cells.map(_._2).distinct.sorted
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = cells.map(c => (c._1, c._2) -> c._3.toDouble).toMap
+    for (_ <- 1 to 3) {
+      val rowSum = gs.map(g =>
+        g -> ps.map(p => w.getOrElse((g, p), 0.0)).sum).toMap
+      w = w.map { case ((g, p), x) =>
+        (g, p) -> r12(x * (ntot / gs.length) / rowSum(g)) }
+      val colSum = ps.map(p =>
+        p -> gs.map(g => w.getOrElse((g, p), 0.0)).sum).toMap
+      w = w.map { case ((g, p), x) =>
+        (g, p) -> r12(x * (ntot / ps.length) / colSum(p)) }
+    }
+    for ((g, p, _, w8) <- out)
+      assert(math.abs(w8 - w((g, p))) < 5e-8, s"IPF mismatch ($g,$p)")
+    // margins after 3 rounds: columns exact (last step), rows near
+    for (p <- ps) {
+      val cm = out.filter(_._2 == p).map(_._4).sum
+      assert(math.abs(cm - ntot / ps.length) < 1e-4 * ntot)
+    }
+    for (g <- gs) {
+      val rm = out.filter(_._1 == g).map(_._4).sum
+      assert(math.abs(rm - ntot / gs.length) < 0.05 * ntot / gs.length)
+    }
+  }
+
+  test("q311 linear-time MMD2 matches a brute quadruple recompute " +
+      "and is ~0 for identically-distributed halves") {
+    val r = SparkEntry.queries("q311_mmd_linear")(spark, d).head()
+    val (np, mmd2) = (r.getLong(0), r.getDouble(1))
+    val rows = Graft.table(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(x => (x.getLong(0),
+        x.getSeq[Float](1).map(_.toDouble).toArray))
+    val ev = rows.filter(_._1 % 2 == 0).sortBy(_._1).map(_._2)
+    val od = rows.filter(_._1 % 2 == 1).sortBy(_._1).map(_._2)
+    val nmin = math.min(ev.length, od.length)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val hs = (0 until nmin / 2).map { j =>
+      val (x0, x1) = (ev(2 * j), ev(2 * j + 1))
+      val (y0, y1) = (od(2 * j), od(2 * j + 1))
+      dot(x0, x1) + dot(y0, y1) - dot(x0, y1) - dot(x1, y0)
+    }
+    assert(np == hs.length.toLong)
+    val ref = hs.sum / hs.length
+    assert(math.abs(mmd2 - ref) < 1e-4)
+    // parity halves of one distribution: MMD2 should be small
+    // relative to the typical per-pair magnitude
+    val scaleH = hs.map(math.abs).max
+    assert(math.abs(mmd2) < scaleH)
+  }
+
   test("q290 preference pairs: chosen/rejected are the per-group " +
       "argmax/argmin by (token count, doc_id)") {
     val eng = SparkEntry.queries("q290_preference_pairs")(spark, d)

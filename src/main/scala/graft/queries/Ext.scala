@@ -964,6 +964,55 @@ object Ext {
           floor(col("lat") / 0.5).cast("long").as("cell_lat"))
         .agg(count(lit(1)).as("n_alerts"), min(col("id")).as("first_id"))
         .orderBy(col("cell_lon"), col("cell_lat"))
+    }),
+
+    // k-center greedy coreset selection (Gonzalez farthest-first) over
+    // embeddings — the geometric data-PRUNING primitive: k rounds, each
+    // picking the point farthest (cosine distance, rounded 6 dp before
+    // the argmax so the ladder is engine-replayable, ties → min vec_id)
+    // from the already-selected set. Scale shape = q153's kmeans loop:
+    // the selected set is O(k·dim) driver-side model material inlined
+    // as literals, so every round is ONE narrow scan computing
+    // least(dist-to-center₁..ᵣ) + a top-1 — no join, no all-pairs;
+    // radius6 (the max min-distance among unselected = the (k+1)-th
+    // Gonzalez value, the classic 2-approx coverage certificate) is one
+    // more narrow pass. The oracle replays the identical ladder from an
+    // all-pairs distance CTE — the O(n²) spelling that is exactly what
+    // this operator exists to avoid at 100 TB.
+    "q312_kcenter_coreset" -> ((s, d) => {
+      import s.implicits._
+      graft.expr.GraftFunctions.register(s)
+      val k = 6
+      val emb = table(s, d, "embeddings")
+        .filter(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x) > 0)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // k+1 selection/radius passes share one scan
+      def vecOf(id: Long): Seq[Float] =
+        emb.filter(col("vec_id") === id).head().getSeq[Float](1)
+      val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
+      var selIds = Vector(seed)
+      var selVecs = Vector(vecOf(seed))
+      var rows = Vector((1L, seed, Option.empty[Double]))
+      def minDist: org.apache.spark.sql.Column = {
+        val ds = selVecs.map(v => round(lit(1.0) -
+          Similarity.cosineNative(col("embedding"), typedlit(v)), 6))
+        if (ds.size == 1) ds.head else least(ds: _*)
+      }
+      for (r <- 2L to k) {
+        val pick = emb.filter(!col("vec_id").isin(selIds: _*))
+          .select(col("vec_id"), minDist.as("dd"))
+          .orderBy(col("dd").desc, col("vec_id")).limit(1).head()
+        // + 0.0 = the roundz signed-zero normalization, driver-side
+        val (id, dd) = (pick.getLong(0), pick.getDouble(1) + 0.0)
+        selIds :+= id; selVecs :+= vecOf(id)
+        rows :+= ((r, id, Some(dd)))
+      }
+      val radius = emb.filter(!col("vec_id").isin(selIds: _*))
+        .agg(max(minDist)).head().getDouble(0) + 0.0
+      rows.map { case (r, id, dd) => (r, id, dd, radius) }
+        .toDF("sel_round", "vec_id", "dist6", "radius6")
+        .orderBy(col("sel_round"))
     }))
 
   /** JS `Number(x)` semantics in DuckDB SQL (''→0, numeric-shape cast,
@@ -1805,5 +1854,70 @@ object Ext {
            FROM f GROUP BY vec_id)
          SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
            round(avg(nrm), 4) AS avg_norm
-         FROM norms GROUP BY label ORDER BY label""")
+         FROM norms GROUP BY label ORDER BY label""",
+    // replay of the greedy farthest-first ladder from an all-pairs
+    // rounded-distance CTE (the O(n²) oracle-only spelling); each
+    // round: min-dist to the selected set, argmax with vec_id
+    // tie-break; radius = max min-dist among the unselected
+    "q312_kcenter_coreset" ->
+      """WITH f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         nz AS (SELECT vec_id FROM nrm WHERE nrm > 0),
+         pd AS MATERIALIZED (
+           SELECT a.vec_id AS pa, b.vec_id AS pb,
+             round(1 - sum(a.v*b.v) / (na.nrm * nb.nrm), 6) AS dd
+           FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+           JOIN nrm na ON na.vec_id = a.vec_id AND na.nrm > 0
+           JOIN nrm nb ON nb.vec_id = b.vec_id AND nb.nrm > 0
+           GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+         s1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM nz),
+         p2 AS MATERIALIZED (SELECT pa AS id, dd FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s1)
+               AND pa NOT IN (SELECT id FROM s1) GROUP BY pa)
+           ORDER BY dd DESC, id LIMIT 1),
+         s2 AS MATERIALIZED (SELECT id FROM s1 UNION ALL SELECT id FROM p2),
+         p3 AS MATERIALIZED (SELECT pa AS id, dd FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s2)
+               AND pa NOT IN (SELECT id FROM s2) GROUP BY pa)
+           ORDER BY dd DESC, id LIMIT 1),
+         s3 AS MATERIALIZED (SELECT id FROM s2 UNION ALL SELECT id FROM p3),
+         p4 AS MATERIALIZED (SELECT pa AS id, dd FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s3)
+               AND pa NOT IN (SELECT id FROM s3) GROUP BY pa)
+           ORDER BY dd DESC, id LIMIT 1),
+         s4 AS MATERIALIZED (SELECT id FROM s3 UNION ALL SELECT id FROM p4),
+         p5 AS MATERIALIZED (SELECT pa AS id, dd FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s4)
+               AND pa NOT IN (SELECT id FROM s4) GROUP BY pa)
+           ORDER BY dd DESC, id LIMIT 1),
+         s5 AS MATERIALIZED (SELECT id FROM s4 UNION ALL SELECT id FROM p5),
+         p6 AS MATERIALIZED (SELECT pa AS id, dd FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s5)
+               AND pa NOT IN (SELECT id FROM s5) GROUP BY pa)
+           ORDER BY dd DESC, id LIMIT 1),
+         s6 AS MATERIALIZED (SELECT id FROM s5 UNION ALL SELECT id FROM p6),
+         radius AS MATERIALIZED (
+           SELECT MAX(dd) AS r FROM (
+             SELECT pa, MIN(dd) AS dd FROM pd
+             WHERE pb IN (SELECT id FROM s6)
+               AND pa NOT IN (SELECT id FROM s6) GROUP BY pa)),
+         sel AS MATERIALIZED (
+           SELECT 1 AS r, id, CAST(NULL AS DOUBLE) AS dd FROM s1
+           UNION ALL SELECT 2, id, dd FROM p2
+           UNION ALL SELECT 3, id, dd FROM p3
+           UNION ALL SELECT 4, id, dd FROM p4
+           UNION ALL SELECT 5, id, dd FROM p5
+           UNION ALL SELECT 6, id, dd FROM p6)
+         SELECT CAST(r AS BIGINT) AS sel_round, id AS vec_id,
+           dd + 0.0 AS dist6,
+           (SELECT r + 0.0 FROM radius) AS radius6
+         FROM sel ORDER BY sel_round""")
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.{roundz, table}
-import graft.ext.{Metrics => M}
+import graft.ext.{Similarity, Metrics => M}
 
 /** Evaluation-metric query family (round 6, SURVEY.md §2.14 EXT): ROC
   * AUC, two-sample KS, Cohen's kappa, Bradley–Terry preference
@@ -325,6 +325,95 @@ object Metrics {
         .select(col("event_type"), col("bin"), col("pos"), col("n"),
           roundz(col("fitted"), 6).as("fitted6"))
         .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Local Outlier Factor (k = 5) over sign-bucket-blocked cosine
+    // neighborhoods — the DENSITY-relative outlier screen completing
+    // the family (q109 per-dim z², q236 centroid distance, q169 MAD):
+    // LOF flags points whose local density is low RELATIVE to their
+    // neighbors', catching border points that global screens miss.
+    // Blocking = q161's first-4-coordinate sign buckets (deterministic,
+    // SQL-recomputable), so pair generation is an equi-join on the
+    // bucket — never all-pairs; kNN is a per-point top-5 window on the
+    // ROUNDED distance (ties → neighbor id). reach-dist(p,o) =
+    // max(d(p,o), kdist(o)); lrd rounded 9 dp before the ratio stage
+    // (the pre-round float discipline); lof averages over the JOINED
+    // neighbor count so an undefined-lrd neighbor (zero-radius
+    // neighborhood of exact duplicates) drops identically both sides.
+    "q313_lof" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val signBits = 4
+      val bucket = (0 until signBits)
+        .map(b => when(element_at(col("embedding"), b + 1) >= 0,
+          lit(1 << (signBits - 1 - b))).otherwise(lit(0)))
+        .reduce(_ + _)
+      val emb = table(s, d, "embeddings")
+        .filter(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x) > 0)
+        .select(col("vec_id"), col("embedding"), bucket.as("bk"))
+      val a = emb.select(col("bk"), col("vec_id").as("p"),
+        col("embedding").as("va"))
+      val b = emb.select(col("bk"), col("vec_id").as("o"),
+        col("embedding").as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p")).orderBy(col("dd"), col("o"))
+      val knn = a.join(b, Seq("bk")).filter(col("p") =!= col("o"))
+        .select(col("p"), col("o"), round(lit(1.0) -
+          Similarity.cosineNative(col("va"), col("vb")), 6).as("dd"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      val kstats = knn.groupBy(col("p").as("kp"))
+        .agg(max(col("dd")).as("kdist"))
+      val lrd = knn
+        .join(kstats, col("o") === col("kp"))
+        .withColumn("reach", greatest(col("dd"), col("kdist")))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_nb"), sum(col("reach")).as("sr"))
+        .filter(col("sr") > 0)
+        .select(col("p"), col("n_nb"),
+          round(col("n_nb") / col("sr"), 9).as("lrd"))
+      val lof = knn
+        .join(lrd.select(col("p").as("o"), col("lrd").as("lrd_o")), Seq("o"))
+        .groupBy(col("p"))
+        .agg(sum(col("lrd_o")).as("slo"), count(lit(1)).as("nj"))
+        .join(lrd, Seq("p"))
+        .select(col("p").as("vec_id"), col("n_nb"),
+          roundz(col("slo") / col("nj") / col("lrd"), 6).as("lof6"))
+      lof.orderBy(col("lof6").desc, col("vec_id")).limit(15)
+    }),
+
+    // Simplified (centroid) silhouette of the `label` partition over
+    // embeddings — the clustering-quality score: a = distance to the
+    // OWN label centroid, b = nearest OTHER centroid, s = (b−a)/
+    // max(a,b). The label partition is data-given (deterministic), so
+    // unlike q153's float-ladder k-means this is fully SQL-replayable:
+    // centroids are per-coordinate means (one O(labels·dim) aggregate —
+    // the broadcast side at 100 TB), distances one narrow fan-out join
+    // on the coordinate spine, a/b rounded 6 dp and s rounded 9 dp
+    // before the per-label mean. Low sil6 = an incoherent label —
+    // the audit gate before trusting labels for stratification.
+    "q314_label_silhouette" -> ((s, d) => {
+      val f = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("label"), col("i"),
+          col("v").cast("double").as("v"))
+      val cent = f.groupBy(col("label").as("cl"), col("i"))
+        .agg((sum(col("v")) / count(lit(1))).as("mu"))
+      val dists = f.join(cent, Seq("i"))
+        .withColumn("sq", (col("v") - col("mu")) * (col("v") - col("mu")))
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(round(sqrt(sum(col("sq"))), 6).as("dist6"))
+      val ab = dists.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("cl") === col("label"), col("dist6"))).as("da"),
+          min(when(col("cl") =!= col("label"), col("dist6"))).as("db"))
+      val sil = ab.withColumn("sv",
+        when(greatest(col("da"), col("db")) === 0, lit(0.0))
+          .otherwise(round((col("db") - col("da")) /
+            greatest(col("da"), col("db")), 9)))
+      sil.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), roundz(avg(col("sv")), 6).as("sil6"))
+        .orderBy(col("label"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -611,5 +700,77 @@ object Metrics {
          SELECT r.g AS event_type, r.bin, CAST(r.pos AS BIGINT) AS pos,
            CAST(r.n AS BIGINT) AS n, round(f.fitted, 6) + 0.0 AS fitted6
          FROM r JOIN f ON f.g = r.g AND f.i = r.rn
-         ORDER BY event_type, bin""")
+         ORDER BY event_type, bin""",
+    // full LOF chain replay: same-bucket rounded distances, top-5
+    // window, kdist, reach-dist, 9-dp lrd, joined-count lof
+    "q313_lof" ->
+      """WITH bk AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+           FROM embeddings),
+         f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+         pairs AS (
+           SELECT a.vec_id AS p, b.vec_id AS o,
+             round(1 - sum(a.v*b.v) / (na.nrm * nb.nrm), 6) AS dd
+           FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+           JOIN bk ba ON ba.vec_id = a.vec_id
+           JOIN bk bb ON bb.vec_id = b.vec_id AND bb.bk = ba.bk
+           JOIN nrm na ON na.vec_id = a.vec_id AND na.nrm > 0
+           JOIN nrm nb ON nb.vec_id = b.vec_id AND nb.nrm > 0
+           GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+         knn AS (
+           SELECT p, o, dd FROM (
+             SELECT p, o, dd,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY dd, o) AS rk
+             FROM pairs) WHERE rk <= 5),
+         lrd AS (
+           SELECT k.p, COUNT(*) AS n_nb,
+             round(COUNT(*) / SUM(GREATEST(k.dd, ks.kdist)), 9) AS lrd
+           FROM knn k JOIN (
+             SELECT p AS kp, MAX(dd) AS kdist FROM knn GROUP BY p) ks
+             ON k.o = ks.kp
+           GROUP BY k.p HAVING SUM(GREATEST(k.dd, ks.kdist)) > 0),
+         lof AS (
+           SELECT k.p, SUM(lo.lrd) AS slo, COUNT(*) AS nj
+           FROM knn k JOIN lrd lo ON k.o = lo.p
+           GROUP BY k.p)
+         SELECT l.p AS vec_id, CAST(r.n_nb AS BIGINT) AS n_nb,
+           round(l.slo / l.nj / r.lrd, 6) + 0.0 AS lof6
+         FROM lof l JOIN lrd r ON l.p = r.p
+         ORDER BY lof6 DESC, vec_id LIMIT 15""",
+    // label-centroid silhouette: per-coordinate mean centroids, the
+    // same round-6 distances / round-9 s / round-6 per-label mean
+    "q314_label_silhouette" ->
+      """WITH f AS (
+           SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cl, i, SUM(v) / COUNT(*) AS mu
+           FROM f GROUP BY label, i),
+         dists AS (
+           SELECT f.vec_id, f.label, c.cl,
+             round(sqrt(SUM((f.v - c.mu) * (f.v - c.mu))), 6) AS dist6
+           FROM f JOIN cent c ON f.i = c.i
+           GROUP BY f.vec_id, f.label, c.cl),
+         ab AS (
+           SELECT vec_id, label,
+             MAX(CASE WHEN cl = label THEN dist6 END) AS da,
+             MIN(CASE WHEN cl <> label THEN dist6 END) AS db
+           FROM dists GROUP BY vec_id, label),
+         sil AS (
+           SELECT label,
+             CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+               ELSE round((db - da) / GREATEST(da, db), 9) END AS sv
+           FROM ab)
+         SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+           round(AVG(sv), 6) + 0.0 AS sil6
+         FROM sil GROUP BY label ORDER BY label""")
 }

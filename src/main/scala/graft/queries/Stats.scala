@@ -41,14 +41,16 @@ object Stats {
     // n1v are group-1, the doubled average rank is 2c+t+1 (c = count
     // of strictly smaller rows), so 2·R1 = Σ n1v·(2c+t+1) is a BIGINT;
     // 2·U1 = 2·R1 − n1(n1+1); the tie correction Σ(t³−t) is a BIGINT.
-    // One float spelling at the end:
-    //   z = (2U1 − n1n2) / sqrt(n1·n2·((N+1)N(N−1) − T) / (3N(N−1))).
+    // One float spelling at the end, with the tie term pre-divided by
+    // N(N−1) in DOUBLE so no BIGINT cubes are ever formed:
+    //   z = (2U1 − n1n2) / sqrt(n1·n2·((N+1) − T/(N(N−1))) / 3).
     // Scale: the groupBy collapses the fact table to distinct cent
     // values (domain-bounded: value ∈ [0,500] → ≤50k rows), so the
     // single-partition rank window is O(domain) regardless of SF.
-    // Long headroom: (N+1)N(N−1) needs N < 2×10⁶ ranked rows; beyond
-    // that, divide T through by N(N−1) in double first (documented
-    // trade: exactness of the tie term for headroom).
+    // Long headroom: the largest integer products are n1·n2 ≤ N²/4 and
+    // N(N−1) — safe to N ≈ 3×10⁹ ranked rows (vs 2×10⁶ for the naive
+    // (N+1)N(N−1) cube, which wraps on Spark while DuckDB's HUGEINT
+    // does not — a silent one-engine divergence this spelling closes).
     "q283_mann_whitney" -> ((s, d) => {
       val e = table(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -72,9 +74,10 @@ object Stats {
         .select(col("n1"), col("n2"), col("two_u1"), col("tsum"),
           roundz((col("two_u1") - col("n1") * col("n2")).cast("double") /
             sqrt((col("n1") * col("n2")).cast("double") *
-              (((col("n") + 1) * col("n") * (col("n") - 1)) - col("tsum"))
-                .cast("double") /
-              (lit(3.0) * (col("n") * (col("n") - 1)).cast("double"))), 6)
+              ((col("n") + 1).cast("double") -
+                col("tsum").cast("double") /
+                  (col("n") * (col("n") - 1)).cast("double")) /
+              lit(3.0)), 6)
             .as("z6"))
     }),
 
@@ -247,7 +250,11 @@ object Stats {
         .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
       val deg = e.select(col("a").as("z")).unionAll(e.select(col("b")))
         .groupBy(col("z")).agg(count(lit(1)).as("deg"))
-      val w = deg.withColumn("wz",
+      // deg > 1: wedge centers have degree >= 2 by construction, so the
+      // filter is semantically free — and it keeps ln(deg)=0 (deg=1)
+      // out of the weight division, where Spark would silently emit an
+      // unjoinable huge value but DuckDB's BIGINT cast of inf errors.
+      val w = deg.filter(col("deg") > 1).withColumn("wz",
         round(lit(1000000.0) / log(col("deg").cast("double")), 0)
           .cast("long"))
       val half = e.select(col("a").as("z"), col("b").as("nb"))
@@ -266,7 +273,11 @@ object Stats {
     // KMV (k-minimum-values) distinct-count sketch per event type,
     // k=16: hash user_id with the odd multiplier 2654435761 mod 2³²
     // (a BIJECTION on [0,2³²), so distinct hashes = distinct users and
-    // the sketch is collision-free by construction), keep the k
+    // the sketch is collision-free by construction — PRECONDITION:
+    // user_id < 2³², which the testdata generator guarantees; 64-bit
+    // ids would alias mod 2³² and the sketch would count distinct
+    // hashes, not users — switch the modulus to 2⁶¹−1 with a 64-bit
+    // odd multiplier if ids ever widen), keep the k
     // smallest, estimate distinct = (k−1)·2³²/h_k. The estimate and
     // the exact count are emitted side by side. Mergeability (union of
     // per-half sketches = whole-set sketch) is pinned in StatsSpec.
@@ -298,12 +309,16 @@ object Stats {
     // Binary-segmentation changepoint on the gap-filled daily purchase
     // count series: the between-segment SSE reduction at split t is
     // (S_L·n − S·n_L)² / (n·n_L·n_R) — numerator exact BIGINT from
-    // prefix sums, three integer products, ONE float division at the
-    // end; argmax by (reduction desc, day) is deterministic because
-    // both engines compute bit-identical doubles from identical
-    // integer operands. Complements q266 (CUSUM criterion) with the
-    // variance-reduction criterion. Scale: O(days) rows after one
-    // groupBy — the window is calendar-bounded.
+    // prefix sums, then the overflow-safe double factoring
+    // (num/n_L)·(num/(n·n_R)) (q300's spelling: num can reach
+    // ~totalCount·days, so num² would silently wrap BIGINT on Spark
+    // while DuckDB raises — the factored form never squares the
+    // BIGINT). Argmax by (reduction desc, day) is deterministic
+    // because both engines compute bit-identical doubles from
+    // identical integer operands and identical IEEE op order.
+    // Complements q266 (CUSUM criterion) with the variance-reduction
+    // criterion. Scale: O(days) rows after one groupBy — the window
+    // is calendar-bounded.
     "q289_changepoint" -> ((s, d) => {
       val daily = events(s, d)
         .filter(col("event_type") === "purchase")
@@ -326,8 +341,9 @@ object Stats {
       val g = c
         .withColumn("num", col("sl") * col("n") - col("stot") * col("nl"))
         .withColumn("red",
-          (col("num") * col("num")).cast("double") /
-            (col("n") * col("nl") * (col("n") - col("nl"))).cast("double"))
+          (col("num").cast("double") / col("nl").cast("double")) *
+            (col("num").cast("double") /
+              (col("n") * (col("n") - col("nl"))).cast("double")))
       g.select(col("day").as("split_day"), col("nl").as("n_left"),
           (col("n") - col("nl")).as("n_right"),
           roundz(col("red"), 6).as("reduction6"),
@@ -412,8 +428,10 @@ object Stats {
     // 2·avg-rank = 2c+t+1 exactly; per-group doubled rank sums 2R_g
     // are BIGINTs; Σ(2R_g)²/n_g runs as an ordered cumsum over the k=5
     // group rows (squares in DOUBLE for headroom); tie-corrected
-    // H_c = H / (1 − ΣT/(N³−N)). Scale: rank window over DISTINCT
-    // cents (domain-bounded); N³ needs N ≲ 2×10⁶ (same trade as q283).
+    // H_c = H / (1 − (T/(N(N−1)))/(N+1)) — the tie fraction factored
+    // through N(N−1) then N+1 in DOUBLE so no BIGINT cube N³−N is ever
+    // formed (same headroom fix as q283: safe to N ≈ 3×10⁹ vs 2×10⁶).
+    // Scale: rank window over DISTINCT cents (domain-bounded).
     "q292_kruskal_wallis" -> ((s, d) => {
       val e = table(s, d, "events")
         .select(col("event_type").as("g"), cents(col("value")).as("v"))
@@ -445,8 +463,9 @@ object Stats {
         lit(3.0) * (col("n") + 1).cast("double")
       c.select(col("n"), col("k"), col("tsum"),
         roundz(h, 6).as("h6"),
-        roundz(h / (lit(1.0) - col("tsum").cast("double") /
-          (col("n") * col("n") * col("n") - col("n")).cast("double")), 6)
+        roundz(h / (lit(1.0) - (col("tsum").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) /
+          (col("n") + 1).cast("double")), 6)
           .as("hc6"))
     }),
 
@@ -1348,8 +1367,9 @@ object Stats {
            CAST(tsum AS BIGINT) AS tsum,
            round(CAST(two_r1 - n1*(n1+1) - n1*(n - n1) AS DOUBLE) /
              sqrt(CAST(n1*(n - n1) AS DOUBLE) *
-               CAST((n+1)*n*(n-1) - tsum AS DOUBLE) /
-               (3.0 * CAST(n*(n-1) AS DOUBLE))), 6) + 0.0 AS z6
+               (CAST(n+1 AS DOUBLE) -
+                 CAST(tsum AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) /
+               3.0), 6) + 0.0 AS z6
          FROM tot""",
     "q284_fdr_bh" ->
       """WITH byb AS (
@@ -1493,7 +1513,7 @@ object Stats {
            SELECT z,
              CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
                AS wz
-           FROM deg),
+           FROM deg WHERE deg > 1),
          half AS (
            SELECT a AS z, b AS nb FROM e
            UNION ALL SELECT b, a FROM e),
@@ -1552,8 +1572,9 @@ object Stats {
            FROM c WHERE nl < n)
          SELECT day AS split_day, nl AS n_left,
            CAST(n - nl AS BIGINT) AS n_right,
-           round(CAST(num*num AS DOUBLE) /
-             CAST(n*nl*(n - nl) AS DOUBLE), 6) + 0.0 AS reduction6,
+           round((CAST(num AS DOUBLE) / CAST(nl AS DOUBLE)) *
+             (CAST(num AS DOUBLE) / CAST(n*(n - nl) AS DOUBLE)), 6)
+             + 0.0 AS reduction6,
            round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4) + 0.0
              AS mean_left4,
            round(CAST(stot - sl AS DOUBLE) / CAST(n - nl AS DOUBLE), 4)
@@ -1648,8 +1669,9 @@ object Stats {
            FROM c WHERE rn = 1)
          SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
            CAST(tsum AS BIGINT) AS tsum, round(h, 6) + 0.0 AS h6,
-           round(h / (1.0 - CAST(tsum AS DOUBLE)
-             / CAST(n*n*n - n AS DOUBLE)), 6) + 0.0 AS hc6
+           round(h / (1.0 - (CAST(tsum AS DOUBLE)
+             / CAST(n*(n-1) AS DOUBLE)) / CAST(n+1 AS DOUBLE)), 6)
+             + 0.0 AS hc6
          FROM h""",
     "q293_mcnemar" ->
       """WITH ev AS (

@@ -154,13 +154,63 @@ object Geo {
     * complete. Longitude cells do NOT wrap at ±180; keep the data (or
     * pre-rotate it) inside an open band, as the queries do.
     *
+    * Hot-cell defense (r7): a city-density cell puts all its b rows on
+    * ONE join key, so a single task would refine |A-neighborhood|×|cell|
+    * pairs. Cells whose b count exceeds `hotThreshold` are sub-split
+    * into `ceil(count/hotThreshold)` (≤ `maxSalt`) deterministic hash
+    * buckets of the b id (the ops/Salt discipline: no rand(), task
+    * retries re-derive the same salt); a-side candidates replicate
+    * across exactly that cell's bucket count via the broadcast hot-cell
+    * directory, so the replication cost is paid ONLY at hot cells and
+    * every (a, b) pair still meets exactly once — b has one (cell,
+    * salt) home, and a's expansion hits each (cell, salt) once. Cold
+    * cells keep salt 0 and a 1-element sequence — the plan is the old
+    * one plus a broadcast lookup. Per-task b rows are bounded by
+    * ~hotThreshold (hash-even split), so per-task pair counts are
+    * bounded regardless of how dense one city gets.
+    *
     * `a`/`b` must carry (`idA`, lat, lon) / (`idB`, lat, lon); returns
     * (idA, idB, dist_km).
     */
   def radiusJoinKm(a: DataFrame, idA: String,
                    b: DataFrame, idB: String,
                    lat: String, lon: String,
-                   radiusKm: Double, cellDeg: Double): DataFrame = {
+                   radiusKm: Double, cellDeg: Double,
+                   hotThreshold: Long = 100000L,
+                   maxSalt: Int = 32): DataFrame = {
+    val (expanded, home) = radiusJoinSides(a, idA, b, idB, lat, lon,
+      cellDeg, hotThreshold, maxSalt)
+    expanded.join(home, Seq("__cy", "__cx", "__salt"))
+      .withColumn("__d", haversineKm(col("__alat"), col("__alon"),
+        col("__blat"), col("__blon")))
+      .filter(col("__d") < lit(radiusKm))
+      .select(col(idA), col(idB), col("__d").as("dist_km"))
+  }
+
+  /** The salted join inputs of [[radiusJoinKm]], exposed so GeoSpec can
+    * assert the per-(cell, salt) b-row bound on a planted dense cell.
+    */
+  private[graft] def radiusJoinSides(
+      a: DataFrame, idA: String, b: DataFrame, idB: String,
+      lat: String, lon: String, cellDeg: Double,
+      hotThreshold: Long, maxSalt: Int): (DataFrame, DataFrame) = {
+    require(hotThreshold > 0 && maxSalt >= 1)
+    val (by, bx) = cell(b(lat), b(lon), cellDeg)
+    val bCelled = b.select(col(idB), col(lat).as("__blat"),
+      col(lon).as("__blon"), by.as("__cy"), bx.as("__cx"))
+    // hot-cell directory: tiny by construction (≤ |b| / hotThreshold
+    // rows), broadcast to both sides
+    val hot = bCelled.groupBy(col("__cy"), col("__cx"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col("__cy"), col("__cx"),
+        least(ceil(col("__n").cast("double") / lit(hotThreshold.toDouble))
+          .cast("long"), lit(maxSalt.toLong)).as("__ns"))
+    val home = bCelled
+      .join(broadcast(hot), Seq("__cy", "__cx"), "left")
+      .withColumn("__salt",
+        pmod(xxhash64(col(idB)), coalesce(col("__ns"), lit(1L))))
+      .drop("__ns")
     val (ay, ax) = cell(a(lat), a(lon), cellDeg)
     val expanded = a
       .select(col(idA), col(lat).as("__alat"), col(lon).as("__alon"),
@@ -170,13 +220,10 @@ object Geo {
       .select(col(idA), col("__alat"), col("__alon"),
         (col("__cy") + col("__dy")).as("__cy"),
         (col("__cx") + col("__dx")).as("__cx"))
-    val (by, bx) = cell(b(lat), b(lon), cellDeg)
-    val home = b.select(col(idB), col(lat).as("__blat"),
-      col(lon).as("__blon"), by.as("__cy"), bx.as("__cx"))
-    expanded.join(home, Seq("__cy", "__cx"))
-      .withColumn("__d", haversineKm(col("__alat"), col("__alon"),
-        col("__blat"), col("__blon")))
-      .filter(col("__d") < lit(radiusKm))
-      .select(col(idA), col(idB), col("__d").as("dist_km"))
+      .join(broadcast(hot), Seq("__cy", "__cx"), "left")
+      .withColumn("__salt", explode(
+        sequence(lit(0L), coalesce(col("__ns"), lit(1L)) - 1L)))
+      .drop("__ns")
+    (expanded, home)
   }
 }

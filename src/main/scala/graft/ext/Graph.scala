@@ -301,15 +301,37 @@ object Graph {
     }
   }
 
+  /** Per-round BFS telemetry: hop index, frontier size (nodes first
+    * discovered at this hop), and expansion-join output rows
+    * (Σ degree over the previous frontier) — the quantity GraphSpec
+    * pins as tracking the FRONTIER, not |V_reached|. */
+  private[graft] final case class BfsRound(hop: Long, frontier: Long,
+                                           expandedRows: Long)
+
   /** Single-source BFS hop distances (frontier expansion — the "how
     * far is everything from this hub" primitive under reachability
-    * audits and neighborhood features): iterative min-hop relaxation,
-    * one edge⋈frontier equi-join + min aggregate per round, O(|E|)
-    * shuffled rows per round, rounds = eccentricity of the source.
-    * Returns (node, hop) for REACHABLE nodes only.
+    * audits and neighborhood features). Frontier-DELTA iteration
+    * (r7 rewrite): per round only the newly-discovered frontier joins
+    * the edge list — O(Σ deg(frontier)) shuffled rows — and the
+    * already-settled check is an anti-join against just the last TWO
+    * frontiers, which is exact because the edge list is symmetrized:
+    * a neighbor of a hop-h node has hop ∈ {h−1, h, h+1}, so any
+    * already-settled candidate lies in frontier(h−1) ∪ frontier(h).
+    * Per-round cost is therefore independent of |V_reached| (the
+    * previous min-hop relaxation re-joined and re-aggregated the full
+    * dist relation every round — the engine's designed-in scale tax).
+    * The result is the union of the per-hop frontiers, each already
+    * checkpointed, so the final union is narrow — no extra shuffle and
+    * no node appears twice. Returns (node, hop) for REACHABLE nodes
+    * only; rounds = eccentricity of the source.
     */
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
-              source: Long, maxHops: Int = 30): DataFrame = {
+              source: Long, maxHops: Int = 30): DataFrame =
+    bfsHopsWithStats(edges, aCol, bCol, source, maxHops)._1
+
+  private[graft] def bfsHopsWithStats(
+      edges: DataFrame, aCol: String, bCol: String,
+      source: Long, maxHops: Int = 30): (DataFrame, Seq[BfsRound]) = {
     val sym = edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -318,26 +340,37 @@ object Graph {
       .localCheckpoint(true)
     val spark = edges.sparkSession
     import spark.implicits._
-    var dist = Seq((source, 0L)).toDF("node", "hop").localCheckpoint(true)
-    var n = 1L
-    var grew = true
-    var it = 0
-    while (grew && it < maxHops) {
-      val next = dist
+    var frontier = Seq((source, 0L)).toDF("node", "hop")
+      .localCheckpoint(true)
+    var prev = frontier.limit(0)
+    var layers = Vector(frontier)
+    var stats = Vector.empty[BfsRound]
+    var frontierN = 1L
+    var hop = 0L
+    while (frontierN > 0 && hop < maxHops) {
+      // checkpoint the raw expansion so the stats count below reuses
+      // the materialized rows instead of re-running the join
+      val expanded = frontier
         .join(sym, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
-        .union(dist)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .select(col("dst").as("node"))
+        .localCheckpoint(true)
+      val next = expanded.distinct()
+        .join(prev.select(col("node"))
+          .unionByName(frontier.select(col("node"))), Seq("node"),
+          "left_anti")
+        .select(col("node"), lit(hop + 1L).as("hop"))
         .localCheckpoint(true)
       val m = next.count()
-      grew = m != n
-      n = m
-      dist = next
-      it += 1
+      stats :+= BfsRound(hop + 1L, m, expanded.count())
+      if (m > 0) layers :+= next
+      prev = frontier
+      frontier = next
+      frontierN = m
+      hop += 1
     }
-    if (grew)
+    if (frontierN > 0)
       throw new IllegalStateException(s"bfsHops did not settle in $maxHops")
-    dist
+    (layers.reduce(_ unionByName _), stats)
   }
 
   /** k-core decomposition (the densest-region extractor — community

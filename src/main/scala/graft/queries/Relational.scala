@@ -539,8 +539,11 @@ object Relational {
 
     // Single-source BFS from the busiest supplier (highest co-purchase
     // degree, smallest-id tie-break) — hop distances over the p95
-    // graph via graft.ext.Graph.bfsHops (one edge⋈frontier equi-join +
-    // min aggregate per round). The source id is ONE collected scalar
+    // graph via graft.ext.Graph.bfsHops (frontier-DELTA: only the new
+    // frontier joins the edges each round; the settled check anti-joins
+    // the last two frontiers only — exact on a symmetric edge list, so
+    // per-round cost tracks the frontier, not |V_reached|). The source
+    // id is ONE collected scalar
     // (k-means-centroid class); oracle replays the expansion as a
     // bounded-hop recursive CTE with MIN(hop) dedup.
     "q259_bfs_hops" -> ((s, d) => {

@@ -123,6 +123,51 @@ class GeoSpec extends SparkSpec {
       s"missed=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
   }
 
+  test("radius join hot-cell salting: planted dense cell splits into " +
+      "bounded buckets, pairs emit exactly once") {
+    val rnd = new scala.util.Random(31)
+    // one dense "city" cell at (10.x, 10.x) with 400 b points, plus
+    // sparse background; threshold 100 → the city must split into 4
+    // hash buckets while every cold cell keeps salt 0
+    val dense = (1 to 400).map(i =>
+      (1000L + i, 10.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble()))
+    val sparse = (1 to 60).map(i =>
+      (2000L + i, rnd.nextDouble() * 8, rnd.nextDouble() * 8))
+    val b = (dense ++ sparse).toDF("b_id", "lat", "lon")
+    val a = ((1 to 30).map(i =>
+      (3000L + i, 10.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble())) ++
+      (1 to 20).map(i =>
+        (4000L + i, rnd.nextDouble() * 8, rnd.nextDouble() * 8)))
+      .toDF("a_id", "lat", "lon")
+    val salted = Geo.radiusJoinKm(a, "a_id", b, "b_id", "lat", "lon",
+        radiusKm = 50.0, cellDeg = 1.0, hotThreshold = 100L, maxSalt = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val brute = a.crossJoin(b.select(col("b_id"),
+        col("lat").as("lat2"), col("lon").as("lon2")))
+      .filter(Geo.haversineKm(col("lat"), col("lon"),
+        col("lat2"), col("lon2")) < 50.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(salted.size == salted.toSet.size, "a pair was emitted twice")
+    assert(salted.toSet == brute,
+      s"missed=${(brute -- salted.toSet).take(5)} " +
+        s"extra=${(salted.toSet -- brute).take(5)}")
+    // the per-(cell, salt) b-row bound: the dense cell's 400 rows must
+    // spread over ceil(400/100)=4 buckets, none anywhere near 400
+    val (_, home) = Geo.radiusJoinSides(a, "a_id", b, "b_id",
+      "lat", "lon", cellDeg = 1.0, hotThreshold = 100L, maxSalt = 8)
+    val buckets = home.groupBy("__cy", "__cx", "__salt").count()
+      .as[(Long, Long, Long, Long)].collect()
+    val city = buckets.filter(r => r._1 == 10L && r._2 == 10L)
+    assert(city.map(_._3).toSet == Set(0L, 1L, 2L, 3L),
+      s"city cell must use exactly 4 salts, got ${city.toSeq}")
+    assert(city.map(_._4).max <= 200L,
+      s"a city bucket still holds ${city.map(_._4).max} rows")
+    // cold cells stay unsalted — a single salt-0 bucket each
+    assert(buckets.filter(r => !(r._1 == 10L && r._2 == 10L))
+      .forall(_._3 == 0L))
+  }
+
   test("nearestSite equals brute-force argmin with deterministic ties") {
     val rnd = new scala.util.Random(99)
     val pts = (1 to 120).map(i =>

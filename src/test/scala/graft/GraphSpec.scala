@@ -147,6 +147,46 @@ class GraphSpec extends SparkSpec {
     assert(gotId == exp)
   }
 
+  test("bfsHops: frontier-delta — per-round joined rows track the " +
+      "frontier, not |V_reached|") {
+    // K4 {0,1,2,3} with a 6-node tail 3-10-11-…-15. Once BFS leaves
+    // the clique the frontier is ONE node per round, so the expansion
+    // join must emit ≤ deg=2 rows per round even as the settled set
+    // keeps growing — the r7 frontier-delta contract (the old min-hop
+    // relaxation re-joined the full dist relation, so its per-round
+    // rows GREW with |V_reached|).
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val tail = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L), (14L, 15L))
+    val edges = (k4 ++ tail).toDF("a", "b")
+    val (dist, stats) = Graph.bfsHopsWithStats(edges, "a", "b", source = 0L)
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 2L,
+      11L -> 3L, 12L -> 4L, 13L -> 5L, 14L -> 6L, 15L -> 7L)
+    assert(got == exp)
+    // rounds after the clique is consumed: frontier of 1, expansion of
+    // ≤ 2 rows — constant per-round cost while |V_reached| grows
+    val chainRounds = stats.filter(s => s.hop >= 3 && s.frontier > 0)
+    assert(chainRounds.size == 5)
+    assert(chainRounds.forall(s => s.frontier == 1L && s.expandedRows <= 2L),
+      s"per-round cost grew with the settled set: $stats")
+    assert(stats.last.frontier == 0L, "loop must settle, not hit maxHops")
+    // cumulative reached grows every chain round even as cost is flat
+    val reached = stats.scanLeft(1L)((acc, s) => acc + s.frontier)
+    assert(reached.last == 10L)
+  }
+
+  test("bfsHops: unreachable component is absent; isolated source " +
+      "returns just itself") {
+    val edges = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("a", "b")
+    val got = Graph.bfsHops(edges, "a", "b", source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val solo = Graph.bfsHops(edges, "a", "b", source = 99L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo == Map(99L -> 0L))
+  }
+
   test("kCore: peels a pendant chain transitively, keeps the clique, " +
       "and is iterative (not the static min-degree check)") {
     import spark.implicits._

@@ -103,6 +103,8 @@ object GraftFunctions {
   val AsOfOnName = "graft_asof_on"
   val GeohashName = "graft_geohash"
   val HilbertName = "graft_hilbert"
+  val BloomAggName = "graft_bloom_agg"
+  val MightContainName = "graft_might_contain"
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -139,7 +141,17 @@ object GraftFunctions {
       exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))),
     GeohashName -> (exprs => GeohashEncode(exprs(0), exprs(1), exprs(2))),
     HilbertName -> (exprs => HilbertKey(exprs(0), exprs(1),
-      litInt(exprs(2)))))
+      litInt(exprs(2)))),
+    // Spark's own runtime-filter expressions, surfaced by name: the
+    // build is a mergeable typed aggregate, the probe is a codegen'd
+    // native expression (BloomFilterMightContain.doGenCode) — the
+    // BloomJoin probe must never fall back to a Scala udf eval node
+    BloomAggName -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))),
+    MightContainName -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

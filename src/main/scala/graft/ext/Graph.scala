@@ -301,6 +301,56 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (r7) — topic-sensitive ranking: restart
+    * mass returns to a SEED set (uniform 1/|S| over seeds, 0
+    * elsewhere) instead of the whole graph, so rank concentrates in
+    * the seeds' neighborhood — the graph-proximity scorer behind
+    * seed-based corpus curation ("find documents/users near this
+    * trusted set"). Same damped power-iteration ladder as [[pageRank]]
+    * (per-edge transition probs computed once; dangling mass returns
+    * to the seeds; round-12 between rounds so float summation order
+    * can't compound); seeds outside the graph are ignored. Scale: per
+    * round one keyed join + aggregate, O(|E|) — identical to pageRank.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val trans = e.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+    val sd = seeds.select(col(seedCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+    val ns = sd.agg(count(lit(1)).cast("double").as("n_seeds"))
+    // restart vector: 1/|S| on seeds, 0 elsewhere — carried alongside
+    // the rank so every round's spelling stays one keyed join
+    val base = nodes
+      .join(sd.withColumn("__seed", lit(1)), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("__seed").isNotNull,
+          round(lit(1.0) / col("n_seeds"), 12)).otherwise(lit(0.0)).as("s"))
+    var ranks = base.select(col("id"), col("s").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = trans.join(ranks, trans("src") === ranks("id"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
+      val dangling = ranks
+        .join(outw, ranks("id") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      ranks = base
+        .join(contrib, base("id") === contrib("dst"), "left").drop("dst")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(lit(1.0 - damping) * col("s") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") * col("s")), 12).as("r"))
+    }
+    ranks
+  }
+
   /** Per-round BFS telemetry: hop index, frontier size (nodes first
     * discovered at this hop), and expansion-join output rows
     * (Σ degree over the previous frontier) — the quantity GraphSpec

@@ -383,6 +383,99 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // REAL codec #3: PNG via javax.imageio (pure JDK, zero new deps) —
+  // the first COMPRESSED format through the batched path: zlib
+  // inflate + per-scanline defiltering happen inside the JDK reader,
+  // so this covers the format a real image corpus actually ships
+  // (q201's BMP pins the hand-rolled byte walk; PNG pins the
+  // library-backed seam a libjpeg/WebP context would use).
+  // ---------------------------------------------------------------
+
+  /** Decoded PNG record — [[BmpOut]]'s shape (dimensions, per-channel
+    * means, order-sensitive top-left probe) so the two image codecs
+    * share oracle spelling and specs.
+    */
+  case class PngOut(media_id: Long, width: Int, height: Int,
+                    mean_r: Double, mean_g: Double, mean_b: Double,
+                    tl_r: Int, tl_g: Int, tl_b: Int)
+
+  /** Encode an RGB PNG with `pix(x, y) = (r, g, b)`, y=0 the top row.
+    * Fixture builder for the decode oracle: ImageIO writes a real
+    * compressed PNG (IHDR/IDAT/IEND, deflate, filters) — NOT a stub.
+    */
+  def encodePng(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG (any color model ImageIO handles — the RGB read goes
+    * through `getRGB`, which normalizes palette/gray to sRGB). Throws
+    * IllegalArgumentException on non-PNG magic or undecodable bytes —
+    * corrupt media fails loudly, never silent garbage (decodeBmp's
+    * contract).
+    */
+  private[ext] def decodePng(id: Long, bytes: Array[Byte]): PngOut = {
+    require(bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G',
+      s"media $id: not a PNG")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: undecodable PNG body")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val tl = img.getRGB(0, 0)
+    val n = w.toLong * h
+    PngOut(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+  }
+
+  /** Batched PNG decode — [[decodeBatched]]'s shape with the JDK codec
+    * in the leaf. ImageIO reader instances are NOT thread-safe but ARE
+    * cheap per call; the per-batch seam is where a pooled native
+    * decoder handle would live.
+    */
+  def decodePngBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                       batchSize: Int = 64,
+                       batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[PngOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[PngOut] =
+      org.apache.spark.sql.Encoders.product[PngOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.map(m => decodePng(m.media_id, m.media))
+      }
+    }
+  }
+
   /** Assemble a media DataFrame from any (id, bytes, type) source with
     * decode+features applied — one narrow, codegen'd pass; partition by
     * size bucket first when payload skew matters (large blobs hash to

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.expr.GraftFunctions
+
 /** Bloom-filtered join: build a Bloom filter over the (already
   * filtered) dim side's join keys, prune the fact side with it BEFORE
   * the join shuffle, then join. The classic runtime-filter pattern for
@@ -14,9 +16,16 @@ import org.apache.spark.sql.functions._
   * oracle is the plain join). False positives only waste shuffle, never
   * corrupt results. Spark's AQE does this automatically for some plans
   * (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator is
-  * the explicit form for when the planner doesn't, and the bloom build
-  * is a distributed treeAggregate on the dim side, not a collect of
-  * keys.
+  * the explicit form for when the planner doesn't.
+  *
+  * r7: both halves are Spark's OWN runtime-filter expressions, surfaced
+  * via the graft function registry — `BloomFilterAggregate` builds the
+  * bitmap as a distributed mergeable aggregate (partial sketches OR'd,
+  * never a collect of keys), and the probe is the native codegen'd
+  * `BloomFilterMightContain` over the one literal bitmap, so the fact
+  * scan's filter stays inside WholeStageCodegen (the previous Scala
+  * `udf` probe forced a non-codegen eval node in the hot path —
+  * PlanSpec now pins its absence).
   */
 object BloomJoin {
 
@@ -26,11 +35,25 @@ object BloomJoin {
     */
   def join(fact: DataFrame, dim: DataFrame, factKey: String,
            dimKey: String, expectedDimRows: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedDimRows, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    GraftFunctions.register(fact.sparkSession)
+    // the standard optimal-bits formula, capped at Spark's runtime
+    // bloom-filter ceiling (64 Mbit = 8 MB bitmap)
+    val numBits = math.min(
+      math.ceil(-expectedDimRows * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong,
+      67108864L).max(64L)
+    val bloomBytes = dim
+      .select(call_function(GraftFunctions.BloomAggName,
+        col(dimKey).cast("long"), lit(expectedDimRows), lit(numBits))
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null)
+      // empty dim side: the plain join is empty too — emit the same
+      // (empty) shape without probing a null sketch
+      fact.filter(lit(false)).join(dim, col(factKey) === col(dimKey))
+    else
+      fact.filter(call_function(GraftFunctions.MightContainName,
+          lit(bloomBytes), col(factKey).cast("long")))
+        .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -682,9 +682,83 @@ object Analytics {
           roundz((col("sc") - col("sf")).cast("double") /
             (col("nc") - col("n_fold")), 6).as("enc6"))
         .orderBy(col("event_type"), col("fold"))
+    }),
+
+    // Day-of-week seasonal decomposition (r7): per-dow means of the
+    // gap-filled daily purchase-cents series plus the variance
+    // explained by the weekly season, η² = SSB/SST — the "is there a
+    // weekly cycle worth modeling" gate before q266/q289 changepoint
+    // hunting. dow = (day + 4) % 7 from the pure epoch-day integer
+    // (0 = Sunday; no calendar function — engine-identical by
+    // construction). Exact BIGINT sums everywhere: SSB and SST use the
+    // computational identities Σ sum_d²/n_d − S²/N and Σx² − S²/N with
+    // the ≤7 per-dow terms folded in DOW ORDER (ordered cumsum — the
+    // q175 float discipline); Σx² is BIGINT (headroom: daily cents
+    // < 3×10⁹ keeps Σx² < 2⁶³ for a 30-year spine — document before
+    // raising SF past that). Scale: one groupBy to days, windows over
+    // ≤7 rows.
+    "q321_dow_seasonal" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(day(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val f = dailySpine(daily)
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val byDow = f.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_d"), sum(col("x")).as("s_d"))
+      val tot = f.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ssq"))
+      val wd = Window.orderBy(col("dow"))
+      val wAll = Window.partitionBy()
+      val acc = byDow.crossJoin(broadcast(tot))
+        .withColumn("term", round(
+          (col("s_d") * col("s_d")).cast("double") /
+            col("n_d").cast("double"), 9))
+        .withColumn("cum", sum(col("term")).over(
+          wd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("bsum", max(col("cum")).over(wAll))
+      acc.select(col("dow"), col("n_d"),
+          roundz(col("s_d").cast("double") / col("n_d").cast("double")
+            / lit(100.0), 4).as("mean4"),
+          roundz(
+            (col("bsum") - (col("s") * col("s")).cast("double") /
+              col("n").cast("double")) /
+            (col("ssq").cast("double") - (col("s") * col("s")).cast("double") /
+              col("n").cast("double")), 6).as("eta2_6"))
+        .orderBy(col("dow"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q321_dow_seasonal" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x,
+             (sp.day + 4) % 7 AS dow
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         byd AS (
+           SELECT dow, COUNT(*) AS n_d, SUM(x) AS s_d
+           FROM f GROUP BY dow),
+         tot AS (
+           SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ssq FROM f),
+         acc AS (
+           SELECT dow, n_d, s_d, n, s, ssq,
+             SUM(round(CAST(s_d*s_d AS DOUBLE) / CAST(n_d AS DOUBLE), 9))
+               OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING) AS cum
+           FROM byd, tot),
+         b AS (SELECT *, MAX(cum) OVER () AS bsum FROM acc)
+         SELECT dow, CAST(n_d AS BIGINT) AS n_d,
+           round(CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) / 100.0, 4)
+             + 0.0 AS mean4,
+           round((bsum - CAST(s*s AS DOUBLE) / CAST(n AS DOUBLE)) /
+             (CAST(ssq AS DOUBLE) - CAST(s*s AS DOUBLE)
+               / CAST(n AS DOUBLE)), 6) + 0.0 AS eta2_6
+         FROM b ORDER BY dow""",
     "q263_spearman" ->
       """WITH rev AS (
            SELECT CAST(l_suppkey AS BIGINT) AS sk,

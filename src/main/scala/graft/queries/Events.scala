@@ -367,6 +367,27 @@ object Events {
         .orderBy(col("id"))
     }),
 
+    // Personalized PageRank (r7): q113's transition graph, but restart
+    // mass returns to a seed TOPIC set (nodes ≡ 0 mod 5) — rank
+    // concentrates in the seeds' graph neighborhood, the proximity
+    // scorer behind seed-based curation. 2 damped rounds, round-12
+    // between rounds, dangling mass to the seeds; oracle replays the
+    // identical ladder as chained CTEs with the seed indicator carried
+    // through (q113's unrolled pattern).
+    "q322_ppr" -> ((s, d) => {
+      val ev = events(s, d)
+      val edges = graft.ext.Graph.transitionEdges(ev, col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
+        unix_micros(col("ts")), col("event_id"))
+      val seeds = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst")))
+        .filter(pmod(col("id"), lit(5)) === 0).distinct()
+      graft.ext.Graph.personalizedPageRank(edges, "src", "dst", "w",
+          seeds, "id", iters = 2)
+        .select(col("id"), round(col("r"), 8).as("rank8"))
+        .orderBy(col("id"))
+    }),
+
     // Robust ingestion-rate anomaly screen: daily event counts flagged
     // by median/MAD (|n − med| > 3·MAD) — the outlier rule that one bad
     // day can't skew, unlike mean/stddev. Exact interpolated
@@ -1464,5 +1485,49 @@ object Events {
                     0.85 * (COALESCE(c3.c, 0) + d3.dm / nn.n), 12) AS r
                 FROM nodes n0 CROSS JOIN nn CROSS JOIN d3
                 LEFT JOIN c3 ON n0.id = c3.id)
-         SELECT id, round(r, 8) AS rank8 FROM r3 ORDER BY id""")
+         SELECT id, round(r, 8) AS rank8 FROM r3 ORDER BY id""",
+    "q322_ppr" ->
+      """WITH seq AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS node
+           FROM events),
+         tr AS (
+           SELECT node AS dst,
+             lag(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src
+           FROM seq),
+         edges AS (
+           SELECT src, dst, COUNT(*) * 1.0 AS w FROM tr
+           WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         sd AS (SELECT id FROM nodes WHERE id % 5 = 0),
+         ns AS (SELECT COUNT(*) * 1.0 AS n_seeds FROM sd),
+         outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+         base AS (
+           SELECT n0.id,
+             CASE WHEN sd.id IS NOT NULL
+               THEN round(1.0 / ns.n_seeds, 12) ELSE 0.0 END AS s
+           FROM nodes n0 CROSS JOIN ns
+           LEFT JOIN sd ON n0.id = sd.id),
+         r0 AS (SELECT id, s AS r FROM base),
+         c1 AS (SELECT e.dst AS id, SUM(r.r * (e.w / o.ow)) AS c
+                FROM edges e JOIN r0 r ON e.src = r.id
+                JOIN outw o ON e.src = o.src GROUP BY 1),
+         d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r0 r
+                LEFT JOIN outw o ON r.id = o.src WHERE o.src IS NULL),
+         r1 AS (SELECT b.id,
+                  round((1.0 - 0.85) * b.s +
+                    0.85 * (COALESCE(c1.c, 0) + d1.dm * b.s), 12) AS r
+                FROM base b CROSS JOIN d1
+                LEFT JOIN c1 ON b.id = c1.id),
+         c2 AS (SELECT e.dst AS id, SUM(r.r * (e.w / o.ow)) AS c
+                FROM edges e JOIN r1 r ON e.src = r.id
+                JOIN outw o ON e.src = o.src GROUP BY 1),
+         d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r1 r
+                LEFT JOIN outw o ON r.id = o.src WHERE o.src IS NULL),
+         r2 AS (SELECT b.id,
+                  round((1.0 - 0.85) * b.s +
+                    0.85 * (COALESCE(c2.c, 0) + d2.dm * b.s), 12) AS r
+                FROM base b CROSS JOIN d2
+                LEFT JOIN c2 ON b.id = c2.id)
+         SELECT id, round(r, 8) AS rank8 FROM r2 ORDER BY id""")
 }

@@ -768,6 +768,74 @@ object Ext {
       Multimodal.decodeWavBatched(media).toDF().orderBy(col("media_id"))
     }),
 
+    // REAL compressed-image decode (r7): PNG through the batched
+    // mapPartitions path — the JDK's ImageIO does actual zlib inflate +
+    // scanline defiltering, so unlike q201's hand-walked BMP this pins
+    // the library-backed codec seam a production corpus needs. Fixture:
+    // every 37th doc becomes a real PNG (IHDR/IDAT, deflate) whose
+    // pixel (x,y) is a closed-form function of (doc_id, x, y); DuckDB
+    // recomputes dimensions, per-channel means and the top-left pixel
+    // analytically with no codec. The corner pixel stays the
+    // order-sensitive probe (x/y swap or channel swap flips it while
+    // means can collide).
+    "q315_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(37)) === 5)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val w = (5 + n % 4).toInt
+          val h = (4 + n % 3).toInt
+          Multimodal.MediaIn(n, Multimodal.encodePng(w, h, (x, y) => (
+            ((n + x + 2 * y) % 256).toInt,
+            ((n + 2 * x + 5) % 256).toInt,
+            ((n + y + 11) % 256).toInt)))
+        }
+      Multimodal.decodePngBatched(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Two-stage retrieve-then-rerank (r7) — the production retrieval
+    // shape: a CHEAP blocked candidate generator (4-bit hyperplane-sign
+    // bucket equi-join — q161's blocking, zero all-pairs work) feeding
+    // an EXPENSIVE exact-cosine reranker over only the candidates, then
+    // top-2 per query on the ROUNDED score (round-6 before ranking, id
+    // tie-break — fully deterministic). At 100 TB the stage-1 join is
+    // the only corpus-wide touch and it's keyed on the bucket; rerank
+    // cost is O(candidates), independent of corpus size. Oracle replays
+    // both stages in SQL (q161's coordinate-join dot products).
+    "q318_rerank" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      val signBits = 4
+      def bucket(c: org.apache.spark.sql.Column) = (0 until signBits)
+        .map(b => when(element_at(c, b + 1) >= 0,
+          lit(1 << (signBits - 1 - b))).otherwise(lit(0)))
+        .reduce(_ + _)
+      val corpus = spreadIfNarrow(table(s, d, "embeddings"), col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          bucket(col("embedding")).as("bk"))
+      val qs = corpus.filter(col("id") < 30)
+        .select(col("id").as("qid"), col("vec").as("qvec"), col("bk"))
+      val cand = corpus.join(broadcast(qs), Seq("bk"))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos6",
+          round(Similarity.cosineNative(col("qvec"), col("vec")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos6").desc, col("id"))
+      cand.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .select(col("qid"), col("rk"), col("id"),
+          graft.Graft.roundz(col("cos6"), 6).as("cos6"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Int8 embedding quantization with exact reconstruction-error
     // audit: scale, L1 mass of the quantized vector, and worst-case
     // per-element error — the compression step before a 100 TB ANN
@@ -1467,6 +1535,64 @@ object Ext {
            CAST(SUM(v) AS BIGINT) AS sum_s,
            CAST(SUM(v*v) AS BIGINT) AS sumsq_s
          FROM s GROUP BY doc_id, ns ORDER BY media_id""",
+    "q318_rerank" ->
+      """WITH bk AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+           FROM embeddings),
+         f AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm
+                   FROM f GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, bk FROM bk WHERE vec_id < 30),
+         cand AS (
+           SELECT q.qid, b.vec_id AS id
+           FROM q JOIN bk b ON b.bk = q.bk AND b.vec_id <> q.qid),
+         dots AS (
+           SELECT c.qid, c.id, SUM(fq.v * fc.v) AS dot
+           FROM cand c
+           JOIN f fq ON fq.vec_id = c.qid
+           JOIN f fc ON fc.vec_id = c.id AND fc.i = fq.i
+           GROUP BY c.qid, c.id),
+         sims AS (
+           SELECT d.qid, d.id,
+             round(d.dot / (nq.nrm * nc.nrm), 6) AS cos6
+           FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+                       JOIN norms nc ON nc.vec_id = d.id),
+         r AS (
+           SELECT qid, id, cos6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos6 DESC, id) AS BIGINT) AS rk
+           FROM sims)
+         SELECT qid, rk, id, cos6 + 0.0 AS cos6
+         FROM r WHERE rk <= 2 ORDER BY qid, rk""",
+    // full analytic recompute of the PNG fixture (q201's pattern): the
+    // closed-form pixel function over a generated (x, y) grid — the
+    // oracle needs no codec, so any inflate/defilter/channel bug in the
+    // JVM-side decode flips the row red
+    "q315_png_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(5 + doc_id % 4 AS INT) AS w,
+                  CAST(4 + doc_id % 3 AS INT) AS h
+           FROM documents WHERE doc_id % 37 = 5),
+         px AS (
+           SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+           FROM d,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+         SELECT doc_id AS media_id, w AS width, h AS height,
+           round(SUM((doc_id + x + 2*y) % 256) * 1.0 / (w * h), 6) AS mean_r,
+           round(SUM((doc_id + 2*x + 5) % 256) * 1.0 / (w * h), 6) AS mean_g,
+           round(SUM((doc_id + y + 11) % 256) * 1.0 / (w * h), 6) AS mean_b,
+           CAST(doc_id % 256 AS INT) AS tl_r,
+           CAST((doc_id + 5) % 256 AS INT) AS tl_g,
+           CAST((doc_id + 11) % 256 AS INT) AS tl_b
+         FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
     // ASCII payloads: byte k == ascii(char k); header parse is plain math
     "q91_media_batch_decode" ->
       """SELECT doc_id AS media_id,

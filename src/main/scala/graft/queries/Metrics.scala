@@ -414,9 +414,90 @@ object Metrics {
       sil.groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n"), roundz(avg(col("sv")), 6).as("sil6"))
         .orderBy(col("label"))
+    }),
+
+    // Calibration curve + expected calibration error (r7) — the
+    // reliability diagram that audits a score BEFORE it gates data
+    // (complements q228's isotonic recalibration: this MEASURES
+    // miscalibration, that fixes it). Score = each user's click-count
+    // rank percentile (exact integer rank, deterministic (clicks, id)
+    // tie-break); outcome = did the user ever purchase. Bins are exact
+    // integer deciles of the rank (((r−1)·10) div N); per-bin
+    // confidence and accuracy are single divisions of exact BIGINTs,
+    // and ECE folds the ≤10 bin contributions in BIN ORDER (round-12
+    // pre-round, ordered cumsum — the q175 float discipline; max of a
+    // nonnegative cumsum = its last element, replicated per row).
+    // Scale: one groupBy to users; the rank window is the wide stage
+    // (q94's distributed ranking at 100 TB); everything after is O(10).
+    "q320_calibration_curve" -> ((s, d) => {
+      val u = table(s, d, "events").groupBy(col("user_id"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("clicks"),
+          max((col("event_type") === "purchase").cast("long")).as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("clicks"), col("user_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val r = u.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wAll))
+      val b = r.withColumn("bin", expr("((r - 1) * 10) div nn"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("r")).as("sum_r"),
+          sum(col("y")).as("n_pos"), max(col("nn")).as("nn"))
+      val c = b
+        .withColumn("conf", col("sum_r").cast("double") /
+          (col("n_b") * col("nn")).cast("double"))
+        .withColumn("acc",
+          col("n_pos").cast("double") / col("n_b").cast("double"))
+        .withColumn("contrib", round(col("n_b").cast("double") *
+          abs(col("acc") - col("conf")) / col("nn").cast("double"), 12))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      c.withColumn("cum", sum(col("contrib")).over(
+          wb.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("ece6", roundz(max(col("cum")).over(wAll), 6))
+        .select(col("bin"), col("n_b"), col("n_pos"),
+          roundz(col("conf"), 6).as("conf6"),
+          roundz(col("acc"), 6).as("acc6"), col("ece6"))
+        .orderBy(col("bin"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q320_calibration_curve" ->
+      """WITH u AS (
+           SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicks,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+           FROM events GROUP BY user_id),
+         r AS (
+           SELECT clicks, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY clicks, user_id)
+               AS BIGINT) AS r,
+             COUNT(*) OVER () AS nn
+           FROM u),
+         b AS (
+           SELECT ((r - 1) * 10) // nn AS bin, COUNT(*) AS n_b,
+             SUM(r) AS sum_r, SUM(y) AS n_pos, MAX(nn) AS nn
+           FROM r GROUP BY 1),
+         c AS (
+           SELECT bin, n_b, n_pos,
+             CAST(sum_r AS DOUBLE) / CAST(n_b * nn AS DOUBLE) AS conf,
+             CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE) AS acc,
+             round(CAST(n_b AS DOUBLE) *
+               abs(CAST(n_pos AS DOUBLE) / CAST(n_b AS DOUBLE) -
+                   CAST(sum_r AS DOUBLE) / CAST(n_b * nn AS DOUBLE)) /
+               CAST(nn AS DOUBLE), 12) AS contrib
+           FROM b),
+         e AS (
+           SELECT bin, n_b, n_pos, conf, acc,
+             SUM(contrib) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS cum
+           FROM c)
+         SELECT bin, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(conf, 6) + 0.0 AS conf6, round(acc, 6) + 0.0 AS acc6,
+           round(MAX(cum) OVER (), 6) + 0.0 AS ece6
+         FROM e ORDER BY bin""",
     "q224_auc_roc" ->
       """WITH s AS (
            SELECT CAST(round(value*100) AS BIGINT) AS s,

@@ -495,18 +495,25 @@ object Relational {
     // neighborhood-method recsys core): suppliers as items, customers
     // as users, sim(i,j) = n_ij / sqrt(n_i·n_j) from exact distinct
     // co-customer counts; top-3 neighbors per supplier. The pair build
-    // is the q121/q179 basket self-join (per-customer fanout bounded
-    // by basket²); ranks order on the ROUNDED sim (q220's determinism
+    // is the q121/q179 basket self-join — fanout per customer is
+    // basket², so one whale customer touching every item would flood a
+    // single join key. Defense (r7): baskets are CAPPED at the top
+    // B=256 items per customer (deterministic smallest-sv rank — the
+    // capBaskets helper, hot-customer fixture in ScaleSpec) BEFORE the
+    // self-join and the marginals, so per-key fanout is ≤ B² no matter
+    // how hot a customer gets; the cap is a no-op at gated scales
+    // (sf0.01 has 100 suppliers total) and the oracle replays it
+    // verbatim. Ranks order on the ROUNDED sim (q220's determinism
     // convention) with the neighbor id as tie-break.
     "q243_item_similarity" -> ((s, d) => {
-      val bask = table(s, d, "lineitem")
+      val bask = capBaskets(table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(table(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"),
           col("l_suppkey").cast("long").as("sv"))
-        .distinct()
+        .distinct(), "c", "sv", cap = 256)
         .localCheckpoint(true) // referenced by pair build AND marginals
       val deg = bask.groupBy(col("sv")).agg(count(lit(1)).as("n1"))
       val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
@@ -566,6 +573,22 @@ object Relational {
     * into the pair aggregate). Per-customer fanout is basket² either
     * way — the q121 a-priori bound.
     */
+  /** Whale-basket cap for self-join pair builds: keep the `cap`
+    * smallest `item`s per `key` (row_number, fully deterministic), so
+    * per-key pair fanout is bounded by cap² regardless of how many
+    * items one hot key accumulates. A no-op whenever every basket fits
+    * the cap — choose the cap so gated scales are exact and only the
+    * pathological whale is truncated (the a-priori discipline:
+    * similarity over truncated baskets is the standard production
+    * trade). Oracles replay the identical ROW_NUMBER cap.
+    */
+  private[graft] def capBaskets(bask: DataFrame, key: String,
+                                item: String, cap: Int): DataFrame =
+    bask.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(item))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val bask = table(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
@@ -872,9 +895,15 @@ object Relational {
          WHERE e.p IS NULL
          ORDER BY p_partkey, neg_suppkey""",
     "q243_item_similarity" ->
-      """WITH bask AS (
+      """WITH bask0 AS (
            SELECT DISTINCT o.o_custkey AS c, CAST(l.l_suppkey AS BIGINT) AS sv
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         bask AS (
+           SELECT c, sv FROM (
+             SELECT c, sv,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY sv) AS rk
+             FROM bask0)
+           WHERE rk <= 256),
          deg AS (SELECT sv, COUNT(*) AS n1 FROM bask GROUP BY sv),
          pairs AS (
            SELECT a.sv AS sa, b.sv AS sb, COUNT(*) AS nc

@@ -1341,10 +1341,143 @@ object Stats {
         .filter(col("rn") === 1)
       acc.select(col("np").as("n_pairs"),
         roundz(col("cum") / col("np").cast("double"), 6).as("mmd2_6"))
+    }),
+
+    // Wald–Wolfowitz runs test (r7) — randomness audit of the daily
+    // purchase-count series against its own median (the "is this
+    // metric serially dependent" gate BEFORE trusting q269's iid
+    // subsample CIs): days above/below the exact interpolated median
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, the q169
+    // equivalence), median-ties excluded (the standard rule), runs
+    // counted by one lag comparison. μ = 1 + 2n₁n₀/n and
+    // σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1)) are exact-integer products (n =
+    // days, calendar-bounded, so n⁴ headroom is trivial) with ONE
+    // division + sqrt in an identical spelling. Scale: O(days) after
+    // one groupBy — the q289 shape.
+    "q319_runs_test" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val f = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val med = f.agg(expr("percentile(x, 0.5)").as("med"))
+      val signs = f.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .select(col("day"), (col("x") > col("med")).cast("long").as("s"))
+      val w = Window.orderBy(col("day"))
+      val runs = signs
+        .withColumn("chg",
+          when(lag(col("s"), 1).over(w).isNull ||
+            lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+          sum(col("chg")).as("r"))
+      runs.select(col("n"), col("n1"), (col("n") - col("n1")).as("n0"),
+        col("r").as("runs"),
+        roundz((col("r").cast("double") - (lit(1.0) +
+          (lit(2L) * col("n1") * (col("n") - col("n1"))).cast("double") /
+            col("n").cast("double"))) /
+          sqrt((lit(2L) * col("n1") * (col("n") - col("n1")) *
+            (lit(2L) * col("n1") * (col("n") - col("n1")) - col("n")))
+            .cast("double") /
+            (col("n") * col("n") * (col("n") - 1)).cast("double")), 6)
+          .as("z6"))
+    }),
+
+    // Two-sided 10% trimmed AND winsorized mean of order totals (r7) —
+    // the robust-location pair completing q169's MAD scale estimator:
+    // trim drops the g = n div 10 smallest/largest, winsorize CLAMPS
+    // them to the surviving boundary values. Rank = row_number on
+    // (exact cents, key) — fully deterministic incl. ties; boundary
+    // values are conditional aggregates of exact ints; one division
+    // per mean at the end. Scale: the rank window is the one wide
+    // stage — at 100 TB this runs as the q94 distributed ranking
+    // (range-partitioned rank + broadcast offsets), swapped in without
+    // changing the statistic.
+    "q324_trimmed_mean" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("ok"),
+          cents(col("o_totalprice")).as("v"))
+      val w = Window.orderBy(col("v"), col("ok"))
+      val wAll = Window.partitionBy()
+      val r = o.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("g", expr("n div 10"))
+      val t = r.agg(
+        max(col("n")).as("n"), max(col("g")).as("g"),
+        sum(when(col("r") > col("g") && col("r") <= col("n") - col("g"),
+          col("v")).otherwise(0L)).as("s_kept"),
+        sum(when(col("r") > col("g") && col("r") <= col("n") - col("g"),
+          1L).otherwise(0L)).as("n_kept"),
+        max(when(col("r") === col("g") + 1, col("v"))).as("lo_v"),
+        max(when(col("r") === col("n") - col("g"), col("v"))).as("hi_v"))
+      t.select(col("n"), col("g"), col("lo_v"), col("hi_v"),
+        roundz(col("s_kept").cast("double") / col("n_kept").cast("double")
+          / lit(100.0), 4).as("trimmed4"),
+        roundz((col("s_kept") + col("g") * (col("lo_v") + col("hi_v")))
+          .cast("double") / col("n").cast("double") / lit(100.0), 4)
+          .as("winsorized4"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q319_runs_test" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, COALESCE(daily.x, 0) AS x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         med AS (SELECT quantile_cont(x, 0.5) AS med FROM f),
+         signs AS (
+           SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+           FROM f, med WHERE x <> med),
+         chg AS (
+           SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+             OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS c
+           FROM signs),
+         t AS (
+           SELECT COUNT(*) AS n, SUM(s) AS n1, SUM(c) AS r FROM chg)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n0, CAST(r AS BIGINT) AS runs,
+           round((CAST(r AS DOUBLE) - (1.0 +
+             CAST(2*n1*(n - n1) AS DOUBLE) / CAST(n AS DOUBLE))) /
+             sqrt(CAST(2*n1*(n - n1) * (2*n1*(n - n1) - n) AS DOUBLE) /
+               CAST(n*n*(n - 1) AS DOUBLE)), 6) + 0.0 AS z6
+         FROM t""",
+    "q324_trimmed_mean" ->
+      """WITH o AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS ok,
+             CAST(round(o_totalprice*100) AS BIGINT) AS v
+           FROM orders),
+         r AS (
+           SELECT v,
+             CAST(ROW_NUMBER() OVER (ORDER BY v, ok) AS BIGINT) AS r,
+             COUNT(*) OVER () AS n
+           FROM o),
+         g AS (SELECT v, r, n, n // 10 AS g FROM r),
+         t AS (
+           SELECT MAX(n) AS n, MAX(g) AS g,
+             SUM(CASE WHEN r > g AND r <= n - g THEN v ELSE 0 END)
+               AS s_kept,
+             SUM(CASE WHEN r > g AND r <= n - g THEN 1 ELSE 0 END)
+               AS n_kept,
+             MAX(CASE WHEN r = g + 1 THEN v END) AS lo_v,
+             MAX(CASE WHEN r = n - g THEN v END) AS hi_v
+           FROM g)
+         SELECT CAST(n AS BIGINT) AS n, CAST(g AS BIGINT) AS g,
+           CAST(lo_v AS BIGINT) AS lo_v, CAST(hi_v AS BIGINT) AS hi_v,
+           round(CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)
+             / 100.0, 4) + 0.0 AS trimmed4,
+           round(CAST(s_kept + g * (lo_v + hi_v) AS DOUBLE)
+             / CAST(n AS DOUBLE) / 100.0, 4) + 0.0 AS winsorized4
+         FROM t""",
     "q283_mann_whitney" ->
       """WITH e AS (
            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,

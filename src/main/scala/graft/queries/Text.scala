@@ -432,12 +432,168 @@ object Text {
         .select(col("n"),
           graft.Graft.roundz((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope6"))
+    }),
+
+    // Blocked fuzzy entity linkage (r7) — the typo-level resolution gap
+    // between exact dedup (q34) and token-set near-dup (q36/q37): for
+    // each part, its best edit-distance match among candidates sharing
+    // a (first word, length div 8) block key. Blocking = the LSH-band
+    // discipline: candidate pairs come from an EQUI-join on the block
+    // key, never all-pairs; oversized blocks (> 512, a data-quality
+    // signal, none at gated scales) are dropped on BOTH engines (the
+    // q37 HAVING-cap spelling). levenshtein is codegen'd on Spark and
+    // built-in on DuckDB with identical unit-cost semantics. Best match
+    // = min (dist, partner) per node over the SYMMETRIZED pair set —
+    // deterministic, one window.
+    "q316_fuzzy_linkage" -> ((s, d) => {
+      val p = table(s, d, "part")
+        .select(col("p_partkey").cast("long").as("pk"),
+          lower(col("p_name")).as("nm"))
+        .withColumn("blk", concat_ws("#",
+          element_at(split(col("nm"), " "), 1),
+          expr("length(nm) div 8").cast("string")))
+      val ok = p.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 512).select(col("blk"))
+      val pb = p.join(ok, Seq("blk"), "left_semi")
+      val pairs = pb.select(col("blk"), col("pk").as("a_pk"),
+          col("nm").as("a_nm"))
+        .join(pb.select(col("blk"), col("pk").as("b_pk"),
+          col("nm").as("b_nm")), Seq("blk"))
+        .filter(col("a_pk") < col("b_pk"))
+        .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("a_pk"), col("b_pk"), col("dist"))
+      val half = pairs.select(col("a_pk").as("pk"),
+          col("b_pk").as("partner"), col("dist"))
+        .unionByName(pairs.select(col("b_pk").as("pk"),
+          col("a_pk").as("partner"), col("dist")))
+      half.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pk"))
+            .orderBy(col("dist"), col("partner"))))
+        .filter(col("rn") === 1)
+        .select(col("pk"), col("partner").as("best_match"),
+          col("dist").as("best_dist"))
+        .orderBy(col("pk"))
+    }),
+
+    // Overlapping-window chunking (r7) — the RAG/pretraining segmenter:
+    // fixed 24-token chunks on a 16-token stride (8-token overlap so no
+    // boundary context is lost), starts = 0, S, 2S, … < n_tokens. Pure
+    // narrow explode of a generated start sequence — no shuffle at all;
+    // chunk rows inherit the scan's partitioning, which is exactly how
+    // a 100 TB corpus fans out to chunk-level embedding jobs. First and
+    // last token per chunk are the order-sensitive probes (an off-by-
+    // one in the stride or the tail-clamp flips them).
+    "q317_chunk_overlap" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("start", explode(sequence(lit(0L),
+          expr("((n - 1) div 16) * 16"), lit(16L))))
+        .withColumn("n_tok", least(lit(24L), col("n") - col("start")))
+        .select(col("doc_id"),
+          (col("start") / 16).cast("long").as("chunk_idx"),
+          col("start").as("start_tok"), col("n_tok"),
+          element_at(col("toks"), (col("start") + 1).cast("int"))
+            .as("first_tok"),
+          element_at(col("toks"),
+            (col("start") + col("n_tok")).cast("int")).as("last_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // PII detection + redaction audit (r7) — the scrubbing pass every
+    // training corpus needs before release: count and redact
+    // email/phone patterns, report per-doc match counts and the
+    // before/after lengths (the redaction-mass audit trail). Fixture =
+    // q206's injection stance: every 13th doc gets one synthetic email
+    // and one phone appended, so the oracle knows ground truth and any
+    // regex-engine divergence (Java vs RE2 — patterns here are in the
+    // common subset) flips rows. Scan-only: two regex counts + two
+    // chained replaces per row, codegen'd, zero shuffles before the
+    // final sort.
+    "q323_pii_scrub" -> ((s, d) => {
+      val injected = docs(s, d)
+        .withColumn("t",
+          when(pmod(col("doc_id"), lit(13)) === 2,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or 555-01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+            .otherwise(col("text")))
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      injected.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          length(col("t")).cast("long").as("len_before"),
+          length(regexp_replace(regexp_replace(col("t"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+            .cast("long").as("len_after"))
+        .orderBy(col("doc_id"))
     }))
 
   private def hitsSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    "q316_fuzzy_linkage" ->
+      """WITH p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS pk, lower(p_name) AS nm,
+             split_part(lower(p_name), ' ', 1) || '#' ||
+               CAST(length(p_name) // 8 AS VARCHAR) AS blk
+           FROM part),
+         ok AS (SELECT blk FROM p GROUP BY blk HAVING COUNT(*) <= 512),
+         pb AS (SELECT p.* FROM p JOIN ok USING (blk)),
+         pairs AS (
+           SELECT a.pk AS a_pk, b.pk AS b_pk,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+           FROM pb a JOIN pb b ON a.blk = b.blk AND a.pk < b.pk
+           WHERE levenshtein(a.nm, b.nm) <= 3),
+         half AS (
+           SELECT a_pk AS pk, b_pk AS partner, dist FROM pairs
+           UNION ALL SELECT b_pk, a_pk, dist FROM pairs),
+         r AS (
+           SELECT pk, partner, dist,
+             ROW_NUMBER() OVER (PARTITION BY pk
+               ORDER BY dist, partner) AS rn
+           FROM half)
+         SELECT pk, partner AS best_match, dist AS best_dist
+         FROM r WHERE rn = 1 ORDER BY pk""",
+    "q323_pii_scrub" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 2 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 555-01' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+[a-z]'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))
+             AS BIGINT) AS n_phones,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(regexp_replace(regexp_replace(t,
+             '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+             AS len_after
+         FROM inj ORDER BY doc_id""",
+    "q317_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, n,
+             unnest(generate_series(0, ((n - 1) // 16) * 16, 16)) AS start
+           FROM t)
+         SELECT doc_id, start // 16 AS chunk_idx, start AS start_tok,
+           least(24, n - start) AS n_tok,
+           toks[CAST(start + 1 AS INT)] AS first_tok,
+           toks[CAST(start + least(24, n - start) AS INT)] AS last_tok
+         FROM c ORDER BY doc_id, chunk_idx""",
     "q238_zipf_slope" ->
       """WITH t AS (
            SELECT unnest(string_split(lower(text), ' ')) AS tok

@@ -62,6 +62,33 @@ class GraphSpec extends SparkSpec {
     assert(r(1L) > r(2L)) // everyone feeds 1
   }
 
+  test("personalizedPageRank: mass conserves; rank concentrates near " +
+      "the seed cluster") {
+    // two 3-cycles joined by one weak bridge; seeds = left cycle.
+    // PPR mass must (a) total 1.0 every round, (b) rank every left
+    // node above every right node — the locality that global PageRank
+    // (uniform restart) deliberately lacks.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L),
+      (4L, 5L, 5L), (5L, 6L, 5L), (6L, 4L, 5L),
+      (3L, 4L, 1L), (4L, 3L, 1L)
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 not in graph: ignored
+    for (k <- 1 to 3) {
+      val r = Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds, "id", iters = k)
+      val total = r.agg(sum(col("r"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"iter $k mass $total")
+    }
+    val m = Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds, "id", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val leftMin = Seq(1L, 2L, 3L).map(m).min
+    val rightMax = Seq(4L, 5L, 6L).map(m).max
+    assert(leftMin > rightMax,
+      s"seed cluster must outrank the far cluster: $m")
+  }
+
   test("labelPropagation: two heavy cliques with a weak bridge settle to two communities") {
     // triangle {1,2,3} and triangle {4,5,6} with weight-10 edges,
     // bridged by a weight-1 edge 3–4: the bridge must not merge them.

@@ -149,6 +149,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG codec: encode/decode round-trip is exact through real " +
+      "deflate + defiltering; batched inits track batches") {
+    val pix = Map(
+      (0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60), (2, 0) -> (70, 80, 90),
+      (0, 1) -> (110, 120, 130), (1, 1) -> (140, 150, 160),
+      (2, 1) -> (170, 180, 190))
+    val bytes = Multimodal.encodePng(3, 2, (x, y) => pix((x, y)))
+    // a real PNG: magic + IHDR; compressed, so NOT raw pixel bytes
+    assert((bytes(0) & 0xff) == 0x89 &&
+      new String(bytes.slice(1, 4), "US-ASCII") == "PNG")
+    assert(new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
+    val acc = spark.sparkContext.longAccumulator("png_batches")
+    val many = (1 to 5).map(i => Multimodal.MediaIn(i.toLong, bytes))
+    val out = Multimodal.decodePngBatched(
+      spark.createDataset(many).repartition(1), batchSize = 2,
+      batchCounter = Some(acc)).collect().map(o => o.media_id -> o).toMap
+    assert(acc.value == 3, s"5 payloads / batch 2 => 3 inits, got ${acc.value}")
+    val o = out(1L)
+    assert(o.width == 3 && o.height == 2)
+    assert((o.tl_r, o.tl_g, o.tl_b) == ((10, 20, 30)))
+    def mean(c: ((Int, Int, Int)) => Int) = pix.values.map(c).sum / 6.0
+    assert(math.abs(o.mean_r - mean(_._1)) < 1e-12)
+    assert(math.abs(o.mean_g - mean(_._2)) < 1e-12)
+    assert(math.abs(o.mean_b - mean(_._3)) < 1e-12)
+  }
+
+  test("PNG codec: corrupt media fails loudly, not as silent garbage") {
+    val good = Multimodal.encodePng(2, 2, (_, _) => (1, 2, 3))
+    // wrong magic
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePngBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(1L, "nope".getBytes)))).collect()
+    }
+    // right magic, mangled body (truncate mid-IDAT)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePngBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(2L, good.take(24))))).collect()
+    }
+  }
+
   test("WAV codec: round-trip exact; chunk walk skips the odd junk chunk") {
     val samples = Array(100, -200, 32767, -32768, 0, 7)
     val bytes = Multimodal.encodeWav(8000, samples.length, samples(_))

@@ -136,6 +136,18 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"bloom-filtered result diverged: $got vs $want")
   }
 
+  test("q74: explicit BloomJoin probe is the native might_contain " +
+      "expression — no udf eval node in the fact scan's filter") {
+    // r7: the probe swapped from a Scala udf (non-codegen eval in the
+    // hot path) to Spark's own BloomFilterMightContain; the fact-side
+    // filter must show the native function and stay codegen-compiled
+    val p = plan("q74_bloom_join")
+    assert(p.contains("might_contain"),
+      s"native bloom probe missing from the plan:\n$p")
+    assert(!p.toLowerCase.contains("udf"),
+      s"a udf eval node survived in the bloom-join plan:\n$p")
+  }
+
   test("q40: plans the native CosineSimilarity expression") {
     val df = SparkEntry.queries("q40_cosine_topk")(spark, d)
     def hasCosine(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =
@@ -320,7 +332,16 @@ class PlanSpec extends SparkSpec {
       "q307_conformal", "q308_hill_tail",
       // q311: the min-half-size alignment bound is ONE broadcast row
       // onto the ranked vectors (q46's scalar class)
-      "q311_mmd_linear")
+      "q311_mmd_linear",
+      // q319: the series median is ONE broadcast row onto the O(days)
+      // spine (q169's median-scalar class)
+      "q319_runs_test",
+      // q321: the (N, S, Σx²) grand totals are ONE broadcast row onto
+      // the 7 dow rows (q46's scalar class)
+      "q321_dow_seasonal",
+      // q322: PPR re-uses q113's ladder — node-count/dangling-mass
+      // scalars broadcast per round; score propagation joins are keyed
+      "q322_ppr")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

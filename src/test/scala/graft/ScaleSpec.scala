@@ -134,6 +134,32 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("capBaskets: a planted whale customer's pair fanout is bounded " +
+      "at cap² while everyone under the cap is untouched") {
+    import graft.queries.Relational
+    // whale customer 1 holds 500 items; normal customers hold ≤ 4
+    val whale = (1 to 500).map(i => (1L, i.toLong))
+    val normal = for (c <- 2L to 20L; i <- 1L to 4L) yield (c, i)
+    val bask = (whale ++ normal).toDF("c", "sv")
+    val capped = Relational.capBaskets(bask, "c", "sv", cap = 16)
+    // deterministic: the 16 smallest item ids survive for the whale
+    val whaleItems = capped.filter(col("c") === 1L)
+      .orderBy(col("sv")).as[(Long, Long)].collect().map(_._2).toSeq
+    assert(whaleItems == (1L to 16L).toSeq)
+    // sub-cap baskets byte-identical
+    assert(capped.filter(col("c") =!= 1L).count() == normal.size)
+    // the self-join fanout bound the cap exists for: ≤ cap·(cap−1)
+    // per customer instead of 500·499 for the whale
+    val pairFanout = capped.toDF("c", "sa")
+      .join(capped.toDF("c", "sb"), Seq("c"))
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(col("c")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(pairFanout(1L) == 16L * 15L,
+      s"whale fanout ${pairFanout(1L)} — cap not applied")
+    assert(pairFanout.filter(_._1 != 1L).values.forall(_ == 4L * 3L))
+  }
+
   test("spreadIfNarrow: repartitions a single-split scan, no-op on a wide input") {
     val narrow = Graft.table(spark, "/root/testdata/sf0.001", "documents")
     assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)

@@ -51,7 +51,13 @@ object Bench {
     // in either direction). A query that throws in ANY pass is reported
     // under "failed" and excluded from the totals — a broken query must
     // not read as a fast success.
+    // Opt-in (SPARK_GRAFT_GC_BETWEEN=1): force a full GC before each
+    // query's timed passes, to isolate whether a straggler (q226-class,
+    // r6) is paying another query's garbage. The driver NEVER sets it —
+    // default timings stay comparable across rounds.
+    val gcBetween = sys.env.contains("SPARK_GRAFT_GC_BETWEEN")
     val results = ordered.map { case (name, fn) =>
+      if (gcBetween) { System.gc(); Thread.sleep(50) }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

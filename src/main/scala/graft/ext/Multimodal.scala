@@ -476,6 +476,77 @@ object Multimodal {
     }
   }
 
+  /** Encode an RGB JPEG (default ImageIO quality) — fixture builder
+    * for [[decodeJpegBatched]]. JPEG is LOSSY: decoded pixels are
+    * close to, not equal to, `pix(x, y)`, so oracles for this codec
+    * are tolerance CONTRACTS (the q44 recall-contract stance), never
+    * byte-equality.
+    */
+  def encodeJpeg(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "JDK JPEG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG (SOI magic FF D8 validated; DCT inverse + chroma
+    * upsampling inside the JDK reader). Same output shape as
+    * [[decodePng]]; corrupt media fails loudly.
+    */
+  private[ext] def decodeJpeg(id: Long, bytes: Array[Byte]): PngOut = {
+    require(bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      s"media $id: not a JPEG")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: undecodable JPEG body")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val tl = img.getRGB(0, 0)
+    val n = w.toLong * h
+    PngOut(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+  }
+
+  /** Batched JPEG decode — [[decodeBatched]]'s shape, JDK codec leaf. */
+  def decodeJpegBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                        batchSize: Int = 64,
+                        batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[PngOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[PngOut] =
+      org.apache.spark.sql.Encoders.product[PngOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.map(m => decodeJpeg(m.media_id, m.media))
+      }
+    }
+  }
+
   /** Assemble a media DataFrame from any (id, bytes, type) source with
     * decode+features applied — one narrow, codegen'd pass; partition by
     * size bucket first when payload skew matters (large blobs hash to

@@ -726,9 +726,76 @@ object Analytics {
             (col("ssq").cast("double") - (col("s") * col("s")).cast("double") /
               col("n").cast("double")), 6).as("eta2_6"))
         .orderBy(col("dow"))
+    }),
+
+    // Linear gap interpolation (r7) — the third missing-day policy
+    // beside zero-fill (q289's spine) and forward-fill (q219): days
+    // with no purchases get the LINEAR blend of the nearest known
+    // neighbors, x_p + (x_n−x_p)·(day−d_p)/(d_n−d_p) — the right
+    // spelling for rate-like series where a gap means "not observed",
+    // not "zero". All terms exact BIGINTs, ONE division, round-4; the
+    // bracketing scan is two ignoreNulls window passes over the
+    // calendar-bounded spine (interior gaps always have both
+    // brackets). Scale: O(days) after one groupBy — q289's shape.
+    "q326_gap_interpolate" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(day(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val j = spine.join(daily, Seq("day"), "left")
+      val w = Window.orderBy(col("day"))
+      val wp = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wn = w.rowsBetween(0, Window.unboundedFollowing)
+      j.withColumn("xp", last(col("x"), ignoreNulls = true).over(wp))
+        .withColumn("dp", last(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wp))
+        .withColumn("xn", first(col("x"), ignoreNulls = true).over(wn))
+        .withColumn("dn", first(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wn))
+        .select(col("day"), col("x").isNull.as("interpolated"),
+          roundz(when(col("x").isNotNull, col("x").cast("double"))
+            .otherwise(col("xp").cast("double") +
+              (col("xn") - col("xp")).cast("double") *
+                (col("day") - col("dp")).cast("double") /
+                (col("dn") - col("dp")).cast("double")) / lit(100.0), 4)
+            .as("x4"))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q326_gap_interpolate" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (
+           SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+             (SELECT MAX(day) FROM daily))) AS day),
+         f AS (
+           SELECT sp.day, daily.x
+           FROM sp LEFT JOIN daily ON daily.day = sp.day),
+         br AS (
+           SELECT day, x,
+             last_value(x IGNORE NULLS) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS xp,
+             last_value(CASE WHEN x IS NOT NULL THEN day END
+               IGNORE NULLS) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS dp,
+             first_value(x IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS xn,
+             first_value(CASE WHEN x IS NOT NULL THEN day END
+               IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+           FROM f)
+         SELECT day, x IS NULL AS interpolated,
+           round(CASE WHEN x IS NOT NULL THEN CAST(x AS DOUBLE)
+             ELSE CAST(xp AS DOUBLE) +
+               CAST(xn - xp AS DOUBLE) * CAST(day - dp AS DOUBLE) /
+               CAST(dn - dp AS DOUBLE) END / 100.0, 4) + 0.0 AS x4
+         FROM br ORDER BY day""",
     "q321_dow_seasonal" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

@@ -708,6 +708,48 @@ object Ext {
         .orderBy(col("media_id"))
     }),
 
+    // REAL lossy-codec decode (r7): JPEG — THE production image format
+    // — through the batched path; the JDK reader runs actual inverse
+    // DCT + chroma upsampling. JPEG is lossy, so the oracle is a
+    // TOLERANCE CONTRACT (q44's recall-contract stance): dimensions
+    // must match exactly, decoded channel means must land within ±8 of
+    // the closed-form gradient's analytic means, the top-left pixel
+    // within ±24 per channel — booleans pinned TRUE on both engines.
+    // The gradient fixture is smooth (low-frequency) on purpose: it's
+    // the signal class JPEG preserves, so the bounds are tight without
+    // being brittle across JDK encoder versions.
+    "q327_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(41)) === 6)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val w = (8 + n % 5).toInt
+          val h = (6 + n % 4).toInt
+          Multimodal.MediaIn(n, Multimodal.encodeJpeg(w, h, (x, y) => (
+            100 + x * 3 + y * 2 + (n % 16).toInt,
+            80 + x * 2,
+            120 + y * 3)))
+        }
+      val out = Multimodal.decodeJpegBatched(media).toDF()
+      val er = lit(100.0) + lit(1.5) * (col("width") - 1) +
+        (col("height") - 1).cast("double") +
+        pmod(col("media_id"), lit(16)).cast("double")
+      val eg = lit(80.0) + (col("width") - 1).cast("double")
+      val eb = lit(120.0) + lit(1.5) * (col("height") - 1)
+      out.select(col("media_id"), col("width"), col("height"),
+          (abs(col("mean_r") - er) <= 8.0).as("mean_r_ok"),
+          (abs(col("mean_g") - eg) <= 8.0).as("mean_g_ok"),
+          (abs(col("mean_b") - eb) <= 8.0).as("mean_b_ok"),
+          (abs(col("tl_r") - (lit(100) + pmod(col("media_id"), lit(16))))
+            <= 24 &&
+           abs(col("tl_g") - 80) <= 24 &&
+           abs(col("tl_b") - 120) <= 24).as("tl_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     // Graph ANN (HNSW-class): beam search over the q187 mutual-kNN
     // proximity graph — entry points are a deterministic hash-uniform
     // seed set; each hop expands the per-query beam one adjacency join
@@ -1593,6 +1635,16 @@ object Ext {
            CAST((doc_id + 5) % 256 AS INT) AS tl_g,
            CAST((doc_id + 11) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // JPEG is lossy → contract oracle: exact dims + tolerance booleans
+    // pinned TRUE (the decode itself happens JVM-side; the oracle pins
+    // the analytic expectations the decode must hit)
+    "q327_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(6 + doc_id % 4 AS INT) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS tl_ok
+         FROM documents WHERE doc_id % 41 = 6 ORDER BY media_id""",
     // ASCII payloads: byte k == ascii(char k); header parse is plain math
     "q91_media_batch_decode" ->
       """SELECT doc_id AS media_id,

@@ -353,6 +353,36 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Gzip-compressed JSONL source (r7): the wire format half the
+    // world's corpus dumps actually arrive in. A .gz text file is
+    // UNSPLITTABLE — the read plans as ONE task no matter the file
+    // size (asserted below: partitions == file count, not size-based
+    // splits), so the 100 TB discipline is decompress-then-spread:
+    // spreadIfNarrow immediately after the scan, BEFORE any per-row
+    // work. The oracle pins the round-tripped values against the
+    // source table.
+    "q328_gzip_source" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft_gz_")
+      try {
+        table(s, d, "documents")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "gzip").text(s"$stage/data")
+        val read = s.read.schema(docSchema).json(s"$stage/data")
+        // unsplittable: one .gz file ⇒ one input partition
+        require(read.rdd.getNumPartitions == 1,
+          "gzip text must plan as one split per file")
+        val spread = graft.Graft.spreadIfNarrow(read, col("doc_id"))
+        materialize(s, "q328_gzip_source", spread
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(length(col("text"))).cast("long").as("text_len"))
+          .orderBy(col("lang")))
+      } finally deleteRecursively(stage)
+    }),
+
     // XML source (built into Spark 4 — no external package): documents
     // round-tripped through rowTag-framed XML plus one injected
     // adversarial record (entity escapes, angle brackets, an embedded
@@ -536,6 +566,11 @@ object Sources {
 
 
   val oracles: Map[String, String] = Map(
+    "q328_gzip_source" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q248_file_options" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
            AS chars

@@ -1387,6 +1387,67 @@ object Stats {
           .as("z6"))
     }),
 
+    // Jonckheere–Terpstra ordered-trend test (r7) — "does purchase
+    // value trend UP across weeks": k=4 ORDERED groups (capped week
+    // index), J = Σ_{i<j} U_ij, more powerful than Kruskal–Wallis
+    // (q292) when the alternative is monotone. Doubled-exact core:
+    // 2J = Σ_v n_iv·(2·gt_j(v) + n_jv) over the (distinct cents ×
+    // week) grid — per-week suffix counts from one partitioned cumsum,
+    // the pair term a keyed self-join on v (wi < wj), every term
+    // BIGINT. Normal approx (no-ties spelling, documented): E[2J] =
+    // (N²−Σn²)/2 exact-integer-even; Var[2J] has an N³ term, so the
+    // cube lives in DOUBLE with the ≤4 per-group terms folded in week
+    // order (q283's headroom discipline — no BIGINT cubes). Scale: the
+    // grid is (domain × k)-bounded; the only row-scale work is the
+    // first groupBy.
+    "q325_jonckheere" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          cents(col("value")).as("v"))
+      val lo = ev.agg(min(col("day")).as("lo"))
+      val g = ev.crossJoin(broadcast(lo))
+        .select(least(expr("(day - lo) div 7"), lit(3L)).as("w"), col("v"))
+      val byv = g.groupBy(col("w"), col("v")).agg(count(lit(1)).as("c"))
+      val spine = byv.select(col("v")).distinct()
+        .crossJoin(broadcast(byv.select(col("w")).distinct()))
+      val grid = spine.join(byv, Seq("w", "v"), "left")
+        .select(col("w"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      val wW = Window.partitionBy(col("w")).orderBy(col("v"))
+      val cum = grid
+        .withColumn("cle", sum(col("c")).over(
+          wW.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nw", sum(col("c")).over(Window.partitionBy(col("w"))))
+        .select(col("w"), col("v"), col("c"),
+          (col("nw") - col("cle")).as("gt"), col("nw"))
+      val j2 = cum.filter(col("c") > 0)
+        .select(col("w").as("wi"), col("v"), col("c").as("ci"))
+        .join(cum.select(col("w").as("wj"), col("v"), col("c").as("cj"),
+          col("gt").as("gtj")), Seq("v"))
+        .filter(col("wi") < col("wj"))
+        .agg(sum(col("ci") * (lit(2L) * col("gtj") + col("cj"))).as("j2"))
+      val wOrd = Window.orderBy(col("w"))
+      val gstats = cum.groupBy(col("w")).agg(max(col("nw")).as("n_w"))
+        .withColumn("term",
+          col("n_w").cast("double") * col("n_w").cast("double") *
+            (lit(2.0) * col("n_w").cast("double") + lit(3.0)))
+        .withColumn("cumt", sum(col("term")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("nn", sum(col("n_w")).over(Window.partitionBy()))
+        .withColumn("sn2", sum(col("n_w") * col("n_w"))
+          .over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(Window.orderBy(col("w").desc)))
+        .filter(col("rn") === 1)
+      j2.crossJoin(broadcast(gstats))
+        .select(col("k"), col("nn"), col("j2"),
+          roundz((col("j2").cast("double") -
+            (col("nn").cast("double") * col("nn").cast("double") -
+              col("sn2").cast("double")) / lit(2.0)) /
+            sqrt((col("nn").cast("double") * col("nn").cast("double") *
+              (lit(2.0) * col("nn").cast("double") + lit(3.0)) -
+              col("cumt")) / lit(18.0)), 6).as("z6"))
+    }),
+
     // Two-sided 10% trimmed AND winsorized mean of order totals (r7) —
     // the robust-location pair completing q169's MAD scale estimator:
     // trim drops the g = n div 10 smallest/largest, winsorize CLAMPS
@@ -1451,6 +1512,56 @@ object Stats {
              sqrt(CAST(2*n1*(n - n1) * (2*n1*(n - n1) - n) AS DOUBLE) /
                CAST(n*n*(n - 1) AS DOUBLE)), 6) + 0.0 AS z6
          FROM t""",
+    "q325_jonckheere" ->
+      """WITH ev AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value*100) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         lo AS (SELECT MIN(day) AS lo FROM ev),
+         g AS (
+           SELECT least((day - lo) // 7, 3) AS w, v FROM ev, lo),
+         byv AS (
+           SELECT w, v, COUNT(*) AS c FROM g GROUP BY w, v),
+         spine AS (
+           SELECT ws.w, vs.v
+           FROM (SELECT DISTINCT v FROM byv) vs
+           CROSS JOIN (SELECT DISTINCT w FROM byv) ws),
+         grid AS (
+           SELECT spine.w, spine.v, COALESCE(byv.c, 0) AS c
+           FROM spine LEFT JOIN byv
+             ON byv.w = spine.w AND byv.v = spine.v),
+         cum AS (
+           SELECT w, v, c,
+             SUM(c) OVER (PARTITION BY w) -
+               SUM(c) OVER (PARTITION BY w ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS gt,
+             SUM(c) OVER (PARTITION BY w) AS nw
+           FROM grid),
+         j2 AS (
+           SELECT SUM(i.c * (2 * j.gt + j.c)) AS j2
+           FROM (SELECT w AS wi, v, c FROM cum WHERE c > 0) i
+           JOIN (SELECT w AS wj, v, c, gt FROM cum) j ON i.v = j.v
+           WHERE i.wi < j.wj),
+         gs AS (
+           SELECT w, MAX(nw) AS n_w FROM cum GROUP BY w),
+         fold AS (
+           SELECT w,
+             SUM(CAST(n_w AS DOUBLE) * CAST(n_w AS DOUBLE) *
+               (2.0 * CAST(n_w AS DOUBLE) + 3.0))
+               OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cumt,
+             COUNT(*) OVER () AS k, SUM(n_w) OVER () AS nn,
+             SUM(n_w * n_w) OVER () AS sn2,
+             ROW_NUMBER() OVER (ORDER BY w DESC) AS rn
+           FROM gs)
+         SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS nn,
+           CAST(j2 AS BIGINT) AS j2,
+           round((CAST(j2 AS DOUBLE) -
+             (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) -
+              CAST(sn2 AS DOUBLE)) / 2.0) /
+             sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+               (2.0 * CAST(nn AS DOUBLE) + 3.0) - cumt) / 18.0), 6)
+             + 0.0 AS z6
+         FROM j2, fold WHERE rn = 1""",
     "q324_trimmed_mean" ->
       """WITH o AS (
            SELECT CAST(o_orderkey AS BIGINT) AS ok,

@@ -189,6 +189,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: lossy round-trip lands within the contract " +
+      "tolerances; corrupt media fails loudly") {
+    // smooth gradient — the signal class JPEG preserves
+    val (w, h) = (10, 8)
+    def pix(x: Int, y: Int) = (100 + x * 3 + y * 2, 80 + x * 2, 120 + y * 3)
+    val bytes = Multimodal.encodeJpeg(w, h, pix)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "SOI")
+    val o = Multimodal.decodeJpegBatched(spark.createDataset(Seq(
+      Multimodal.MediaIn(7L, bytes)))).collect()(0)
+    assert(o.width == w && o.height == h)
+    def exp(c: ((Int, Int, Int)) => Int) =
+      (for (x <- 0 until w; y <- 0 until h) yield c(pix(x, y))).sum /
+        (w * h).toDouble
+    assert(math.abs(o.mean_r - exp(_._1)) <= 8.0, s"mean_r ${o.mean_r}")
+    assert(math.abs(o.mean_g - exp(_._2)) <= 8.0, s"mean_g ${o.mean_g}")
+    assert(math.abs(o.mean_b - exp(_._3)) <= 8.0, s"mean_b ${o.mean_b}")
+    assert(math.abs(o.tl_r - 100) <= 24 && math.abs(o.tl_g - 80) <= 24 &&
+      math.abs(o.tl_b - 120) <= 24, s"corner (${o.tl_r},${o.tl_g},${o.tl_b})")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeJpegBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(1L, "bogus".getBytes)))).collect()
+    }
+  }
+
   test("WAV codec: round-trip exact; chunk walk skips the odd junk chunk") {
     val samples = Array(100, -200, 32767, -32768, 0, 7)
     val bytes = Multimodal.encodeWav(8000, samples.length, samples(_))

@@ -341,7 +341,14 @@ class PlanSpec extends SparkSpec {
       "q321_dow_seasonal",
       // q322: PPR re-uses q113's ladder — node-count/dangling-mass
       // scalars broadcast per round; score propagation joins are keyed
-      "q322_ppr")
+      "q322_ppr",
+      // q325: the (distinct cents × k=4 weeks) grid is q294's
+      // deliberate k-wide broadcast-product spine (the STATISTIC's
+      // domain); the min-day and group-stat scalars are q46's class
+      "q325_jonckheere",
+      // q326: the min/max-day spine bound is ONE broadcast row
+      // (q289's spine class)
+      "q326_gap_interpolate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -377,11 +377,17 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, aCol: String, bCol: String,
               source: Long, maxHops: Int = 30): DataFrame =
-    bfsHopsWithStats(edges, aCol, bCol, source, maxHops)._1
+    bfsHopsWithStats(edges, aCol, bCol, source, maxHops,
+      collectStats = false)._1
 
+  /** `collectStats = true` (GraphSpec's telemetry path) materializes
+    * the raw expansion per round and counts it; the production path
+    * skips that — one fewer checkpoint + action per round.
+    */
   private[graft] def bfsHopsWithStats(
       edges: DataFrame, aCol: String, bCol: String,
-      source: Long, maxHops: Int = 30): (DataFrame, Seq[BfsRound]) = {
+      source: Long, maxHops: Int = 30,
+      collectStats: Boolean = true): (DataFrame, Seq[BfsRound]) = {
     val sym = edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -398,12 +404,13 @@ object Graph {
     var frontierN = 1L
     var hop = 0L
     while (frontierN > 0 && hop < maxHops) {
-      // checkpoint the raw expansion so the stats count below reuses
-      // the materialized rows instead of re-running the join
-      val expanded = frontier
+      // with stats: checkpoint the raw expansion so the telemetry
+      // count reuses materialized rows instead of re-running the join
+      val expanded0 = frontier
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node"))
-        .localCheckpoint(true)
+      val expanded = if (collectStats) expanded0.localCheckpoint(true)
+        else expanded0
       val next = expanded.distinct()
         .join(prev.select(col("node"))
           .unionByName(frontier.select(col("node"))), Seq("node"),
@@ -411,7 +418,9 @@ object Graph {
         .select(col("node"), lit(hop + 1L).as("hop"))
         .localCheckpoint(true)
       val m = next.count()
-      stats :+= BfsRound(hop + 1L, m, expanded.count())
+      if (collectStats)
+        stats :+= BfsRound(hop + 1L, m, expanded.count())
+      else stats :+= BfsRound(hop + 1L, m, -1L)
       if (m > 0) layers :+= next
       prev = frontier
       frontier = next

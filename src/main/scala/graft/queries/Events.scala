@@ -328,6 +328,30 @@ object Events {
     // a one-row (min,max) aggregate — thousands of rows for years of
     // data, so the global-ordered window is a non-issue at any corpus
     // scale; the per-day rollup is the only real shuffle.
+    // Distribution-rank window trio (r7) — the §2.9 surface q07/q23's
+    // rank suite didn't cover: ntile(4) quartile assignment,
+    // percent_rank, cume_dist over per-user purchase spend. The order
+    // key (exact cents, user_id) is a TOTAL order, so all three are
+    // tie-free and engine-identical; the two ratios are single
+    // divisions of exact integers, round-6. Top-10 spenders only —
+    // the rank window is the wide stage, the output is O(10).
+    "q329_rank_distribution" -> ((s, d) => {
+      val u = table(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("spend"))
+      val w = Window.orderBy(col("spend"), col("user_id"))
+      u.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr6", graft.Graft.roundz(percent_rank().over(w), 6))
+        .withColumn("cd6", graft.Graft.roundz(cume_dist().over(w), 6))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("user_id"), col("spend"),
+          col("quartile"), col("pr6"), col("cd6"))
+        .orderBy(col("rk"))
+    }),
+
     "q116_gap_fill" -> ((s, d) => {
       val daily = events(s, d)
         // a sparse slice (one cohort's purchases) so the spine really
@@ -883,6 +907,26 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q329_rank_distribution" ->
+      """WITH u AS (
+           SELECT user_id,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+               AS spend
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id),
+         r AS (
+           SELECT user_id, spend,
+             CAST(ntile(4) OVER (ORDER BY spend, user_id) AS BIGINT)
+               AS quartile,
+             round(percent_rank() OVER (ORDER BY spend, user_id), 6)
+               + 0.0 AS pr6,
+             round(cume_dist() OVER (ORDER BY spend, user_id), 6)
+               + 0.0 AS cd6,
+             CAST(ROW_NUMBER() OVER (ORDER BY spend DESC, user_id)
+               AS BIGINT) AS rk
+           FROM u)
+         SELECT rk, user_id, spend, quartile, pr6, cd6
+         FROM r WHERE rk <= 10 ORDER BY rk""",
     // IGNORE NULLS carry over the same (ts, event_id) total order
     "q219_forward_fill" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -416,6 +416,83 @@ object Metrics {
         .orderBy(col("label"))
     }),
 
+    // Entropic optimal transport / Sinkhorn (r7) — the
+    // distribution-MATCHING distance completing the divergence family
+    // (q264 PSI, q145 KL, q225 KS, q311 MMD² measure mismatch; OT also
+    // says HOW to move mass — the coupling behind dataset-mixture
+    // rebalancing). Marginals = the purchase vs click cent-value
+    // decile histograms; cost = |i−j|; kernel K = round₁₂ exp(−|i−j|)
+    // (exp is the one libm call — rounded 12 dp on BOTH engines before
+    // use, the BM25 ln stance); 3 Sinkhorn rounds u←a/(Kv), v←b/(Kᵀu)
+    // with round-12 between half-steps (q113's iterative-float
+    // discipline) and every Σ over the 10-bin axis an ORDERED cumsum
+    // (q175). Output = the 100-cell transport plan round-9 + the OT
+    // cost folded in (i,j) order. Scale: the grid is bins² (here 100)
+    // — bounded by the BINNING, not the data; the only row-scale work
+    // is the first histogram groupBy, so the same ladder runs
+    // unchanged at 100 TB with, say, 1k bins → 1M keyed-join cells.
+    "q330_sinkhorn_ot" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("t"), cents(col("value")).as("v"))
+      val mx = ev.agg(max(col("v")).as("maxv"))
+      val binned = ev.crossJoin(broadcast(mx))
+        .select(col("t"), expr("(v * 10) div (maxv + 1)").as("bin"))
+        .groupBy(col("t"), col("bin")).agg(count(lit(1)).as("c"))
+      val spine1 = binned.agg(lit(0).as("__d"))
+        .select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+      def marg(tp: String, nm: String) = {
+        val m = binned.filter(col("t") === tp)
+        val tot = m.agg(sum(col("c")).as("n"))
+        spine1.join(m.select(col("bin"), col("c")), Seq("bin"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("bin"),
+            round(coalesce(col("c"), lit(0L)).cast("double") /
+              col("n").cast("double"), 12).as(nm))
+      }
+      val a = marg("purchase", "a")
+      val b = marg("click", "b")
+      val grid = spine1.select(col("bin").as("i"))
+        .crossJoin(broadcast(spine1.select(col("bin").as("j"))))
+        .withColumn("k", round(exp(-abs(col("i") - col("j"))
+          .cast("double")), 12))
+        .join(a.select(col("bin").as("i"), col("a")), Seq("i"))
+        .join(b.select(col("bin").as("j"), col("b")), Seq("j"))
+      // 3 Sinkhorn rounds, unrolled; every axis-sum is an ordered
+      // cumsum + max-of-cumsum (all k, u, v > 0 except zero-mass rows)
+      var g = grid.withColumn("u", lit(1.0))
+      for (_ <- 1 to 3) {
+        val wj = W.partitionBy(col("j")).orderBy(col("i"))
+        g = g.withColumn("cs", sum(col("k") * col("u")).over(
+            wj.rowsBetween(W.unboundedPreceding, 0)))
+          .withColumn("s", max(col("cs")).over(W.partitionBy(col("j"))))
+          .withColumn("v", round(when(col("b") > 0,
+            col("b") / col("s")).otherwise(lit(0.0)), 12))
+          .drop("cs", "s")
+        val wi = W.partitionBy(col("i")).orderBy(col("j"))
+        g = g.withColumn("ct", sum(col("k") * col("v")).over(
+            wi.rowsBetween(W.unboundedPreceding, 0)))
+          .withColumn("tt", max(col("ct")).over(W.partitionBy(col("i"))))
+          .withColumn("u", round(when(col("a") > 0,
+            col("a") / col("tt")).otherwise(lit(0.0)), 12))
+          .drop("ct", "tt")
+      }
+      val plan0 = g.withColumn("p9",
+          round(col("u") * col("k") * col("v"), 9))
+        .withColumn("contrib",
+          round(col("p9") * abs(col("i") - col("j")).cast("double"), 12))
+      val wAllCells = W.orderBy(col("i"), col("j"))
+      plan0
+        .withColumn("cum", sum(col("contrib")).over(
+          wAllCells.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("cost6", graft.Graft.roundz(
+          max(col("cum")).over(W.partitionBy()), 6))
+        .select(col("i"), col("j"), graft.Graft.roundz(col("p9"), 9)
+          .as("p9"), col("cost6"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Calibration curve + expected calibration error (r7) — the
     // reliability diagram that audits a score BEFORE it gates data
     // (complements q228's isotonic recalibration: this MEASURES
@@ -461,6 +538,82 @@ object Metrics {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q330_sinkhorn_ot" ->
+      """WITH ev AS (
+           SELECT event_type AS t, CAST(round(value*100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         mx AS (SELECT MAX(v) AS maxv FROM ev),
+         binned AS (
+           SELECT t, (v * 10) // (maxv + 1) AS bin, COUNT(*) AS c
+           FROM ev, mx GROUP BY 1, 2),
+         sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         na AS (SELECT SUM(c) AS n FROM binned WHERE t = 'purchase'),
+         nb AS (SELECT SUM(c) AS n FROM binned WHERE t = 'click'),
+         am AS (
+           SELECT sp.bin,
+             round(CAST(COALESCE(x.c, 0) AS DOUBLE)
+               / CAST(na.n AS DOUBLE), 12) AS a
+           FROM sp LEFT JOIN (SELECT bin, c FROM binned
+             WHERE t = 'purchase') x ON x.bin = sp.bin, na),
+         bm AS (
+           SELECT sp.bin,
+             round(CAST(COALESCE(x.c, 0) AS DOUBLE)
+               / CAST(nb.n AS DOUBLE), 12) AS b
+           FROM sp LEFT JOIN (SELECT bin, c FROM binned
+             WHERE t = 'click') x ON x.bin = sp.bin, nb),
+         g0 AS (
+           SELECT si.bin AS i, sj.bin AS j,
+             round(exp(-CAST(abs(si.bin - sj.bin) AS DOUBLE)), 12) AS k,
+             am.a, bm.b, 1.0 AS u
+           FROM sp si CROSS JOIN sp sj
+           JOIN am ON am.bin = si.bin JOIN bm ON bm.bin = sj.bin),
+         s1 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g0) x1),
+         v1 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s1),
+         t1 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v1) x2),
+         g1 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t1),
+         s2 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g1) x3),
+         v2 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s2),
+         t2 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v2) x4),
+         g2 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t2),
+         s3 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g2) x5),
+         v3 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s3),
+         t3 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v3) x6),
+         g3 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t3),
+         p AS (SELECT i, j, round(u*k*v, 9) AS p9 FROM g3),
+         cc AS (SELECT i, j, p9,
+           round(p9 * CAST(abs(i - j) AS DOUBLE), 12) AS contrib
+           FROM p),
+         f AS (SELECT i, j, p9,
+           SUM(contrib) OVER (ORDER BY i, j ROWS UNBOUNDED PRECEDING)
+             AS cum
+           FROM cc)
+         SELECT i, j, p9 + 0.0 AS p9,
+           round(MAX(cum) OVER (), 6) + 0.0 AS cost6
+         FROM f ORDER BY i, j""",
     "q320_calibration_curve" ->
       """WITH u AS (
            SELECT user_id,

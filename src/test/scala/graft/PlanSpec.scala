@@ -348,7 +348,11 @@ class PlanSpec extends SparkSpec {
       "q325_jonckheere",
       // q326: the min/max-day spine bound is ONE broadcast row
       // (q289's spine class)
-      "q326_gap_interpolate")
+      "q326_gap_interpolate",
+      // q330: the 10×10 Sinkhorn grid is q294's deliberate
+      // fixed-width broadcast-product spine (bins² is set by the
+      // BINNING, not the data); the max-cents scalar is q46's class
+      "q330_sinkhorn_ot")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -145,4 +145,36 @@ class MetricsSpec extends SparkSpec {
       assert(math.abs(mass - grp.map(_._3).sum) < 1e-9)
     }
   }
+
+  test("q330 Sinkhorn plan: a valid coupling — nonnegative, unit mass, " +
+      "row sums match the source marginal after the final u-step") {
+    val rows = SparkEntry.queries("q330_sinkhorn_ot")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 100)
+    assert(rows.forall(_._3 >= 0.0))
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"plan mass $total")
+    // the final half-step scales u to the source marginal a exactly
+    // (round-12), so per-i row sums must reproduce the purchase
+    // histogram; recompute it independently from the table
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import org.apache.spark.sql.functions._
+    val ev = df.filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), round(col("value") * 100, 0)
+        .cast("long").as("v"))
+    val maxv = ev.agg(max(col("v"))).head().getLong(0)
+    val a = ev.filter(col("event_type") === "purchase")
+      .groupBy(expr(s"(v * 10) div (${maxv} + 1)").as("bin")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val na = a.values.sum.toDouble
+    val rowSums = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    for (i <- 0L to 9L)
+      assert(math.abs(rowSums.getOrElse(i, 0.0) -
+        a.getOrElse(i, 0L) / na) < 1e-6, s"row $i marginal")
+    // cost is a mean |i-j| under the plan: within [0, 9]
+    val cost = rows.head._4
+    assert(cost >= 0.0 && cost <= 9.0)
+  }
 }

@@ -99,22 +99,36 @@ object Graft {
     * q74 plan prints `Filter (isnotnull(x) AND UDF(x))` on one run and
     * the operands swapped on the next (likewise `multicommutativeop`
     * argument lists; measured flipping within one JVM) — so a
-    * commutation-sensitive hash churns with unchanged code. Sorting
-    * tokens within each line (line ORDER kept — that is the operator
-    * tree) makes the fingerprint invariant to commutative reorder while
-    * any real change (operator, column, extra predicate) still lands in
-    * some line's token multiset. Hashes are NOT comparable across the
-    * v1→v2 boundary (diff r6+ artifacts against r6+ artifacts).
+    * commutation-sensitive hash churns with unchanged code.
+    *
+    * v3 (r8): tokens are split down to ATOMS (maximal runs of
+    * `[A-Za-z0-9_.#$]`) before the per-line sort. Root cause of the r7
+    * "stable-classified plans flipped between same-code runs" finding:
+    * `Canonicalize` orders commutative operands by `hashCode()`, and
+    * `AttributeReference.ExprId` carries a per-JVM `jvmId` UUID, so the
+    * same plan prints `1.96 * SQRT(x)` on one JVM and `SQRT(x) * 1.96`
+    * on the next (reproduced: two identical-config PlanDump runs on
+    * identical data flipped 7 of the 9 REVIEW-flagged r7 queries). The
+    * v2 coarse split could not normalize that — the swap MOVES text
+    * across a `(` boundary, changing the token multiset (`1.96 * SQRT`
+    * → `SQRT` + `* 1.96`). Atom multisets are invariant under any
+    * operand reorder, while a real plan change (operator, column,
+    * extra predicate) still adds/removes atoms in some line. Line
+    * ORDER is kept — that is the operator tree. Hashes are NOT
+    * comparable across the v2→v3 boundary (diff r8+ artifacts against
+    * r8+ artifacts).
     */
+  def planScrub(plan: String): String = plan
+    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+    .replaceAll("@[0-9a-f]{6,}", "@x")
+    .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X")
+    .split("\n")
+    .map(_.split("[^A-Za-z0-9_.#$]+").map(_.trim)
+      .filter(_.nonEmpty).sorted.mkString("|"))
+    .mkString("\n")
+
   def planSignature(df: DataFrame): String = md5_8(
-    df.queryExecution.optimizedPlan.canonicalized.toString
-      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-f]{6,}", "@x")
-      .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X")
-      .split("\n")
-      .map(_.split("[(),]|\\sAND\\s|\\sOR\\s").map(_.trim)
-        .filter(_.nonEmpty).sorted.mkString("|"))
-      .mkString("\n"))
+    planScrub(df.queryExecution.optimizedPlan.canonicalized.toString))
 
   /** Signed-zero-safe round for float-emitting oracle columns (SURVEY §5
     * convention). `round` of a tiny negative (e.g. a covariance cell that

@@ -30,12 +30,29 @@ import graft.expr.GraftFunctions
 object BloomJoin {
 
   /** Inner-join `fact` to `dim` on `factKey == dimKey`, pruning fact
-    * through a Bloom filter of dim keys first. Keys must be integral
-    * (LongType after cast).
+    * through a Bloom filter of dim keys first.
+    *
+    * Key typing (r8, ADVICE): `BloomFilterAggregate`/`MightContain`
+    * probe longs, but a blind `.cast("long")` on a non-integral key
+    * (string, date, …) yields null → `might_contain(null)` is null →
+    * every fact row silently filtered before the join. Integral keys
+    * cast directly; everything else is hashed with the SAME codegen'd
+    * `xxhash64` on BOTH build and probe sides (hash collisions only
+    * add Bloom false positives — extra shuffle, never wrong results,
+    * because the real join predicate still runs after the prune).
     */
   def join(fact: DataFrame, dim: DataFrame, factKey: String,
            dimKey: String, expectedDimRows: Long, fpp: Double = 0.01): DataFrame = {
     GraftFunctions.register(fact.sparkSession)
+    import org.apache.spark.sql.types._
+    def isIntegral(df: DataFrame, name: String): Boolean =
+      df.schema(df.schema.fieldIndex(name)).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    val integral = isIntegral(dim, dimKey) && isIntegral(fact, factKey)
+    def asLong(c: org.apache.spark.sql.Column) =
+      if (integral) c.cast("long") else xxhash64(c)
     // the standard optimal-bits formula, capped at Spark's runtime
     // bloom-filter ceiling (64 Mbit = 8 MB bitmap)
     val numBits = math.min(
@@ -44,7 +61,7 @@ object BloomJoin {
       67108864L).max(64L)
     val bloomBytes = dim
       .select(call_function(GraftFunctions.BloomAggName,
-        col(dimKey).cast("long"), lit(expectedDimRows), lit(numBits))
+        asLong(col(dimKey)), lit(expectedDimRows), lit(numBits))
         .as("bf"))
       .head().getAs[Array[Byte]](0)
     if (bloomBytes == null)
@@ -53,7 +70,7 @@ object BloomJoin {
       fact.filter(lit(false)).join(dim, col(factKey) === col(dimKey))
     else
       fact.filter(call_function(GraftFunctions.MightContainName,
-          lit(bloomBytes), col(factKey).cast("long")))
+          lit(bloomBytes), asLong(col(factKey))))
         .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -690,13 +690,16 @@ object Analytics {
     // weekly cycle worth modeling" gate before q266/q289 changepoint
     // hunting. dow = (day + 4) % 7 from the pure epoch-day integer
     // (0 = Sunday; no calendar function — engine-identical by
-    // construction). Exact BIGINT sums everywhere: SSB and SST use the
-    // computational identities Σ sum_d²/n_d − S²/N and Σx² − S²/N with
-    // the ≤7 per-dow terms folded in DOW ORDER (ordered cumsum — the
-    // q175 float discipline); Σx² is BIGINT (headroom: daily cents
-    // < 3×10⁹ keeps Σx² < 2⁶³ for a 30-year spine — document before
-    // raising SF past that). Scale: one groupBy to days, windows over
-    // ≤7 rows.
+    // construction). Overflow-safe products (r8, ADVICE): a single
+    // daily-cents square can reach ~2⁶³, so BIGINT·BIGINT silently
+    // wraps on Spark while DuckDB promotes to HUGEINT. s_d²/n_d and
+    // s²/N are therefore pre-divided through doubles with the exact
+    // spelling mirrored in the oracle (the q289 pattern), and Σx² is
+    // computed exactly — DECIMAL(38,0) here, HUGEINT in DuckDB — so
+    // both engines round the SAME exact integer to double. The ≤7
+    // per-dow SSB terms still fold in DOW ORDER (ordered cumsum — the
+    // q175 float discipline). Scale: one groupBy to days, windows
+    // over ≤7 rows.
     "q321_dow_seasonal" -> ((s, d) => {
       val daily = events(s, d)
         .filter(col("event_type") === "purchase")
@@ -707,13 +710,14 @@ object Analytics {
       val byDow = f.groupBy(col("dow"))
         .agg(count(lit(1)).as("n_d"), sum(col("x")).as("s_d"))
       val tot = f.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("ssq"))
+        sum(col("x").cast("decimal(38,0)") *
+          col("x").cast("decimal(38,0)")).as("ssq"))
       val wd = Window.orderBy(col("dow"))
       val wAll = Window.partitionBy()
       val acc = byDow.crossJoin(broadcast(tot))
         .withColumn("term", round(
-          (col("s_d") * col("s_d")).cast("double") /
-            col("n_d").cast("double"), 9))
+          (col("s_d").cast("double") / col("n_d").cast("double")) *
+            col("s_d").cast("double"), 9))
         .withColumn("cum", sum(col("term")).over(
           wd.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("bsum", max(col("cum")).over(wAll))
@@ -721,10 +725,11 @@ object Analytics {
           roundz(col("s_d").cast("double") / col("n_d").cast("double")
             / lit(100.0), 4).as("mean4"),
           roundz(
-            (col("bsum") - (col("s") * col("s")).cast("double") /
-              col("n").cast("double")) /
-            (col("ssq").cast("double") - (col("s") * col("s")).cast("double") /
-              col("n").cast("double")), 6).as("eta2_6"))
+            (col("bsum") - (col("s").cast("double") /
+              col("n").cast("double")) * col("s").cast("double")) /
+            (col("ssq").cast("double") - (col("s").cast("double") /
+              col("n").cast("double")) * col("s").cast("double")),
+            6).as("eta2_6"))
         .orderBy(col("dow"))
     }),
 
@@ -812,19 +817,22 @@ object Analytics {
            SELECT dow, COUNT(*) AS n_d, SUM(x) AS s_d
            FROM f GROUP BY dow),
          tot AS (
-           SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ssq FROM f),
+           SELECT COUNT(*) AS n, SUM(x) AS s,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ssq FROM f),
          acc AS (
            SELECT dow, n_d, s_d, n, s, ssq,
-             SUM(round(CAST(s_d*s_d AS DOUBLE) / CAST(n_d AS DOUBLE), 9))
+             SUM(round((CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE))
+               * CAST(s_d AS DOUBLE), 9))
                OVER (ORDER BY dow ROWS UNBOUNDED PRECEDING) AS cum
            FROM byd, tot),
          b AS (SELECT *, MAX(cum) OVER () AS bsum FROM acc)
          SELECT dow, CAST(n_d AS BIGINT) AS n_d,
            round(CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE) / 100.0, 4)
              + 0.0 AS mean4,
-           round((bsum - CAST(s*s AS DOUBLE) / CAST(n AS DOUBLE)) /
-             (CAST(ssq AS DOUBLE) - CAST(s*s AS DOUBLE)
-               / CAST(n AS DOUBLE)), 6) + 0.0 AS eta2_6
+           round((bsum - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(s AS DOUBLE)) /
+             (CAST(ssq AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(s AS DOUBLE)), 6) + 0.0 AS eta2_6
          FROM b ORDER BY dow""",
     "q263_spearman" ->
       """WITH rev AS (

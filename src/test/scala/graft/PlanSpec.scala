@@ -148,6 +148,31 @@ class PlanSpec extends SparkSpec {
       s"a udf eval node survived in the bloom-join plan:\n$p")
   }
 
+  test("BloomJoin on a STRING key: hashes both sides instead of a " +
+      "null-yielding long cast, and matches the plain join") {
+    // r8 (ADVICE): .cast("long") on a string key yields null,
+    // might_contain(null) is null, and every fact row silently died
+    // before the join. Non-integral keys now go through xxhash64 on
+    // BOTH build and probe sides; result equality vs the plain join
+    // is the operator's contract (no false negatives).
+    import org.apache.spark.sql.functions._
+    val dd = "/root/testdata/sf0.01"
+    val li = Graft.table(spark, dd, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val dim = Graft.table(spark, dd, "lineitem")
+      .select(col("l_returnflag")).distinct()
+      .filter(col("l_returnflag").isin("A", "R"))
+      .withColumnRenamed("l_returnflag", "flag")
+    val got = graft.ops.BloomJoin.join(li, dim, "l_returnflag", "flag", 10L)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty")).head()
+    val want = li.join(dim, col("l_returnflag") === col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty")).head()
+    assert(got.getLong(0) > 0, "string-key bloom join filtered everything")
+    assert(got == want, s"string-key bloom join diverged: $got vs $want")
+  }
+
   test("q40: plans the native CosineSimilarity expression") {
     val df = SparkEntry.queries("q40_cosine_topk")(spark, d)
     def hasCosine(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): Boolean =

@@ -14,19 +14,33 @@ Prints queries whose plan hash changed (with the timing delta for
 context), plus added/removed queries. Exit code 0 always — plan changes
 are often intentional; this is a review aid, not a gate.
 
-Plan-flip classification (r7): some queries are ALLOWED to change
-physical strategy when the data's statistics move (AQE skew splits,
-broadcast-vs-SMJ threshold crossings on derived intermediates); others
-must stay shape-stable because every join side is explicitly hinted or
-dimension-sized. The classification is derived EMPIRICALLY — run Bench
-at two scale factors and diff the plan hashes:
+Plan-flip classification (r8 rework): some queries are ALLOWED to
+change plan hash when the data moves — they embed DATA-DERIVED content
+in the optimized logical plan (collected BPE merge tables, bloom-filter
+bytes, pivot distinct-value order, per-round iterative depth, session
+variables). Others must stay hash-stable: a flip means review. The
+classification is derived EMPIRICALLY from PlanDump probe directories
+(each holds one .plan text per query — the exact string planSignature
+hashes):
 
-    python3 tools/plan_diff.py --classify sf001_bench.json sf01_bench.json
-    # writes tools/plan_classes.json: hash differs across SF =>
-    # "stats-dependent", same => "stable"
+    sbt "runMain graft.PlanDump <sfDir> /tmp/probeA"
+    SPARK_GRAFT_MAXPART=1048576 sbt "runMain graft.PlanDump <sfDir> /tmp/probeB"
+    sbt "runMain graft.PlanDump <otherSfDir> /tmp/probeC"
+    python3 tools/plan_diff.py --classify-dirs /tmp/probeA /tmp/probeB /tmp/probeC
+    # writes tools/plan_classes.json: plan text differs across ANY pair
+    # of probes => "stats-dependent", identical everywhere => "stable"
 
-The normal diff mode then annotates every changed plan with its class,
-so "AQE doing its job" separates from regressions at a glance:
+This replaces the r7 two-SF bench-hash probe, which conflated genuine
+data-dependence with a hash-noise artifact: signature v2 was sensitive
+to Catalyst's commutative operand order, which follows expression
+hashCodes, which embed the per-JVM ExprId.jvmId UUID — so ANY two runs
+in different JVMs could flip hashes with identical code, data, and
+stats (reproduced on 7 of the 9 r7 REVIEW-flagged queries with two
+identical-config runs). Signature v3 (Graft.planScrub: per-line ATOM
+multisets) is invariant to operand reorder; v2 and v3 hashes are not
+comparable — diff r8+ artifacts against r8+ artifacts only.
+
+The normal diff mode annotates every changed plan with its class:
 stats-dependent flips print as allowed; stable flips print as REVIEW.
 
 Outlier surfacing (r7): --ratios prints per-query new/old time ratios
@@ -50,40 +64,46 @@ def load(path):
     return d.get("plans", {}), d.get("queries", {})
 
 
-# Queries OBSERVED to flip physical strategy on regenerated same-SF
-# data (r6: plan hash moved with zero source change — AQE/size
-# estimates crossed a threshold). The cross-SF diff can't see these
-# (same hash at both SFs on any ONE dataset), so they are pinned
-# stats-dependent by observation. Keep this list short and dated.
-OBSERVED_FLIPS = {
-    "q220_nearest_station": "r6: regenerated sf0.1 moved AQE choice",
-    "q221_radius_pairs": "r6: regenerated sf0.1 moved AQE choice",
-    "q229_grid_density": "r6: regenerated sf0.1 moved AQE choice",
-}
+# Queries pinned stats-dependent by direct observation, keyed by
+# REGISTRY NAME (classify warns on keys that match no probed query —
+# the r6 pins silently no-op'd on a misspelled name, per ADVICE r7).
+# Emptied in r8: the r6 "regenerated sf0.1 moved AQE choice" entries
+# (q220_nearest_station, q221_radius_pairs, and a misspelled
+# grid-density key) predate signature v3 and are unattributable — the
+# flips they recorded are consistent with the per-JVM commutative-order
+# hash noise that v3 eliminates, and the v3 perturbation probes show
+# all three queries hash-stable. Re-add entries here ONLY with a v3
+# reproduction.
+OBSERVED_FLIPS = {}
 
 
-def classify(path_a, path_b, out_path=CLASSES_PATH):
-    """Two bench artifacts at DIFFERENT scale factors -> class map."""
-    plans_a, _ = load(path_a)
-    plans_b, _ = load(path_b)
-    classes = {}
-    for q in sorted(set(plans_a) | set(plans_b)):
-        if q not in plans_a or q not in plans_b:
-            classes[q] = "unknown"
-        elif plans_a[q] != plans_b[q]:
-            classes[q] = "stats-dependent"
-        else:
-            classes[q] = "stable"
+def classify_dirs(dirs, out_path=CLASSES_PATH):
+    """N PlanDump output dirs (same code, perturbed data/layout) ->
+    class map: .plan text differs across any pair => stats-dependent."""
+    plan_sets = {}
+    for d in dirs:
+        for fn in os.listdir(d):
+            if fn.endswith(".plan"):
+                q = fn[:-5]
+                with open(os.path.join(d, fn)) as f:
+                    plan_sets.setdefault(q, set()).add(f.read())
+    classes = {q: ("stats-dependent" if len(texts) > 1 else "stable")
+               for q, texts in sorted(plan_sets.items())}
     for q in OBSERVED_FLIPS:
-        if classes.get(q) == "stable":
+        if q not in classes:
+            print(f"WARNING: OBSERVED_FLIPS key '{q}' matches no probed "
+                  f"query — fix the name or drop the pin")
+        elif classes[q] == "stable":
             classes[q] = "stats-dependent"
     with open(out_path, "w") as f:
-        json.dump({"_note": "derived by plan_diff.py --classify from "
-                            "bench runs at two scale factors; "
-                            "stats-dependent = plan hash moved with the "
-                            "data, so cross-round flips are AQE/stats "
-                            "doing their job; stable = every strategy "
-                            "is pinned, a flip means review",
+        json.dump({"_note": "derived by plan_diff.py --classify-dirs "
+                            "from PlanDump probe dirs (same code; "
+                            "perturbed split size and scale factor); "
+                            "stats-dependent = the optimized plan "
+                            "embeds data-derived content, cross-round "
+                            "flips are expected; stable = plan text "
+                            "identical across every probe, a flip "
+                            "means review. Signature v3 (r8).",
                    "classes": classes}, f, indent=1, sort_keys=True)
     n = sum(1 for v in classes.values() if v == "stats-dependent")
     print(f"wrote {out_path}: {len(classes)} queries, "
@@ -124,11 +144,11 @@ def ratios(path_old, path_new):
 
 def main():
     args = sys.argv[1:]
-    if args and args[0] == "--classify":
-        if len(args) != 3:
+    if args and args[0] == "--classify-dirs":
+        if len(args) < 3:
             print(__doc__.strip())
             return 2
-        return classify(args[1], args[2])
+        return classify_dirs(args[1:])
     if args and args[0] == "--ratios":
         if len(args) != 3:
             print(__doc__.strip())

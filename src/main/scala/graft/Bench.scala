@@ -4,6 +4,30 @@ object Bench {
 
   private def md5_8(s: String): String = Graft.md5_8(s)
 
+  /** Queries whose time is dominated by a fixed wall-clock floor —
+    * Structured Streaming rigs (micro-batch scheduling + state-store
+    * startup/commit, ~1-3 s each regardless of data volume; measured
+    * r8: the five r7 "inflated" rigs run 1.2-3.0 s isolated vs 4-8 s
+    * inside the full suite, i.e. the delta is shared-JVM suite
+    * pressure, not plan cost). Tagged in the bench JSON so cross-round
+    * regression triage (plan_diff --ratios) can auto-exclude them:
+    * their run-to-run swings track host contention, not plans. The set
+    * is every registry entry that drives readStream (the 20 streaming
+    * rigs + the state-store reader).
+    */
+  private val FLOOR: Set[String] = Set(
+    "q52_stream_window_agg", "q53_stream_active911",
+    "q65_stream_interval_join", "q82_stream_static_join",
+    "q120_stream_running_totals", "q132_stream_recent_k",
+    "q147_stream_append_window", "q148_stream_outer_join",
+    "q157_stream_dedup_watermark", "q168_stream_map_state",
+    "q170_stream_timer_sessions", "q171_stream_semi_join",
+    "q178_state_reader", "q190_stream_sliding_window",
+    "q196_stream_full_outer_join", "q197_stream_restart",
+    "q202_session_window", "q207_stream_right_outer_join",
+    "q273_stream_union", "q274_stream_chained_agg",
+    "q277_stream_upsert_sink")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -71,9 +95,11 @@ object Bench {
     val ps = plans.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fl = ordered.map(_._1).filter(FLOOR)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"plans":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"plans":$ps,"floors":$fl,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver's log capture truncates stdout
     // (r2 lost the totals), so the bench artifact must be self-contained

@@ -123,6 +123,13 @@ def load_classes():
 def ratios(path_old, path_new):
     _, old_t = load(path_old)
     _, new_t = load(path_new)
+    floors = set()
+    for p in (path_old, path_new):
+        try:
+            with open(p) as f:
+                floors |= set(json.load(f).get("floors", []))
+        except (OSError, ValueError):
+            pass
     common = sorted(set(old_t) & set(new_t))
     rs = {q: new_t[q] / old_t[q] for q in common if old_t[q] > 0}
     if not rs:
@@ -133,12 +140,21 @@ def ratios(path_old, path_new):
           f"normalized outliers beyond 2x:")
     flagged = [(q, r / med) for q, r in rs.items()
                if r / med > 2.0 or r / med < 0.5]
-    for q, nr in sorted(flagged, key=lambda x: -x[1]):
+    plan_sig = [(q, nr) for q, nr in flagged if q not in floors]
+    floor_sig = [(q, nr) for q, nr in flagged if q in floors]
+    for q, nr in sorted(plan_sig, key=lambda x: -x[1]):
         print(f"  {q}: normalized {nr:.2f}x "
               f"({old_t[q]:.2f}s -> {new_t[q]:.2f}s)")
-    if not flagged:
+    if not plan_sig:
         print("  none — every per-query drift is within 2x of the "
               "run-wide median")
+    if floor_sig:
+        print(f"{len(floor_sig)} floor-tagged rig(s) excluded from "
+              f"triage (streaming wall-clock floors track host "
+              f"contention, not plans):")
+        for q, nr in sorted(floor_sig, key=lambda x: -x[1]):
+            print(f"  [floor] {q}: normalized {nr:.2f}x "
+                  f"({old_t[q]:.2f}s -> {new_t[q]:.2f}s)")
     return 0
 
 

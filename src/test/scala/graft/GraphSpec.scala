@@ -214,6 +214,36 @@ class GraphSpec extends SparkSpec {
     assert(solo == Map(99L -> 0L))
   }
 
+  test("memoized co-purchase edges: staged parquet equals the " +
+      "un-memoized plan and the stage is built exactly once") {
+    // r8: the graph family (q179/q183/q251/q259) shares one staged
+    // edge relation. Contract: (a) bit-equal rows vs the from-scratch
+    // build; (b) the second consumer reads the existing stage instead
+    // of rebuilding (mtime unchanged).
+    val d = "/root/testdata/sf0.001"
+    val staged = graft.queries.Relational.queries("q251_kcore")(spark, d)
+    staged.count() // forces the stage build
+    val dir = new java.io.File("/tmp/graft_stage")
+      .listFiles().filter(_.getName.startsWith("copurchase_edges_"))
+      .maxBy(_.lastModified)
+    val t0 = dir.lastModified
+    val viaStage = spark.read.parquet(dir.toString)
+      .select($"sa", $"sb", $"nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val fresh = graft.queries.Relational.buildCoPurchaseEdges(spark, d)
+      .select($"sa", $"sb", $"nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(viaStage == fresh, "staged edges diverged from the plan")
+    assert(viaStage.nonEmpty)
+    // second consumer: must NOT rebuild
+    graft.queries.Relational.queries("q183_label_propagation")(spark, d)
+      .count()
+    assert(dir.lastModified == t0,
+      "second graph query rebuilt the stage instead of reusing it")
+  }
+
   test("kCore: peels a pendant chain transitively, keeps the clique, " +
       "and is iterative (not the static min-degree check)") {
     import spark.implicits._

@@ -552,6 +552,73 @@ object Ext {
     // (collision probability 1−(1−J^r)^b rises as r shrinks) and
     // endpoint monotonicity recall(16×1) ≥ recall(4×4). The three
     // sweep legs are bounded driver-side counts (q261's scalar class)
+    // ANN recall frontier (r8, the q280 move for the VECTOR indexes):
+    // one sweep over the recall knob of each ANN family in the library
+    // — IVF nprobe (1→4→16=nlist), LSH multi-probe hamming radius
+    // (0→1→8=nPlanes), graph-beam hop count (1→3) — each measured as
+    // recall@10 against the brute-force truth over the same 6-query
+    // panel. This is the operating curve a 100 TB vector-search
+    // deployment reads first: which knob buys recall, and where the
+    // curve saturates. The contract pins two THEOREMS, not measured
+    // floors: (a) recall is MONOTONE along every knob, because each
+    // step's candidate set (IVF probed lists, LSH probed buckets) or
+    // visited set (beam hops) is a SUPERSET of the previous step's,
+    // and a truth node in the candidate set can only be displaced from
+    // the reported top-k by other truth nodes (anything ranked above a
+    // global-top-k member is itself global-top-k); (b) the exhaustive
+    // endpoints — nprobe=nlist scans every inverted list, hamming=
+    // nPlanes probes every bucket — degenerate to the exact scan, so
+    // endpoint recall is EXACTLY 1.0 (same (cos desc, id) total order
+    // as brute). Graph-beam has no exhaustive endpoint (connectivity-
+    // bounded), so its endpoint boolean is honestly NULL; beam WIDTH
+    // is deliberately not swept — wider beams do not guarantee
+    // superset visited sets (a wide beam can visit a node early and
+    // anti-join it out of a later frontier), so monotonicity there is
+    // an empirical tendency, not a theorem. IVF runs lloydIters=0
+    // (seed centroids, fully deterministic) so the sweep legs share
+    // one exact centroid matrix. Cost: each leg is the operator's own
+    // bounded plan (broadcast query panel, equi-join probes); the
+    // kNN graph + seeds build once and serve all beam legs.
+    "q331_ann_recall_frontier" -> ((s, d) => {
+      import s.implicits._
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint(true)
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .localCheckpoint(true)
+      val k = 10
+      val truth = Similarity.bruteTopK(qs, corpus, k)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      val nTruth = truth.count()
+      def recall(ann: DataFrame): Double =
+        ann.select(col("qid"), col("nid"))
+          .join(truth, Seq("qid", "nid"), "left_semi")
+          .count().toDouble / nTruth
+      val ivf = Seq(1, 4, 16).map(p => recall(Similarity.ivfTopK(
+        qs, corpus, k, nlist = 16, nprobe = p, lloydIters = 0)))
+      val lsh = Seq(0, 1, 8).map(h => recall(Similarity.lshTopK(
+        qs, corpus, k, nPlanes = 8, maxProbeHamming = h)))
+      val graph = Similarity.knnGraphFromPairs(
+        Similarity.lshNearDupPairs(corpus, tau = 0.2,
+          nPlanes = 24, bandBits = 3), k = 6).localCheckpoint(true)
+      val seeds = Similarity.lshSeedCandidates(qs, corpus)
+        .unionByName(Similarity.uniformSeedCandidates(qs, corpus))
+        .localCheckpoint(true)
+      val beam = Seq(1, 3).map(h => recall(Similarity.graphBeamTopK(
+        qs, corpus, graph, seeds, k, beam = 4, hops = h)))
+      def mono(rs: Seq[Double]): Boolean =
+        rs.zip(rs.tail).forall { case (a, b) => a <= b }
+      Seq(
+        ("beam_hops", 2L, nTruth, mono(beam), None: Option[Boolean]),
+        ("ivf_nprobe", 3L, nTruth, mono(ivf), Some(ivf.last == 1.0)),
+        ("lsh_hamming", 3L, nTruth, mono(lsh), Some(lsh.last == 1.0)))
+        .toDF("method", "n_params", "n_truth", "monotone_ok",
+          "endpoint_exact_ok")
+        .orderBy(col("method"))
+    }),
+
     // over a checkpointed ~500-doc sample — the sweep is how a 100 TB
     // dedup picks (b, r) BEFORE the full-corpus run.
     "q280_lsh_param_recall" -> ((s, d) => {
@@ -1935,6 +2002,23 @@ object Ext {
     // endpoint monotonicity are deterministic booleans pinned TRUE (the
     // hash stack is seed-free, so the sweep is a pure function of the
     // corpus)
+    // theorem-contract oracle (the q44/q210 class): monotonicity and
+    // exact exhaustive endpoints are provable properties of a correct
+    // implementation, so the oracle pins them as constants; n_truth is
+    // derivable (6 queries x min(k, corpus-1) brute rows); graph-beam
+    // has no exhaustive endpoint -> NULL
+    "q331_ann_recall_frontier" ->
+      """WITH nt AS (
+           SELECT 6 * LEAST(10, COUNT(*) - 1) AS n FROM embeddings)
+         SELECT * FROM (
+           SELECT 'beam_hops' AS method, CAST(2 AS BIGINT) AS n_params,
+             CAST(n AS BIGINT) AS n_truth, TRUE AS monotone_ok,
+             CAST(NULL AS BOOLEAN) AS endpoint_exact_ok FROM nt
+           UNION ALL SELECT 'ivf_nprobe', 3, CAST(n AS BIGINT), TRUE,
+             TRUE FROM nt
+           UNION ALL SELECT 'lsh_hamming', 3, CAST(n AS BIGINT), TRUE,
+             TRUE FROM nt) x
+         ORDER BY method""",
     "q280_lsh_param_recall" ->
       """WITH t AS (
            SELECT COUNT(*) AS n FROM documents

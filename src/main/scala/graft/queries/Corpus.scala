@@ -584,6 +584,51 @@ object Corpus {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))),
 
+    // OT-driven mixture rebalancing (r8) — the composition the
+    // Sinkhorn operator exists for: q83 rebalances strata toward a
+    // HAND-PICKED target with per-stratum keep rates; here the target
+    // is a SHAPE (flatten the document-length distribution to uniform
+    // deciles) and the coupling says how to get there — which source
+    // bin serves which target bin, preferring NEARBY lengths (ground
+    // cost |i−j|, ε=1). ext.Transport.sinkhorn produces the coupling
+    // over the observed length-decile histogram vs uniform 0.1;
+    // Transport.routingRates quantizes each row of the coupling to
+    // permille hash ranges; each document then routes to its target
+    // stratum through ONE deterministic sampleBucket range predicate
+    // (q57's machinery — no rand(), pushes to the scan, floor
+    // remainders dropped). Output = the realized routing table:
+    // (src_bin → tgt_bin, permille, docs routed). Everything after the
+    // histogram groupBy is O(bins²); the assignment join broadcasts
+    // ≤ bins² routing rows against the corpus scan — the 100 TB shape.
+    "q332_ot_rebalance" -> ((s, d) => {
+      val docs0 = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val mx = docs0.agg(max(col("n_chars")).as("maxc"))
+      val binned = docs0.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          expr("(n_chars * 10) div (maxc + 1)").as("bin"))
+      val spine = mx.select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = binned.agg(count(lit(1)).as("n"))
+      val aDf = spine
+        .join(binned.groupBy(col("bin")).agg(count(lit(1)).as("c")),
+          Seq("bin"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), round(coalesce(col("c"), lit(0L))
+          .cast("double") / col("n").cast("double"), 12).as("a"))
+      val bDf = spine.select(col("bin"), lit(0.1).as("b"))
+      val routes = graft.ext.Transport.routingRates(
+        graft.ext.Transport.sinkhorn(aDf, bDf,
+          (i, j) => abs(i - j), eps = 1.0, iters = 3))
+      binned.join(broadcast(routes),
+          col("bin") === col("i") &&
+            CorpusOps.sampleBucket(col("doc_id")) >= col("lo") &&
+            CorpusOps.sampleBucket(col("doc_id")) < col("hi"))
+        .groupBy(col("i").as("src_bin"), col("j").as("tgt_bin"),
+          col("pm").as("route_pm"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("src_bin"), col("tgt_bin"))
+    }),
+
     // The WHOLE curation pipeline composed end-to-end in ONE lazy plan —
     // quality filter (Gopher repetition ratios) → exact dedup
     // (normalized sha256, min-id canonical) → deterministic stratified
@@ -1570,6 +1615,81 @@ object Corpus {
          FROM documents d JOIN r USING (lang)
          WHERE (doc_id % 1000 * 2654435761) % 1000 < permille
          GROUP BY 1 ORDER BY d.lang""",
+    // the q330 unrolled Sinkhorn CTE over the length-decile marginals,
+    // then the permille routing + multiplicative-hash range assignment
+    // replayed with identical integer math
+    "q332_ot_rebalance" ->
+      """WITH d0 AS (SELECT doc_id, n_chars FROM documents),
+         mx AS (SELECT MAX(n_chars) AS maxc FROM d0),
+         binned AS (
+           SELECT doc_id,
+             (CAST(n_chars AS BIGINT) * 10) // (maxc + 1) AS bin
+           FROM d0, mx),
+         sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         tot AS (SELECT COUNT(*) AS n FROM binned),
+         am AS (
+           SELECT sp.bin, round(CAST(COALESCE(x.c, 0) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE), 12) AS a
+           FROM sp LEFT JOIN (SELECT bin, COUNT(*) AS c FROM binned
+             GROUP BY bin) x ON x.bin = sp.bin, tot),
+         bm AS (SELECT bin, CAST(0.1 AS DOUBLE) AS b FROM sp),
+         g0 AS (
+           SELECT am.bin AS i, bm.bin AS j,
+             round(exp(-CAST(abs(am.bin - bm.bin) AS DOUBLE) / 1.0), 12)
+               AS k,
+             am.a, bm.b, 1.0 AS u
+           FROM am CROSS JOIN bm),
+         s1 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g0) x1),
+         v1 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s1),
+         t1 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v1) x2),
+         g1 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t1),
+         s2 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g1) x3),
+         v2 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s2),
+         t2 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v2) x4),
+         g2 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t2),
+         s3 AS (SELECT *, MAX(cs) OVER (PARTITION BY j) AS s FROM (
+           SELECT *, SUM(k*u) OVER (PARTITION BY j ORDER BY i
+             ROWS UNBOUNDED PRECEDING) AS cs FROM g2) x5),
+         v3 AS (SELECT i, j, k, a, b, u,
+           round(CASE WHEN b > 0 THEN b/s ELSE 0.0 END, 12) AS v
+           FROM s3),
+         t3 AS (SELECT *, MAX(ct) OVER (PARTITION BY i) AS tt FROM (
+           SELECT *, SUM(k*v) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS ct FROM v3) x6),
+         g3 AS (SELECT i, j, k, a, b,
+           round(CASE WHEN a > 0 THEN a/tt ELSE 0.0 END, 12) AS u, v
+           FROM t3),
+         p AS (SELECT i, j, a, round(u*k*v, 9) AS p9 FROM g3),
+         pmt AS (SELECT i, j,
+           CASE WHEN a > 0 THEN CAST(floor(1000.0 * p9 / a) AS BIGINT)
+             ELSE 0 END AS pm FROM p),
+         rng AS (SELECT i, j, pm,
+           SUM(pm) OVER (PARTITION BY i ORDER BY j
+             ROWS UNBOUNDED PRECEDING) AS hi FROM pmt),
+         asg AS (
+           SELECT b2.doc_id, r.i, r.j, r.pm
+           FROM binned b2 JOIN rng r ON b2.bin = r.i
+            AND (b2.doc_id % 1000 * 2654435761) % 1000 >= r.hi - r.pm
+            AND (b2.doc_id % 1000 * 2654435761) % 1000 < r.hi)
+         SELECT i AS src_bin, j AS tgt_bin, pm AS route_pm,
+           COUNT(*) AS n_docs
+         FROM asg GROUP BY 1, 2, 3 ORDER BY src_bin, tgt_bin""",
     // the full four-stage chain replayed as CTEs: q56's rounded
     // repetition ratios, q35's normalized-sha dedup window, q57's
     // multiplicative-hash sample predicate, q59's per-stratum cumsum

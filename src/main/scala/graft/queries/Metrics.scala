@@ -453,31 +453,12 @@ object Metrics {
       }
       val a = marg("purchase", "a")
       val b = marg("click", "b")
-      val grid = spine1.select(col("bin").as("i"))
-        .crossJoin(broadcast(spine1.select(col("bin").as("j"))))
-        .withColumn("k", round(exp(-abs(col("i") - col("j"))
-          .cast("double")), 12))
-        .join(a.select(col("bin").as("i"), col("a")), Seq("i"))
-        .join(b.select(col("bin").as("j"), col("b")), Seq("j"))
-      // 3 Sinkhorn rounds, unrolled; every axis-sum is an ordered
-      // cumsum + max-of-cumsum (all k, u, v > 0 except zero-mass rows)
-      var g = grid.withColumn("u", lit(1.0))
-      for (_ <- 1 to 3) {
-        val wj = W.partitionBy(col("j")).orderBy(col("i"))
-        g = g.withColumn("cs", sum(col("k") * col("u")).over(
-            wj.rowsBetween(W.unboundedPreceding, 0)))
-          .withColumn("s", max(col("cs")).over(W.partitionBy(col("j"))))
-          .withColumn("v", round(when(col("b") > 0,
-            col("b") / col("s")).otherwise(lit(0.0)), 12))
-          .drop("cs", "s")
-        val wi = W.partitionBy(col("i")).orderBy(col("j"))
-        g = g.withColumn("ct", sum(col("k") * col("v")).over(
-            wi.rowsBetween(W.unboundedPreceding, 0)))
-          .withColumn("tt", max(col("ct")).over(W.partitionBy(col("i"))))
-          .withColumn("u", round(when(col("a") > 0,
-            col("a") / col("tt")).otherwise(lit(0.0)), 12))
-          .drop("ct", "tt")
-      }
+      // the library operator (r8, graft.ext.Transport): same unrolled
+      // ladder this query carried inline in r7 — ε=1, cost=|i−j|, and
+      // x/1.0 == x bit-exactly, so the kernel and every half-step are
+      // float-identical to the r7 spelling (oracle unchanged)
+      val g = graft.ext.Transport.sinkhorn(a, b,
+        (i, j) => abs(i - j), eps = 1.0, iters = 3)
       val plan0 = g.withColumn("p9",
           round(col("u") * col("k") * col("v"), 9))
         .withColumn("contrib",

@@ -377,7 +377,11 @@ class PlanSpec extends SparkSpec {
       // q330: the 10×10 Sinkhorn grid is q294's deliberate
       // fixed-width broadcast-product spine (bins² is set by the
       // BINNING, not the data); the max-cents scalar is q46's class
-      "q330_sinkhorn_ot")
+      "q330_sinkhorn_ot",
+      // q332: the same bins² Sinkhorn grid (ext.Transport) plus the
+      // max-chars and total-count scalars (q46's class); the routing
+      // assignment joins on bin + a broadcast hash-range predicate
+      "q332_ot_rebalance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -26,7 +26,7 @@ object Bench {
     "q196_stream_full_outer_join", "q197_stream_restart",
     "q202_session_window", "q207_stream_right_outer_join",
     "q273_stream_union", "q274_stream_chained_agg",
-    "q277_stream_upsert_sink")
+    "q277_stream_upsert_sink", "q334_stream_chaos")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

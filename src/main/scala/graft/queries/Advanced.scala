@@ -1393,6 +1393,179 @@ object Advanced {
         .orderBy(col("v"), col("segment"))
     }),
 
+    // Bitemporal as-of (r8, §7.6): the VALID-TIME × TRANSACTION-TIME
+    // point query, composed from exactly the two operators the library
+    // already ships — Merge.scd2 (q89) builds the dimension's valid-
+    // time history batch by batch, and each intermediate scd2 RESULT
+    // is the snapshot the database believed at that transaction time
+    // (tx=1: base, tx=2: after the %7 corrections, tx=3: after the %5
+    // corrections). The native as-of operator (q130's AsOfJoinExec)
+    // then answers "what segment was VALID at time v, AS KNOWN at
+    // tx T" by as-of-joining each fact's valid-time point against the
+    // tx-T snapshot's valid_from axis (SCD2 intervals are contiguous,
+    // so latest-valid_from-≤-v IS the covering version — no valid_to
+    // probe needed). The output (tx × v × segment) matrix pins both
+    // axes independently: at fixed v=2, tx=1 vs tx=2 differ (the
+    // correction became known); at fixed tx=3, v=2 vs v=3 differ (the
+    // later correction is valid only from 3). Scale: three key-
+    // partitioned merge-scan joins, closed history never re-joins
+    // inside scd2 (its |current|+|updates| property), and at 100 TB
+    // the tx snapshots are partition predicates over one bitemporal
+    // table, not three materializations.
+    "q333_bitemporal_asof" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val base = cust.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("segment"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd2 = cust.filter(pmod(col("c_custkey"), lit(7)) === 2)
+        .select(col("c_custkey").as("key"),
+          concat(lit("SEG2_"), pmod(col("c_custkey"), lit(3))).as("segment"))
+      val upd3 = cust.filter(pmod(col("c_custkey"), lit(5)) === 1)
+        .select(col("c_custkey").as("key"),
+          concat(lit("SEG3_"), pmod(col("c_custkey"), lit(4))).as("segment"))
+      val dim2 = graft.ops.Merge.scd2(base, upd2, "key", Seq("segment"), 2L)
+      val dim3 = graft.ops.Merge.scd2(dim2, upd3, "key", Seq("segment"), 3L)
+      val facts = table(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("key"),
+        (lit(1L) + pmod(col("o_orderkey"), lit(3))).as("v"))
+      def at(dim: DataFrame, tx: Long): DataFrame =
+        AsOf.asofJoinNative(facts,
+            dim.select(col("key"), col("valid_from").as("v"),
+              col("segment")),
+            keyCol = "key", timeCol = "v", tieCol = "o_orderkey",
+            rightTieCol = "v",
+            valueCols = Map("segment" -> "segment"))
+          .select(lit(tx).as("tx"), col("v"), col("segment"))
+      at(base, 1L).unionByName(at(dim2, 2L)).unionByName(at(dim3, 3L))
+        .groupBy(col("tx"), col("v"), col("segment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("tx"), col("v"), col("segment"))
+    }),
+
+    // Streaming chaos fixture (r8, §7.6): ONE bounded-out-of-orderness
+    // generator drives THREE stateful operators — dedup-within-
+    // watermark, dedup→tumbling-window CHAINED aggregation, and
+    // session windows — and each must equal its batch recompute under
+    // shuffled, duplicated arrival. The generator splits events into 4
+    // time-quarter batches, then perturbs the boundary: among each
+    // quarter's last-3-days events (hash-bucketed, deterministic),
+    // bucket <150 arrives ONE BATCH LATE (bounded disorder: when it
+    // arrives, the watermark stands ≥2 days below its event time at
+    // the 5-day delay, so it must be accepted, not dropped) and bucket
+    // [150,300) is DUPLICATED into the next batch (at-least-once
+    // redelivery). A 2030 sentinel batch flushes the terminal
+    // watermark (q147's convention; its own windows stay open and must
+    // never emit). Legs: (raw) the un-deduped 1-day windows COUNT the
+    // duplicates — pinning that redelivery really reached the source;
+    // (tumbling) dedup→window chained state must equal the clean
+    // per-day rollup; (sessions) dedup→2h-gap session windows per user
+    // must equal the gaps-and-islands replay. Out-of-order margin is
+    // against the PREVIOUS batch's max event time — Spark advances the
+    // watermark between micro-batches — so the bound holds at every
+    // SF (quarter length derives from the observed span; the two span
+    // scalars are q261-class driver material).
+    "q334_stream_chaos" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val stage = java.nio.file.Files.createTempDirectory("graft_chaos_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        val ev = events(s, d)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        val br = ev.agg(min(col("day")), max(col("day"))).head()
+        val mind = br.getLong(0)
+        val qq = math.max(1L, (br.getLong(1) - mind + 4) / 4)
+        val tagged = ev
+          .withColumn("b", expr(s"least(3, (day - $mind) div $qq)"))
+          .withColumn("h", pmod(pmod(col("event_id"), lit(1000L)) *
+            lit(2654435761L), lit(1000L)))
+          .withColumn("qend", lit(mind) + (col("b") + 1) * lit(qq) - 1)
+          .withColumn("le", col("b") < 3 && col("day") >= col("qend") - 2)
+          .withColumn("send", when(col("le") && col("h") < 150,
+            col("b") + 1).otherwise(col("b")))
+          .localCheckpoint(true)
+        val cols = Seq("event_id", "ts", "user_id", "event_type",
+          "value", "props").map(col)
+        def stageFile(df: DataFrame, n: String, mt: Long): Unit = {
+          val dir = stage.resolve(n + "_dir")
+          df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          val src = scala.util.Using.resource(
+            java.nio.file.Files.list(dir)) { st =>
+            val part = st.iterator()
+            var found: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.toString.endsWith(".parquet")) found = p
+            }
+            found
+          }
+          val dst = watch.resolve(n + ".parquet")
+          java.nio.file.Files.copy(src, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mt))
+        }
+        for (b <- 0L to 3L) {
+          val own = tagged.filter(col("send") === b).select(cols: _*)
+          val dups = tagged.filter(col("le") && col("h") >= 150 &&
+            col("h") < 300 && col("b") === b - 1).select(cols: _*)
+          stageFile(own.unionByName(dups), f"0$b",
+            1000000000000L + b * 100000L)
+        }
+        stageFile(ev.limit(1).select(lit(-77L).as("event_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit(-77L).as("user_id"), lit("__wm_flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")),
+          "09", 1000000900000L)
+        val schema = s.read.parquet(watch.toString).schema
+        def src0 = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "5 days")
+        val cents = round(col("value") * 100, 0).cast("long")
+        val qRaw = src0
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("m"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"chaos_raw_$tag")
+          .trigger(Trigger.AvailableNow()).start()
+        val qTum = src0
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("m"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"chaos_tum_$tag")
+          .trigger(Trigger.AvailableNow()).start()
+        val qSes = src0
+          .dropDuplicatesWithinWatermark("event_id")
+          .filter(col("user_id").between(0, 20))
+          .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"chaos_ses_$tag")
+          .trigger(Trigger.AvailableNow()).start()
+        qRaw.awaitTermination(); qTum.awaitTermination()
+        qSes.awaitTermination()
+        def winLeg(name: String, leg: String): DataFrame =
+          s.table(name).select(lit(leg).as("leg"),
+            expr("unix_micros(window.start) div 86400000000").as("k"),
+            col("n"), col("m"))
+        val ses = s.table(s"chaos_ses_$tag")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("n")).as("m"))
+          .select(lit("sessions").as("leg"), col("user_id").as("k"),
+            col("n"), col("m"))
+        val out = winLeg(s"chaos_raw_$tag", "raw")
+          .unionByName(winLeg(s"chaos_tum_$tag", "tumbling"))
+          .unionByName(ses)
+          .orderBy(col("leg"), col("k"))
+        Seq("raw", "tum", "ses").foreach(x =>
+          s.catalog.dropTempView(s"chaos_${x}_$tag"))
+        out
+      } finally deleteRecursively(stage)
+    }),
+
     // Stream-stream interval join (SURVEY.md §2.10): each click joined
     // to the same user's purchases within the following 12 hours, both
     // sides unbounded streams. The event-time range predicate plus the
@@ -2410,6 +2583,78 @@ object Advanced {
            FROM f JOIN c ON f.key = c.key)
          SELECT v, segment, COUNT(*) AS n_orders
          FROM looked GROUP BY v, segment ORDER BY v, segment""",
+    // both axes derived from the update rules: the tx axis selects
+    // WHICH corrections are known, the v axis selects which are VALID
+    "q333_bitemporal_asof" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey AS key,
+             1 + o_orderkey % 3 AS v FROM orders),
+         c AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer),
+         j AS (SELECT f.o_orderkey, f.key, f.v, c.seg
+               FROM f JOIN c ON f.key = c.key),
+         legs AS (
+           SELECT CAST(1 AS BIGINT) AS tx, v, seg AS segment FROM j
+           UNION ALL
+           SELECT 2, v,
+             CASE WHEN v >= 2 AND key % 7 = 2
+                    THEN 'SEG2_' || (key % 3)
+                  ELSE seg END FROM j
+           UNION ALL
+           SELECT 3, v,
+             CASE WHEN v >= 3 AND key % 5 = 1
+                    THEN 'SEG3_' || (key % 4)
+                  WHEN v >= 2 AND key % 7 = 2
+                    THEN 'SEG2_' || (key % 3)
+                  ELSE seg END FROM j)
+         SELECT tx, v, segment, COUNT(*) AS n_orders
+         FROM legs GROUP BY tx, v, segment ORDER BY tx, v, segment""",
+    // the chaos rig's contract: whatever the arrival order, raw
+    // windows count the redelivered duplicates (derived from the same
+    // hash/batch rules), deduped windows equal the clean rollup, and
+    // sessions equal the gaps-and-islands replay
+    "q334_stream_chaos" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, ts,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+         bd AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM ev),
+         prm AS (SELECT mind,
+           greatest(1, (maxd - mind + 4) // 4) AS qq FROM bd),
+         t AS (
+           SELECT ev.*, least(3, (day - mind) // qq) AS b,
+             (event_id % 1000 * 2654435761) % 1000 AS h,
+             mind + (least(3, (day - mind) // qq) + 1) * qq - 1 AS qend
+           FROM ev, prm),
+         dups AS (SELECT day, cents FROM t
+           WHERE b < 3 AND day >= qend - 2 AND h >= 150 AND h < 300),
+         raw AS (
+           SELECT day AS k, COUNT(*) AS n, SUM(cents) AS m
+           FROM (SELECT day, cents FROM t
+                 UNION ALL SELECT day, cents FROM dups) u
+           GROUP BY day),
+         tum AS (SELECT day AS k, COUNT(*) AS n, SUM(cents) AS m
+                 FROM t GROUP BY day),
+         se AS (SELECT user_id, epoch_us(ts) AS us FROM ev
+                WHERE user_id BETWEEN 0 AND 20),
+         x AS (SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+           FROM se),
+         f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev >= 7200000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM x),
+         si AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         g AS (SELECT user_id, sid, COUNT(*) AS ne FROM si GROUP BY 1, 2),
+         ses AS (SELECT user_id AS k, COUNT(*) AS n, SUM(ne) AS m
+                 FROM g GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'raw' AS leg, k, n, CAST(m AS BIGINT) AS m FROM raw
+           UNION ALL SELECT 'tumbling', k, n, CAST(m AS BIGINT) FROM tum
+           UNION ALL SELECT 'sessions', k, n, CAST(m AS BIGINT) FROM ses) z
+         ORDER BY leg, k""",
     // the streamed recent-k must equal the batch window replay
     "q132_stream_recent_k" ->
       """WITH r AS (

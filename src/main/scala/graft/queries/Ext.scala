@@ -877,6 +877,35 @@ object Ext {
       Multimodal.decodeWavBatched(media).toDF().orderBy(col("media_id"))
     }),
 
+    // REAL compressed-AUDIO decode (r8): FLAC through the batched
+    // mapPartitions path — the boundary the r7 verdict flagged (the
+    // JDK ships image codecs but NO compressed-audio codec, and the
+    // no-new-deps rule holds), closed by implementing the FIXED-
+    // prediction FLAC subset from the public format in ext/Flac.scala:
+    // metadata walk past a PADDING block, frame sync + CRC-8/CRC-16
+    // verification, UTF-8 frame indices, rice partitions. Multi-frame
+    // fixture (block size 256, ~2 frames per doc) with samples a
+    // closed form of (doc_id, t) — FLAC is LOSSLESS, so unlike q327's
+    // JPEG tolerance contract every output moment is EXACT and DuckDB
+    // recomputes it analytically with no codec. MP3/AAC/video remain
+    // out of scope (patent-era formats with no JDK codec and no
+    // tractable zero-dep subset) — the SURVEY §8 boundary row.
+    "q335_flac_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(41)) === 6)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val ns = (300 + n % 128).toInt
+          Multimodal.MediaIn(n, graft.ext.Flac.encodeFlac(16000, ns,
+            t => (((n * 53 + t.toLong * t * 13) % 3001) - 1500).toInt))
+        }
+      graft.ext.Flac.decodeFlacBatched(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // REAL compressed-image decode (r7): PNG through the batched
     // mapPartitions path — the JDK's ImageIO does actual zlib inflate +
     // scanline defiltering, so unlike q201's hand-walked BMP this pins
@@ -1627,6 +1656,24 @@ object Ext {
     // full analytic recompute of the WAV fixture: per-sample values from
     // the (doc_id, t) closed form over a generated series — exact integer
     // moments, no codec needed
+    // lossless codec => exact analytic recompute (q209's form)
+    "q335_flac_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(300 + doc_id % 128 AS BIGINT) AS ns
+           FROM documents WHERE doc_id % 41 = 6),
+         s AS (
+           SELECT doc_id, ns,
+             (doc_id*53 + ts.t*ts.t*13) % 3001 - 1500 AS v
+           FROM d,
+           LATERAL (SELECT unnest(generate_series(0, CAST(ns - 1 AS INT))) AS t) ts)
+         SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate,
+           ns AS n_samples,
+           CAST(ns * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(doc_id*53 % 3001 - 1500 AS INT) AS first_s,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(SUM(v*v) AS BIGINT) AS sumsq_s
+         FROM s GROUP BY doc_id, ns ORDER BY media_id""",
     "q209_wav_decode" ->
       """WITH d AS (
            SELECT doc_id, CAST(50 + doc_id % 64 AS BIGINT) AS ns

@@ -15,11 +15,13 @@ package graft.ext
   *    sample-rate / bps (STREAMINFO-deferred and literal forms),
   *    UTF-8-coded frame index, header CRC-8 (poly 0x07) VERIFIED;
   *  - subframes: CONSTANT, VERBATIM, FIXED orders 0–4 (order-k warmup
-  *    + polynomial-difference residuals), wasted-bits unary prefix;
+  *    + polynomial-difference residuals), LPC any order (r8 —
+  *    quantized coefficients + shift, 64-bit accumulation; the frame
+  *    type real encoders emit most), wasted-bits unary prefix;
   *  - residuals: 4-bit rice method, any partition order, per-partition
   *    rice parameter with the 0b1111 raw-bitlen escape, zigzag coding;
   *  - whole-frame CRC-16 (poly 0x8005) VERIFIED.
-  * LPC subframes and stereo decorrelation are rejected LOUDLY
+  * Stereo decorrelation and reserved constructs are rejected LOUDLY
   * (IllegalArgumentException names the construct) — corrupt or
   * out-of-subset media must fail, not emit garbage features.
   *
@@ -158,12 +160,19 @@ object Flac {
     (0 to 14).minBy(k => riceBits(resid, from, until, k))
 
   /** Encode 16-bit mono samples as a real FLAC stream: STREAMINFO, one
-    * PADDING block, then FIXED-order-2 frames of `blockSize` samples
-    * (last frame shorter), rice partition order 1 when the block
-    * splits evenly, else 0. Deterministic byte-for-byte.
+    * PADDING block, then frames of `blockSize` samples (last frame
+    * shorter), rice partition order 1 when the block splits evenly,
+    * else 0. With `useLpc` each frame carries an order-4 LPC subframe
+    * (covariance-method fit, 15-bit quantized coefficients + shift —
+    * what real encoders emit most), falling back to FIXED order 2 when
+    * the fit degenerates; without it every frame is FIXED. Both are
+    * LOSSLESS — the choice changes bytes, never decoded samples.
+    * Deterministic byte-for-byte (strictfp-free double math is still
+    * deterministic on one JVM arch; the DECODER is pure integer math,
+    * so decode correctness never depends on the fit).
     */
   def encodeFlac(sampleRate: Int, nSamples: Int, sample: Int => Int,
-                 blockSize: Int = 256): Array[Byte] = {
+                 blockSize: Int = 256, useLpc: Boolean = false): Array[Byte] = {
     require(sampleRate > 0 && nSamples > 0 && blockSize >= 16)
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
@@ -188,7 +197,7 @@ object Flac {
     while (start < nSamples) {
       val bs = math.min(blockSize, nSamples - start)
       out.write(encodeFrame(sampleRate, sample, start, bs, frameIx,
-        lastIsShort = bs != blockSize))
+        useLpc = useLpc))
       start += bs
       frameIx += 1
     }
@@ -199,40 +208,91 @@ object Flac {
     out.write((n >> 16) & 0xff); out.write((n >> 8) & 0xff); out.write(n & 0xff)
   }
 
-  private def encodeFrame(sampleRate: Int, sample: Int => Int,
-                          start: Int, bs: Int, frameIx: Long,
-                          lastIsShort: Boolean): Array[Byte] = {
-    val w = new BitWriter
-    w.writeBits(0x3ffe, 14)  // sync
-    w.writeBits(0L, 1)       // reserved
-    w.writeBits(0L, 1)       // fixed blocking strategy
-    w.writeBits(0x7L, 4)     // block size: 16-bit value-1 at header end
-    w.writeBits(0x0L, 4)     // sample rate: from STREAMINFO
-    w.writeBits(0x0L, 4)     // channels: 1, independent
-    w.writeBits(0x4L, 3)     // bps: 16
-    w.writeBits(0L, 1)       // reserved
-    utf8FrameIndex(frameIx).foreach(b => w.writeBits(b & 0xffL, 8))
-    w.writeBits((bs - 1).toLong, 16)
-    val headerSoFar = w.toBytes // aligned: header fields are whole bytes
-    val w2 = new BitWriter
-    headerSoFar.foreach(b => w2.writeBits(b & 0xffL, 8))
-    w2.writeBits(crc8(headerSoFar, 0, headerSoFar.length).toLong, 8)
-    // subframe: FIXED order 2 (order 0/1 when the block is tiny)
-    val order = math.min(2, bs - 1)
-    w2.writeBits(0L, 1)                    // pad
-    w2.writeBits((0x08 | order).toLong, 6) // FIXED|order
-    w2.writeBits(0L, 1)                    // no wasted bits
-    val s = Array.tabulate(bs)(t => sample(start + t))
-    var i = 0
-    while (i < order) { w2.writeBits(s(i).toLong & 0xffff, 16); i += 1 }
-    val resid = Array.tabulate(bs - order) { j =>
-      val t = j + order
-      order match {
-        case 0 => s(t)
-        case 1 => s(t) - s(t - 1)
-        case _ => s(t) - 2 * s(t - 1) + s(t - 2)
+  /** COVARIANCE-method fit of an order-`order` linear predictor over
+    * the block (true least squares: Gᵀa = b from the block's own
+    * prediction rows), quantized to 15-bit coefficients + shift. The
+    * textbook autocorrelation/Levinson route is deliberately NOT used:
+    * its implicit zero-padding bias is catastrophic on deterministic
+    * signals (measured on a pure sinusoid: Levinson residual ~87 vs
+    * covariance ~0.4 vs FIXED-2's ~37 — the "optimal" autocorrelation
+    * fit LOST to a fixed polynomial). Lossless regardless of fit
+    * quality — residuals absorb everything, so a poor fit only costs
+    * bits. Returns None on a degenerate system (constant/near-silent
+    * block) — caller falls back to FIXED.
+    */
+  private def lpcFit(s: Array[Int], order: Int): Option[(Array[Int], Int)] = {
+    val n = s.length
+    if (n <= order * 3) return None
+    val g = Array.ofDim[Double](order, order)
+    val b = new Array[Double](order)
+    var t = order
+    while (t < n) {
+      var i = 0
+      while (i < order) {
+        b(i) += s(t).toDouble * s(t - 1 - i)
+        var j = i
+        while (j < order) {
+          g(i)(j) += s(t - 1 - i).toDouble * s(t - 1 - j)
+          j += 1
+        }
+        i += 1
       }
+      t += 1
     }
+    var i = 0
+    while (i < order) {
+      var j = 0
+      while (j < i) { g(i)(j) = g(j)(i); j += 1 }
+      i += 1
+    }
+    // gaussian elimination with partial pivoting
+    val a = new Array[Double](order)
+    val m = Array.tabulate(order)(r0 => g(r0) :+ b(r0))
+    var col = 0
+    while (col < order) {
+      var piv = col
+      var r0 = col + 1
+      while (r0 < order) {
+        if (math.abs(m(r0)(col)) > math.abs(m(piv)(col))) piv = r0
+        r0 += 1
+      }
+      if (math.abs(m(piv)(col)) < 1e-6) return None
+      val tmp = m(col); m(col) = m(piv); m(piv) = tmp
+      r0 = col + 1
+      while (r0 < order) {
+        val f = m(r0)(col) / m(col)(col)
+        var c = col
+        while (c <= order) { m(r0)(c) -= f * m(col)(c); c += 1 }
+        r0 += 1
+      }
+      col += 1
+    }
+    var r1 = order - 1
+    while (r1 >= 0) {
+      var acc = m(r1)(order)
+      var c = r1 + 1
+      while (c < order) { acc -= m(r1)(c) * a(c); c += 1 }
+      a(r1) = acc / m(r1)(r1)
+      if (!java.lang.Double.isFinite(a(r1))) return None
+      r1 -= 1
+    }
+    val maxA = a.map(math.abs).max
+    if (maxA == 0.0 || maxA > 30.0) return None // wild fit: bail
+    // largest shift whose quantized max coefficient still fits the
+    // 15-bit signed range — maximizes coefficient precision (a coarse
+    // shift leaves quantization error ~s·2^-shift in every residual,
+    // which is the whole compression budget)
+    val precision = 15
+    val lim = (1 << (precision - 1)) - 1
+    var shift = 15
+    while (shift > 1 && math.round(maxA * (1L << shift)) > lim) shift -= 1
+    val coefs = a.map(x =>
+      math.max(-lim - 1, math.min(lim, math.round(x * (1L << shift)).toInt)))
+    if (coefs.forall(_ == 0)) None else Some((coefs, shift))
+  }
+
+  private def writeRice(w2: BitWriter, resid: Array[Int], bs: Int,
+                        order: Int): Unit = {
     // rice: partition order 1 when the block splits evenly into two
     // partitions with the warmup fitting the first, else order 0
     val po = if (bs % 2 == 0 && bs / 2 > order) 1 else 0
@@ -254,6 +314,65 @@ object Flac {
       }
       p += 1
     }
+  }
+
+  private def encodeFrame(sampleRate: Int, sample: Int => Int,
+                          start: Int, bs: Int, frameIx: Long,
+                          useLpc: Boolean): Array[Byte] = {
+    val w = new BitWriter
+    w.writeBits(0x3ffe, 14)  // sync
+    w.writeBits(0L, 1)       // reserved
+    w.writeBits(0L, 1)       // fixed blocking strategy
+    w.writeBits(0x7L, 4)     // block size: 16-bit value-1 at header end
+    w.writeBits(0x0L, 4)     // sample rate: from STREAMINFO
+    w.writeBits(0x0L, 4)     // channels: 1, independent
+    w.writeBits(0x4L, 3)     // bps: 16
+    w.writeBits(0L, 1)       // reserved
+    utf8FrameIndex(frameIx).foreach(b => w.writeBits(b & 0xffL, 8))
+    w.writeBits((bs - 1).toLong, 16)
+    val headerSoFar = w.toBytes // aligned: header fields are whole bytes
+    val w2 = new BitWriter
+    headerSoFar.foreach(b => w2.writeBits(b & 0xffL, 8))
+    w2.writeBits(crc8(headerSoFar, 0, headerSoFar.length).toLong, 8)
+    val s = Array.tabulate(bs)(t => sample(start + t))
+    val lpc = if (useLpc) lpcFit(s, order = 4) else None
+    lpc match {
+      case Some((coefs, shift)) =>
+        val order = coefs.length
+        w2.writeBits(0L, 1)                         // pad
+        w2.writeBits((0x20 | (order - 1)).toLong, 6) // LPC|order-1
+        w2.writeBits(0L, 1)                         // no wasted bits
+        var i = 0
+        while (i < order) { w2.writeBits(s(i).toLong & 0xffff, 16); i += 1 }
+        w2.writeBits(14L, 4)  // precision - 1 (15-bit coefficients)
+        w2.writeBits(shift.toLong & 0x1f, 5)
+        coefs.foreach(c => w2.writeBits(c.toLong & 0x7fff, 15))
+        val resid = Array.tabulate(bs - order) { j =>
+          val t = j + order
+          var acc = 0L
+          var m = 0
+          while (m < order) { acc += coefs(m).toLong * s(t - 1 - m); m += 1 }
+          s(t) - (acc >> shift).toInt
+        }
+        writeRice(w2, resid, bs, order)
+      case None =>
+        // FIXED order 2 (order 0/1 when the block is tiny)
+        val order = math.min(2, bs - 1)
+        w2.writeBits(0L, 1)                    // pad
+        w2.writeBits((0x08 | order).toLong, 6) // FIXED|order
+        w2.writeBits(0L, 1)                    // no wasted bits
+        var i = 0
+        while (i < order) { w2.writeBits(s(i).toLong & 0xffff, 16); i += 1 }
+        val resid = Array.tabulate(bs - order) { j =>
+          val t = j + order
+          order match {
+            case 0 => s(t)
+            case 1 => s(t) - s(t - 1)
+            case _ => s(t) - 2 * s(t - 1) + s(t - 2)
+          }
+        }
+        writeRice(w2, resid, bs, order)
+    }
     w2.alignByte()
     val body = w2.toBytes
     val full = new BitWriter
@@ -264,8 +383,43 @@ object Flac {
 
   // ---- decoder
 
-  /** Decode a mono FLAC stream (FIXED-prediction subset; LPC/stereo
-    * rejected loudly). Verifies every frame's CRC-8 and CRC-16.
+  /** Rice-coded residual section: method tag, partition order, per-
+    * partition parameter (with the 0b1111 raw-bitlen escape), zigzag
+    * decode. Shared by the FIXED and LPC subframe branches.
+    */
+  private def readRice(id: Long, r: BitReader, bs: Int,
+                       order: Int): Array[Int] = {
+    val resid = new Array[Int](bs - order)
+    val method = r.readBits(2).toInt
+    require(method == 0, s"media $id: unsupported residual method $method")
+    val po = r.readBits(4).toInt
+    val nPart = 1 << po
+    require(bs % nPart == 0 && bs / nPart > order,
+      s"media $id: invalid partition order $po for block $bs")
+    var p = 0
+    var j = 0
+    while (p < nPart) {
+      val pUntil = (p + 1) * bs / nPart - order
+      val k = r.readBits(4).toInt
+      if (k == 15) { // raw escape
+        val raw = r.readBits(5).toInt
+        while (j < pUntil) { resid(j) = r.readSigned(raw); j += 1 }
+      } else {
+        while (j < pUntil) {
+          val q = r.readUnary()
+          val z = (q.toLong << k) | (if (k > 0) r.readBits(k) else 0L)
+          resid(j) = ((z >>> 1) ^ -(z & 1L)).toInt // un-zigzag
+          j += 1
+        }
+      }
+      p += 1
+    }
+    resid
+  }
+
+  /** Decode a mono FLAC stream (CONSTANT/VERBATIM/FIXED/LPC subframes;
+    * stereo decorrelation rejected loudly). Verifies every frame's
+    * CRC-8 and CRC-16.
     */
   private[graft] def decodeFlac(id: Long, bytes: Array[Byte]): FlacOut = {
     require(bytes.length >= 42 &&
@@ -369,31 +523,7 @@ object Flac {
         val order = sfType & 0x07
         var t = 0
         while (t < order) { samples(t) = r.readSigned(eff); t += 1 }
-        val resid = new Array[Int](bs - order)
-        val method = r.readBits(2).toInt
-        require(method == 0, s"media $id: unsupported residual method $method")
-        val po = r.readBits(4).toInt
-        val nPart = 1 << po
-        require(bs % nPart == 0 && bs / nPart > order,
-          s"media $id: invalid partition order $po for block $bs")
-        var p = 0
-        var j = 0
-        while (p < nPart) {
-          val pUntil = (p + 1) * bs / nPart - order
-          val k = r.readBits(4).toInt
-          if (k == 15) { // raw escape
-            val raw = r.readBits(5).toInt
-            while (j < pUntil) { resid(j) = r.readSigned(raw); j += 1 }
-          } else {
-            while (j < pUntil) {
-              val q = r.readUnary()
-              val z = (q.toLong << k) | (if (k > 0) r.readBits(k) else 0L)
-              resid(j) = ((z >>> 1) ^ -(z & 1L)).toInt // un-zigzag
-              j += 1
-            }
-          }
-          p += 1
-        }
+        val resid = readRice(id, r, bs, order)
         var t2 = order
         while (t2 < bs) {
           val pred = order match {
@@ -408,9 +538,29 @@ object Flac {
           samples(t2) = pred + resid(t2 - order)
           t2 += 1
         }
-      } else if ((sfType & 0x20) != 0) {
-        throw new IllegalArgumentException(
-          s"media $id: LPC subframes outside the FIXED decode subset")
+      } else if ((sfType & 0x20) != 0) { // LPC (r8)
+        val order = (sfType & 0x1f) + 1
+        require(order < bs, s"media $id: LPC order $order >= block $bs")
+        var t = 0
+        while (t < order) { samples(t) = r.readSigned(eff); t += 1 }
+        val precM1 = r.readBits(4).toInt
+        require(precM1 != 15, s"media $id: invalid LPC precision code")
+        val precision = precM1 + 1
+        val shift = r.readSigned(5)
+        require(shift >= 0, s"media $id: negative LPC shift $shift")
+        val coefs = Array.fill(order)(r.readSigned(precision))
+        val resid = readRice(id, r, bs, order)
+        var t2 = order
+        while (t2 < bs) {
+          var acc = 0L
+          var m = 0
+          while (m < order) {
+            acc += coefs(m).toLong * samples(t2 - 1 - m)
+            m += 1
+          }
+          samples(t2) = (acc >> shift).toInt + resid(t2 - order)
+          t2 += 1
+        }
       } else {
         throw new IllegalArgumentException(
           s"media $id: reserved subframe type $sfType")

@@ -899,8 +899,12 @@ object Ext {
         .as[Long]
         .map { n =>
           val ns = (300 + n % 128).toInt
+          // alternate encodings: even docs FIXED, odd docs LPC
+          // (Levinson–Durbin order 4) — both lossless, so ONE oracle
+          // pins that the two subframe families decode identically
           Multimodal.MediaIn(n, graft.ext.Flac.encodeFlac(16000, ns,
-            t => (((n * 53 + t.toLong * t * 13) % 3001) - 1500).toInt))
+            t => (((n * 53 + t.toLong * t * 13) % 3001) - 1500).toInt,
+            useLpc = n % 2 == 1))
         }
       graft.ext.Flac.decodeFlacBatched(media).toDF()
         .orderBy(col("media_id"))

@@ -36,6 +36,36 @@ class FlacSpec extends SparkSpec {
     }
   }
 
+  test("LPC subframes (r8): Levinson-Durbin-encoded streams decode " +
+      "losslessly, including sinusoids where LPC actually predicts") {
+    val patterns: Seq[(String, Int, Int => Int)] = Seq(
+      ("sinusoid (strong LPC fit)", 600,
+        t => (12000 * math.sin(t * 0.07)).toInt),
+      ("damped chirp", 512,
+        t => (9000 * math.exp(-t / 400.0) * math.cos(t * t * 1e-4)).toInt),
+      ("noisy quadratic", 700,
+        t => ((t.toLong * t * 7) % 3001 - 1500).toInt),
+      ("constant (fit degenerates -> FIXED fallback)", 300, _ => 55))
+    for ((name, ns, f) <- patterns) {
+      val bytes = Flac.encodeFlac(8000, ns, f, useLpc = true)
+      val out = Flac.decodeFlac(9L, bytes)
+      val (sum, sumsq, peak, first) = moments((0 until ns).map(f))
+      assert(out.n_samples == ns && out.sum_s == sum &&
+        out.sumsq_s == sumsq && out.peak == peak && out.first_s == first,
+        s"$name: LPC round-trip diverged")
+    }
+    // the sinusoid stream must actually CONTAIN an LPC subframe (type
+    // bit 0x20 after the frame header) — otherwise the fallback path
+    // silently swallowed the whole test
+    val b = Flac.encodeFlac(8000, 600,
+      t => (12000 * math.sin(t * 0.07)).toInt, useLpc = true)
+    val fixedOnly = Flac.encodeFlac(8000, 600,
+      t => (12000 * math.sin(t * 0.07)).toInt, useLpc = false)
+    assert(b.length < fixedOnly.length,
+      "LPC encoding did not compress a sinusoid better than FIXED — " +
+        "the LPC path is probably not being taken")
+  }
+
   test("multi-frame streams: block size 256 splits a 600-sample " +
       "signal into 3 frames and the walk crosses the PADDING block") {
     val ns = 600

@@ -779,6 +779,57 @@ object Advanced {
       scalars.join(distincts, Seq("lang")).orderBy(col("lang"))
     }),
 
+    // JOIN-view incremental maintenance (r8, §7.6) — the harder IVM
+    // class beside q131's single-table MV: the view is
+    // orders ⋈ customer rolled up per market segment, and an appended
+    // fact batch must be folded in WITHOUT rescanning the base fact.
+    // Classic delta algebra for insert-only facts against a stable
+    // dim: ΔV = ΔF ⋈ D aggregated to the same partial shapes, then
+    // merged by partial re-aggregation — SUM/COUNT add, MAX maxes
+    // (insert-only makes MAX maintainable), exact COUNT DISTINCT
+    // merges through bitmap partials (q118/q131's machinery — the ONE
+    // aggregate that would otherwise force a full recompute), and AVG
+    // derives from maintained sums (never maintained directly). The
+    // base partials are localCheckpoint'ed — the materialized MV — so
+    // the delta path provably touches only ΔF ⋈ D (|Δ|-sized work at
+    // 100 TB, the whole point of IVM). Oracle = the from-scratch join
+    // rollup over ALL facts: the IVM contract in one hash compare.
+    "q336_join_mv_delta" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val delta = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      def scalarMv(f: DataFrame): DataFrame = f
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev"),
+          max(col("cents")).as("mx"))
+      def bitmapMv(f: DataFrame): DataFrame = f
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          expr("bitmap_bucket_number(c_custkey)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))")
+          .as("bm"))
+      val baseScalar = scalarMv(base).localCheckpoint(true)
+      val baseBitmap = bitmapMv(base).localCheckpoint(true)
+      val scalars = baseScalar.unionByName(scalarMv(delta))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev")).as("rev_cents"), max(col("mx")).as("max_cents"))
+      val distincts = baseBitmap.unionByName(bitmapMv(delta))
+        .groupBy(col("c_mktsegment"), col("b"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_customers"))
+      scalars.join(distincts, Seq("c_mktsegment"))
+        .withColumn("avg4", round(col("rev_cents").cast("double") /
+          col("n_orders").cast("double") / lit(100.0), 4))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Spark 4 VARIANT ingestion of the JSON-ish props payload:
     // parse_json ONCE into the open binary variant encoding, then typed
     // variant_get extraction — the modern replacement for per-field
@@ -2668,6 +2719,20 @@ object Advanced {
            (SELECT string_agg(event_type, ',' ORDER BY rn)
             FROM r WHERE r.user_id = n.user_id AND rn <= 3) AS recent
          FROM n ORDER BY n.user_id""",
+    // the delta-maintained JOIN view must equal the from-scratch join
+    // rollup (exact distinct via COUNT(DISTINCT), matching the bitmap)
+    "q336_join_mv_delta" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS avg4
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the delta-merged MV must equal the from-scratch aggregate
     "q131_mv_merge" ->
       """SELECT lang, COUNT(*) AS n_docs,

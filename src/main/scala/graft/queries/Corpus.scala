@@ -76,6 +76,36 @@ object Corpus {
             element_at(col("ap"), 2) <= element_at(col("ex"), 4)).as("p90_ok"))
         .orderBy(col("lang"))),
 
+    // KLL-style quantile sketch (r8, §7.6): the same rank-bracket
+    // contract as q66, but through the LIBRARY'S OWN mergeable
+    // compactor UDAF (expr/QuantileSketch) instead of the engine's
+    // percentile_approx — the construction is surface, not a black
+    // box, and the distributed aggregation itself exercises the merge
+    // algebra (32 map partials merge level-wise through the shuffle).
+    // Same loose brackets as q66: p50 ∈ [p40,p60] exact ranks, p90 ∈
+    // [p80,p95] — far outside the sketch's error at k=256, so
+    // deterministic despite nondeterministic merge order.
+    "q337_kll_quantiles" -> ((s, d) => {
+      val sk = udaf(new graft.expr.QuantileSketch(256, Seq(0.5, 0.9)),
+        graft.expr.QuantileSketch.inputEncoder)
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sk(col("n_chars").cast("long")).as("ap"),
+          percentile(col("n_chars"),
+            typedlit(Seq(0.4, 0.6, 0.8, 0.95))).as("ex"))
+        .select(col("lang"), col("n"),
+          (element_at(col("ap"), 1).cast("double") >=
+            element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1).cast("double") <=
+              element_at(col("ex"), 2)).as("p50_ok"),
+          (element_at(col("ap"), 2).cast("double") >=
+            element_at(col("ex"), 3) &&
+            element_at(col("ap"), 2).cast("double") <=
+              element_at(col("ex"), 4)).as("p90_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Shard packing: documents → fixed-token-budget training shards,
     // cumsum per language stratum (parallel across strata; a global
     // ordered cumsum would serialize the corpus through one partition).
@@ -1152,6 +1182,11 @@ object Corpus {
          round(quantile_cont(n_chars, 0.99), 4) AS p99
          FROM documents GROUP BY lang ORDER BY lang""",
     "q66_approx_quantiles" ->
+      """SELECT lang, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // same contract stance as q66: the sketch value is construction-
+    // derived, the rank brackets are the provable correctness story
+    "q337_kll_quantiles" ->
       """SELECT lang, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
          FROM documents GROUP BY lang ORDER BY lang""",
     "q59_shard_packing" ->

@@ -596,28 +596,11 @@ object Relational {
     * is deterministic (exact integer counts, percentile threshold), so
     * staging cannot change any downstream oracle.
     */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val deps = Seq("lineitem", "orders").map { t =>
-      val p = java.nio.file.Paths.get(s"$d/$t.parquet")
-      s"$t:${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-    }
-    val key = graft.Graft.md5_8(d + "|" + deps.mkString("|"))
-    val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stage/copurchase_edges_$key")
-    coPurchaseLock.synchronized {
-      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
-        val tmp = java.nio.file.Paths.get(
-          stage.toString + s".build_${System.nanoTime()}")
-        buildCoPurchaseEdges(s, d).write.mode("overwrite").parquet(tmp.toString)
-        graft.Graft.deleteRecursively(stage)
-        java.nio.file.Files.createDirectories(stage.getParent)
-        java.nio.file.Files.move(tmp, stage,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    }
-    s.read.parquet(stage.toString).select(col("sa"), col("sb"), col("nc"))
-  }
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.ops.Staged.relation(s, "copurchase_edges",
+        Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"))(
+        buildCoPurchaseEdges(s, d))
+      .select(col("sa"), col("sb"), col("nc"))
 
   /** The un-memoized edge plan (also the spec's reference: staged
     * parquet must equal this exactly). The bipartite projection is the
@@ -641,7 +624,6 @@ object Relational {
     pairs.crossJoin(broadcast(thr)).filter(col("nc") >= col("m"))
   }
 
-  private val coPurchaseLock = new Object
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -114,18 +114,41 @@ object Graft {
     * → `SQRT` + `* 1.96`). Atom multisets are invariant under any
     * operand reorder, while a real plan change (operator, column,
     * extra predicate) still adds/removes atoms in some line. Line
-    * ORDER is kept — that is the operator tree. Hashes are NOT
-    * comparable across the v2→v3 boundary (diff r8+ artifacts against
-    * r8+ artifacts).
+    * ORDER is kept — that is the operator tree.
+    *
+    * v4 (r9): operator symbols are mapped to named atoms (`>=` →
+    * OPGE, `+` → OPADD, longest-match first) BEFORE the atom split,
+    * instead of being discarded as separators. ADVICE-r8: under v3 a
+    * predicate flipped from `>` to `<=` or a `+` changed to `-`
+    * produced identical signatures — a real plan regression could
+    * classify as "stable". Named atoms keep the v3 invariance (the
+    * per-line sort still absorbs commutative operand reorder; the
+    * token is position-independent) while making every operator
+    * change land in some line's multiset. Hashes are NOT comparable
+    * across the v2→v3 or v3→v4 boundaries (diff r9+ artifacts against
+    * r9+ artifacts).
     */
-  def planScrub(plan: String): String = plan
-    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-    .replaceAll("@[0-9a-f]{6,}", "@x")
-    .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X")
-    .split("\n")
-    .map(_.split("[^A-Za-z0-9_.#$]+").map(_.trim)
-      .filter(_.nonEmpty).sorted.mkString("|"))
-    .mkString("\n")
+  private val SymbolAtoms: Seq[(String, String)] = Seq(
+    "<=>" -> " OPNSEQ ", ">=" -> " OPGE ", "<=" -> " OPLE ",
+    "=" -> " OPEQ ", "<" -> " OPLT ", ">" -> " OPGT ",
+    "+" -> " OPADD ", "-" -> " OPSUB ", "*" -> " OPMUL ",
+    "/" -> " OPDIV ", "%" -> " OPMOD ", "!" -> " OPNOT ",
+    "&" -> " OPAMP ", "|" -> " OPBAR ", "^" -> " OPXOR ",
+    "~" -> " OPTLD ")
+
+  def planScrub(plan: String): String = {
+    val noNoise = plan
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("/tmp/[A-Za-z0-9._/-]+", "/tmp/X")
+    val named = SymbolAtoms.foldLeft(noNoise) {
+      case (acc, (sym, atom)) => acc.replace(sym, atom)
+    }
+    named.split("\n")
+      .map(_.split("[^A-Za-z0-9_.#$]+").map(_.trim)
+        .filter(_.nonEmpty).sorted.mkString("|"))
+      .mkString("\n")
+  }
 
   def planSignature(df: DataFrame): String = md5_8(
     planScrub(df.queryExecution.optimizedPlan.canonicalized.toString))

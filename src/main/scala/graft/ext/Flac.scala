@@ -451,6 +451,12 @@ object Flac {
       off += 4 + len
     }
     require(sawStreamInfo && sampleRate > 0, s"media $id: no STREAMINFO")
+    // RFC 9639 allows total-samples = 0 meaning "unknown"; the decode
+    // loop below is count-driven, so an unknown count would decode zero
+    // frames and emit all-zero moments — garbage dressed as features.
+    // Out-of-subset media must fail loudly (ADVICE-r8).
+    require(totalSamples > 0,
+      s"media $id: unknown total sample count (STREAMINFO=0) unsupported")
     var peak = 0
     var firstS = 0
     var sumS = 0L

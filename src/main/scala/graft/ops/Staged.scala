@@ -11,15 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Correctness protocol:
   *  - the stage key fingerprints the INPUT FILES' (size, mtime) plus
-  *    the relation name — regenerated testdata (same path, new bytes)
-  *    rebuilds instead of serving stale rows;
+  *    the relation name plus a CODE-VERSION token (r9) — regenerated
+  *    testdata rebuilds instead of serving stale rows, and an edit to
+  *    the builder plan bumps its version so a persisted /tmp stage
+  *    from the pre-edit code can never satisfy the post-edit query
+  *    (the ADVICE-r8 staleness hole);
   *  - the build lands in a temp dir renamed into place with
   *    ATOMIC_MOVE — a killed build can never be read as a complete
   *    stage (parquet's _SUCCESS is checked before reuse);
+  *  - a published directory is NEVER deleted in-line (r9): if the key
+  *    re-check after a build finds the stage was published meanwhile
+  *    (another thread or JVM won the race), the freshly built temp dir
+  *    is discarded and the published one served — readers can rely on
+  *    a dir with _SUCCESS staying intact for the JVM's lifetime;
+  *  - superseded stages (same relation, different key — i.e. old data
+  *    generations or old code versions) are pruned opportunistically
+  *    AFTER a successful publish, but only once they are over six
+  *    hours old. The age gate is what makes pruning safe: stages of
+  *    the SAME session (e.g. the test suite's sf0.001 stage and the
+  *    bench's sf0.1 stage, which coexist under different keys) are
+  *    never touched, while old rounds' generations — the unbounded
+  *    /tmp growth ADVICE-r8 flagged — are collected. A multi-tenant
+  *    deployment would swap the fixed TTL for lease-based GC.
   *  - builds are serialized per JVM (one global lock: stages are rare
-  *    and build-once by design; cross-JVM races are benign because
-  *    each JVM builds into its own temp dir and the atomic rename
-  *    makes last-writer-wins of identical content).
+  *    and build-once by design).
   * The relation MUST be deterministic for the staging to be
   * semantics-free; anything hash/sample/time-dependent belongs in the
   * query, not a stage.
@@ -27,36 +42,72 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Staged {
 
   private val lock = new Object
-  private val root = "/tmp/graft_stage"
+  private[graft] val root = "/tmp/graft_stage"
 
-  /** Fingerprint of dependency files: name + per-file (size, mtime). */
-  private def key(name: String, deps: Seq[String]): String = {
+  /** Fingerprint: relation name + code version + per-dep (size, mtime). */
+  private def key(name: String, version: String, deps: Seq[String]): String = {
     val parts = deps.map { p0 =>
       val p = java.nio.file.Paths.get(p0)
       s"$p0:${java.nio.file.Files.size(p)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
     }
-    graft.Graft.md5_8(name + "|" + parts.mkString("|"))
+    graft.Graft.md5_8(name + "|" + version + "|" + parts.mkString("|"))
   }
 
-  /** Read the staged form of `name`, building it first if this input
-    * state has never been staged. `deps` are the input files whose
-    * bytes the relation derives from.
+  /** The exact directory `relation` reads/publishes for this (name,
+    * version, input-state) triple — exposed so specs resolve the stage
+    * they exercised instead of scanning /tmp by mtime (the r8 GraphSpec
+    * hermeticity bug: maxBy(lastModified) picked up a later bench run's
+    * sf0.1 stage).
     */
-  def relation(s: SparkSession, name: String, deps: Seq[String])
-              (build: => DataFrame): DataFrame = {
-    val stage = java.nio.file.Paths.get(s"$root/${name}_${key(name, deps)}")
+  def stagePath(name: String, version: String,
+                deps: Seq[String]): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$root/${name}_${key(name, version, deps)}")
+
+  /** Read the staged form of `name`, building it first if this
+    * (code-version, input-state) pair has never been staged. `deps` are
+    * the input files whose bytes the relation derives from; `version`
+    * is a hand-bumped token tied to the builder plan's definition.
+    */
+  def relation(s: SparkSession, name: String, version: String,
+               deps: Seq[String])(build: => DataFrame): DataFrame = {
+    val stage = stagePath(name, version, deps)
+    def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
     lock.synchronized {
-      if (!java.nio.file.Files.exists(stage.resolve("_SUCCESS"))) {
+      if (!published) {
         val tmp = java.nio.file.Paths.get(
           stage.toString + s".build_${System.nanoTime()}")
         build.write.mode("overwrite").parquet(tmp.toString)
-        graft.Graft.deleteRecursively(stage)
         java.nio.file.Files.createDirectories(stage.getParent)
-        java.nio.file.Files.move(tmp, stage,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // Re-check under the lock: a concurrent JVM may have published
+        // while we built. Published dirs are immutable — discard ours.
+        if (published) graft.Graft.deleteRecursively(tmp)
+        else {
+          // A keyless leftover (dir without _SUCCESS) can only be a
+          // pre-r9 artifact or a crashed non-atomic writer; clear it.
+          graft.Graft.deleteRecursively(stage)
+          java.nio.file.Files.move(tmp, stage,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          pruneSuperseded(name, stage)
+        }
       }
     }
     s.read.parquet(stage.toString)
+  }
+
+  /** Drop stages of the same relation under superseded keys once they
+    * age past the TTL (see the class doc for why the age gate makes
+    * this safe), plus orphaned `.build_` temp dirs from crashed builds.
+    * Bounds /tmp growth across data regenerations (ADVICE-r8). Must run
+    * under the build lock.
+    */
+  private def pruneSuperseded(name: String, keep: java.nio.file.Path): Unit = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+    val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+    dirs.filter { f =>
+      f.getName.startsWith(name + "_") && f.toPath != keep &&
+        f.lastModified < staleMs
+    }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
+      catch { case _: java.io.IOException => () })
   }
 }

@@ -596,9 +596,24 @@ object Relational {
     * is deterministic (exact integer counts, percentile threshold), so
     * staging cannot change any downstream oracle.
     */
+  /** Code-version token for the staged edge relation: bump on ANY edit
+    * to buildCoPurchaseEdges, or a persisted /tmp stage from the
+    * pre-edit code silently serves stale edges (ADVICE-r8 medium).
+    */
+  private[graft] val CoPurchaseVersion = "v1"
+  private[graft] def coPurchaseDeps(d: String): Seq[String] =
+    Seq(s"$d/lineitem.parquet", s"$d/orders.parquet")
+  /** Where the staged edges live for this input state — shared with
+    * GraphSpec so the test resolves its own stage by fingerprint
+    * instead of scanning /tmp by mtime.
+    */
+  private[graft] def coPurchaseStagePath(d: String): java.nio.file.Path =
+    graft.ops.Staged.stagePath("copurchase_edges", CoPurchaseVersion,
+      coPurchaseDeps(d))
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    graft.ops.Staged.relation(s, "copurchase_edges",
-        Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"))(
+    graft.ops.Staged.relation(s, "copurchase_edges", CoPurchaseVersion,
+        coPurchaseDeps(d))(
         buildCoPurchaseEdges(s, d))
       .select(col("sa"), col("sb"), col("nc"))
 

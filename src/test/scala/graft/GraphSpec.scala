@@ -223,9 +223,13 @@ class GraphSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     val staged = graft.queries.Relational.queries("q251_kcore")(spark, d)
     staged.count() // forces the stage build
-    val dir = new java.io.File("/tmp/graft_stage")
-      .listFiles().filter(_.getName.startsWith("copurchase_edges_"))
-      .maxBy(_.lastModified)
+    // Resolve OUR stage by its (name, version, input-fingerprint) key —
+    // the exact path the product code reads — rather than scanning
+    // /tmp/graft_stage by mtime: a later bench run at another SF leaves
+    // a NEWER sibling stage, and maxBy(lastModified) compared its sf0.1
+    // edges against this sf0.001 reference plan (the r8 red test).
+    val dir = graft.queries.Relational.coPurchaseStagePath(d).toFile
+    assert(dir.isDirectory, s"stage not published at fingerprint path $dir")
     val t0 = dir.lastModified
     val viaStage = spark.read.parquet(dir.toString)
       .select($"sa", $"sb", $"nc")

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops.Staged protocol (r9 hardening) + planScrub v4 sensitivity.
+  * The r8 ADVICE items these pin:
+  *  - the stage key must incorporate a code-version token, so editing
+  *    a builder plan can never be served a stale pre-edit stage;
+  *  - stagePath is the spec-visible resolver (no /tmp mtime scans);
+  *  - planScrub must DISTINGUISH operator flips (`>` vs `<=`, `+` vs
+  *    `-`) while staying invariant under commutative operand reorder
+  *    (the per-JVM Canonicalize hashCode ordering, r8's v3 rationale).
+  */
+class StagedSpec extends SparkSpec {
+  import ops.Staged
+
+  private val dep = "/root/testdata/sf0.001/nation.parquet"
+
+  test("stagePath: same (name, version, deps) is stable; version bump " +
+      "or dep change moves the path") {
+    val p1 = Staged.stagePath("spec_rel", "v1", Seq(dep))
+    assert(p1 == Staged.stagePath("spec_rel", "v1", Seq(dep)))
+    assert(p1 != Staged.stagePath("spec_rel", "v2", Seq(dep)))
+    assert(p1 != Staged.stagePath("spec_rel", "v1",
+      Seq("/root/testdata/sf0.001/region.parquet")))
+    assert(p1.toString.startsWith(Staged.root + "/spec_rel_"))
+  }
+
+  test("relation: builds once per (version, input-state), rebuilds on a " +
+      "version bump, and a published dir survives the re-entry") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(5).toDF("n") }
+    // /tmp stages persist across test runs — clear THIS test's keys so
+    // the build-count assertions see a cold start every run
+    Seq("v1", "v2").foreach(v =>
+      Graft.deleteRecursively(Staged.stagePath("spec_build", v, Seq(dep))))
+    val r1 = Staged.relation(spark, "spec_build", "v1", Seq(dep))(build())
+    assert(r1.count() == 5 && builds == 1)
+    val p = Staged.stagePath("spec_build", "v1", Seq(dep))
+    assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+    val t0 = p.toFile.lastModified
+    // second consumer: served from the stage, no rebuild, dir untouched
+    val r2 = Staged.relation(spark, "spec_build", "v1", Seq(dep))(build())
+    assert(r2.count() == 5 && builds == 1)
+    assert(p.toFile.lastModified == t0)
+    // version bump = new key = fresh build; v1's dir is NOT deleted
+    // in-line (prune is TTL-gated), so a reader of the old stage is safe
+    Staged.relation(spark, "spec_build", "v2", Seq(dep))(build()).count()
+    assert(builds == 2)
+    assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+  }
+
+  test("planScrub v4: operator flips change the signature") {
+    def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
+    assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))
+    assert(sig("Filter (a#1 >= 5)") != sig("Filter (a#1 > 5)"))
+    assert(sig("Project [(x#2 + y#3) AS s#4]") !=
+      sig("Project [(x#2 - y#3) AS s#4]"))
+    assert(sig("Project [(x#2 * y#3) AS s#4]") !=
+      sig("Project [(x#2 / y#3) AS s#4]"))
+  }
+
+  test("planScrub v4: invariant under commutative operand reorder " +
+      "(the cross-JVM Canonicalize hashCode ordering)") {
+    def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
+    assert(sig("Project [(1.96 * SQRT(x#3)) AS z#4]") ==
+      sig("Project [(SQRT(x#3) * 1.96) AS z#4]"))
+    assert(sig("Filter (isnotnull(x#1) AND (x#1 > 5))") ==
+      sig("Filter ((x#1 > 5) AND isnotnull(x#1))"))
+  }
+
+  test("planScrub v4: still scrubs per-JVM noise (lambda ids, object " +
+      "hashes, temp paths)") {
+    def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
+    assert(sig("UDF(Foo$$Lambda$123/0x00007f abc)") ==
+      sig("UDF(Foo$$Lambda$987/0x00001a abc)"))
+    assert(sig("Relation[/tmp/graft_ab12/part] x") ==
+      sig("Relation[/tmp/graft_zz99/part] x"))
+  }
+
+  test("identical DataFrame plans built twice yield one signature; a " +
+      "flipped predicate direction yields another") {
+    val df1 = spark.range(10).toDF("n").filter(col("n") > 3)
+    val df2 = spark.range(10).toDF("n").filter(col("n") > 3)
+    val df3 = spark.range(10).toDF("n").filter(col("n") <= 3)
+    assert(Graft.planSignature(df1) == Graft.planSignature(df2))
+    assert(Graft.planSignature(df1) != Graft.planSignature(df3))
+  }
+}

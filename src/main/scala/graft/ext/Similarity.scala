@@ -381,22 +381,27 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    graft.expr.GraftFunctions.register(spark)
+    val cmat = ivfCentroids(corpus, nlist, lloydIters)
+    ivfProbeTopK(queries, ivfAssign(corpus, cmat), cmat, k, nprobe)
+  }
 
+  /** Coarse-quantizer training (step 1 of [[ivfTopK]], split out in r9
+    * so an index can be MAINTAINED incrementally: train once on the
+    * main corpus, then [[ivfAssign]] appended deltas against the same
+    * frozen matrix — see q340). Deterministic seed (first `nlist`
+    * corpus vectors by id) refined by `lloydIters` spherical-k-means
+    * rounds; the matrix lives driver-side (nlist×dim floats — KBs).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+                   lloydIters: Int): Seq[Seq[Float]] = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     var cmat: Seq[Seq[Float]] = corpus.orderBy(col("id")).limit(nlist)
       .select(col("vec")).collect().map(_.getSeq[Float](0)).toSeq
-
-    def assigned: DataFrame =
-      corpus.withColumn("list_id", argMaxCosine(col("vec"), cmat))
-
     for (_ <- 0 until lloydIters) {
       // recenter: coordinate mean per (list, pos). Indices are rebuilt
       // from scratch each round (empty lists drop out); consistency only
       // needs assignment and probe to share the SAME final matrix.
-      cmat = assigned
+      cmat = ivfAssign(corpus, cmat)
         .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("list_id"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("list_id"))
@@ -404,7 +409,30 @@ object Similarity {
         .select(expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
         .collect().map(_.getSeq[Float](0)).toSeq
     }
+    cmat
+  }
 
+  /** Inverted-list assignment (step 2): one NARROW native pass tagging
+    * each (id, vec) row with its nearest centroid. Per-row and
+    * matrix-pure — assigning main ∪ delta equals assigning main and
+    * delta separately and unioning (the q340 incremental-index
+    * theorem).
+    */
+  def ivfAssign(corpus: DataFrame, cmat: Seq[Seq[Float]]): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    corpus.withColumn("list_id", argMaxCosine(col("vec"), cmat))
+  }
+
+  /** Probe (step 3): each query scans only its `nprobe` nearest lists
+    * of an [[ivfAssign]]-shaped index — an equi-join on `list_id`
+    * replaces the full corpus scan.
+    */
+  def ivfProbeTopK(queries: DataFrame, assigned: DataFrame,
+                   cmat: Seq[Seq[Float]], k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
     val cdf = cmat.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("list_id", "cvec")
     val probeW = Window.partitionBy(col("qid"))

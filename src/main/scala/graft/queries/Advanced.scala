@@ -830,6 +830,91 @@ object Advanced {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // DELETE-capable join-view IVM (r9, VERDICT-r8 #5) — q336 handles
+    // insert-only deltas; this is the counting-maintenance form for a
+    // MIXED batch (inserts +1 / deletes −1) against the same
+    // orders ⋈ customer rollup:
+    //  - COUNT/SUM: the delta aggregates SIGNED partials (sum of signs,
+    //    sum of sign·cents) and merges algebraically — |Δ|-sized, the
+    //    base partials never rescanned;
+    //  - exact COUNT DISTINCT: bitmap partials are monotone and cannot
+    //    delete, so the counting form keeps per-(group, customer)
+    //    SUPPORT counts; the batch merges signed supports and a
+    //    customer survives while support > 0 (the classic counting
+    //    algorithm — state is O(distinct pairs), the price of exact
+    //    distinct under deletes);
+    //  - MAX/MIN: a delete can remove the extremum, so they are not
+    //    maintainable through partials at all — re-derived ONLY for
+    //    groups the batch touched, via a broadcast semi-join that
+    //    group-prunes the rescan of the post-batch fact state (segment
+    //    partition pruning at 100 TB); untouched groups keep their
+    //    stored extrema via the anti-join.
+    // Groups whose merged count hits 0 drop out (filter n > 0). Oracle
+    // = the from-scratch rollup over the post-batch fact set (orders
+    // with o_orderkey % 10 <> 3): the delete-IVM contract in one hash.
+    "q339_join_mv_deletes" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      def enrich(f: DataFrame): DataFrame =
+        f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // stored MV state (localCheckpoint = the materialization)
+      val baseScalar = enrich(base).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"),
+          max(col("cents")).as("mx"), min(col("cents")).as("mn"))
+        .localCheckpoint(true)
+      val baseSupport = enrich(base)
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(count(lit(1)).as("sup")).localCheckpoint(true)
+      // the mixed batch, signed
+      val signed = enrich(ins).withColumn("sign", lit(1L))
+        .unionByName(enrich(del).withColumn("sign", lit(-1L)))
+      val deltaScalar = signed.groupBy(col("c_mktsegment"))
+        .agg(sum(col("sign")).as("n"),
+          sum(col("sign") * col("cents")).as("rev"))
+      val deltaSupport = signed
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("sign")).as("sup"))
+      val mergedNR = baseScalar
+        .select(col("c_mktsegment"), col("n"), col("rev"))
+        .unionByName(deltaScalar)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("rev")).as("rev_cents"))
+        .filter(col("n_orders") > 0)
+      val nCust = baseSupport
+        .unionByName(deltaSupport)
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("sup")).as("sup"))
+        .filter(col("sup") > 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+      val touched = signed.select(col("c_mktsegment")).distinct()
+        .localCheckpoint(true)
+      val postFacts = base.join(del.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        .unionByName(ins)
+      val touchedExt = enrich(postFacts)
+        .join(broadcast(touched), Seq("c_mktsegment"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("cents")).as("mx"), min(col("cents")).as("mn"))
+      val untouchedExt = baseScalar
+        .select(col("c_mktsegment"), col("mx"), col("mn"))
+        .join(broadcast(touched), Seq("c_mktsegment"), "left_anti")
+      mergedNR.join(nCust, Seq("c_mktsegment"))
+        .join(touchedExt.unionByName(untouchedExt), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("n_orders"), col("rev_cents"),
+          col("mx").as("max_cents"), col("mn").as("min_cents"),
+          col("n_customers"))
+        .withColumn("avg4", round(col("rev_cents").cast("double") /
+          col("n_orders").cast("double") / lit(100.0), 4))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Spark 4 VARIANT ingestion of the JSON-ish props payload:
     // parse_json ONCE into the open binary variant encoding, then typed
     // variant_get extraction — the modern replacement for per-field
@@ -2732,6 +2817,24 @@ object Advanced {
            round(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS avg4
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the delete-merged MV must equal the from-scratch rollup over the
+    // post-batch fact state (base minus deletes plus inserts =
+    // o_orderkey % 10 <> 3)
+    "q339_join_mv_deletes" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS avg4
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 10 <> 3
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // the delta-merged MV must equal the from-scratch aggregate
     "q131_mv_merge" ->

@@ -619,6 +619,118 @@ object Ext {
         .orderBy(col("method"))
     }),
 
+    // Beam-WIDTH sweep (r9, the knob q331 honestly left unswept): plain
+    // width sweeps carry NO superset theorem — a wide beam can visit a
+    // node early and anti-join it out of a later frontier, so
+    // recall(beam=8) < recall(beam=4) is possible and pinning
+    // monotonicity would be pinning luck. The deployable form that DOES
+    // have a theorem is the ANYTIME sweep: run widths 2→4→8, KEEP every
+    // visited candidate, and re-rank the accumulated pool at each step
+    // with the exact scorer (cosineNative, (cos desc, id) — brute's
+    // total order). Then (a) the pool only grows, and a truth node in
+    // the pool can be displaced from top-k only by other truth nodes
+    // (anything ranked above a global-top-k member is itself
+    // global-top-k), so CUMULATIVE recall is monotone — a theorem; and
+    // (b) each cumulative step's pool contains that width's own result
+    // set, so cumulative ≥ single at every width — also a theorem. The
+    // single_monotone_guaranteed column is the honest schema: FALSE,
+    // constant, documenting that no such theorem exists for the
+    // un-accumulated sweep. Pool re-ranks are tiny equi-joins (≤
+    // queries × Σ k candidates); graph + seeds build once and serve all
+    // legs — at 100 TB this is "spend more search, never lose recall"
+    // without re-touching the corpus.
+    "q338_beam_width_anytime" -> ((s, d) => {
+      import s.implicits._
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint(true)
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .localCheckpoint(true)
+      val k = 10
+      val truth = Similarity.bruteTopK(qs, corpus, k)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      val nTruth = truth.count()
+      val graph = Similarity.knnGraphFromPairs(
+        Similarity.lshNearDupPairs(corpus, tau = 0.2,
+          nPlanes = 24, bandBits = 3), k = 6).localCheckpoint(true)
+      val seeds = Similarity.lshSeedCandidates(qs, corpus)
+        .unionByName(Similarity.uniformSeedCandidates(qs, corpus))
+        .localCheckpoint(true)
+      val widths = Seq(2, 4, 8)
+      val legs = widths.map(b => Similarity.graphBeamTopK(
+          qs, corpus, graph, seeds, k, beam = b, hops = 2)
+        .select(col("qid"), col("nid")).localCheckpoint(true))
+      val qb = broadcast(qs)
+      // exact re-rank of a candidate pool: same total order as brute
+      def topkRecall(pool: DataFrame): Double = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        pool.dropDuplicates("qid", "nid")
+          .join(corpus.select(col("id").as("nid"), col("vec")), Seq("nid"))
+          .join(qb, Seq("qid"))
+          .select(col("qid"), col("nid"),
+            Similarity.cosineNative(col("qvec"), col("vec")).as("cos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .join(truth, Seq("qid", "nid"), "left_semi")
+          .count().toDouble / nTruth
+      }
+      val single = legs.map(topkRecall)
+      val cum = widths.indices
+        .map(i => topkRecall(legs.take(i + 1).reduce(_ unionByName _)))
+      val cumMono = cum.zip(cum.tail).forall { case (a, b) => a <= b }
+      widths.zipWithIndex.map { case (b, i) =>
+        (b.toLong, nTruth, cumMono, cum(i) >= single(i), false)
+      }.toDF("beam", "n_truth", "cum_monotone_ok", "cum_ge_single_ok",
+        "single_monotone_guaranteed")
+        .orderBy(col("beam"))
+    }),
+
+    // Incremental ANN index maintenance (r9, VERDICT-r8 #6): q155's IVF
+    // layout meets q108's delta stance. Appended vectors are assigned
+    // to the EXISTING (frozen) centroid matrix — one |Δ|-sized narrow
+    // native pass, the main index untouched; probes scan main ∪ delta
+    // lists; the compaction fold merges delta partitions into the main
+    // layout (repartition by list_id — at 100 TB, a partitioned-parquet
+    // rewrite of only the lists the delta touched). The contract pins
+    // the THEOREM: per-row assignment against a fixed matrix commutes
+    // with union, so probe(main ∪ delta) ≡ probe(full rebuild at the
+    // same centroids) ≡ probe(compacted) — three plans, one answer,
+    // verified by symmetric exceptAll emptiness inside the query. What
+    // is NOT claimed: rebuild with RETRAINED centroids (drifted data
+    // wants re-clustering — that's a rebuild, not maintenance).
+    "q340_ivf_delta_index" -> ((s, d) => {
+      import s.implicits._
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint(true)
+      val corpus = spreadIfNarrow(emb, col("vec_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .localCheckpoint(true)
+      val main = corpus.filter(pmod(col("id"), lit(5)) =!= 4)
+      val delta = corpus.filter(pmod(col("id"), lit(5)) === 4)
+      val cmat = Similarity.ivfCentroids(main, nlist = 16, lloydIters = 1)
+      val mainIdx = Similarity.ivfAssign(main, cmat).localCheckpoint(true)
+      val deltaIdx = Similarity.ivfAssign(delta, cmat).localCheckpoint(true)
+      val k = 10
+      val np = 4
+      val incr = Similarity.ivfProbeTopK(qs,
+        mainIdx.unionByName(deltaIdx), cmat, k, np).localCheckpoint(true)
+      val rebuild = Similarity.ivfProbeTopK(qs,
+        Similarity.ivfAssign(corpus, cmat), cmat, k, np)
+      val compacted = mainIdx.unionByName(deltaIdx)
+        .repartition(col("list_id")).localCheckpoint(true)
+      val comp = Similarity.ivfProbeTopK(qs, compacted, cmat, k, np)
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      Seq((main.count(), delta.count(), qs.count(),
+          eq(incr, rebuild), eq(incr, comp)))
+        .toDF("n_main", "n_delta", "n_queries",
+          "incr_eq_rebuild", "compact_eq_incr")
+    }),
+
     // over a checkpointed ~500-doc sample — the sweep is how a 100 TB
     // dedup picks (b, r) BEFORE the full-corpus run.
     "q280_lsh_param_recall" -> ((s, d) => {
@@ -2070,6 +2182,33 @@ object Ext {
            UNION ALL SELECT 'lsh_hamming', 3, CAST(n AS BIGINT), TRUE,
              TRUE FROM nt) x
          ORDER BY method""",
+    // theorem-contract oracle: cumulative (anytime) recall is monotone
+    // and >= the single-width leg at every width — provable from the
+    // superset pool + exact re-rank; single-width monotonicity is NOT
+    // a theorem and the schema says so as a constant FALSE
+    "q338_beam_width_anytime" ->
+      """WITH nt AS (
+           SELECT 6 * LEAST(10, COUNT(*) - 1) AS n FROM embeddings)
+         SELECT * FROM (
+           SELECT CAST(2 AS BIGINT) AS beam, CAST(n AS BIGINT) AS n_truth,
+             TRUE AS cum_monotone_ok, TRUE AS cum_ge_single_ok,
+             FALSE AS single_monotone_guaranteed FROM nt
+           UNION ALL SELECT 4, CAST(n AS BIGINT), TRUE, TRUE, FALSE FROM nt
+           UNION ALL SELECT 8, CAST(n AS BIGINT), TRUE, TRUE, FALSE FROM nt) x
+         ORDER BY beam""",
+    // theorem-contract oracle: fixed-matrix assignment commutes with
+    // union, so the incremental, rebuilt, and compacted indexes probe
+    // identically; corpus split sizes are derivable
+    "q340_ivf_delta_index" ->
+      """SELECT
+           CAST(SUM(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_main,
+           CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta,
+           CAST(6 AS BIGINT) AS n_queries,
+           TRUE AS incr_eq_rebuild,
+           TRUE AS compact_eq_incr
+         FROM embeddings""",
     "q280_lsh_param_recall" ->
       """WITH t AS (
            SELECT COUNT(*) AS n FROM documents

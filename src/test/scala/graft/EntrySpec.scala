@@ -30,6 +30,71 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("Bench.FLOOR is exactly the registry entries that drive " +
+      "readStream (source lint)") {
+    // Bench.FLOOR is hand-maintained; if a new streaming rig lands
+    // without a floors tag, its wall-clock swings get mis-triaged as a
+    // plan regression (VERDICT-r8 #9). Ground truth from the source
+    // tree: split each queries/*.scala on query-name registration
+    // sites; a segment containing readStream marks its query a rig.
+    val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    import scala.jdk.CollectionConverters._
+    val name = "\"(q\\d+[a-z0-9_]*)\"\\s*->".r
+    val rigs = scala.collection.mutable.Set[String]()
+    scala.util.Using.resource(java.nio.file.Files.list(qdir))(
+      _.iterator().asScala.filter(_.toString.endsWith(".scala")).foreach {
+        f =>
+          val text = java.nio.file.Files.readString(f)
+          val sites = name.findAllMatchIn(text).toSeq
+          sites.zipWithIndex.foreach { case (m, i) =>
+            val end = if (i + 1 < sites.size) sites(i + 1).start
+                      else text.length
+            if (text.substring(m.start, end).contains("readStream"))
+              rigs += m.group(1)
+          }
+      })
+    // q178 runs a stream only to CREATE state for the batch
+    // statestore read — it registers via a helper, not an inline
+    // readStream, so the lint sees it through Sources' rig block
+    val floor = Bench.FLOOR
+    assert(floor.subsetOf(SparkEntry.queries.keySet),
+      s"FLOOR names not in the registry: ${floor -- SparkEntry.queries.keySet}")
+    assert(rigs.toSet == floor,
+      s"floors drift — rigs missing a floor tag: ${rigs.toSet -- floor}; " +
+        s"floor tags with no readStream in their registration: " +
+        s"${floor -- rigs}")
+  }
+
+  test("stallSuspect: synthetic stall shapes tag, steady shapes don't") {
+    // intra-run: a stall edge crossing the 3 passes (span > 3x)
+    assert(Bench.stallSuspect(Seq(1.0, 1.1, 10.0), None))
+    // cross-run: all 3 passes inside one stall window — only the
+    // committed reference exposes it
+    assert(Bench.stallSuspect(Seq(10.0, 10.5, 11.0), Some(1.0)))
+    assert(!Bench.stallSuspect(Seq(10.0, 10.5, 11.0), None))
+    // sub-half-second medians are never suspects (scheduler jitter)
+    assert(!Bench.stallSuspect(Seq(0.05, 0.06, 0.4), Some(0.05)))
+    // steady timings near the reference: clean
+    assert(!Bench.stallSuspect(Seq(1.0, 1.1, 1.2), Some(0.9)))
+    // 5x-but-small absolute excess (0.6s vs 0.5 ref*5=2.5... guard the
+    // >1s absolute term: 1.2s median on a 0.2s ref is 6x but only +1.0)
+    assert(!Bench.stallSuspect(Seq(1.2, 1.2, 1.2), Some(0.2)))
+  }
+
+  test("referenceMedians: parses the committed artifact, rejects a " +
+      "cross-sf reference") {
+    val p = java.nio.file.Files.createTempFile("bench_ref", ".json")
+    val art = """{"metric":"total","value":9.9,"unit":"sec","queries":""" +
+      """{"q01_x":0.25,"q02_y":1.5E-1},"failed":[],"plans":{"q01_x":"ab"},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    java.nio.file.Files.writeString(p, art)
+    val same = Bench.referenceMedians(p.toString, "/root/testdata/sf0.1")
+    assert(same == Map("q01_x" -> 0.25, "q02_y" -> 0.15))
+    assert(Bench.referenceMedians(p.toString, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.referenceMedians("/nonexistent", "x").isEmpty)
+    java.nio.file.Files.delete(p)
+  }
+
   test("README's registry count matches SparkEntry.queries.size") {
     // the count went stale in r5 AND r6 review — make staleness a test
     // failure instead of a judge finding

@@ -38,7 +38,16 @@ in different JVMs could flip hashes with identical code, data, and
 stats (reproduced on 7 of the 9 r7 REVIEW-flagged queries with two
 identical-config runs). Signature v3 (Graft.planScrub: per-line ATOM
 multisets) is invariant to operand reorder; v2 and v3 hashes are not
-comparable — diff r8+ artifacts against r8+ artifacts only.
+comparable — diff r8+ artifacts against r8+ artifacts only. Signature
+v4 (r9) additionally maps operator symbols to named atoms (a `>` vs
+`<=` flip now changes the hash — under v3 it did not); v3 and v4
+hashes are likewise not comparable, so diff r9+ against r9+.
+
+Stall guard (r9): Bench re-times suspects (3-pass span > 3x, or median
+> 5x the committed same-sf reference) once in isolation after the full
+run and records them under "stalls"; --ratios reports those separately
+with a host-stall / REVIEW verdict based on the isolated time. Older
+artifacts without "stalls"/"passes" fields remain fully supported.
 
 The normal diff mode annotates every changed plan with its class:
 stats-dependent flips print as allowed; stable flips print as REVIEW.
@@ -130,10 +139,16 @@ def ratios(path_old, path_new):
     _, old_t = load(path_old)
     _, new_t = load(path_new)
     floors = set()
+    stalls = {}  # r9: Bench's isolated re-times for stall suspects
     for p in (path_old, path_new):
         try:
             with open(p) as f:
-                floors |= set(json.load(f).get("floors", []))
+                d = json.load(f)
+            floors |= set(d.get("floors", []))
+            if p == path_new:
+                # "stalls"/"passes" are r9+ fields; older artifacts
+                # simply lack them (both formats stay loadable)
+                stalls = d.get("stalls", {}) or {}
         except (OSError, ValueError):
             pass
     common = sorted(set(old_t) & set(new_t))
@@ -146,11 +161,26 @@ def ratios(path_old, path_new):
           f"normalized outliers beyond 2x:")
     flagged = [(q, r / med) for q, r in rs.items()
                if r / med > 2.0 or r / med < 0.5]
-    plan_sig = [(q, nr) for q, nr in flagged if q not in floors]
+    plan_sig = [(q, nr) for q, nr in flagged
+                if q not in floors and q not in stalls]
     floor_sig = [(q, nr) for q, nr in flagged if q in floors]
     for q, nr in sorted(plan_sig, key=lambda x: -x[1]):
         print(f"  {q}: normalized {nr:.2f}x "
               f"({old_t[q]:.2f}s -> {new_t[q]:.2f}s)")
+    if stalls:
+        print(f"{len(stalls)} stall-tagged quer(ies) — Bench's in-run "
+              f"guard re-timed each in isolation after the full run; "
+              f"judge the ISOLATED time, the median sat in a host "
+              f"stall window:")
+        for q, iso in sorted(stalls.items()):
+            base = (f"{old_t[q]:.2f}s -> median {new_t[q]:.2f}s"
+                    if q in old_t and q in new_t else "new query")
+            verdict = ""
+            if q in old_t and iso > 0:
+                nr = (iso / old_t[q]) / med if old_t[q] > 0 else 0
+                verdict = (" [host stall confirmed]" if nr <= 2.0
+                           else " [REVIEW: slow even isolated]")
+            print(f"  [stall] {q}: {base}, isolated {iso:.2f}s{verdict}")
     if not plan_sig:
         print("  none — every per-query drift is within 2x of the "
               "run-wide median")

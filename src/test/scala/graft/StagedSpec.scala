@@ -50,6 +50,26 @@ class StagedSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")))
   }
 
+  test("staged ANN graph (second Staged adopter): staged parquet " +
+      "bit-equals the fresh plan and the second consumer reuses it") {
+    val d = "/root/testdata/sf0.001"
+    val p = queries.Ext.annGraphStagePath(d)
+    Graft.deleteRecursively(p)
+    // first consumer builds the stage inside its own plan construction
+    val viaStage = queries.Ext.annGraph(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+    val t0 = p.toFile.lastModified
+    val fresh = queries.Ext.buildAnnGraph(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStage == fresh, "staged ANN graph diverged from the plan")
+    assert(viaStage.nonEmpty)
+    // second consumer: must read the stage, not rebuild it
+    queries.Ext.annGraph(spark, d).count()
+    assert(p.toFile.lastModified == t0,
+      "second ANN consumer rebuilt the stage instead of reusing it")
+  }
+
   test("planScrub v4: operator flips change the signature") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
     assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))

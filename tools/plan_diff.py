@@ -167,6 +167,9 @@ def ratios(path_old, path_new):
     for q, nr in sorted(plan_sig, key=lambda x: -x[1]):
         print(f"  {q}: normalized {nr:.2f}x "
               f"({old_t[q]:.2f}s -> {new_t[q]:.2f}s)")
+    if not plan_sig:
+        print("  none — every per-query drift is within 2x of the "
+              "run-wide median")
     if stalls:
         print(f"{len(stalls)} stall-tagged quer(ies) — Bench's in-run "
               f"guard re-timed each in isolation after the full run; "
@@ -181,9 +184,6 @@ def ratios(path_old, path_new):
                 verdict = (" [host stall confirmed]" if nr <= 2.0
                            else " [REVIEW: slow even isolated]")
             print(f"  [stall] {q}: {base}, isolated {iso:.2f}s{verdict}")
-    if not plan_sig:
-        print("  none — every per-query drift is within 2x of the "
-              "run-wide median")
     if floor_sig:
         print(f"{len(floor_sig)} floor-tagged rig(s) excluded from "
               f"triage (streaming wall-clock floors track host "

@@ -27,7 +27,8 @@ object Bench {
     "q196_stream_full_outer_join", "q197_stream_restart",
     "q202_session_window", "q207_stream_right_outer_join",
     "q273_stream_union", "q274_stream_chained_agg",
-    "q277_stream_upsert_sink", "q334_stream_chaos")
+    "q277_stream_upsert_sink", "q334_stream_chaos",
+    "q341_stream_ivm")
 
   private[graft] def median3(ts: Seq[Double]): Double =
     ts.sorted.apply(ts.size / 2)

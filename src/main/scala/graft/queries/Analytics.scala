@@ -515,6 +515,73 @@ object Analytics {
       } finally deleteRecursively(stage)
     }),
 
+    // Streaming IVM bridge (r9, SURVEY §7.6): q339's delete-capable
+    // counting maintenance re-expressed as a transformWithState rig
+    // (streaming.CountingView) — the SAME algebra, fed by a live
+    // stream of signed deltas instead of a staged batch. Two ordered
+    // files: the base facts (+1), then the mixed batch (inserts +1 /
+    // deletes −1). State per segment = (n, rev) scalars + a
+    // per-customer support MapState with the live-member count
+    // maintained incrementally on 0↔positive transitions (no batch
+    // ever iterates the map). Emissions are NOT monotone under
+    // deletes, so the final view per key is picked by the state's own
+    // batch VERSION (max per key), not q120's groupBy-max trick.
+    // MAX/MIN deliberately absent — not delta-maintainable under
+    // deletes (q339 re-derives them with a group-pruned base rescan; a
+    // stream has no base to rescan). Oracle = the from-scratch rollup
+    // over the post-batch fact set — batch q339 and this rig must
+    // agree with the same SQL contract.
+    "q341_stream_ivm" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_ivm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def signedDeltas(f: DataFrame, sign: Long): DataFrame =
+        f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("c_custkey").as("custkey"), col("cents"),
+            lit(sign).as("sign"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      val stage = java.nio.file.Files.createTempDirectory("graft_ivm_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        stageWatchFile(signedDeltas(base, 1L), watch, "01",
+          1000000000000L)
+        stageWatchFile(signedDeltas(ins, 1L)
+          .unionByName(signedDeltas(del, -1L)), watch, "02",
+          1000000100000L)
+        val schema = s.read.parquet(watch.toString).schema
+        import s.implicits._
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .as[graft.streaming.CountingView.DeltaIn]
+        val q = graft.streaming.CountingView.view(s, in)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("segment")).orderBy(col("version").desc)
+        val out = s.table(name)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("n_orders") > 0)
+          .select(col("segment").as("c_mktsegment"), col("n_orders"),
+            col("rev_cents"), col("n_customers"))
+          .orderBy(col("c_mktsegment"))
+        materialize(s, "q341_stream_ivm", out)
+      } finally deleteRecursively(stage)
+    }),
+
     // Matryoshka truncation audit: how much of each embedding's energy
     // survives prefix truncation to 8/16/32 of 64 dims — the
     // retention ratio r_k = Σ_{i<k}v_i²/Σv_i² per vector (q236's
@@ -1119,6 +1186,19 @@ object Analytics {
          SELECT (us // 3600000000) * 3600000000 AS win_start_us,
            event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
          FROM e GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+    // the streamed counting view's final state must equal the
+    // from-scratch rollup over the post-batch fact set (base minus
+    // deletes plus inserts = o_orderkey % 10 <> 3) — the same contract
+    // SQL shape as batch q339
+    "q341_stream_ivm" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 10 <> 3
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q274_stream_chained_agg" ->
       """WITH e AS (
            SELECT epoch_us(ts) // 1800000000 AS w30, event_type,

@@ -147,6 +147,48 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("CountingView: deletes retract counts, the last supporting " +
+      "delete drops the member, and a re-insert revives it") {
+    // q341's streaming IVM state machine at the unit level — the three
+    // transitions the batch oracle can't isolate: support 1→0 must
+    // decrement the live-member count, 0→1 must increment it, and a
+    // retracted group's scalars must track signed sums exactly.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.CountingView
+    import graft.streaming.CountingView.DeltaIn
+    val mem = MemoryStream[DeltaIn]
+    val out = CountingView.view(s, mem.toDS())
+    val name = "cv_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      def viewOf(version: Long) = s.table(name).collect()
+        .filter(r => r.getString(0) == "SEG" && r.getLong(1) == version)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+      // batch 1: customer 7 twice, customer 9 once
+      mem.addData(DeltaIn("SEG", 7L, 100L, 1L), DeltaIn("SEG", 7L, 50L, 1L),
+        DeltaIn("SEG", 9L, 30L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(1L) == ((3L, 180L, 2L)))
+      // batch 2: delete one of 7's orders (support 2→1: still live) and
+      // 9's only order (support 1→0: member drops)
+      mem.addData(DeltaIn("SEG", 7L, 100L, -1L), DeltaIn("SEG", 9L, 30L, -1L))
+      q.processAllAvailable()
+      assert(viewOf(2L) == ((1L, 50L, 1L)))
+      // batch 3: 9 returns (0→1 revival) — live count must recover
+      mem.addData(DeltaIn("SEG", 9L, 70L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(3L) == ((2L, 120L, 2L)))
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("transformWithState timers: sessions close on gap or event-time timer") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

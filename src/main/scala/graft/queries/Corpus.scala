@@ -106,6 +106,38 @@ object Corpus {
         .orderBy(col("lang"))
     }),
 
+    // t-digest quantiles (r9, §7.6): the TAIL-ACCURATE sketch beside
+    // q337's uniform-error KLL — centroid capacity follows the k1
+    // arcsine scale, so rank error ∝ √(q(1−q)) and p99 costs ~5× less
+    // error than the median. "Pick your sketch by error shape" is the
+    // library story: KLL when every quantile matters equally, t-digest
+    // for SLO tails. Contract stance as q66/q337 (the digest is
+    // merge-order-sensitive, so brackets, not values): p50 ∈ [p40,p60]
+    // exact ranks; the TAIL leg pins p99 ∈ [p97, max] — the upper
+    // bracket is max (not p995) because the interpolation-free
+    // cum-weight read legitimately returns the top value in small
+    // groups, and exact-percentile interpolation puts p995 BELOW max.
+    // The sharp 0.5%-rank tail bound lives in TDigestSpec where the
+    // distribution is controlled.
+    "q342_tdigest_quantiles" -> ((s, d) => {
+      val td = udaf(new graft.expr.TDigest(200.0, Seq(0.5, 0.99)),
+        graft.expr.TDigest.inputEncoder)
+      table(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          td(col("n_chars").cast("double")).as("ap"),
+          percentile(col("n_chars"),
+            typedlit(Seq(0.4, 0.6, 0.97, 1.0))).as("ex"))
+        .select(col("lang"), col("n"),
+          (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ex"), 2))
+            .as("p50_ok"),
+          (element_at(col("ap"), 2) >= element_at(col("ex"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("ex"), 4))
+            .as("p99_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Shard packing: documents → fixed-token-budget training shards,
     // cumsum per language stratum (parallel across strata; a global
     // ordered cumsum would serialize the corpus through one partition).
@@ -1188,6 +1220,10 @@ object Corpus {
     // derived, the rank brackets are the provable correctness story
     "q337_kll_quantiles" ->
       """SELECT lang, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // same contract stance: rank brackets, tail leg capped at max
+    "q342_tdigest_quantiles" ->
+      """SELECT lang, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p99_ok
          FROM documents GROUP BY lang ORDER BY lang""",
     "q59_shard_packing" ->
       """WITH w AS (

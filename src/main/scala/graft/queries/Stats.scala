@@ -851,27 +851,36 @@ object Stats {
 
     // Multi-feature OLS by normal equations + Cramer's rule: predict
     // lineitem price cents from (quantity, discount basis points) with
-    // intercept. The ten moment sums are EXACT BIGINTs from one
-    // aggregate pass; the 3×3 determinants are then a FIXED double
-    // expression tree (sums cast once — BIGINT products like S11·S22
-    // would overflow, the identical-spelling argument carries
-    // determinism instead). R² from the fitted-coefficient identity.
-    // This is distributed linear-model training in one shuffle-free
-    // scan + an O(1) solve — the closed-form counterpart of q302's
-    // iterative trainer. Scale: nothing but the scan.
+    // intercept. The ten moment sums are EXACT from one aggregate
+    // pass — the five second-order moments accumulate in
+    // decimal(38,0) because their BIGINT sums overflow as the fact
+    // table grows (caught by the r9 sf0.1 sweep: SUM(y²) = 2.2e19 >
+    // Long.Max at 600k rows — Spark wrapped silently while DuckDB's
+    // HUGEINT stayed exact, the ADVICE-r5 class; per-row products
+    // still fit a long, only the SUM widens). The 3×3 determinants
+    // are then a FIXED double expression tree (exact sums cast once;
+    // decimal→double and HUGEINT→double both round-to-nearest, so the
+    // identical-spelling argument carries determinism). R² from the
+    // fitted-coefficient identity. This is distributed linear-model
+    // training in one shuffle-free scan + an O(1) solve — the
+    // closed-form counterpart of q302's iterative trainer. Scale:
+    // nothing but the scan.
     "q301_ols_cramer" -> ((s, d) => {
       val li = table(s, d, "lineitem").select(
         col("l_quantity").cast("long").as("x1"),
         round(col("l_discount") * 10000, 0).cast("long").as("x2"),
         cents(col("l_extendedprice")).as("y"))
+      def wide(c: Column): Column = c.cast("decimal(38,0)")
       val m = li.agg(
         count(lit(1)).as("n"), sum(col("x1")).as("s1"),
-        sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("y")).as("sy"), sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("x2")).as("s2"),
+        sum(wide(col("x1") * col("x1"))).as("s11"),
+        sum(wide(col("x2") * col("x2"))).as("s22"),
+        sum(wide(col("x1") * col("x2"))).as("s12"),
+        sum(col("y")).as("sy"),
+        sum(wide(col("x1") * col("y"))).as("s1y"),
+        sum(wide(col("x2") * col("y"))).as("s2y"),
+        sum(wide(col("y") * col("y"))).as("syy"))
       def D(c: Column): Column = c.cast("double")
       val (n, s1, s2, s11, s22, s12, sy, s1y, s2y, syy) =
         (D(col("n")), D(col("s1")), D(col("s2")), D(col("s11")),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -359,6 +359,60 @@ object Advanced {
           call_function(graft.expr.GraftFunctions.ZOrderName,
             col("x"), col("y")))
         .orderBy(col("event_id"))
+    }),
+
+    // Layout skipping sweep (r9, §7.6): WHICH clustering layout to
+    // pick, measured — the zone-map model of parquet min/max file
+    // pruning, exact integers end-to-end. Three layouts of the same
+    // (x, y) = (user bucket, hour bucket) keys — linear-by-x,
+    // linear-by-y, Morton z-order — each bucketed into 64 equal-WIDTH
+    // key ranges (the range-partitioned-files model; value-range
+    // bucketing needs NO global sort, so the model itself is
+    // scan-parallel at 100 TB, unlike a rank-ntile spelling). Per
+    // bucket: min/max of both dims (the zone map); per predicate
+    // (x-range / y-range / xy-box): a bucket is touched iff its box
+    // intersects the predicate box. The interleave is spelled in
+    // SHIFT/AND arithmetic that BOTH engines compute (the native
+    // graft_zorder expression stays pinned by q88 — here the oracle
+    // must replay the key, so the query uses the portable spelling),
+    // making every output cell hash-exact: this is a measured
+    // comparison, not a pinned-tendency contract. The expected shape —
+    // linear-x prunes x-predicates best but cannot prune y at all;
+    // z-order prunes BOTH dims and wins outright on the 2-D box — is
+    // visible in the skipped_permille column, reproducibly.
+    "q343_layout_skipping" -> ((s, d) => {
+      val base = events(s, d).select(
+          pmod(col("user_id"), lit(256L)).as("xq"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("yq"))
+        .withColumn("zkey",
+          (0 until 8).map(i =>
+            shiftleft(shiftright(col("xq"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+              shiftleft(shiftright(col("yq"), i).bitwiseAND(lit(1L)), 2 * i))
+            .reduce(_ + _))
+      def zoneMap(name: String, bucket: Column): DataFrame =
+        base.groupBy(bucket.as("b"))
+          .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),
+            min(col("yq")).as("y0"), max(col("yq")).as("y1"))
+          .withColumn("layout", lit(name))
+      val zones = zoneMap("linear_x", expr("xq div 4"))
+        .unionByName(zoneMap("linear_y", expr("yq div 4")))
+        .unionByName(zoneMap("zorder", expr("zkey div 1024")))
+      val preds = {
+        import s.implicits._
+        Seq(("x_range", 16L, 31L, 0L, 255L),
+          ("y_range", 0L, 255L, 16L, 31L),
+          ("xy_box", 16L, 31L, 16L, 31L))
+          .toDF("pred", "px0", "px1", "py0", "py1")
+      }
+      zones.crossJoin(broadcast(preds))
+        .groupBy(col("layout"), col("pred"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum((col("x1") >= col("px0") && col("x0") <= col("px1") &&
+            col("y1") >= col("py0") && col("y0") <= col("py1"))
+            .cast("long")).as("touched"))
+        .withColumn("skipped_permille",
+          expr("((n_buckets - touched) * 1000) div n_buckets"))
+        .orderBy(col("layout"), col("pred"))
     }),
 
     // Stream-STATIC broadcast join (the reference's agency-config shape
@@ -2240,6 +2294,53 @@ object Advanced {
          FROM upd u LEFT JOIN dim d USING (key)
          WHERE d.key IS NULL OR d.segment <> u.segment
          ORDER BY key, valid_from""",
+    // every cell hash-exact: both engines replay the same quantization,
+    // portable-arithmetic Morton key, equal-width bucketing, zone-map
+    // intersection counts, and integer permille
+    "q343_layout_skipping" ->
+      """WITH base AS (
+           SELECT user_id % 256 AS xq,
+             (epoch_us(ts) // 3600000000) % 256 AS yq
+           FROM events),
+         zed AS (
+           SELECT xq, yq,
+             (((xq >> 0) & 1) << 1) + (((xq >> 1) & 1) << 3) +
+             (((xq >> 2) & 1) << 5) + (((xq >> 3) & 1) << 7) +
+             (((xq >> 4) & 1) << 9) + (((xq >> 5) & 1) << 11) +
+             (((xq >> 6) & 1) << 13) + (((xq >> 7) & 1) << 15) +
+             (((yq >> 0) & 1) << 0) + (((yq >> 1) & 1) << 2) +
+             (((yq >> 2) & 1) << 4) + (((yq >> 3) & 1) << 6) +
+             (((yq >> 4) & 1) << 8) + (((yq >> 5) & 1) << 10) +
+             (((yq >> 6) & 1) << 12) + (((yq >> 7) & 1) << 14) AS zkey
+           FROM base),
+         zones AS (
+           SELECT 'linear_x' AS layout, xq // 4 AS b,
+             MIN(xq) AS x0, MAX(xq) AS x1, MIN(yq) AS y0, MAX(yq) AS y1
+           FROM zed GROUP BY 1, 2
+           UNION ALL
+           SELECT 'linear_y', yq // 4,
+             MIN(xq), MAX(xq), MIN(yq), MAX(yq)
+           FROM zed GROUP BY 1, 2
+           UNION ALL
+           SELECT 'zorder', zkey // 1024,
+             MIN(xq), MAX(xq), MIN(yq), MAX(yq)
+           FROM zed GROUP BY 1, 2),
+         preds AS (
+           SELECT * FROM (VALUES
+             ('x_range', 16, 31, 0, 255),
+             ('y_range', 0, 255, 16, 31),
+             ('xy_box', 16, 31, 16, 31))
+             AS t(pred, px0, px1, py0, py1)),
+         agg AS (
+           SELECT layout, pred, COUNT(*) AS n_buckets,
+             CAST(SUM(CASE WHEN x1 >= px0 AND x0 <= px1
+               AND y1 >= py0 AND y0 <= py1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS touched
+           FROM zones CROSS JOIN preds
+           GROUP BY layout, pred)
+         SELECT layout, pred, n_buckets, touched,
+           ((n_buckets - touched) * 1000) // n_buckets AS skipped_permille
+         FROM agg ORDER BY layout, pred""",
     "q88_zorder_key" ->
       """WITH e AS (
            SELECT event_id, user_id % 65536 AS x,

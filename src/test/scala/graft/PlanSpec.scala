@@ -381,7 +381,11 @@ class PlanSpec extends SparkSpec {
       // q332: the same bins² Sinkhorn grid (ext.Transport) plus the
       // max-chars and total-count scalars (q46's class); the routing
       // assignment joins on bin + a broadcast hash-range predicate
-      "q332_ot_rebalance")
+      "q332_ot_rebalance",
+      // q343: the predicate panel is a 3-row broadcast crossed onto
+      // <= 192 zone-map rows (q46's scalar class — bounded by
+      // layouts x buckets, never by data)
+      "q343_layout_skipping")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -363,24 +363,37 @@ object Advanced {
 
     // Layout skipping sweep (r9, §7.6): WHICH clustering layout to
     // pick, measured — the zone-map model of parquet min/max file
-    // pruning, exact integers end-to-end. Three layouts of the same
+    // pruning, exact integers end-to-end. Four layouts of the same
     // (x, y) = (user bucket, hour bucket) keys — linear-by-x,
-    // linear-by-y, Morton z-order — each bucketed into 64 equal-WIDTH
-    // key ranges (the range-partitioned-files model; value-range
-    // bucketing needs NO global sort, so the model itself is
-    // scan-parallel at 100 TB, unlike a rank-ntile spelling). Per
+    // linear-by-y, Morton z-order, Hilbert — each bucketed into 64
+    // equal-WIDTH key ranges (the range-partitioned-files model;
+    // value-range bucketing needs NO global sort, so the model itself
+    // is scan-parallel at 100 TB, unlike a rank-ntile spelling). Per
     // bucket: min/max of both dims (the zone map); per predicate
     // (x-range / y-range / xy-box): a bucket is touched iff its box
-    // intersects the predicate box. The interleave is spelled in
-    // SHIFT/AND arithmetic that BOTH engines compute (the native
+    // intersects the predicate box. The Morton interleave is spelled
+    // in SHIFT/AND arithmetic that BOTH engines compute (the native
     // graft_zorder expression stays pinned by q88 — here the oracle
-    // must replay the key, so the query uses the portable spelling),
-    // making every output cell hash-exact: this is a measured
-    // comparison, not a pinned-tendency contract. The expected shape —
-    // linear-x prunes x-predicates best but cannot prune y at all;
-    // z-order prunes BOTH dims and wins outright on the 2-D box — is
-    // visible in the skipped_permille column, reproducibly.
+    // must replay the key, so the query uses the portable spelling);
+    // the Hilbert leg uses the native graft_hilbert expression and
+    // the oracle replays the identical xy2d rotation recurrence as a
+    // recursive CTE over the DISTINCT (x, y) pairs (zone maps are
+    // min/max — multiplicity-free, so the 65536-pair grid is all the
+    // oracle must key). Every output cell is hash-exact: this is a
+    // measured comparison, not a pinned-tendency contract. The
+    // expected shape — linear-x prunes x-predicates best but cannot
+    // prune y at all; both space-filling curves prune BOTH dims — is
+    // visible in the skipped_permille column, reproducibly. At width
+    // 1024 = 4^5 the two curves are INDISTINGUISHABLE by construction
+    // (every bucket is the same axis-aligned 32x32 tile for both), so
+    // the sweep adds a misaligned-width pair (768, not a power of 4):
+    // there a Morton bucket straddles Z-jumps (wide zone boxes) while
+    // a Hilbert bucket stays a contiguous curve segment (compact
+    // blob) — full-grid truth: hilbert_w768 skips 883/872/988 permille
+    // vs zorder_w768's 848/813/965 on x/y/box. THAT gap is why the
+    // Hilbert leg exists.
     "q343_layout_skipping" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
       val base = events(s, d).select(
           pmod(col("user_id"), lit(256L)).as("xq"),
           pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("yq"))
@@ -389,6 +402,9 @@ object Advanced {
             shiftleft(shiftright(col("xq"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
               shiftleft(shiftright(col("yq"), i).bitwiseAND(lit(1L)), 2 * i))
             .reduce(_ + _))
+        .withColumn("hkey",
+          call_function(graft.expr.GraftFunctions.HilbertName,
+            col("xq"), col("yq"), lit(8)))
       def zoneMap(name: String, bucket: Column): DataFrame =
         base.groupBy(bucket.as("b"))
           .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),
@@ -397,6 +413,9 @@ object Advanced {
       val zones = zoneMap("linear_x", expr("xq div 4"))
         .unionByName(zoneMap("linear_y", expr("yq div 4")))
         .unionByName(zoneMap("zorder", expr("zkey div 1024")))
+        .unionByName(zoneMap("hilbert", expr("hkey div 1024")))
+        .unionByName(zoneMap("zorder_w768", expr("zkey div 768")))
+        .unionByName(zoneMap("hilbert_w768", expr("hkey div 768")))
       val preds = {
         import s.implicits._
         Seq(("x_range", 16L, 31L, 0L, 255L),
@@ -2295,10 +2314,12 @@ object Advanced {
          WHERE d.key IS NULL OR d.segment <> u.segment
          ORDER BY key, valid_from""",
     // every cell hash-exact: both engines replay the same quantization,
-    // portable-arithmetic Morton key, equal-width bucketing, zone-map
+    // portable-arithmetic Morton key, the Hilbert xy2d rotation
+    // recurrence (recursive CTE over distinct pairs — min/max zone maps
+    // are multiplicity-free), equal-width bucketing, zone-map
     // intersection counts, and integer permille
     "q343_layout_skipping" ->
-      """WITH base AS (
+      s"""WITH RECURSIVE base AS (
            SELECT user_id % 256 AS xq,
              (epoch_us(ts) // 3600000000) % 256 AS yq
            FROM events),
@@ -2313,6 +2334,13 @@ object Advanced {
              (((yq >> 4) & 1) << 8) + (((yq >> 5) & 1) << 10) +
              (((yq >> 6) & 1) << 12) + (((yq >> 7) & 1) << 14) AS zkey
            FROM base),
+         psrc AS (
+           SELECT DISTINCT xq * 256 + yq AS pid, xq, yq FROM base),
+         ${graft.expr.HilbertKey.recursiveSql("hc", "psrc", "pid",
+             "xq", "yq", 8)},
+         hil AS (
+           SELECT id // 256 AS xq, id % 256 AS yq, d AS hkey
+           FROM hc WHERE s = 0),
          zones AS (
            SELECT 'linear_x' AS layout, xq // 4 AS b,
              MIN(xq) AS x0, MAX(xq) AS x1, MIN(yq) AS y0, MAX(yq) AS y1
@@ -2324,7 +2352,19 @@ object Advanced {
            UNION ALL
            SELECT 'zorder', zkey // 1024,
              MIN(xq), MAX(xq), MIN(yq), MAX(yq)
-           FROM zed GROUP BY 1, 2),
+           FROM zed GROUP BY 1, 2
+           UNION ALL
+           SELECT 'hilbert', hkey // 1024,
+             MIN(xq), MAX(xq), MIN(yq), MAX(yq)
+           FROM hil GROUP BY 1, 2
+           UNION ALL
+           SELECT 'zorder_w768', zkey // 768,
+             MIN(xq), MAX(xq), MIN(yq), MAX(yq)
+           FROM zed GROUP BY 1, 2
+           UNION ALL
+           SELECT 'hilbert_w768', hkey // 768,
+             MIN(xq), MAX(xq), MIN(yq), MAX(yq)
+           FROM hil GROUP BY 1, 2),
          preds AS (
            SELECT * FROM (VALUES
              ('x_range', 16, 31, 0, 255),

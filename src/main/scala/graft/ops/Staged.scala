@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.jdk.CollectionConverters._
+
 /** Staged-relation registry (r8, SURVEY §7.6) — the materialized-view
   * move for any deterministic relation consumed by a query FAMILY:
   * build once per input-data state, publish atomically, read as a
@@ -44,12 +46,26 @@ object Staged {
   private val lock = new Object
   private[graft] val root = "/tmp/graft_stage"
 
-  /** Fingerprint: relation name + code version + per-dep (size, mtime). */
+  /** Fingerprint: relation name + code version + per-dep (size, mtime).
+    * A directory dep (e.g. another published stage) is fingerprinted by
+    * its sorted leaf files — ATOMIC_MOVE preserves inner mtimes, so a
+    * published stage's fingerprint is stable for its lifetime and
+    * staged-on-staged composition (a delta slice whose dep is itself a
+    * staged relation) keys correctly.
+    */
   private def key(name: String, version: String, deps: Seq[String]): String = {
-    val parts = deps.map { p0 =>
+    val parts = deps.flatMap { p0 =>
       val p = java.nio.file.Paths.get(p0)
-      s"$p0:${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      val leaves =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .toVector.sortBy(_.toString)
+          finally st.close()
+        } else Vector(p)
+      leaves.map(l => s"$l:${java.nio.file.Files.size(l)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(l).toMillis}")
     }
     graft.Graft.md5_8(name + "|" + version + "|" + parts.mkString("|"))
   }
@@ -93,6 +109,60 @@ object Staged {
       }
     }
     s.read.parquet(stage.toString)
+  }
+
+  /** The slice directory `deltaRelation` reads/publishes for one dep of
+    * a delta-staged relation — exposed for the same reason as
+    * [[stagePath]] (specs resolve slices by fingerprint, never by
+    * scanning /tmp).
+    */
+  def slicePath(name: String, version: String,
+                dep: String): java.nio.file.Path =
+    stagePath(sliceName(name, dep), version, Seq(dep))
+
+  private def sliceName(name: String, dep: String): String =
+    s"${name}__${graft.Graft.md5_8(dep)}"
+
+  /** Delta-aware staged relation (SURVEY §7.6, the q340 IVF main∪delta
+    * pattern promoted into the staging protocol): for a relation that
+    * is a PER-DEP map — `build(dep)` derives rows ONLY from `dep`'s
+    * bytes, so the relation over a dep set is the union of per-dep
+    * builds — each dep is staged under its OWN fingerprint. An
+    * appended dep builds only its slice; a regenerated dep rebuilds
+    * only its slice; untouched deps keep serving their published
+    * slices — maintenance cost is O(|Δ|), not O(corpus). [[relation]]
+    * by contrast keys the WHOLE build on the WHOLE dep set: any input
+    * change rebuilds everything (the right call when the build is a
+    * cross-dep join, wrong for row-local derivations).
+    *
+    * The slice name embeds a hash of the dep path — REQUIRED for
+    * pruning correctness: [[pruneSuperseded]] treats same-name dirs
+    * under other keys as superseded, and two LIVE slices of one
+    * relation must never prune each other. Slices whose dep path
+    * itself vanished (e.g. an upstream staged dir that re-keyed) are
+    * swept here against the live slice set, same TTL gate.
+    *
+    * A dep may be a file or a directory (e.g. a stage published by
+    * [[relation]] — staged-on-staged composition keys correctly via
+    * the directory fingerprint).
+    */
+  def deltaRelation(s: SparkSession, name: String, version: String,
+                    deps: Seq[String])(build: String => DataFrame): DataFrame = {
+    require(deps.nonEmpty, s"deltaRelation $name needs at least one dep")
+    val out = deps.map { dep =>
+      relation(s, sliceName(name, dep), version, Seq(dep))(build(dep))
+    }.reduce(_.unionByName(_))
+    val live = deps.map(dep => slicePath(name, version, dep).getFileName.toString).toSet
+    lock.synchronized {
+      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+      dirs.filter { f =>
+        f.getName.startsWith(name + "__") && !live.contains(f.getName) &&
+          f.lastModified < staleMs
+      }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
+        catch { case _: java.io.IOException => () })
+    }
+    out
   }
 
   /** Drop stages of the same relation under superseded keys once they

@@ -138,6 +138,52 @@ object Corpus {
         .orderBy(col("lang"))
     }),
 
+    // Delta-aware staged relation (r9, SURVEY §7.6 backlog item #1):
+    // ops.Staged.deltaRelation stages a PER-DEP-map relation slice by
+    // slice, so an input change rebuilds O(|Δ|), not O(corpus) — the
+    // q340 IVF main∪delta pattern promoted into the staging protocol.
+    // The rig: two deterministic input slices of documents (main =
+    // doc_id%5≠4, delta = %5=4), each itself published via
+    // Staged.relation (staged-on-staged — the derived relation's deps
+    // are stage DIRECTORIES, fingerprinted by their leaf files); the
+    // per-doc quality features (token/char counts — a row-local map,
+    // the legality condition for delta staging) are then delta-staged
+    // over those two dirs. The THEOREM the query pins: a per-row map
+    // commutes with union, so union-of-slice-stages ≡ the direct
+    // full-corpus build — verified by symmetric exceptAll emptiness
+    // inside the query; the per-lang rollup is replayed by the oracle
+    // from the raw table. The INCREMENTALITY claim (untouched slices'
+    // stage dirs are not rewritten when a sibling changes) is pinned
+    // by StagedSpec, not here — mtimes aren't SQL.
+    "q344_delta_staged_quality" -> ((s, d) => {
+      val src = s"$d/documents.parquet"
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val depDirs = Seq(
+        "q344_docs_main" -> (pmod(col("doc_id"), lit(5)) =!= 4),
+        "q344_docs_delta" -> (pmod(col("doc_id"), lit(5)) === 4))
+        .map { case (nm, pred) =>
+          graft.ops.Staged.relation(s, nm, "v1", Seq(src))(base.filter(pred))
+          graft.ops.Staged.stagePath(nm, "v1", Seq(src)).toString
+        }
+      def quality(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+      val staged = graft.ops.Staged.deltaRelation(
+        s, "q344_doc_quality", "v1", depDirs)(
+        dep => quality(s.read.parquet(dep)))
+      val direct = quality(base)
+      val eq = staged.exceptAll(direct).isEmpty &&
+        direct.exceptAll(staged).isEmpty
+      staged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .withColumn("staged_eq_direct", lit(eq))
+        .orderBy(col("lang"))
+    }),
+
     // Shard packing: documents → fixed-token-budget training shards,
     // cumsum per language stratum (parallel across strata; a global
     // ordered cumsum would serialize the corpus through one partition).
@@ -1186,6 +1232,15 @@ object Corpus {
     }))
 
   val oracles: Map[String, String] = Map(
+    // union-of-slice-stages ≡ direct build is a theorem (per-row map
+    // commutes with union), query-verified; the rollup is replayed raw
+    "q344_delta_staged_quality" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+             AS tokens,
+           CAST(SUM(len(text)) AS BIGINT) AS chars,
+           TRUE AS staged_eq_direct
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q56_repetition_filter" ->
       """WITH e AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

@@ -70,6 +70,46 @@ class StagedSpec extends SparkSpec {
       "second ANN consumer rebuilt the stage instead of reusing it")
   }
 
+  test("deltaRelation: an appended dep builds only its slice, a " +
+      "regenerated dep rebuilds only its slice, untouched slices are " +
+      "never rewritten, and the union equals the direct build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_spec_")
+    try {
+      val a = dir.resolve("a.parquet").toString
+      val b = dir.resolve("b.parquet").toString
+      spark.range(0, 10).toDF("n").write.parquet(a)
+      spark.range(10, 15).toDF("n").write.parquet(b)
+      var builds = 0
+      def build(dep: String) = {
+        builds += 1
+        spark.read.parquet(dep).withColumn("sq", col("n") * col("n"))
+      }
+      val r1 = Staged.deltaRelation(spark, "spec_delta", "v1", Seq(a))(build)
+      assert(r1.count() == 10 && builds == 1)
+      val pa = Staged.slicePath("spec_delta", "v1", a)
+      assert(java.nio.file.Files.exists(pa.resolve("_SUCCESS")))
+      val ta = pa.toFile.lastModified
+      // appended dep: only the new slice builds; a's dir untouched
+      val r2 = Staged.deltaRelation(spark, "spec_delta", "v1",
+        Seq(a, b))(build)
+      assert(r2.count() == 15 && builds == 2)
+      assert(pa.toFile.lastModified == ta,
+        "appending a dep rewrote an untouched slice")
+      // regenerated dep: b re-keys and rebuilds; a still untouched
+      spark.range(10, 18).toDF("n")
+        .write.mode("overwrite").parquet(b)
+      val r3 = Staged.deltaRelation(spark, "spec_delta", "v1",
+        Seq(a, b))(build)
+      assert(r3.count() == 18 && builds == 3)
+      assert(pa.toFile.lastModified == ta,
+        "regenerating a sibling rewrote an untouched slice")
+      // union-of-slices ≡ direct build (per-row map commutes with union)
+      val direct = spark.read.parquet(a, b)
+        .withColumn("sq", col("n") * col("n"))
+      assert(r3.exceptAll(direct).isEmpty && direct.exceptAll(r3).isEmpty)
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("planScrub v4: operator flips change the signature") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
     assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))

@@ -12,7 +12,7 @@ object Bench {
     * pressure, not plan cost). Tagged in the bench JSON so cross-round
     * regression triage (plan_diff --ratios) can auto-exclude them:
     * their run-to-run swings track host contention, not plans. The set
-    * is every registry entry that drives readStream (the 21 streaming
+    * is every registry entry that drives readStream (the 22 streaming
     * rigs + the state-store reader); EntrySpec lints it against the
     * source tree so a new rig can't be silently mis-triaged.
     */
@@ -28,7 +28,7 @@ object Bench {
     "q202_session_window", "q207_stream_right_outer_join",
     "q273_stream_union", "q274_stream_chained_agg",
     "q277_stream_upsert_sink", "q334_stream_chaos",
-    "q341_stream_ivm")
+    "q341_stream_ivm", "q345_state_changelog_cdc")
 
   private[graft] def median3(ts: Seq[Double]): Double =
     ts.sorted.apply(ts.size / 2)

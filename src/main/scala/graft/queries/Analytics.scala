@@ -582,6 +582,123 @@ object Analytics {
       } finally deleteRecursively(stage)
     }),
 
+    // CDC-shaped retraction source (r9, SURVEY §7.6 backlog item #3 —
+    // completes q341's end-to-end retraction story): the signed deltas
+    // feeding the CountingView are not hand-staged here; they are
+    // DERIVED FROM AN UPSTREAM OPERATOR'S STATE CHANGELOG. The rig:
+    // (1) an upstream streaming aggregation keeps per-ORDER live state
+    // (sum of ±1 signs keyed (segment, custkey, orderkey) — unit
+    // granularity, so every state transition is a ±1 delta) over two
+    // file batches (base inserts, then inserts + deletes), with
+    // RocksDB changelog checkpointing on; (2) the Spark 4 state source
+    // in readChangeFeed mode replays that checkpoint's CHANGELOG as a
+    // batch relation (batch_id, change_type, key, value) — the CDC
+    // feed; signed deltas fall out as value-vs-lag(value) per key in
+    // batch order (a 0→1 transition is an insert, 1→0 a retraction),
+    // joined to a broadcast cents dim; (3) the deltas are replayed in
+    // batch order through the SAME CountingView processor as q341 —
+    // upstream state changes, not source rows, now maintain the
+    // downstream view. Oracle = the from-scratch rollup over the
+    // post-batch fact set (identical contract to q341: the CDC route
+    // must land on the same answer). At scale the changelog read is
+    // one file scan per (shard, batch) — no state snapshot rebuild —
+    // and the lag window partitions by key, so deriving deltas
+    // shuffles O(|changed keys|), never O(state).
+    "q345_state_changelog_cdc" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def facts(f: DataFrame, sign: Long): DataFrame =
+        f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("c_custkey").as("custkey"),
+            col("o_orderkey").as("orderkey"), lit(sign).as("sign"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      val stage = java.nio.file.Files.createTempDirectory("graft_cdc_")
+      val watch = stage.resolve("watch")
+      val watch2 = stage.resolve("watch2")
+      val ckpt = stage.resolve("ckpt")
+      java.nio.file.Files.createDirectories(watch)
+      java.nio.file.Files.createDirectories(watch2)
+      try {
+        stageWatchFile(facts(base, 1L), watch, "01", 1000000000000L)
+        stageWatchFile(facts(ins, 1L).unionByName(facts(del, -1L)),
+          watch, "02", 1000000100000L)
+        val upName = "cdc_up_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val schema = s.read.parquet(watch.toString).schema
+        val up = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .groupBy(col("segment"), col("custkey"), col("orderkey"))
+          .agg(sum(col("sign")).as("live"))
+          .writeStream.outputMode("update")
+          .format("memory").queryName(upName)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        up.awaitTermination()
+        s.catalog.dropTempView(upName)
+        // the CDC feed: state changelog → signed unit deltas
+        val wk = Window.partitionBy(col("segment"), col("custkey"),
+          col("orderkey")).orderBy(col("batch_id"))
+        val chg = s.read.format("statestore")
+          .option("path", ckpt.toString)
+          .option("readChangeFeed", "true")
+          .option("changeStartBatchId", "0").load()
+          .select(col("batch_id"),
+            col("key.segment").as("segment"),
+            col("key.custkey").as("custkey"),
+            col("key.orderkey").as("orderkey"),
+            when(col("change_type") === "delete", lit(0L))
+              .otherwise(col("value.sum")).as("live"))
+          .withColumn("sign",
+            col("live") - coalesce(lag(col("live"), 1).over(wk), lit(0L)))
+          .filter(col("sign") =!= 0)
+          .join(broadcast(ord.select(col("o_orderkey").as("orderkey"),
+            col("cents"))), Seq("orderkey"))
+          .select(col("batch_id"), col("segment"), col("custkey"),
+            col("cents"), col("sign"))
+          .localCheckpoint(true)
+        // replay the feed in batch order through the q341 rig
+        val batchIds = chg.select(col("batch_id")).distinct()
+          .orderBy(col("batch_id")).collect().map(_.getLong(0))
+        batchIds.zipWithIndex.foreach { case (b, i) =>
+          stageWatchFile(chg.filter(col("batch_id") === b).drop("batch_id"),
+            watch2, f"${i + 1}%02d", 1000000000000L + i * 100000L)
+        }
+        val schema2 = s.read.parquet(watch2.toString).schema
+        import s.implicits._
+        val in = s.readStream.schema(schema2)
+          .option("maxFilesPerTrigger", "1").parquet(watch2.toString)
+          .as[graft.streaming.CountingView.DeltaIn]
+        val name = "cdc_view_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = graft.streaming.CountingView.view(s, in)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val wv = Window.partitionBy(col("segment"))
+          .orderBy(col("version").desc)
+        val out = s.table(name)
+          .withColumn("__rn", row_number().over(wv))
+          .filter(col("__rn") === 1 && col("n_orders") > 0)
+          .select(col("segment").as("c_mktsegment"), col("n_orders"),
+            col("rev_cents"), col("n_customers"))
+          .orderBy(col("c_mktsegment"))
+        materialize(s, "q345_state_changelog_cdc", out)
+      } finally deleteRecursively(stage)
+    }),
+
     // Matryoshka truncation audit: how much of each embedding's energy
     // survives prefix truncation to 8/16/32 of 64 dims — the
     // retention ratio r_k = Σ_{i<k}v_i²/Σv_i² per vector (q236's
@@ -1191,6 +1308,18 @@ object Analytics {
     // deletes plus inserts = o_orderkey % 10 <> 3) — the same contract
     // SQL shape as batch q339
     "q341_stream_ivm" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 10 <> 3
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // identical contract to q341: the CDC route (upstream state
+    // changelog → signed deltas → CountingView) must land on the same
+    // from-scratch rollup over the post-batch fact set
+    "q345_state_changelog_cdc" ->
       """SELECT c_mktsegment,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)

@@ -988,6 +988,86 @@ object Advanced {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Minimal-trigger extrema maintenance under retraction (r9, §7.6
+    // backlog item #2 — tightens q339): q339 rescans MAX/MIN for EVERY
+    // batch-touched group. But a delete can only move a group's MAX if
+    // it retracts the LAST base row carrying the stored maximum — so
+    // the stored state is widened by one integer per extremum (the
+    // SUPPORT at the stored extreme value, n_at_mx/n_at_mn) and the
+    // rescan fires only when the batch's deletions at that value
+    // exhaust it (d_at_mx == n_at_mx). Everything else is pure
+    // incremental algebra: inserts fold via greatest/least (MAX is
+    // monotone under inserts), survivors certify the stored value.
+    // The trigger is minimal for this state class: with only
+    // (extreme, support-at-extreme) stored, any weaker condition
+    // either misses a true extremum change or rescans a group whose
+    // stored value is still certified. Both the booleans and the
+    // final extrema are oracle-replayed, so a wrong trigger (either
+    // direction) hash-mismatches: a missed rescan leaves a stale max,
+    // a spurious one flips the boolean column. At 100 TB the rescan
+    // set is the provably-affected groups only — with per-group
+    // support carried in the MV, retraction storms that never touch
+    // an extremum cost zero base rescans (q339's version rescans
+    // every touched group).
+    "q347_extrema_support_ivm" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      def enrich(f: DataFrame): DataFrame =
+        f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // stored MV state: extrema + support AT the extrema (one extra
+      // integer per side — the price of delete-awareness)
+      val stored = enrich(base).groupBy(col("c_mktsegment"))
+        .agg(max(col("cents")).as("mx0"), min(col("cents")).as("mn0"))
+        .localCheckpoint(true)
+      def atExtrema(f: DataFrame, mxName: String, mnName: String) =
+        enrich(f).join(broadcast(stored), Seq("c_mktsegment"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(when(col("cents") === col("mx0"), 1L).otherwise(0L))
+              .as(mxName),
+            sum(when(col("cents") === col("mn0"), 1L).otherwise(0L))
+              .as(mnName))
+      val support = atExtrema(base, "n_at_mx", "n_at_mn")
+      val delAgg = atExtrema(del, "d_at_mx", "d_at_mn")
+      val insAgg = enrich(ins).groupBy(col("c_mktsegment"))
+        .agg(max(col("cents")).as("ins_mx"), min(col("cents")).as("ins_mn"))
+      val t = stored.join(support, Seq("c_mktsegment"))
+        .join(delAgg, Seq("c_mktsegment"), "left")
+        .join(insAgg, Seq("c_mktsegment"), "left")
+        .withColumn("rescan_max",
+          coalesce(col("d_at_mx"), lit(0L)) === col("n_at_mx"))
+        .withColumn("rescan_min",
+          coalesce(col("d_at_mn"), lit(0L)) === col("n_at_mn"))
+        .localCheckpoint(true)
+      val rescanGroups = t
+        .filter(col("rescan_max") || col("rescan_min"))
+        .select(col("c_mktsegment")).localCheckpoint(true)
+      val postFacts = base.join(del.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        .unionByName(ins)
+      // group-pruned rescan: ONLY the support-exhausted groups
+      val scratch = enrich(postFacts)
+        .join(broadcast(rescanGroups), Seq("c_mktsegment"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("cents")).as("smx"), min(col("cents")).as("smn"))
+      t.join(scratch, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"),
+          when(col("rescan_max"), col("smx"))
+            .otherwise(greatest(col("mx0"), col("ins_mx")))
+            .as("max_cents"),
+          when(col("rescan_min"), col("smn"))
+            .otherwise(least(col("mn0"), col("ins_mn")))
+            .as("min_cents"),
+          col("rescan_max").as("rescanned_max"),
+          col("rescan_min").as("rescanned_min"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Spark 4 VARIANT ingestion of the JSON-ish props payload:
     // parse_json ONCE into the open binary variant encoding, then typed
     // variant_get extraction — the modern replacement for per-field
@@ -2962,6 +3042,41 @@ object Advanced {
     // the delete-merged MV must equal the from-scratch rollup over the
     // post-batch fact state (base minus deletes plus inserts =
     // o_orderkey % 10 <> 3)
+    // the oracle takes the from-scratch route for the extrema (the
+    // incremental route must land on it — that IS the contract) and
+    // replays the support-exhaustion triggers exactly: a missed rescan
+    // leaves a stale max, a spurious one flips the boolean
+    "q347_extrema_support_ivm" ->
+      """WITH f AS (
+           SELECT o_orderkey, c_mktsegment,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         base AS (SELECT * FROM f WHERE o_orderkey % 10 <> 7),
+         del AS (SELECT * FROM base WHERE o_orderkey % 10 = 3),
+         stored AS (
+           SELECT c_mktsegment, MAX(cents) AS mx0, MIN(cents) AS mn0
+           FROM base GROUP BY 1),
+         sup AS (
+           SELECT b.c_mktsegment,
+             SUM(CASE WHEN b.cents = st.mx0 THEN 1 ELSE 0 END) AS n_at_mx,
+             SUM(CASE WHEN b.cents = st.mn0 THEN 1 ELSE 0 END) AS n_at_mn
+           FROM base b JOIN stored st USING (c_mktsegment) GROUP BY 1),
+         dsup AS (
+           SELECT dl.c_mktsegment,
+             SUM(CASE WHEN dl.cents = st.mx0 THEN 1 ELSE 0 END) AS d_at_mx,
+             SUM(CASE WHEN dl.cents = st.mn0 THEN 1 ELSE 0 END) AS d_at_mn
+           FROM del dl JOIN stored st USING (c_mktsegment) GROUP BY 1),
+         scratch AS (
+           SELECT c_mktsegment, MAX(cents) AS smx, MIN(cents) AS smn
+           FROM f WHERE o_orderkey % 10 <> 3 GROUP BY 1)
+         SELECT sc.c_mktsegment,
+           sc.smx AS max_cents, sc.smn AS min_cents,
+           (coalesce(d.d_at_mx, 0) = s.n_at_mx) AS rescanned_max,
+           (coalesce(d.d_at_mn, 0) = s.n_at_mn) AS rescanned_min
+         FROM scratch sc
+         JOIN sup s USING (c_mktsegment)
+         LEFT JOIN dsup d USING (c_mktsegment)
+         ORDER BY c_mktsegment""",
     "q339_join_mv_deletes" ->
       """SELECT c_mktsegment,
            COUNT(*) AS n_orders,

@@ -136,6 +136,105 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Physical footer zone maps (r9, §7.6): q343 models zone-map
+    // pruning arithmetically; q80 proves sorted files are key-disjoint
+    // at ROW level. This rig closes the loop to the PHYSICAL reader:
+    // events are clustered by the native Hilbert key into exact k-row
+    // file chunks (repartition(1) + sortWithinPartitions +
+    // maxRecordsPerFile — the byte-determinism price; production lays
+    // out with repartitionByRange, the same layout class with sampled
+    // boundaries), and the per-file zone maps are read back from the
+    // REAL parquet FOOTER STATISTICS (parquet-hadoop column-chunk
+    // min/max), not recomputed from rows. The pinned contract: the
+    // footer-derived box multiset EQUALS the arithmetic model's
+    // (row_number chunking — the writer rolls at exactly
+    // maxRecordsPerFile rows per file in sort order), so the
+    // per-predicate touched counts the oracle replays are exactly what
+    // a min/max-pruning reader would do on these bytes. The footer
+    // loop is driver-side over ~16 files — bounded model material, the
+    // same scan a table-format manifest (Iceberg/Delta file stats)
+    // serves at 100 TB.
+    "q346_footer_zonemap" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      import scala.jdk.CollectionConverters._
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xq"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("yq"))
+        .withColumn("hkey",
+          call_function(graft.expr.GraftFunctions.HilbertName,
+            col("xq"), col("yq"), lit(8)))
+      val n = base.count()
+      val k = (n + 15) / 16
+      val stage = Files.createTempDirectory("graft_footer_")
+      try {
+        base.repartition(1)
+          .sortWithinPartitions(col("hkey"), col("event_id"))
+          .write.option("maxRecordsPerFile", k)
+          .mode("overwrite").parquet(s"$stage/out")
+        val conf = s.sessionState.newHadoopConf()
+        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
+        val fs = outPath.getFileSystem(conf)
+        val footerBoxes = fs.listStatus(outPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf))
+            try {
+              val blocks = rd.getFooter.getBlocks.asScala.toSeq
+              def mm(c: String): (Long, Long) = {
+                val per = blocks.map { b =>
+                  val stats = b.getColumns.asScala
+                    .find(_.getPath.toDotString == c)
+                    .getOrElse(sys.error(s"no footer stats for $c"))
+                    .getStatistics
+                  (stats.genericGetMin.asInstanceOf[java.lang.Long]
+                     .longValue,
+                   stats.genericGetMax.asInstanceOf[java.lang.Long]
+                     .longValue)
+                }
+                (per.map(_._1).min, per.map(_._2).max)
+              }
+              val (x0, x1) = mm("xq")
+              val (y0, y1) = mm("yq")
+              (x0, x1, y0, y1)
+            } finally rd.close()
+          }
+        val model = base
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("hkey"), col("event_id"))))
+          .withColumn("chunk", expr(s"(rn - 1) div $k"))
+          .groupBy(col("chunk"))
+          .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),
+            min(col("yq")).as("y0"), max(col("yq")).as("y1"))
+          .localCheckpoint(true)
+        val modelBoxes = model.select(col("x0"), col("x1"),
+            col("y0"), col("y1")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        val eq = footerBoxes.sorted == modelBoxes.sorted
+        import s.implicits._
+        val preds = Seq(
+          ("x_range", 16L, 31L, 0L, 255L),
+          ("y_range", 0L, 255L, 16L, 31L),
+          ("xy_box", 16L, 31L, 16L, 31L))
+          .toDF("pred", "px0", "px1", "py0", "py1")
+        materialize(s, "q346_footer_zonemap", model
+          .crossJoin(broadcast(preds))
+          .groupBy(col("pred"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum((col("x1") >= col("px0") && col("x0") <= col("px1") &&
+              col("y1") >= col("py0") && col("y0") <= col("py1"))
+              .cast("long")).as("touched"))
+          .withColumn("skipped_permille",
+            expr("((n_chunks - touched) * 1000) div n_chunks"))
+          .withColumn("footer_eq_model", lit(eq))
+          .orderBy(col("pred")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -619,6 +718,50 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // full model replay (Hilbert recursive CTE over the distinct pair
+    // grid, row_number chunking, zone-map intersections); the
+    // footer-equals-model boolean pins the physical bytes to it
+    "q346_footer_zonemap" ->
+      s"""WITH RECURSIVE base AS (
+           SELECT event_id, user_id % 256 AS xq,
+             (epoch_us(ts) // 3600000000) % 256 AS yq
+           FROM events),
+         psrc AS (
+           SELECT DISTINCT xq * 256 + yq AS pid, xq, yq FROM base),
+         ${graft.expr.HilbertKey.recursiveSql("hc", "psrc", "pid",
+             "xq", "yq", 8)},
+         hil AS (
+           SELECT id // 256 AS hxq, id % 256 AS hyq, d AS hkey
+           FROM hc WHERE s = 0),
+         keyed AS (
+           SELECT b.event_id, b.xq, b.yq, h.hkey
+           FROM base b JOIN hil h ON b.xq = h.hxq AND b.yq = h.hyq),
+         nk AS (SELECT (COUNT(*) + 15) // 16 AS k FROM base),
+         chunked AS (
+           SELECT xq, yq,
+             (ROW_NUMBER() OVER (ORDER BY hkey, event_id) - 1)
+               // (SELECT k FROM nk) AS chunk
+           FROM keyed),
+         model AS (
+           SELECT chunk, MIN(xq) AS x0, MAX(xq) AS x1,
+             MIN(yq) AS y0, MAX(yq) AS y1
+           FROM chunked GROUP BY 1),
+         preds AS (
+           SELECT * FROM (VALUES
+             ('x_range', 16, 31, 0, 255),
+             ('y_range', 0, 255, 16, 31),
+             ('xy_box', 16, 31, 16, 31))
+             AS t(pred, px0, px1, py0, py1)),
+         agg AS (
+           SELECT pred, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN x1 >= px0 AND x0 <= px1
+               AND y1 >= py0 AND y0 <= py1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS touched
+           FROM model CROSS JOIN preds GROUP BY 1)
+         SELECT pred, n_chunks, touched,
+           ((n_chunks - touched) * 1000) // n_chunks AS skipped_permille,
+           TRUE AS footer_eq_model
+         FROM agg ORDER BY pred""",
     // conservation is exact; the layout contract booleans pin TRUE
     "q143_compaction" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS rows,

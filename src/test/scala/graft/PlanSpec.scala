@@ -383,9 +383,12 @@ class PlanSpec extends SparkSpec {
       // assignment joins on bin + a broadcast hash-range predicate
       "q332_ot_rebalance",
       // q343: the predicate panel is a 3-row broadcast crossed onto
-      // <= 192 zone-map rows (q46's scalar class — bounded by
+      // <= 384 zone-map rows (q46's scalar class — bounded by
       // layouts x buckets, never by data)
-      "q343_layout_skipping")
+      "q343_layout_skipping",
+      // q346: the same 3-row predicate panel crossed onto 16 chunk
+      // zone-map rows
+      "q346_footer_zonemap")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -449,6 +449,64 @@ object Relational {
       tc.unionByName(total).orderBy(col("node"))
     }),
 
+    // Incremental maintenance of a JOIN-DERIVED relation (r9, §7.6
+    // backlog item #1): deltaRelation's legality is per-dep
+    // row-locality, which the co-purchase edges lack — so this is the
+    // counting-IVM route instead, with the coverage proof sketched
+    // first as required: baskets of the union input partition per
+    // customer into S0(c) ⊎ D(c) (base members / strictly-new delta
+    // members after the anti-join dedup), and unordered pairs over a
+    // disjoint union decompose EXACTLY as pairs(S0) ⊎ (D×S0) ⊎
+    // pairs(D) — so the maintained per-pair counts are base counts
+    // plus |Δ|-sized delta contributions (each new member pairs only
+    // against its own basket), never a recount of the base self-join.
+    // The p95 threshold is NOT incremental (it reads the full nc
+    // distribution), but that is O(|distinct pairs|) — bounded by
+    // supplier-pairs, not by input rows. The oracle rebuilds the edge
+    // relation from scratch over the union input, so the hash match
+    // IS the increment≡rebuild theorem — no in-query boolean needed.
+    "q348_copurchase_delta" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val or = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      def baskets(orders: DataFrame): DataFrame =
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
+          .distinct()
+      val baskBase = baskets(or.filter(pmod(col("o_orderkey"), lit(10)) =!= 7))
+        .localCheckpoint(true)
+      // strictly-new members only — the disjointness the proof needs
+      val baskDelta = baskets(or.filter(pmod(col("o_orderkey"), lit(10)) === 7))
+        .join(baskBase, Seq("c", "sv"), "left_anti")
+        .localCheckpoint(true)
+      def pairCounts(a: DataFrame, b: DataFrame): DataFrame =
+        a.toDF("c", "sa").join(b.toDF("c", "sb"), Seq("c"))
+          .filter(col("sa") < col("sb"))
+          .select(col("sa"), col("sb"))
+      // stored MV state (localCheckpoint = the materialization): the
+      // base pair counts, paid once at base-build time
+      val baseCounts = pairCounts(baskBase, baskBase)
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint(true)
+      // |Δ|-sized contributions: each new member pairs only against
+      // its own basket (D×S0) plus the new members among themselves
+      val mixedPairs = baskDelta.toDF("c", "x")
+        .join(baskBase.toDF("c", "y"), Seq("c"))
+        .select(least(col("x"), col("y")).as("sa"),
+          greatest(col("x"), col("y")).as("sb"))
+      val deltaCounts = mixedPairs
+        .unionByName(pairCounts(baskDelta, baskDelta))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+      // counting-IVM merge: partial counts sum
+      val merged = baseCounts.unionByName(deltaCounts)
+        .groupBy(col("sa"), col("sb")).agg(sum(col("nc")).as("nc"))
+      val thr = merged.agg(expr("percentile(nc, 0.95D)").as("m"))
+      merged.crossJoin(broadcast(thr)).filter(col("nc") >= col("m"))
+        .select(col("sa"), col("sb"), col("nc"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Weighted label propagation (graft.ext.Graph.labelPropagation, 3
     // synchronous rounds) over q179's p95 co-purchase graph, edge
     // weight = common-customer count: the community structure that
@@ -859,6 +917,19 @@ object Relational {
          ORDER BY p_partkey""",
     // full triangle recompute: projection, relative threshold, ordered
     // wedges, closing join, per-node rollup + exact total row
+    // from-scratch rebuild over the union input: the hash match IS the
+    // increment≡rebuild theorem for the maintained pair counts
+    "q348_copurchase_delta" ->
+      """WITH bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p)
+         SELECT sa, sb, CAST(nc AS BIGINT) AS nc
+         FROM p, st WHERE nc >= m ORDER BY sa, sb""",
     "q179_triangle_count" ->
       """WITH bask AS (
            SELECT DISTINCT o_custkey AS c, l_suppkey AS s

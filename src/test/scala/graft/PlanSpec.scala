@@ -388,7 +388,11 @@ class PlanSpec extends SparkSpec {
       "q343_layout_skipping",
       // q346: the same 3-row predicate panel crossed onto 16 chunk
       // zone-map rows
-      "q346_footer_zonemap")
+      "q346_footer_zonemap",
+      // q348: the one-row p95 threshold scalar crossed onto the pair
+      // counts (q46's class; the staged copurchase build does the same
+      // inside buildCoPurchaseEdges)
+      "q348_copurchase_delta")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -547,6 +547,223 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // REAL codec #6: GIF (r9) — FROM-SCRATCH parser + LZW decompressor
+  // (header / logical screen descriptor / global+local color tables /
+  // extension-block skip / image descriptor / variable-code-width LZW
+  // with clear-code dictionary resets and the deferred k-omega case),
+  // anchored against an EXTERNAL ground truth: the fixture bytes come
+  // from the JDK's own GIF *writer* (indexed color model, lossless),
+  // so a decoder bug cannot cancel against an encoder bug the way a
+  // self-paired codec could (the FLAC caveat). The JDK writer
+  // interlaces by default, so the 4-pass deinterlace permutation is
+  // exercised by every fixture. Out-of-subset media — truncated
+  // streams, bad LZW codes, missing color tables — fail loudly.
+  // ---------------------------------------------------------------
+
+  /** Encode a GIF via the JDK writer with an EXPLICIT exact palette
+    * (TYPE_BYTE_INDEXED over the image's own distinct colors, ≤256 by
+    * construction) — lossless, unlike letting the writer quantize a
+    * true-color image. Fixture builder for [[decodeGifBatched]].
+    */
+  def encodeGif(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val colors = (for (y <- 0 until h; x <- 0 until w) yield pix(x, y)).distinct
+    require(colors.size <= 256,
+      s"GIF fixture needs <= 256 distinct colors, got ${colors.size}")
+    val n = colors.size
+    val rs = new Array[Byte](n); val gs = new Array[Byte](n)
+    val bs = new Array[Byte](n)
+    colors.zipWithIndex.foreach { case ((r, g, b), i) =>
+      rs(i) = r.toByte; gs(i) = g.toByte; bs(i) = b.toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "gif", bos),
+      "JDK GIF writer unavailable")
+    bos.toByteArray
+  }
+
+  /** LSB-first bit reader over the concatenated LZW sub-block bytes. */
+  private final class LzwBits(data: Array[Byte]) {
+    private var pos = 0
+    private var bit = 0
+    def read(nBits: Int): Int = {
+      var v = 0
+      var got = 0
+      while (got < nBits) {
+        require(pos < data.length, "LZW stream truncated")
+        val avail = 8 - bit
+        val take = math.min(avail, nBits - got)
+        v |= (((data(pos) & 0xff) >> bit) & ((1 << take) - 1)) << got
+        got += take
+        bit += take
+        if (bit == 8) { bit = 0; pos += 1 }
+      }
+      v
+    }
+  }
+
+  /** Decode one GIF: first image, interlace supported (4-pass row
+    * permutation).
+    * The LZW dictionary is the standard GIF variant: code width starts
+    * at minCodeSize+1, grows when the next free slot crosses a power
+    * of two (cap 12 bits), clear code resets, and the k-omega case
+    * (code == next free slot) emits prev + prev.head. Pixels map
+    * through the active (local-over-global) color table.
+    */
+  private[ext] def decodeGif(id: Long, bytes: Array[Byte]): PngOut = {
+    require(bytes.length >= 13 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a', s"media $id: not a GIF")
+    var p = 6
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
+    u16(); u16() // logical screen w/h (the image descriptor's governs)
+    val packed = u8()
+    u8(); u8() // background color index, aspect ratio
+    val gct: Array[Int] =
+      if ((packed & 0x80) != 0) {
+        val sz = 2 << (packed & 0x07)
+        val t = new Array[Int](sz)
+        var i = 0
+        while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
+        t
+      } else Array.empty
+    // walk blocks to the first image descriptor, skipping extensions
+    var sep = u8()
+    while (sep == 0x21) {
+      u8() // extension label
+      var len = u8()
+      while (len != 0) { p += len; len = u8() }
+      sep = u8()
+    }
+    require(sep == 0x2c, s"media $id: no image descriptor (got $sep)")
+    u16(); u16() // image left, top
+    val w = u16(); val h = u16()
+    require(w > 0 && h > 0, s"media $id: empty image")
+    val ipacked = u8()
+    // the JDK writer interlaces by DEFAULT, so the 4-pass row
+    // permutation is first-class here, not an out-of-subset rejection
+    val interlaced = (ipacked & 0x40) != 0
+    val table: Array[Int] =
+      if ((ipacked & 0x80) != 0) {
+        val sz = 2 << (ipacked & 0x07)
+        val t = new Array[Int](sz)
+        var i = 0
+        while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
+        t
+      } else gct
+    require(table.nonEmpty, s"media $id: no color table")
+    val minCode = u8()
+    require(minCode >= 2 && minCode <= 8, s"media $id: bad LZW root size $minCode")
+    // concatenate data sub-blocks
+    val lzw = new java.io.ByteArrayOutputStream()
+    var len = u8()
+    while (len != 0) {
+      lzw.write(bytes, p, len); p += len
+      len = u8()
+    }
+    val bits = new LzwBits(lzw.toByteArray)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val dict = new Array[Array[Byte]](4096)
+    def resetDict(): Int = {
+      var i = 0
+      while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+      clear + 2
+    }
+    var next = resetDict()
+    var codeSize = minCode + 1
+    var prev: Array[Byte] = null
+    val out = new java.io.ByteArrayOutputStream(w * h)
+    var done = false
+    while (!done && out.size < w * h) {
+      val code = bits.read(codeSize)
+      if (code == clear) {
+        next = resetDict(); codeSize = minCode + 1; prev = null
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && dict(code) != null) dict(code)
+          else {
+            require(code == next && prev != null,
+              s"media $id: bad LZW code $code (next=$next)")
+            prev :+ prev(0)
+          }
+        out.write(entry, 0, entry.length)
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = entry
+      }
+    }
+    val idx0 = out.toByteArray
+    require(idx0.length == w * h,
+      s"media $id: LZW decoded ${idx0.length} pixels, expected ${w * h}")
+    // GIF89a appendix E interlace: rows arrive in four passes
+    // (every 8th from 0, every 8th from 4, every 4th from 2, every
+    // 2nd from 1) — permute back to scan order
+    val idx = if (!interlaced) idx0 else {
+      val res = new Array[Byte](idx0.length)
+      var src = 0
+      Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+        var r = start
+        while (r < h) {
+          System.arraycopy(idx0, src * w, res, r * w, w)
+          src += 1
+          r += step
+        }
+      }
+      res
+    }
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var i = 0
+    while (i < idx.length) {
+      val ci = idx(i) & 0xff
+      require(ci < table.length, s"media $id: palette index $ci out of range")
+      val c = table(ci)
+      sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff; sumB += c & 0xff
+      i += 1
+    }
+    val tl = table(idx(0) & 0xff)
+    val nPix = w.toLong * h
+    PngOut(id, w, h, sumR.toDouble / nPix, sumG.toDouble / nPix,
+      sumB.toDouble / nPix, (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+  }
+
+  /** Batched GIF decode — [[decodeBatched]]'s shape, from-scratch leaf. */
+  def decodeGifBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                       batchSize: Int = 64,
+                       batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[PngOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[PngOut] =
+      org.apache.spark.sql.Encoders.product[PngOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.map(m => decodeGif(m.media_id, m.media))
+      }
+    }
+  }
+
   /** Assemble a media DataFrame from any (id, bytes, type) source with
     * decode+features applied — one narrow, codegen'd pass; partition by
     * size bucket first when payload skew matters (large blobs hash to

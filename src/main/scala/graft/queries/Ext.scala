@@ -1050,6 +1050,38 @@ object Ext {
         .orderBy(col("media_id"))
     }),
 
+    // REAL codec #6 (r9): GIF through the batched media seam — the
+    // first codec whose DECOMPRESSOR is from scratch (variable-width
+    // LZW with clear-code resets and the k-omega case) while the
+    // fixture bytes come from an EXTERNAL encoder (the JDK GIF writer
+    // over an exact indexed palette, lossless) — so unlike a
+    // self-paired codec, a decoder bug cannot cancel against an
+    // encoder bug. Lossless palette round-trip ⇒ EXACT oracle on the
+    // formula pixels (q315's contract class, not JPEG's tolerance).
+    "q349_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(43)) === 9)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val w = (6 + n % 4).toInt
+          val h = (5 + n % 3).toInt
+          Multimodal.MediaIn(n, Multimodal.encodeGif(w, h, (x, y) => (
+            ((n + 3 * x + y) % 256).toInt,
+            ((n + x + 4 * y + 7) % 256).toInt,
+            ((n + 2 * x + 2 * y + 3) % 256).toInt)))
+        }
+      Multimodal.decodeGifBatched(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // Two-stage retrieve-then-rerank (r7) — the production retrieval
     // shape: a CHEAP blocked candidate generator (4-bit hyperplane-sign
     // bucket equi-join — q161's blocking, zero all-pairs work) feeding
@@ -1892,6 +1924,28 @@ object Ext {
            CAST(doc_id % 256 AS INT) AS tl_r,
            CAST((doc_id + 5) % 256 AS INT) AS tl_g,
            CAST((doc_id + 11) % 256 AS INT) AS tl_b
+         FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // lossless palette GIF ⇒ exact formula replay, q315's class
+    "q349_gif_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(6 + doc_id % 4 AS INT) AS w,
+                  CAST(5 + doc_id % 3 AS INT) AS h
+           FROM documents WHERE doc_id % 43 = 9),
+         px AS (
+           SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+           FROM d,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+         SELECT doc_id AS media_id, w AS width, h AS height,
+           round(SUM((doc_id + 3*x + y) % 256) * 1.0 / (w * h), 6)
+             AS mean_r,
+           round(SUM((doc_id + x + 4*y + 7) % 256) * 1.0 / (w * h), 6)
+             AS mean_g,
+           round(SUM((doc_id + 2*x + 2*y + 3) % 256) * 1.0 / (w * h), 6)
+             AS mean_b,
+           CAST(doc_id % 256 AS INT) AS tl_r,
+           CAST((doc_id + 7) % 256 AS INT) AS tl_g,
+           CAST((doc_id + 3) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
     // JPEG is lossy → contract oracle: exact dims + tolerance booleans
     // pinned TRUE (the decode itself happens JVM-side; the oracle pins

@@ -189,6 +189,80 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF codec: from-scratch LZW decode agrees with the JDK's own " +
+      "reader on JDK-written bytes, pixel-exact") {
+    // the external-anchor property: fixture bytes come from ImageIO's
+    // GIF WRITER; decodeGif (our LZW) must land on the exact pixels
+    // ImageIO's READER also reports
+    def pix(n: Long)(x: Int, y: Int): (Int, Int, Int) = (
+      ((n + 3 * x + y) % 256).toInt,
+      ((n + x + 4 * y + 7) % 256).toInt,
+      ((n + 2 * x + 2 * y + 3) % 256).toInt)
+    for (n <- Seq(0L, 9L, 52L, 95L)) {
+      val (w, h) = ((6 + n % 4).toInt, (5 + n % 3).toInt)
+      val bytes = Multimodal.encodeGif(w, h, pix(n))
+      assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+      val ours = Multimodal.decodeGifBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(n, bytes)))).collect().head
+      // JDK reader ground truth
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width == img.getWidth && ours.height == img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        // and the JDK reader itself must agree with the formula —
+        // the write was lossless by exact-palette construction
+        assert((((p >> 16) & 0xff), ((p >> 8) & 0xff), (p & 0xff))
+          == pix(n)(x, y))
+      }
+      val np = (w * h).toDouble
+      assert(math.abs(ours.mean_r - sr / np) < 1e-12)
+      assert(math.abs(ours.mean_g - sg / np) < 1e-12)
+      assert(math.abs(ours.mean_b - sb / np) < 1e-12)
+      assert((ours.tl_r, ours.tl_g, ours.tl_b) == pix(n)(0, 0))
+    }
+  }
+
+  test("GIF codec: LZW dictionary growth past one code-width boundary " +
+      "decodes exactly (wide image, many distinct colors)") {
+    // 16x16 = 256 pixels with 256 distinct colors: the LZW dictionary
+    // crosses at least one width increase and the palette is full
+    val bytes = Multimodal.encodeGif(16, 16,
+      (x, y) => (x * 16 + y, (x * 16 + y + 85) % 256, (x * 16 + y + 170) % 256))
+    val o = Multimodal.decodeGifBatched(spark.createDataset(Seq(
+      Multimodal.MediaIn(7L, bytes)))).collect().head
+    assert(o.width == 16 && o.height == 16)
+    // mean over k=0..255 of each channel = 127.5 exactly
+    assert(math.abs(o.mean_r - 127.5) < 1e-12)
+    assert(math.abs(o.mean_g - 127.5) < 1e-12)
+    assert(math.abs(o.mean_b - 127.5) < 1e-12)
+    assert((o.tl_r, o.tl_g, o.tl_b) == ((0, 85, 170)))
+  }
+
+  test("GIF codec: corrupt or out-of-subset media fails loudly") {
+    val good = Multimodal.encodeGif(3, 3, (x, y) => (x, y, x + y))
+    // wrong magic
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeGifBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(1L, "GIF9za nope".getBytes)))).collect()
+    }
+    // right magic, truncated mid-LZW
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeGifBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(2L, good.take(good.length - 4))))).collect()
+    }
+    // global color table flag cleared => the parser must error out
+    // (misframed stream / missing table), never emit garbage pixels
+    val noGct = good.clone()
+    noGct(10) = (noGct(10) & 0x7f).toByte
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeGifBatched(spark.createDataset(Seq(
+        Multimodal.MediaIn(3L, noGct)))).collect()
+    }
+  }
+
   test("JPEG codec: lossy round-trip lands within the contract " +
       "tolerances; corrupt media fails loudly") {
     // smooth gradient — the signal class JPEG preserves

@@ -699,6 +699,40 @@ object Analytics {
       } finally deleteRecursively(stage)
     }),
 
+    // l-diversity generalization walk (r9 — k-anonymity q213's
+    // release-gate complement): a quasi-identifier release is
+    // l-diverse when every QI group carries >= l DISTINCT sensitive
+    // values (here: users per (event_type, time bucket)). The operator
+    // is the LATTICE WALK: coarsen the time bucket level by level
+    // (hour -> 6h -> day -> week) and pick the MINIMAL level whose
+    // min-diversity clears l — coarsening merges groups and a merged
+    // group's distinct count is >= the max of its parts, so
+    // min-diversity is monotone up the lattice and "first ok" is
+    // well-defined (the monotonicity is visible in the min_div
+    // column). Each level is one exact count-distinct agg — bounded
+    // by |levels| shuffles, each O(groups).
+    "q350_l_diversity" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"), col("user_id"))
+      val l = 3L
+      val legs = Seq(("1_hour", 1L), ("2_six_hours", 6L),
+        ("3_day", 24L), ("4_week", 168L)).map { case (name, width) =>
+        e.groupBy(col("event_type"), expr(s"hr div $width").as("qb"))
+          .agg(countDistinct(col("user_id")).as("div"))
+          .agg(count(lit(1)).as("n_groups"), min(col("div")).as("min_div"))
+          .select(lit(name).as("level"), col("n_groups"), col("min_div"),
+            (col("min_div") >= l).as("l_ok"))
+      }
+      val w = Window.orderBy(col("level"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      legs.reduce(_ unionByName _)
+        .withColumn("prev_ok",
+          coalesce(max(col("l_ok").cast("long")).over(w), lit(0L)))
+        .withColumn("chosen", col("l_ok") && col("prev_ok") === 0)
+        .drop("prev_ok")
+        .orderBy(col("level"))
+    }),
+
     // Matryoshka truncation audit: how much of each embedding's energy
     // survives prefix truncation to 8/16/32 of 64 dims — the
     // retention ratio r_k = Σ_{i<k}v_i²/Σv_i² per vector (q236's
@@ -1316,6 +1350,31 @@ object Analytics {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey % 10 <> 3
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // monotone lattice walk replayed level by level; chosen = first ok
+    "q350_l_diversity" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr, user_id
+           FROM events),
+         lv AS (
+           SELECT '1_hour' AS level, 1 AS wdt
+           UNION ALL SELECT '2_six_hours', 6
+           UNION ALL SELECT '3_day', 24
+           UNION ALL SELECT '4_week', 168),
+         g AS (
+           SELECT lv.level, e.event_type, e.hr // lv.wdt AS qb,
+             COUNT(DISTINCT e.user_id) AS dv
+           FROM e CROSS JOIN lv GROUP BY 1, 2, 3),
+         r AS (
+           SELECT level, COUNT(*) AS n_groups,
+             CAST(MIN(dv) AS BIGINT) AS min_div,
+             MIN(dv) >= 3 AS l_ok
+           FROM g GROUP BY 1)
+         SELECT level, n_groups, min_div, l_ok,
+           l_ok AND coalesce(MAX(CASE WHEN l_ok THEN 1 ELSE 0 END)
+             OVER (ORDER BY level
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) = 0 AS chosen
+         FROM r ORDER BY level""",
     // identical contract to q341: the CDC route (upstream state
     // changelog → signed deltas → CountingView) must land on the same
     // from-scratch rollup over the post-batch fact set

@@ -138,6 +138,61 @@ object Corpus {
         .orderBy(col("lang"))
     }),
 
+    // Rendezvous (highest-random-weight) shard routing (r9): the
+    // 100 TB shard-ASSIGNMENT story beside the packing operators —
+    // owner(doc) = argmax over nodes of a portable per-(doc, node)
+    // hash, so adding a node moves ONLY the docs whose new-node hash
+    // beats their old maximum, and every mover lands ON the new node
+    // (the rendezvous theorem: old nodes' scores are unchanged, so a
+    // changed argmax can only be the newcomer). The query scores 8
+    // nodes, then 9, and pins: the movers-only-to-new boolean, the
+    // ~1/9 moved fraction, and post-add balance (max/min node load) —
+    // every cell exact because the hash is plain modular arithmetic
+    // both engines compute (the q288/q57 portable-hash discipline;
+    // xxhash would be faster but is not oracle-replayable). The node
+    // panel is a 9-row broadcast; ownership is one row_number window
+    // per doc — no shuffle beyond the doc_id hash partition.
+    "q351_rendezvous_routing" -> ((s, d) => {
+      import s.implicits._
+      val ids = table(s, d, "documents").select(col("doc_id"))
+      val nodes = (0L to 8L).toDF("node")
+      // two sub-P factors multiplied then reduced — mixes doc and node
+      // into every output bit-range (a plain linear form leaves the
+      // sequential doc_id structure visible: measured 2x load skew);
+      // both factors < P ~ 1e9 so the product stays inside int64
+      val scored = ids.crossJoin(broadcast(nodes))
+        .withColumn("h", pmod(
+          pmod(col("doc_id") * lit(2654435761L) + col("node") + lit(1L),
+            lit(1000000007L)) *
+            pmod(col("node") * lit(97003969L) + col("doc_id") + lit(12345L),
+              lit(1000000007L)),
+          lit(1000000007L)))
+      def owner(maxNode: Long, alias: String): DataFrame = {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("h").desc, col("node"))
+        scored.filter(col("node") <= maxNode)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("node").as(alias))
+      }
+      val j = owner(7L, "owner_before").join(owner(8L, "owner_after"),
+        Seq("doc_id")).localCheckpoint(true)
+      val loads = j.groupBy(col("owner_after"))
+        .agg(count(lit(1)).as("ld"))
+        .agg(max(col("ld")).as("max_load_after"),
+          min(col("ld")).as("min_load_after"))
+      j.agg(count(lit(1)).as("n_docs"),
+          sum((col("owner_after") =!= col("owner_before")).cast("long"))
+            .as("n_moved"),
+          sum((col("owner_after") =!= col("owner_before") &&
+            col("owner_after") =!= 8).cast("long")).as("__cross"))
+        .crossJoin(broadcast(loads))
+        .select(col("n_docs"), col("n_moved"),
+          expr("(n_moved * 1000) div n_docs").as("moved_permille"),
+          (col("__cross") === 0).as("moves_only_to_new"),
+          col("max_load_after"), col("min_load_after"))
+    }),
+
     // Delta-aware staged relation (r9, SURVEY §7.6 backlog item #1):
     // ops.Staged.deltaRelation stages a PER-DEP-map relation slice by
     // slice, so an input change rebuilds O(|Δ|), not O(corpus) — the
@@ -1232,6 +1287,45 @@ object Corpus {
     }))
 
   val oracles: Map[String, String] = Map(
+    // identical modular-arithmetic hash replayed; the movers-only-to-
+    // the-new-node boolean is the rendezvous theorem, hash-checked
+    "q351_rendezvous_routing" ->
+      """WITH n AS (SELECT unnest(generate_series(0, 8)) AS node),
+         s AS (
+           SELECT d.doc_id, n.node,
+             (((d.doc_id * 2654435761 + n.node + 1) % 1000000007)
+              * ((n.node * 97003969 + d.doc_id + 12345) % 1000000007))
+               % 1000000007 AS h
+           FROM documents d CROSS JOIN n),
+         o8 AS (
+           SELECT doc_id, node AS owner_before FROM (
+             SELECT doc_id, node, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY h DESC, node) AS rn
+             FROM s WHERE node <= 7) t WHERE rn = 1),
+         o9 AS (
+           SELECT doc_id, node AS owner_after FROM (
+             SELECT doc_id, node, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY h DESC, node) AS rn
+             FROM s) t WHERE rn = 1),
+         j AS (
+           SELECT owner_before, owner_after
+           FROM o8 JOIN o9 USING (doc_id)),
+         loads AS (
+           SELECT owner_after, COUNT(*) AS ld FROM j GROUP BY 1),
+         agg AS (
+           SELECT COUNT(*) AS n_docs,
+             SUM(CASE WHEN owner_after <> owner_before
+               THEN 1 ELSE 0 END) AS n_moved,
+             SUM(CASE WHEN owner_after <> owner_before
+               AND owner_after <> 8 THEN 1 ELSE 0 END) AS x
+           FROM j)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_moved AS BIGINT) AS n_moved,
+           CAST((n_moved * 1000) // n_docs AS BIGINT) AS moved_permille,
+           x = 0 AS moves_only_to_new,
+           (SELECT CAST(MAX(ld) AS BIGINT) FROM loads) AS max_load_after,
+           (SELECT CAST(MIN(ld) AS BIGINT) FROM loads) AS min_load_after
+         FROM agg""",
     // union-of-slice-stages ≡ direct build is a theorem (per-row map
     // commutes with union), query-verified; the rollup is replayed raw
     "q344_delta_staged_quality" ->

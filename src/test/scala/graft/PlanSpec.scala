@@ -392,7 +392,10 @@ class PlanSpec extends SparkSpec {
       // q348: the one-row p95 threshold scalar crossed onto the pair
       // counts (q46's class; the staged copurchase build does the same
       // inside buildCoPurchaseEdges)
-      "q348_copurchase_delta")
+      "q348_copurchase_delta",
+      // q351: the 9-row node panel broadcast-crossed onto the doc ids
+      // (the scoring fanout IS the operator) plus a one-row load scalar
+      "q351_rendezvous_routing")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

@@ -165,6 +165,90 @@ object Staged {
     out
   }
 
+  /** Per-dep fingerprint line for the generation manifest. */
+  private def depLine(p0: String): String = {
+    val p = java.nio.file.Paths.get(p0)
+    val leaves =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toVector.sortBy(_.toString)
+        finally st.close()
+      } else Vector(p)
+    p0 + "=>" + leaves.map(l => s"${java.nio.file.Files.size(l)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(l).toMillis}").mkString(",")
+  }
+
+  /** Incrementally MAINTAINED staged relation (r9, SURVEY §7.6
+    * "Staged + IVM composition"): like [[relation]], but when the dep
+    * set GROWS (append-only input: every previously-seen dep unchanged,
+    * new deps added), the new generation is built by `applyDelta(
+    * previousGeneration, addedDeps)` instead of `buildFull(deps)` —
+    * the staged-relation protocol meets the counting-IVM move (q348).
+    * Each published generation records its dep fingerprints in a
+    * `_graft_deps` manifest (underscore-prefixed: invisible to the
+    * parquet reader, ATOMIC_MOVE'd with the data); candidate previous
+    * generations are matched by manifest, never by mtime. Falls back
+    * to `buildFull` when no prior generation qualifies (first build,
+    * regenerated deps, or shrunk dep set) — the delta path is an
+    * OPTIMIZATION with identical semantics, which callers must
+    * guarantee (applyDelta(gen(D0), D1) ≡ buildFull(D0 ∪ D1)); specs
+    * pin that equivalence per adopter.
+    */
+  def maintainedRelation(s: SparkSession, name: String, version: String,
+                         deps: Seq[String])
+                        (buildFull: Seq[String] => DataFrame)
+                        (applyDelta: (DataFrame, Seq[String]) => DataFrame)
+      : DataFrame = {
+    val stage = stagePath(name, version, deps)
+    def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
+    lock.synchronized {
+      if (!published) {
+        val lines = deps.map(depLine)
+        // previous generation: same name+version, manifest a strict
+        // subset of the new dep lines (same fingerprints), most deps
+        // wins; its OWN key differs (deps changed), so target != prev
+        val prev = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+          .filter(f => f.getName.startsWith(name + "_") &&
+            java.nio.file.Files.exists(f.toPath.resolve("_SUCCESS")) &&
+            java.nio.file.Files.exists(f.toPath.resolve("_graft_deps")))
+          .flatMap { f =>
+            val m = new String(java.nio.file.Files.readAllBytes(
+              f.toPath.resolve("_graft_deps")), "UTF-8").split("\n").toSeq
+            val (v, old) = (m.head, m.tail)
+            if (v == version && old.nonEmpty && old.size < lines.size &&
+              old.forall(lines.contains)) Some((f.toPath, old.size))
+            else None
+          }.sortBy(-_._2).headOption
+        val built = prev match {
+          case Some((prevPath, nOld)) =>
+            val oldLines = new String(java.nio.file.Files.readAllBytes(
+              prevPath.resolve("_graft_deps")), "UTF-8").split("\n").tail.toSet
+            val added = deps.filter(dp => !oldLines.contains(depLine(dp)))
+            require(added.size == deps.size - nOld,
+              s"maintained stage $name: dep manifest mismatch")
+            applyDelta(s.read.parquet(prevPath.toString), added)
+          case None => buildFull(deps)
+        }
+        val tmp = java.nio.file.Paths.get(
+          stage.toString + s".build_${System.nanoTime()}")
+        built.write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.write(tmp.resolve("_graft_deps"),
+          (version +: deps.map(depLine)).mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createDirectories(stage.getParent)
+        if (published) graft.Graft.deleteRecursively(tmp)
+        else {
+          graft.Graft.deleteRecursively(stage)
+          java.nio.file.Files.move(tmp, stage,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          pruneSuperseded(name, stage)
+        }
+      }
+    }
+    s.read.parquet(stage.toString)
+  }
+
   /** Drop stages of the same relation under superseded keys once they
     * age past the TTL (see the class doc for why the age gate makes
     * this safe), plus orphaned `.build_` temp dirs from crashed builds.

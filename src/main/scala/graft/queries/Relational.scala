@@ -507,6 +507,76 @@ object Relational {
         .orderBy(col("sa"), col("sb"))
     }),
 
+    // Staged + IVM composition (r9, §7.6): q348's counting-IVM merge
+    // becomes the UPDATE PATH of a staged relation. ops.Staged.
+    // maintainedRelation records each generation's dep fingerprints in
+    // a manifest; when the dep set GROWS (append-only input), the new
+    // generation builds as applyDelta(previous generation, added deps)
+    // instead of a full rebuild — here: the maintained co-purchase
+    // pair counts gain the delta orders' contributions (the q348
+    // decomposition) without re-running the base baskets' quadratic
+    // self-join (the base input is re-SCANNED for basket membership —
+    // linear — but its pair generation, the expensive part, comes from
+    // the previous generation's parquet). Two generations build inside
+    // this query: gen1 full over the staged base-orders slice, gen2
+    // via the delta path over base+delta; the emitted edges come from
+    // gen2, and the oracle rebuilds them from scratch over the union
+    // input — the hash match pins delta-path ≡ rebuild END TO END
+    // through the staging protocol (StagedSpec pins route selection
+    // with build counters). At 100 TB this is the nightly shape: a new
+    // partition lands, the shared relation updates in O(|Δ|·basket),
+    // downstream families keep reading one columnar stage.
+    "q352_maintained_stage" -> ((s, d) => {
+      val ordersSrc = s"$d/orders.parquet"
+      val liSrc = s"$d/lineitem.parquet"
+      def sliceDir(nm: String,
+                   pred: org.apache.spark.sql.Column): String = {
+        graft.ops.Staged.relation(s, nm, "v1", Seq(ordersSrc))(
+          table(s, d, "orders").filter(pred)
+            .select(col("o_orderkey"), col("o_custkey")))
+        graft.ops.Staged.stagePath(nm, "v1", Seq(ordersSrc)).toString
+      }
+      val baseDir = sliceDir("q352_orders_base",
+        pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val deltaDir = sliceDir("q352_orders_delta",
+        pmod(col("o_orderkey"), lit(10)) === 7)
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      def baskets(ordDirs: Seq[String]): DataFrame =
+        li.join(s.read.parquet(ordDirs: _*),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
+          .distinct()
+      def selfPairs(bask: DataFrame): DataFrame =
+        bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
+          .filter(col("sa") < col("sb")).select(col("sa"), col("sb"))
+      def buildFull(deps: Seq[String]): DataFrame =
+        selfPairs(baskets(deps.tail)) // deps.head is lineitem
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+      def applyDelta(prev: DataFrame, added: Seq[String]): DataFrame = {
+        val baskBase = baskets(Seq(baseDir))
+        val baskD = baskets(added)
+          .join(baskBase, Seq("c", "sv"), "left_anti")
+        val mixed = baskD.toDF("c", "x")
+          .join(baskBase.toDF("c", "y"), Seq("c"))
+          .select(least(col("x"), col("y")).as("sa"),
+            greatest(col("x"), col("y")).as("sb"))
+        val deltaCounts = mixed.unionByName(selfPairs(baskD))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+        prev.unionByName(deltaCounts)
+          .groupBy(col("sa"), col("sb")).agg(sum(col("nc")).as("nc"))
+      }
+      graft.ops.Staged.maintainedRelation(s, "q352_paircounts", "v1",
+        Seq(liSrc, baseDir))(buildFull)(applyDelta)
+      val counts = graft.ops.Staged.maintainedRelation(s,
+        "q352_paircounts", "v1", Seq(liSrc, baseDir, deltaDir))(
+        buildFull)(applyDelta)
+      val thr = counts.agg(expr("percentile(nc, 0.95D)").as("m"))
+      counts.crossJoin(broadcast(thr)).filter(col("nc") >= col("m"))
+        .select(col("sa"), col("sb"), col("nc").cast("long").as("nc"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Weighted label propagation (graft.ext.Graph.labelPropagation, 3
     // synchronous rounds) over q179's p95 co-purchase graph, edge
     // weight = common-customer count: the community structure that
@@ -917,6 +987,20 @@ object Relational {
          ORDER BY p_partkey""",
     // full triangle recompute: projection, relative threshold, ordered
     // wedges, closing join, per-node rollup + exact total row
+    // q348's contract routed through the staging protocol: the edges
+    // emitted from the delta-built GENERATION must equal a from-scratch
+    // rebuild over the union input
+    "q352_maintained_stage" ->
+      """WITH bask AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask a JOIN bask b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         st AS (SELECT quantile_cont(nc, 0.95) AS m FROM p)
+         SELECT sa, sb, CAST(nc AS BIGINT) AS nc
+         FROM p, st WHERE nc >= m ORDER BY sa, sb""",
     // from-scratch rebuild over the union input: the hash match IS the
     // increment≡rebuild theorem for the maintained pair counts
     "q348_copurchase_delta" ->

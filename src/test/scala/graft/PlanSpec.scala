@@ -395,7 +395,9 @@ class PlanSpec extends SparkSpec {
       "q348_copurchase_delta",
       // q351: the 9-row node panel broadcast-crossed onto the doc ids
       // (the scoring fanout IS the operator) plus a one-row load scalar
-      "q351_rendezvous_routing")
+      "q351_rendezvous_routing",
+      // q352: q348's one-row p95 threshold scalar
+      "q352_maintained_stage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(productOk)
       .filterNot(Set("q52_stream_window_agg", "q53_stream_active911",

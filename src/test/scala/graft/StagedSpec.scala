@@ -110,6 +110,56 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("maintainedRelation: a grown dep set builds via applyDelta on " +
+      "the previous generation, a regenerated dep falls back to full, " +
+      "and both routes yield identical content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_spec_")
+    try {
+      val a = dir.resolve("a.parquet").toString
+      val b = dir.resolve("b.parquet").toString
+      spark.range(0, 12).toDF("n").write.parquet(a)
+      spark.range(12, 18).toDF("n").write.parquet(b)
+      var fulls = 0
+      var deltas = 0
+      // relation: counts per n % 3 — counting-mergeable, so the delta
+      // path is partial-count union + re-sum
+      def counts(paths: Seq[String]) = spark.read.parquet(paths: _*)
+        .groupBy(pmod(col("n"), lit(3L)).as("g"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      def bf(deps: Seq[String]) = { fulls += 1; counts(deps) }
+      def ad(prev: org.apache.spark.sql.DataFrame, added: Seq[String]) = {
+        deltas += 1
+        prev.unionByName(counts(added))
+          .groupBy(col("g")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      }
+      val g1 = Staged.maintainedRelation(spark, "spec_maint", "v1",
+        Seq(a))(bf)(ad)
+      assert(g1.count() == 3 && fulls == 1 && deltas == 0)
+      val gen1Path = Staged.stagePath("spec_maint", "v1", Seq(a))
+      val t1 = gen1Path.toFile.lastModified
+      // grown dep set: delta route, previous generation untouched
+      val g2 = Staged.maintainedRelation(spark, "spec_maint", "v1",
+        Seq(a, b))(bf)(ad)
+      assert(fulls == 1 && deltas == 1,
+        s"expected the delta route, got fulls=$fulls deltas=$deltas")
+      assert(gen1Path.toFile.lastModified == t1)
+      val direct = counts(Seq(a, b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(g2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == direct, "delta-built generation diverged from full rebuild")
+      // re-read: served from the published generation, no new builds
+      Staged.maintainedRelation(spark, "spec_maint", "v1",
+        Seq(a, b))(bf)(ad).count()
+      assert(fulls == 1 && deltas == 1)
+      // regenerated dep: fingerprints break the subset match => full
+      spark.range(0, 15).toDF("n").write.mode("overwrite").parquet(a)
+      Staged.maintainedRelation(spark, "spec_maint", "v1",
+        Seq(a, b))(bf)(ad).count()
+      assert(fulls == 2 && deltas == 1,
+        s"regenerated dep must rebuild full, got fulls=$fulls deltas=$deltas")
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("planScrub v4: operator flips change the signature") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
     assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))

@@ -616,15 +616,30 @@ object Multimodal {
     }
   }
 
-  /** Decode one GIF: first image, interlace supported (4-pass row
-    * permutation).
+  /** Per-frame decode record for animated GIFs (the video-adjacent
+    * frame-sample path with a REAL codec behind it).
+    */
+  case class GifFrameOut(media_id: Long, frame: Int, width: Int, height: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double,
+                         tl_r: Int, tl_g: Int, tl_b: Int)
+
+  /** Walk ALL image blocks of a (possibly animated) GIF, decoding
+    * every `sampleEvery`-th frame and SKIPPING the LZW dictionary work
+    * for unsampled ones (their sub-blocks are length-walked only — the
+    * scale story: sampling 1-in-30 frames pays 1/30th of the decode,
+    * not 1/30th of the output). Frames must be full-logical-screen
+    * replacements (left=0, top=0) — partial-frame disposal composition
+    * is out of subset and fails loudly.
     * The LZW dictionary is the standard GIF variant: code width starts
     * at minCodeSize+1, grows when the next free slot crosses a power
     * of two (cap 12 bits), clear code resets, and the k-omega case
     * (code == next free slot) emits prev + prev.head. Pixels map
-    * through the active (local-over-global) color table.
+    * through the active (local-over-global) color table. Interlace is
+    * handled by the 4-pass row permutation.
     */
-  private[ext] def decodeGif(id: Long, bytes: Array[Byte]): PngOut = {
+  private[ext] def gifFrames(id: Long, bytes: Array[Byte],
+                             sampleEvery: Int = 1): Vector[GifFrameOut] = {
+    require(sampleEvery >= 1)
     require(bytes.length >= 13 &&
       bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
@@ -632,121 +647,141 @@ object Multimodal {
     var p = 6
     def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
     def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
-    u16(); u16() // logical screen w/h (the image descriptor's governs)
+    def colorTable(sizeBits: Int): Array[Int] = {
+      val sz = 2 << sizeBits
+      val t = new Array[Int](sz)
+      var i = 0
+      while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
+      t
+    }
+    u16(); u16() // logical screen w/h (each image descriptor's governs)
     val packed = u8()
     u8(); u8() // background color index, aspect ratio
     val gct: Array[Int] =
-      if ((packed & 0x80) != 0) {
-        val sz = 2 << (packed & 0x07)
-        val t = new Array[Int](sz)
-        var i = 0
-        while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
-        t
-      } else Array.empty
-    // walk blocks to the first image descriptor, skipping extensions
+      if ((packed & 0x80) != 0) colorTable(packed & 0x07) else Array.empty
+    var frames = Vector.empty[GifFrameOut]
+    var frameIdx = 0
     var sep = u8()
-    while (sep == 0x21) {
-      u8() // extension label
-      var len = u8()
-      while (len != 0) { p += len; len = u8() }
+    while (sep != 0x3b) {
+      if (sep == 0x21) { // extension: label + sub-blocks
+        u8()
+        var len = u8()
+        while (len != 0) { p += len; len = u8() }
+      } else if (sep == 0x2c) {
+        val left = u16(); val top = u16()
+        require(left == 0 && top == 0,
+          s"media $id: partial-frame composition unsupported")
+        val w = u16(); val h = u16()
+        require(w > 0 && h > 0, s"media $id: empty image")
+        val ipacked = u8()
+        val interlaced = (ipacked & 0x40) != 0
+        val table: Array[Int] =
+          if ((ipacked & 0x80) != 0) colorTable(ipacked & 0x07) else gct
+        require(table.nonEmpty, s"media $id: no color table")
+        val minCode = u8()
+        require(minCode >= 2 && minCode <= 8,
+          s"media $id: bad LZW root size $minCode")
+        if (frameIdx % sampleEvery != 0) {
+          // unsampled: length-walk the sub-blocks, no LZW work
+          var len = u8()
+          while (len != 0) { p += len; len = u8() }
+        } else {
+          val lzw = new java.io.ByteArrayOutputStream()
+          var len = u8()
+          while (len != 0) {
+            lzw.write(bytes, p, len); p += len
+            len = u8()
+          }
+          val bits = new LzwBits(lzw.toByteArray)
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val dict = new Array[Array[Byte]](4096)
+          def resetDict(): Int = {
+            var i = 0
+            while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+            clear + 2
+          }
+          var next = resetDict()
+          var codeSize = minCode + 1
+          var prev: Array[Byte] = null
+          val out = new java.io.ByteArrayOutputStream(w * h)
+          var done = false
+          while (!done && out.size < w * h) {
+            val code = bits.read(codeSize)
+            if (code == clear) {
+              next = resetDict(); codeSize = minCode + 1; prev = null
+            } else if (code == eoi) {
+              done = true
+            } else {
+              val entry: Array[Byte] =
+                if (code < next && dict(code) != null) dict(code)
+                else {
+                  require(code == next && prev != null,
+                    s"media $id: bad LZW code $code (next=$next)")
+                  prev :+ prev(0)
+                }
+              out.write(entry, 0, entry.length)
+              if (prev != null && next < 4096) {
+                dict(next) = prev :+ entry(0)
+                next += 1
+                if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+              }
+              prev = entry
+            }
+          }
+          val idx0 = out.toByteArray
+          require(idx0.length == w * h,
+            s"media $id: LZW decoded ${idx0.length} pixels, expected ${w * h}")
+          // GIF89a appendix E interlace: rows arrive in four passes
+          // (every 8th from 0, every 8th from 4, every 4th from 2,
+          // every 2nd from 1) — permute back to scan order
+          val idx = if (!interlaced) idx0 else {
+            val res = new Array[Byte](idx0.length)
+            var src = 0
+            Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+              var r = start
+              while (r < h) {
+                System.arraycopy(idx0, src * w, res, r * w, w)
+                src += 1
+                r += step
+              }
+            }
+            res
+          }
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          var i = 0
+          while (i < idx.length) {
+            val ci = idx(i) & 0xff
+            require(ci < table.length,
+              s"media $id: palette index $ci out of range")
+            val c = table(ci)
+            sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff
+            sumB += c & 0xff
+            i += 1
+          }
+          val tl = table(idx(0) & 0xff)
+          val nPix = w.toLong * h
+          frames :+= GifFrameOut(id, frameIdx, w, h, sumR.toDouble / nPix,
+            sumG.toDouble / nPix, sumB.toDouble / nPix,
+            (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+        }
+        frameIdx += 1
+      } else {
+        require(false, s"media $id: unknown block separator $sep")
+      }
       sep = u8()
     }
-    require(sep == 0x2c, s"media $id: no image descriptor (got $sep)")
-    u16(); u16() // image left, top
-    val w = u16(); val h = u16()
-    require(w > 0 && h > 0, s"media $id: empty image")
-    val ipacked = u8()
-    // the JDK writer interlaces by DEFAULT, so the 4-pass row
-    // permutation is first-class here, not an out-of-subset rejection
-    val interlaced = (ipacked & 0x40) != 0
-    val table: Array[Int] =
-      if ((ipacked & 0x80) != 0) {
-        val sz = 2 << (ipacked & 0x07)
-        val t = new Array[Int](sz)
-        var i = 0
-        while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
-        t
-      } else gct
-    require(table.nonEmpty, s"media $id: no color table")
-    val minCode = u8()
-    require(minCode >= 2 && minCode <= 8, s"media $id: bad LZW root size $minCode")
-    // concatenate data sub-blocks
-    val lzw = new java.io.ByteArrayOutputStream()
-    var len = u8()
-    while (len != 0) {
-      lzw.write(bytes, p, len); p += len
-      len = u8()
-    }
-    val bits = new LzwBits(lzw.toByteArray)
-    val clear = 1 << minCode
-    val eoi = clear + 1
-    val dict = new Array[Array[Byte]](4096)
-    def resetDict(): Int = {
-      var i = 0
-      while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
-      clear + 2
-    }
-    var next = resetDict()
-    var codeSize = minCode + 1
-    var prev: Array[Byte] = null
-    val out = new java.io.ByteArrayOutputStream(w * h)
-    var done = false
-    while (!done && out.size < w * h) {
-      val code = bits.read(codeSize)
-      if (code == clear) {
-        next = resetDict(); codeSize = minCode + 1; prev = null
-      } else if (code == eoi) {
-        done = true
-      } else {
-        val entry: Array[Byte] =
-          if (code < next && dict(code) != null) dict(code)
-          else {
-            require(code == next && prev != null,
-              s"media $id: bad LZW code $code (next=$next)")
-            prev :+ prev(0)
-          }
-        out.write(entry, 0, entry.length)
-        if (prev != null && next < 4096) {
-          dict(next) = prev :+ entry(0)
-          next += 1
-          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
-        }
-        prev = entry
-      }
-    }
-    val idx0 = out.toByteArray
-    require(idx0.length == w * h,
-      s"media $id: LZW decoded ${idx0.length} pixels, expected ${w * h}")
-    // GIF89a appendix E interlace: rows arrive in four passes
-    // (every 8th from 0, every 8th from 4, every 4th from 2, every
-    // 2nd from 1) — permute back to scan order
-    val idx = if (!interlaced) idx0 else {
-      val res = new Array[Byte](idx0.length)
-      var src = 0
-      Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
-        var r = start
-        while (r < h) {
-          System.arraycopy(idx0, src * w, res, r * w, w)
-          src += 1
-          r += step
-        }
-      }
-      res
-    }
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var i = 0
-    while (i < idx.length) {
-      val ci = idx(i) & 0xff
-      require(ci < table.length, s"media $id: palette index $ci out of range")
-      val c = table(ci)
-      sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff; sumB += c & 0xff
-      i += 1
-    }
-    val tl = table(idx(0) & 0xff)
-    val nPix = w.toLong * h
-    PngOut(id, w, h, sumR.toDouble / nPix, sumG.toDouble / nPix,
-      sumB.toDouble / nPix, (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+    require(frames.nonEmpty, s"media $id: no decodable frames")
+    frames
   }
+
+  /** Decode a single-image GIF (the q349 path): frame 0's moments. */
+  private[ext] def decodeGif(id: Long, bytes: Array[Byte]): PngOut = {
+    val f = gifFrames(id, bytes).head
+    PngOut(f.media_id, f.width, f.height, f.mean_r, f.mean_g, f.mean_b,
+      f.tl_r, f.tl_g, f.tl_b)
+  }
+
 
   /** Batched GIF decode — [[decodeBatched]]'s shape, from-scratch leaf. */
   def decodeGifBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
@@ -762,6 +797,81 @@ object Multimodal {
         batch.iterator.map(m => decodeGif(m.media_id, m.media))
       }
     }
+  }
+
+  /** Batched animated-GIF frame sampling: decode every `sampleEvery`-th
+    * frame of each payload (unsampled frames are length-walked, not
+    * LZW-decoded — see [[gifFrames]]), iterator-out one row per sampled
+    * frame. The video frame-sample path with a real codec in the leaf.
+    */
+  def sampleGifFramesBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                             sampleEvery: Int,
+                             batchSize: Int = 64,
+                             batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[GifFrameOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[GifFrameOut] =
+      org.apache.spark.sql.Encoders.product[GifFrameOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.flatMap(m =>
+          gifFrames(m.media_id, m.media, sampleEvery))
+      }
+    }
+  }
+
+  /** Encode an animated GIF via the JDK sequence writer, one exact
+    * indexed palette per frame (lossless) — fixture builder for
+    * [[sampleGifFramesBatched]].
+    */
+  def encodeAnimatedGif(w: Int, h: Int, nFrames: Int,
+                        pix: Int => (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    // interlace must be OFF here: the JDK's sequence writer + reader do
+    // NOT round-trip interlaced frames (probed: rows come back
+    // permuted and the last pass row constant) — single-image write()
+    // does, which is why q349's fixtures keep it on
+    val wp = writer.getDefaultWriteParam
+    wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val pf = pix(f)
+      val colors =
+        (for (y <- 0 until h; x <- 0 until w) yield pf(x, y)).distinct
+      require(colors.size <= 256)
+      val n = colors.size
+      val rs = new Array[Byte](n); val gs = new Array[Byte](n)
+      val bs = new Array[Byte](n)
+      colors.zipWithIndex.foreach { case ((r, g, b), i) =>
+        rs(i) = r.toByte; gs(i) = g.toByte; bs(i) = b.toByte
+      }
+      val icm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pf(x, y)
+          img.setRGB(x, y,
+            ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), wp)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
   }
 
   /** Assemble a media DataFrame from any (id, bytes, type) source with

@@ -1082,6 +1082,40 @@ object Ext {
         .orderBy(col("media_id"))
     }),
 
+    // Animated-GIF frame sampling (r9 — the video-adjacent path gets a
+    // REAL codec): each payload is a multi-frame GIF from the JDK
+    // sequence writer (per-frame exact palettes, lossless); the
+    // sampler decodes every 2nd frame and LENGTH-WALKS the rest (no
+    // LZW work for unsampled frames — sampling 1-in-k pays 1/k of the
+    // decode cost, the property that matters when the payload is a
+    // 10k-frame video). One output row per sampled frame; exact
+    // formula oracle over the sampled frame indices.
+    "q353_gif_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(47)) === 11)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val w = (5 + n % 3).toInt
+          val h = (4 + n % 2).toInt
+          val nf = (4 + n % 3).toInt
+          Multimodal.MediaIn(n, Multimodal.encodeAnimatedGif(w, h, nf,
+            f => (x, y) => (
+              ((n + 7 * f + x + 2 * y) % 256).toInt,
+              ((n + 3 * f + 2 * x + y + 5) % 256).toInt,
+              ((n + 11 * f + x + 3 * y + 9) % 256).toInt)))
+        }
+      Multimodal.sampleGifFramesBatched(media, sampleEvery = 2).toDF()
+        .select(col("media_id"), col("frame"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // Two-stage retrieve-then-rerank (r7) — the production retrieval
     // shape: a CHEAP blocked candidate generator (4-bit hyperplane-sign
     // bucket equi-join — q161's blocking, zero all-pairs work) feeding
@@ -1925,6 +1959,35 @@ object Ext {
            CAST((doc_id + 5) % 256 AS INT) AS tl_g,
            CAST((doc_id + 11) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // sampled frames (0, 2, 4, ...) replayed exactly per frame index
+    "q353_gif_frame_sample" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(5 + doc_id % 3 AS INT) AS w,
+                  CAST(4 + doc_id % 2 AS INT) AS h,
+                  CAST(4 + doc_id % 3 AS INT) AS nf
+           FROM documents WHERE doc_id % 47 = 11),
+         fr AS (
+           SELECT doc_id, w, h, fs.f AS f
+           FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) fs
+           WHERE fs.f % 2 = 0),
+         px AS (
+           SELECT doc_id, w, h, f, xs.x AS x, ys.y AS y
+           FROM fr,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+           w AS width, h AS height,
+           round(SUM((doc_id + 7*f + x + 2*y) % 256) * 1.0 / (w * h), 6)
+             AS mean_r,
+           round(SUM((doc_id + 3*f + 2*x + y + 5) % 256) * 1.0 / (w * h), 6)
+             AS mean_g,
+           round(SUM((doc_id + 11*f + x + 3*y + 9) % 256) * 1.0 / (w * h), 6)
+             AS mean_b,
+           CAST((doc_id + 7*f) % 256 AS INT) AS tl_r,
+           CAST((doc_id + 3*f + 5) % 256 AS INT) AS tl_g,
+           CAST((doc_id + 11*f + 9) % 256 AS INT) AS tl_b
+         FROM px GROUP BY doc_id, w, h, f
+         ORDER BY media_id, frame""",
     // lossless palette GIF ⇒ exact formula replay, q315's class
     "q349_gif_decode" ->
       """WITH d AS (

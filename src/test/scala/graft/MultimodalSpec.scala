@@ -241,6 +241,43 @@ class MultimodalSpec extends SparkSpec {
     assert((o.tl_r, o.tl_g, o.tl_b) == ((0, 85, 170)))
   }
 
+  test("animated GIF: sampled frames agree with the JDK sequence " +
+      "reader per frame index; unsampled frames are never decoded") {
+    val n = 11L
+    val (w, h, nf) = (5, 4, 5)
+    def pf(f: Int)(x: Int, y: Int): (Int, Int, Int) = (
+      ((n + 7 * f + x + 2 * y) % 256).toInt,
+      ((n + 3 * f + 2 * x + y + 5) % 256).toInt,
+      ((n + 11 * f + x + 3 * y + 9) % 256).toInt)
+    val bytes = Multimodal.encodeAnimatedGif(w, h, nf, f => pf(f))
+    val ours = Multimodal.sampleGifFramesBatched(
+      spark.createDataset(Seq(Multimodal.MediaIn(n, bytes))),
+      sampleEvery = 2).collect().sortBy(_.frame)
+    assert(ours.map(_.frame).toSeq == Seq(0, 2, 4),
+      s"expected frames 0,2,4, got ${ours.map(_.frame).toSeq}")
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(rdr.getNumImages(true) == nf)
+    for (o <- ours) {
+      val img = rdr.read(o.frame)
+      assert(o.width == img.getWidth && o.height == img.getHeight)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          == pf(o.frame)(x, y),
+          s"frame ${o.frame} pixel ($x,$y) diverged from the JDK reader")
+      }
+      val np = (w * h).toDouble
+      assert(math.abs(o.mean_r - sr / np) < 1e-12)
+      assert(math.abs(o.mean_g - sg / np) < 1e-12)
+      assert(math.abs(o.mean_b - sb / np) < 1e-12)
+    }
+    rdr.dispose()
+  }
+
   test("GIF codec: corrupt or out-of-subset media fails loudly") {
     val good = Multimodal.encodeGif(3, 3, (x, y) => (x, y, x + y))
     // wrong magic

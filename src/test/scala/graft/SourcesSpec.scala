@@ -59,4 +59,42 @@ class SourcesSpec extends SparkSpec {
       assert(n == 2L)
     } finally graft.Graft.deleteRecursively(stage)
   }
+
+  test("parquet footer bloom filters: present keys always hit, absent " +
+      "keys mostly miss — the MEMBERSHIP data-skipping layer beside " +
+      "q346's min/max zone maps (spec-only: DuckDB cannot replay the " +
+      "bloom bytes)") {
+    import scala.jdk.CollectionConverters._
+    val stage = Files.createTempDirectory("graft_bloom_spec_")
+    try {
+      // keys ≡ 3 (mod 7); probes for ≡ 4 (mod 7) are disjoint by
+      // construction, so any hit there is a bloom false positive
+      spark.range(0, 5000)
+        .select((col("id") * 7 + 3).as("doc_id"))
+        .coalesce(1).write
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .parquet(s"$stage/out")
+      val conf = spark.sessionState.newHadoopConf()
+      val out = new org.apache.hadoop.fs.Path(s"$stage/out")
+      val file = out.getFileSystem(conf).listStatus(out)
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(file, conf))
+      try {
+        val block = rd.getFooter.getBlocks.asScala.head
+        val cc = block.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id").get
+        val bloom = rd.getBloomFilterDataReader(block).readBloomFilter(cc)
+        assert(bloom != null, "writer produced no footer bloom filter")
+        val falseNegatives = (0L until 5000L).map(_ * 7 + 3)
+          .count(v => !bloom.findHash(bloom.hash(v)))
+        assert(falseNegatives == 0,
+          s"bloom filters must never miss a present key: $falseNegatives")
+        val falsePositives = (0L until 5000L).map(_ * 7 + 4)
+          .count(v => bloom.findHash(bloom.hash(v)))
+        assert(falsePositives < 250,
+          s"absent-key hit rate far above the default fpp: $falsePositives/5000")
+      } finally rd.close()
+    } finally graft.Graft.deleteRecursively(stage)
+  }
 }

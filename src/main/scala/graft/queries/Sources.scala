@@ -235,6 +235,99 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Bloom-filter file skipping measured end-to-end (r9, §7.6 — the
+    // membership layer quantified beside q346's zone maps): files are
+    // TIME-clustered, so the per-file (min, max) of a hash-scattered
+    // key covers almost any probe (zone maps cannot prune scattered
+    // keys); footer BLOOMS on that key can. Two non-obvious
+    // constraints the rig encodes: the key must be HIGH-CARDINALITY —
+    // parquet skips the bloom entirely when a chunk stays fully
+    // dictionary-encoded (the dictionary IS an exact membership
+    // filter; probed: a ~150-distinct key wrote bloom=NULL) — and
+    // SPARSE by construction (ukey ≡ 7 mod 1000) so an in-range
+    // absent probe exists (…+8): minmax_touched for it is most files
+    // (replayed exactly by the oracle via the chunk model), while the
+    // bloom's effective touch count collapses to ~fpp·files — pinned
+    // as contract booleans since DuckDB cannot replay the bloom
+    // bytes: zero false negatives (every file truly containing the
+    // present key is bloom-hit), effective ⊆ range-hit (a reader
+    // consults both), and the absent probe's effective count under a
+    // generous fpp bound.
+    "q354_bloom_skipping" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+            * 1000L + 7L).as("ukey"),
+          expr("unix_micros(ts) div 3600000000").as("yq"))
+      val n = base.count()
+      val k = (n + 15) / 16
+      val presentKey = base.filter(col("event_id") === 1)
+        .select(col("ukey")).head.getLong(0)
+      val absentKey = presentKey + 1 // ≡ 8 (mod 1000): in-range, absent
+      val stage = Files.createTempDirectory("graft_bloomq_")
+      try {
+        base.repartition(1)
+          .sortWithinPartitions(col("yq"), col("event_id"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#ukey", "true")
+          .mode("overwrite").parquet(s"$stage/out")
+        val conf = s.sessionState.newHadoopConf()
+        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
+        val fs = outPath.getFileSystem(conf)
+        val infos = fs.listStatus(outPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf))
+            try {
+              val blocks = rd.getFooter.getBlocks.asScala.toSeq
+              val ccs = blocks.map(_.getColumns.asScala
+                .find(_.getPath.toDotString == "ukey")
+                .getOrElse(sys.error("no footer stats for ukey")))
+              val lo = ccs.map(_.getStatistics.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue).min
+              val hi = ccs.map(_.getStatistics.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue).max
+              def bloomHit(v: Long): Boolean =
+                blocks.zip(ccs).exists { case (b, cc) =>
+                  val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+                  bf != null && bf.findHash(bf.hash(v))
+                }
+              (st.getPath.toString, lo, hi,
+                bloomHit(presentKey), bloomHit(absentKey))
+            } finally rd.close()
+          }
+        def rangeHits(v: Long) = infos.filter(i => i._2 <= v && v <= i._3)
+        def effective(v: Long, hit: ((String, Long, Long, Boolean, Boolean)) => Boolean) =
+          rangeHits(v).count(hit)
+        // files truly containing the present key, from the data itself
+        val containing = s.read.parquet(s"$stage/out")
+          .filter(col("ukey") === presentKey)
+          .select(input_file_name()).distinct()
+          .collect().map(_.getString(0)).toSet
+        val bloomHitPresent = infos.filter(_._4).map(_._1).toSet
+        val noFalseNeg = containing.forall(f =>
+          bloomHitPresent.exists(h => h.endsWith(f.split("/").last) ||
+            f.endsWith(h.split("/").last)))
+        val effPresent = effective(presentKey, _._4)
+        val effAbsent = effective(absentKey, _._5)
+        Seq(
+          ("absent", infos.size.toLong, rangeHits(absentKey).size.toLong,
+            true, effAbsent <= rangeHits(absentKey).size,
+            effAbsent <= 4),
+          ("present", infos.size.toLong, rangeHits(presentKey).size.toLong,
+            noFalseNeg, effPresent <= rangeHits(presentKey).size,
+            effPresent >= 1))
+          .toDF("probe", "n_files", "minmax_touched",
+            "no_false_negatives", "effective_le_minmax",
+            "effective_prunes")
+          .orderBy(col("probe"))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -718,6 +811,43 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // minmax_touched replayed exactly via the chunk model; the bloom
+    // side (non-replayable bytes) is pinned by contract booleans
+    "q354_bloom_skipping" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey,
+             epoch_us(ts) // 3600000000 AS yq
+           FROM events),
+         nk AS (SELECT ((COUNT(*) + 15) // 16) AS k FROM base),
+         pv AS (SELECT ukey AS v FROM base WHERE event_id = 1),
+         ch AS (
+           SELECT ukey,
+             (ROW_NUMBER() OVER (ORDER BY yq, event_id) - 1)
+               // (SELECT k FROM nk) AS chunk
+           FROM base),
+         m AS (
+           SELECT chunk, MIN(ukey) AS lo, MAX(ukey) AS hi
+           FROM ch GROUP BY 1),
+         c AS (
+           SELECT
+             (SELECT COUNT(*) FROM m) AS n_files,
+             (SELECT COUNT(*) FROM m
+              WHERE lo <= (SELECT v FROM pv) AND (SELECT v FROM pv) <= hi)
+               AS mt_present,
+             (SELECT COUNT(*) FROM m
+              WHERE lo <= (SELECT v + 1 FROM pv)
+                AND (SELECT v + 1 FROM pv) <= hi) AS mt_absent)
+         SELECT 'absent' AS probe, CAST(n_files AS BIGINT) AS n_files,
+           CAST(mt_absent AS BIGINT) AS minmax_touched,
+           TRUE AS no_false_negatives, TRUE AS effective_le_minmax,
+           TRUE AS effective_prunes
+         FROM c
+         UNION ALL
+         SELECT 'present', CAST(n_files AS BIGINT),
+           CAST(mt_present AS BIGINT), TRUE, TRUE, TRUE
+         FROM c
+         ORDER BY probe""",
     // full model replay (Hilbert recursive CTE over the distinct pair
     // grid, row_number chunking, zone-map intersections); the
     // footer-equals-model boolean pins the physical bytes to it

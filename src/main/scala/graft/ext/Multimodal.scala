@@ -616,6 +616,56 @@ object Multimodal {
     }
   }
 
+  /** GIF-variant LZW decode of `nPix` palette indices: code width
+    * starts at minCodeSize+1, grows when the next free slot crosses a
+    * power of two (cap 12 bits), clear code resets, the k-omega case
+    * (code == next free slot) emits prev + prev.head.
+    */
+  private def lzwDecode(id: Long, minCode: Int, data: Array[Byte],
+                        nPix: Int): Array[Byte] = {
+    val bits = new LzwBits(data)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val dict = new Array[Array[Byte]](4096)
+    def resetDict(): Int = {
+      var i = 0
+      while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+      clear + 2
+    }
+    var next = resetDict()
+    var codeSize = minCode + 1
+    var prev: Array[Byte] = null
+    val out = new java.io.ByteArrayOutputStream(nPix)
+    var done = false
+    while (!done && out.size < nPix) {
+      val code = bits.read(codeSize)
+      if (code == clear) {
+        next = resetDict(); codeSize = minCode + 1; prev = null
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && dict(code) != null) dict(code)
+          else {
+            require(code == next && prev != null,
+              s"media $id: bad LZW code $code (next=$next)")
+            prev :+ prev(0)
+          }
+        out.write(entry, 0, entry.length)
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = entry
+      }
+    }
+    val idx = out.toByteArray
+    require(idx.length == nPix,
+      s"media $id: LZW decoded ${idx.length} pixels, expected $nPix")
+    idx
+  }
+
   /** Per-frame decode record for animated GIFs (the video-adjacent
     * frame-sample path with a REAL codec behind it).
     */
@@ -692,46 +742,7 @@ object Multimodal {
             lzw.write(bytes, p, len); p += len
             len = u8()
           }
-          val bits = new LzwBits(lzw.toByteArray)
-          val clear = 1 << minCode
-          val eoi = clear + 1
-          val dict = new Array[Array[Byte]](4096)
-          def resetDict(): Int = {
-            var i = 0
-            while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
-            clear + 2
-          }
-          var next = resetDict()
-          var codeSize = minCode + 1
-          var prev: Array[Byte] = null
-          val out = new java.io.ByteArrayOutputStream(w * h)
-          var done = false
-          while (!done && out.size < w * h) {
-            val code = bits.read(codeSize)
-            if (code == clear) {
-              next = resetDict(); codeSize = minCode + 1; prev = null
-            } else if (code == eoi) {
-              done = true
-            } else {
-              val entry: Array[Byte] =
-                if (code < next && dict(code) != null) dict(code)
-                else {
-                  require(code == next && prev != null,
-                    s"media $id: bad LZW code $code (next=$next)")
-                  prev :+ prev(0)
-                }
-              out.write(entry, 0, entry.length)
-              if (prev != null && next < 4096) {
-                dict(next) = prev :+ entry(0)
-                next += 1
-                if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
-              }
-              prev = entry
-            }
-          }
-          val idx0 = out.toByteArray
-          require(idx0.length == w * h,
-            s"media $id: LZW decoded ${idx0.length} pixels, expected ${w * h}")
+          val idx0 = lzwDecode(id, minCode, lzw.toByteArray, w * h)
           // GIF89a appendix E interlace: rows arrive in four passes
           // (every 8th from 0, every 8th from 4, every 4th from 2,
           // every 2nd from 1) — permute back to scan order
@@ -817,6 +828,223 @@ object Multimodal {
         batchCounter.foreach(_.add(1))
         batch.iterator.flatMap(m =>
           gifFrames(m.media_id, m.media, sampleEvery))
+      }
+    }
+  }
+
+  /** One hand-authored frame for [[encodeGifComposed]]: a partial
+    * rectangle at (left, top) with its GCE disposal method and
+    * row-major palette indices.
+    */
+  case class GifRawFrame(left: Int, top: Int, w: Int, h: Int,
+                         disposal: Int, indices: Array[Byte])
+
+  /** Hand-rolled GIF89a writer for COMPOSITION fixtures (the JDK
+    * sequence writer cannot author partial frames or disposal methods
+    * without deep metadata-tree surgery): header, 256-entry global
+    * color table, and per frame a Graphic Control Extension (disposal,
+    * zero delay, no transparency) + image descriptor + LZW data. The
+    * LZW stream uses the classic UNCOMPRESSED-GIF technique — literal
+    * codes at root-size-8 width with a CLEAR emitted before the
+    * decoder's dictionary would force a width change — valid LZW any
+    * conformant reader (incl. the JDK's) accepts.
+    */
+  def encodeGifComposed(screenW: Int, screenH: Int,
+                        palette: Seq[(Int, Int, Int)],
+                        frames: Seq[GifRawFrame]): Array[Byte] = {
+    require(screenW > 0 && screenH > 0 && frames.nonEmpty)
+    require(palette.nonEmpty && palette.size <= 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    w16(screenW); w16(screenH)
+    w8(0xf7); w8(0); w8(0) // GCT flag + 256 entries; bg index 0
+    (0 until 256).foreach { i =>
+      val (r, g, b) = if (i < palette.size) palette(i) else (0, 0, 0)
+      w8(r); w8(g); w8(b)
+    }
+    frames.foreach { f =>
+      require(f.indices.length == f.w * f.h)
+      require(f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= screenW && f.top + f.h <= screenH)
+      w8(0x21); w8(0xf9); w8(4); w8((f.disposal & 7) << 2)
+      w16(0); w8(0); w8(0) // zero delay, transparent index unused
+      w8(0x2c); w16(f.left); w16(f.top); w16(f.w); w16(f.h); w8(0)
+      val minCode = 8
+      w8(minCode)
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val width = minCode + 1
+      val payload = new java.io.ByteArrayOutputStream()
+      var cur = 0L
+      var nb = 0
+      def emit(code: Int): Unit = {
+        cur |= code.toLong << nb; nb += width
+        while (nb >= 8) {
+          payload.write((cur & 0xff).toInt); cur >>= 8; nb -= 8
+        }
+      }
+      emit(clear)
+      var count = 0
+      val cap = clear - 2 // decoder's next stays below 1 << (minCode+1)
+      f.indices.foreach { ix =>
+        if (count == cap) { emit(clear); count = 0 }
+        emit(ix & 0xff); count += 1
+      }
+      emit(eoi)
+      if (nb > 0) payload.write((cur & 0xff).toInt)
+      val data = payload.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val len = math.min(255, data.length - off)
+        w8(len); bos.write(data, off, len); off += len
+      }
+      w8(0)
+    }
+    w8(0x3b)
+    bos.toByteArray
+  }
+
+  /** Composited animated-GIF sampling with GCE semantics: partial
+    * frames paint onto a persistent canvas; disposal 0/1 leave the
+    * frame in place, disposal 2 restores the frame's REGION to the
+    * background color after display; disposal 3 (restore-to-previous)
+    * and transparency are out of subset and fail loudly. EVERY frame
+    * must be LZW-decoded — composition is a running fold over the
+    * canvas (the same reason video needs keyframes) — so unlike
+    * [[gifFrames]], sampling here selects which canvas SNAPSHOTS are
+    * emitted, not which frames are decoded. Emitted dims are the
+    * LOGICAL SCREEN's (the canvas), not the frame rect's.
+    */
+  private[graft] def gifComposited(id: Long, bytes: Array[Byte],
+                                   sampleEvery: Int = 1): Vector[GifFrameOut] = {
+    require(sampleEvery >= 1)
+    require(bytes.length >= 13 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a', s"media $id: not a GIF")
+    var p = 6
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
+    def colorTable(sizeBits: Int): Array[Int] = {
+      val sz = 2 << sizeBits
+      val t = new Array[Int](sz)
+      var i = 0
+      while (i < sz) { t(i) = (u8() << 16) | (u8() << 8) | u8(); i += 1 }
+      t
+    }
+    val screenW = u16(); val screenH = u16()
+    require(screenW > 0 && screenH > 0, s"media $id: empty screen")
+    val packed = u8()
+    val bgIndex = u8(); u8()
+    val gct: Array[Int] =
+      if ((packed & 0x80) != 0) colorTable(packed & 0x07) else Array.empty
+    val bg = if (gct.nonEmpty) gct(bgIndex min (gct.length - 1)) else 0
+    val canvas = Array.fill(screenW * screenH)(bg)
+    var frames = Vector.empty[GifFrameOut]
+    var frameIdx = 0
+    var disposal = 0
+    var sep = u8()
+    while (sep != 0x3b) {
+      if (sep == 0x21) {
+        val label = u8()
+        if (label == 0xf9) { // Graphic Control Extension
+          require(u8() == 4, s"media $id: malformed GCE")
+          val gp = u8()
+          require((gp & 0x01) == 0,
+            s"media $id: transparency unsupported (fail loudly)")
+          disposal = (gp >> 2) & 7
+          require(disposal <= 2,
+            s"media $id: disposal method $disposal unsupported")
+          u16(); u8(); // delay, transparent index
+          require(u8() == 0, s"media $id: malformed GCE terminator")
+        } else {
+          var len = u8()
+          while (len != 0) { p += len; len = u8() }
+        }
+      } else if (sep == 0x2c) {
+        val left = u16(); val top = u16()
+        val w = u16(); val h = u16()
+        require(left + w <= screenW && top + h <= screenH,
+          s"media $id: frame rect exceeds the logical screen")
+        val ipacked = u8()
+        require((ipacked & 0x40) == 0,
+          s"media $id: interlaced partial frames unsupported")
+        val table: Array[Int] =
+          if ((ipacked & 0x80) != 0) colorTable(ipacked & 0x07) else gct
+        require(table.nonEmpty, s"media $id: no color table")
+        val minCode = u8()
+        require(minCode >= 2 && minCode <= 8,
+          s"media $id: bad LZW root size $minCode")
+        val lzw = new java.io.ByteArrayOutputStream()
+        var len = u8()
+        while (len != 0) {
+          lzw.write(bytes, p, len); p += len
+          len = u8()
+        }
+        val idx = lzwDecode(id, minCode, lzw.toByteArray, w * h)
+        var i = 0
+        while (i < idx.length) {
+          val ci = idx(i) & 0xff
+          require(ci < table.length,
+            s"media $id: palette index $ci out of range")
+          val x = left + i % w
+          val y = top + i / w
+          canvas(y * screenW + x) = table(ci)
+          i += 1
+        }
+        if (frameIdx % sampleEvery == 0) {
+          var sumR = 0L; var sumG = 0L; var sumB = 0L
+          canvas.foreach { c =>
+            sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff
+            sumB += c & 0xff
+          }
+          val tl = canvas(0)
+          val nPix = screenW.toLong * screenH
+          frames :+= GifFrameOut(id, frameIdx, screenW, screenH,
+            sumR.toDouble / nPix, sumG.toDouble / nPix,
+            sumB.toDouble / nPix,
+            (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+        }
+        if (disposal == 2) { // restore the REGION to background
+          var y = top
+          while (y < top + h) {
+            var x = left
+            while (x < left + w) {
+              canvas(y * screenW + x) = bg
+              x += 1
+            }
+            y += 1
+          }
+        }
+        disposal = 0
+        frameIdx += 1
+      } else {
+        require(false, s"media $id: unknown block separator $sep")
+      }
+      sep = u8()
+    }
+    require(frames.nonEmpty, s"media $id: no decodable frames")
+    frames
+  }
+
+  /** Batched composited sampling — [[sampleGifFramesBatched]]'s shape
+    * with the GCE compositor in the leaf.
+    */
+  def sampleGifCompositedBatched(ds: org.apache.spark.sql.Dataset[MediaIn],
+                                 sampleEvery: Int,
+                                 batchSize: Int = 64,
+                                 batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : org.apache.spark.sql.Dataset[GifFrameOut] = {
+    require(batchSize > 0)
+    implicit val enc: org.apache.spark.sql.Encoder[GifFrameOut] =
+      org.apache.spark.sql.Encoders.product[GifFrameOut]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        batch.iterator.flatMap(m =>
+          gifComposited(m.media_id, m.media, sampleEvery))
       }
     }
   }

@@ -1116,6 +1116,62 @@ object Ext {
         .orderBy(col("media_id"), col("frame"))
     }),
 
+    // GCE-aware animation composition (r9 — completes q353's GIF
+    // animation model): frames are PARTIAL rectangles composited onto
+    // a persistent canvas under Graphic-Control-Extension disposal
+    // semantics (the fixture uses method 1, leave-in-place; method 2
+    // restore-to-background is spec-pinned; 3 and transparency fail
+    // loudly). The fixture bytes come from the hand-rolled GIF89a
+    // writer (uncompressed-LZW literal coding — the JDK sequence
+    // writer cannot author partial frames), whose validity the spec
+    // anchors against the JDK READER. Unlike q353, EVERY frame must be
+    // LZW-decoded — composition is a running fold over the canvas,
+    // the same reason video codecs need keyframes — so sampling
+    // selects emitted SNAPSHOTS, not decoded frames. The oracle
+    // replays the composition arithmetically: each canvas pixel at
+    // sampled frame f shows the LATEST frame g <= f whose rect covers
+    // it.
+    "q355_gif_composition" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(53)) === 13)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val W = 7; val H = 5
+          val nf = (4 + n % 3).toInt
+          def colOf(g: Int, x: Int, y: Int): (Int, Int, Int) = (
+            ((n + 5 * g + x + 2 * y) % 256).toInt,
+            ((n + 7 * g + 2 * x + y + 3) % 256).toInt,
+            ((n + 11 * g + x + 3 * y + 6) % 256).toInt)
+          def rect(g: Int): (Int, Int, Int, Int) =
+            if (g == 0) (0, 0, W, H)
+            else (((n + 2 * g) % 5).toInt, ((n + g) % 4).toInt, 3, 2)
+          val allColors = (0 until nf).flatMap { g =>
+            val (l, t, w, h) = rect(g)
+            for (yy <- t until t + h; xx <- l until l + w)
+              yield colOf(g, xx, yy)
+          }.distinct
+          val pi = allColors.zipWithIndex.toMap
+          val frames = (0 until nf).map { g =>
+            val (l, t, w, h) = rect(g)
+            val idx = (for (yy <- t until t + h; xx <- l until l + w)
+              yield pi(colOf(g, xx, yy)).toByte).toArray
+            Multimodal.GifRawFrame(l, t, w, h, disposal = 1, idx)
+          }
+          Multimodal.MediaIn(n,
+            Multimodal.encodeGifComposed(W, H, allColors, frames))
+        }
+      Multimodal.sampleGifCompositedBatched(media, sampleEvery = 2).toDF()
+        .select(col("media_id"), col("frame"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // Two-stage retrieve-then-rerank (r7) — the production retrieval
     // shape: a CHEAP blocked candidate generator (4-bit hyperplane-sign
     // bucket equi-join — q161's blocking, zero all-pairs work) feeding
@@ -1959,6 +2015,45 @@ object Ext {
            CAST((doc_id + 5) % 256 AS INT) AS tl_g,
            CAST((doc_id + 11) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // composition replayed arithmetically: each canvas pixel at
+    // sampled frame f shows the LATEST frame g <= f covering it
+    "q355_gif_composition" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS nf
+           FROM documents WHERE doc_id % 53 = 13),
+         fr AS (
+           SELECT doc_id, fs.f AS f
+           FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) fs
+           WHERE fs.f % 2 = 0),
+         px AS (
+           SELECT doc_id, f, xs.x AS x, ys.y AS y
+           FROM fr,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS y) ys),
+         src AS (
+           SELECT doc_id, f, x, y, MAX(gs.g) AS g
+           FROM px, LATERAL (SELECT unnest(generate_series(0, f)) AS g) gs
+           WHERE gs.g = 0
+              OR (x >= (doc_id + 2*gs.g) % 5
+                  AND x < (doc_id + 2*gs.g) % 5 + 3
+                  AND y >= (doc_id + gs.g) % 4
+                  AND y < (doc_id + gs.g) % 4 + 2)
+           GROUP BY 1, 2, 3, 4),
+         vals AS (
+           SELECT doc_id, f, x, y,
+             (doc_id + 5*g + x + 2*y) % 256 AS r,
+             (doc_id + 7*g + 2*x + y + 3) % 256 AS gg,
+             (doc_id + 11*g + x + 3*y + 6) % 256 AS b
+           FROM src)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+           CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+           round(SUM(r) * 1.0 / 35, 6) AS mean_r,
+           round(SUM(gg) * 1.0 / 35, 6) AS mean_g,
+           round(SUM(b) * 1.0 / 35, 6) AS mean_b,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS INT) AS tl_r,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN gg END) AS INT) AS tl_g,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN b END) AS INT) AS tl_b
+         FROM vals GROUP BY doc_id, f ORDER BY media_id, frame""",
     // sampled frames (0, 2, 4, ...) replayed exactly per frame index
     "q353_gif_frame_sample" ->
       """WITH d AS (

@@ -278,6 +278,78 @@ class MultimodalSpec extends SparkSpec {
     rdr.dispose()
   }
 
+  test("hand-rolled GIF writer: the JDK reader accepts the " +
+      "uncompressed-LZW stream and reproduces frame 0 pixel-exact") {
+    val colors = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val f0 = Multimodal.GifRawFrame(0, 0, 4, 3, disposal = 1,
+      Array.tabulate(12)(i => (i % 3).toByte))
+    val f1 = Multimodal.GifRawFrame(1, 1, 2, 2, disposal = 1,
+      Array[Byte](2, 2, 2, 2))
+    val bytes = Multimodal.encodeGifComposed(4, 3, colors, Seq(f0, f1))
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(rdr.getNumImages(true) == 2)
+    val img = rdr.read(0)
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val p = img.getRGB(x, y)
+      val want = colors((y * 4 + x) % 3)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == want,
+        s"writer bytes misread by the JDK at ($x,$y)")
+    }
+    rdr.dispose()
+  }
+
+  test("GIF composition: partial frames paint onto the canvas; " +
+      "disposal 2 restores its region to background") {
+    // palette(0) = A doubles as the background color, so a disposal-2
+    // restore returns the region to A visibly
+    val A = (100, 0, 0); val B = (0, 100, 0); val C = (0, 0, 100)
+    val full = Multimodal.GifRawFrame(0, 0, 4, 4, 1,
+      Array.fill(16)(0.toByte))
+    val b2 = Multimodal.GifRawFrame(0, 0, 2, 2, 2, // disposal 2
+      Array.fill(4)(1.toByte))
+    val c1 = Multimodal.GifRawFrame(2, 2, 2, 2, 1,
+      Array.fill(4)(2.toByte))
+    val bytes = Multimodal.encodeGifComposed(4, 4, Seq(A, B, C),
+      Seq(full, b2, c1))
+    val snaps = Multimodal.gifComposited(7L, bytes, sampleEvery = 1)
+    assert(snaps.map(_.frame) == Vector(0, 1, 2))
+    // f0: all A
+    assert(snaps(0).mean_r == 100.0 && snaps(0).mean_g == 0.0)
+    assert((snaps(0).tl_r, snaps(0).tl_g, snaps(0).tl_b) == A)
+    // f1 displayed: B in the 2x2 corner, A elsewhere (restore happens
+    // AFTER display)
+    assert(snaps(1).mean_r == 100.0 * 12 / 16)
+    assert(snaps(1).mean_g == 100.0 * 4 / 16)
+    assert((snaps(1).tl_r, snaps(1).tl_g, snaps(1).tl_b) == B)
+    // f2: B's region restored to background A, C painted at (2,2)
+    assert(snaps(2).mean_r == 100.0 * 12 / 16)
+    assert(snaps(2).mean_g == 0.0)
+    assert(snaps(2).mean_b == 100.0 * 4 / 16)
+    assert((snaps(2).tl_r, snaps(2).tl_g, snaps(2).tl_b) == A)
+  }
+
+  test("GIF composition: disposal 3 and transparency fail loudly") {
+    val A = (1, 2, 3)
+    val full = Multimodal.GifRawFrame(0, 0, 2, 2, 1,
+      Array.fill(4)(0.toByte))
+    val d3 = Multimodal.GifRawFrame(0, 0, 1, 1, 3, Array[Byte](0))
+    val bytes = Multimodal.encodeGifComposed(2, 2, Seq(A), Seq(full, d3))
+    intercept[IllegalArgumentException] {
+      Multimodal.gifComposited(8L, bytes)
+    }
+    // transparency flag: flip bit 0 of the first GCE's packed byte
+    val tbytes = Multimodal.encodeGifComposed(2, 2, Seq(A), Seq(full))
+    val gce = tbytes.indexOfSlice(Seq(0x21.toByte, 0xf9.toByte, 4.toByte))
+    assert(gce >= 0)
+    tbytes(gce + 3) = (tbytes(gce + 3) | 0x01).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.gifComposited(9L, tbytes)
+    }
+  }
+
   test("GIF codec: corrupt or out-of-subset media fails loudly") {
     val good = Multimodal.encodeGif(3, 3, (x, y) => (x, y, x + y))
     // wrong magic

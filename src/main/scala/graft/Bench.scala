@@ -126,6 +126,19 @@ object Bench {
         // exactly those queries (q62/q64/q72 shared one hash in r2).
         plans(name) = queries.Sources.planHashes.getOrElse(name,
           Graft.planSignature(df))
+        // forensic text capture (SPARK_GRAFT_PLANDIR): the scrubbed
+        // string the signature hashes, per query — lets a transient
+        // in-suite hash flip be DIFFED instead of guessed at (a
+        // PlanDump re-probe runs in a fresh JVM and may not reproduce
+        // suite-order-dependent state)
+        sys.env.get("SPARK_GRAFT_PLANDIR").foreach { dir =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, s"$name.plan"),
+            Graft.planScrub(
+              df.queryExecution.optimizedPlan.canonicalized.toString))
+        }
         df.count()
       } catch { case _: Throwable => () }
     }

@@ -328,6 +328,82 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Bloom-GUIDED scan (r9 — q354 promoted from measurement to
+    // operator): an equality lookup on the scattered key executes as
+    // (1) a driver-side MANIFEST scan — list files, read footers, keep
+    // only files whose min/max range covers AND bloom hits the probe
+    // (the same pre-scan a table format's file-stats index serves) —
+    // then (2) a Spark scan over ONLY the kept files. Correctness is a
+    // theorem (blooms have no false negatives, ranges are exact ⇒ the
+    // pruned scan sees every matching row), verified in-query by
+    // symmetric exceptAll against the full scan AND by the oracle,
+    // which replays the lookup over the raw table — identical rows or
+    // the hash mismatches. The pruning effect is pinned as the
+    // kept ≤ 4-of-16 contract boolean (fpp-bounded). At 100 TB the
+    // manifest scan is O(files) driver/metadata work that replaces an
+    // O(corpus) scan for point lookups on non-clustered keys.
+    "q356_bloom_guided_scan" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+            * 1000L + 7L).as("ukey"),
+          expr("unix_micros(ts) div 3600000000").as("yq"))
+      val n = base.count()
+      val k = (n + 15) / 16
+      val probe = base.filter(col("event_id") === 1)
+        .select(col("ukey")).head.getLong(0)
+      val stage = Files.createTempDirectory("graft_bgscan_")
+      try {
+        base.repartition(1)
+          .sortWithinPartitions(col("yq"), col("event_id"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#ukey", "true")
+          .mode("overwrite").parquet(s"$stage/out")
+        val conf = s.sessionState.newHadoopConf()
+        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
+        val fs = outPath.getFileSystem(conf)
+        val all = fs.listStatus(outPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val kept = all.filter { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf))
+          try {
+            val blocks = rd.getFooter.getBlocks.asScala.toSeq
+            blocks.exists { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == "ukey")
+                .getOrElse(sys.error("no footer stats for ukey"))
+              val stats = cc.getStatistics
+              val lo = stats.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue
+              val hi = stats.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue
+              lo <= probe && probe <= hi && {
+                val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+                bf != null && bf.findHash(bf.hash(probe))
+              }
+            }
+          } finally rd.close()
+        }
+        val pruned = s.read.parquet(kept.map(_.getPath.toString): _*)
+          .filter(col("ukey") === probe)
+          .select(col("event_id"), col("ukey"))
+        val full = s.read.parquet(s"$stage/out")
+          .filter(col("ukey") === probe)
+          .select(col("event_id"), col("ukey"))
+        val complete = pruned.exceptAll(full).isEmpty &&
+          full.exceptAll(pruned).isEmpty
+        materialize(s, "q356_bloom_guided_scan", pruned
+          .withColumn("n_files", lit(all.size.toLong))
+          .withColumn("kept_le_4", lit(kept.size <= 4))
+          .withColumn("result_complete", lit(complete))
+          .orderBy(col("event_id")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -811,6 +887,21 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // the lookup's ROWS are the contract: the bloom-pruned scan must
+    // return exactly the raw-table filter's rows or the hash mismatches
+    "q356_bloom_guided_scan" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
+           FROM events),
+         pv AS (SELECT ukey AS v FROM base WHERE event_id = 1),
+         nf AS (SELECT ((COUNT(*) + 15) // 16) AS k,
+                       COUNT(*) AS n FROM base)
+         SELECT event_id, ukey,
+           CAST((SELECT (n + k - 1) // k FROM nf) AS BIGINT) AS n_files,
+           TRUE AS kept_le_4, TRUE AS result_complete
+         FROM base WHERE ukey = (SELECT v FROM pv)
+         ORDER BY event_id""",
     // minmax_touched replayed exactly via the chunk model; the bloom
     // side (non-replayable bytes) is pinned by contract booleans
     "q354_bloom_skipping" ->

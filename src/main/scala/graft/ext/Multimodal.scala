@@ -909,13 +909,15 @@ object Multimodal {
   /** Composited animated-GIF sampling with GCE semantics: partial
     * frames paint onto a persistent canvas; disposal 0/1 leave the
     * frame in place, disposal 2 restores the frame's REGION to the
-    * background color after display; disposal 3 (restore-to-previous)
-    * and transparency are out of subset and fail loudly. EVERY frame
-    * must be LZW-decoded — composition is a running fold over the
-    * canvas (the same reason video needs keyframes) — so unlike
-    * [[gifFrames]], sampling here selects which canvas SNAPSHOTS are
-    * emitted, not which frames are decoded. Emitted dims are the
-    * LOGICAL SCREEN's (the canvas), not the frame rect's.
+    * background color after display, disposal 3 restores the canvas
+    * to its pre-frame state (one saved canvas copy — bounded memory,
+    * only while a d3 frame is in flight); transparency is out of
+    * subset and fails loudly. EVERY frame must be LZW-decoded —
+    * composition is a running fold over the canvas (the same reason
+    * video needs keyframes) — so unlike [[gifFrames]], sampling here
+    * selects which canvas SNAPSHOTS are emitted, not which frames are
+    * decoded. Emitted dims are the LOGICAL SCREEN's (the canvas), not
+    * the frame rect's.
     */
   private[graft] def gifComposited(id: Long, bytes: Array[Byte],
                                    sampleEvery: Int = 1): Vector[GifFrameOut] = {
@@ -955,7 +957,7 @@ object Multimodal {
           require((gp & 0x01) == 0,
             s"media $id: transparency unsupported (fail loudly)")
           disposal = (gp >> 2) & 7
-          require(disposal <= 2,
+          require(disposal <= 3,
             s"media $id: disposal method $disposal unsupported")
           u16(); u8(); // delay, transparent index
           require(u8() == 0, s"media $id: malformed GCE terminator")
@@ -984,6 +986,7 @@ object Multimodal {
           len = u8()
         }
         val idx = lzwDecode(id, minCode, lzw.toByteArray, w * h)
+        val saved = if (disposal == 3) canvas.clone() else null
         var i = 0
         while (i < idx.length) {
           val ci = idx(i) & 0xff
@@ -1017,6 +1020,8 @@ object Multimodal {
             }
             y += 1
           }
+        } else if (disposal == 3) { // restore the pre-frame canvas
+          System.arraycopy(saved, 0, canvas, 0, canvas.length)
         }
         disposal = 0
         frameIdx += 1

@@ -1172,6 +1172,56 @@ object Ext {
         .orderBy(col("media_id"), col("frame"))
     }),
 
+    // Restore-to-previous disposal (r9 — q355's remaining GCE method):
+    // frames with disposal 3 are TRANSIENT overlays — displayed at
+    // their own tick, then the canvas reverts to its pre-frame state
+    // (one saved canvas copy, bounded memory). The fixture mixes
+    // methods: every third frame (g ≥ 1, g % 3 = 2) is a d3 overlay,
+    // the rest persist — so the oracle's visibility rule is "latest
+    // covering NON-TRANSIENT frame g ≤ f, except f itself counts even
+    // if transient", replayed arithmetically per canvas pixel.
+    "q357_gif_restore_previous" -> ((s, d) => {
+      import s.implicits._
+      val media = spreadIfNarrow(
+          table(s, d, "documents")
+            .filter(pmod(col("doc_id"), lit(59)) === 17)
+            .select(col("doc_id")), col("doc_id"))
+        .as[Long]
+        .map { n =>
+          val W = 7; val H = 5
+          val nf = (4 + n % 3).toInt
+          def colOf(g: Int, x: Int, y: Int): (Int, Int, Int) = (
+            ((n + 5 * g + x + 2 * y) % 256).toInt,
+            ((n + 7 * g + 2 * x + y + 3) % 256).toInt,
+            ((n + 11 * g + x + 3 * y + 6) % 256).toInt)
+          def rect(g: Int): (Int, Int, Int, Int) =
+            if (g == 0) (0, 0, W, H)
+            else (((n + 2 * g) % 5).toInt, ((n + g) % 4).toInt, 3, 2)
+          val allColors = (0 until nf).flatMap { g =>
+            val (l, t, w, h) = rect(g)
+            for (yy <- t until t + h; xx <- l until l + w)
+              yield colOf(g, xx, yy)
+          }.distinct
+          val pi = allColors.zipWithIndex.toMap
+          val frames = (0 until nf).map { g =>
+            val (l, t, w, h) = rect(g)
+            val idx = (for (yy <- t until t + h; xx <- l until l + w)
+              yield pi(colOf(g, xx, yy)).toByte).toArray
+            val disposal = if (g >= 1 && g % 3 == 2) 3 else 1
+            Multimodal.GifRawFrame(l, t, w, h, disposal, idx)
+          }
+          Multimodal.MediaIn(n,
+            Multimodal.encodeGifComposed(W, H, allColors, frames))
+        }
+      Multimodal.sampleGifCompositedBatched(media, sampleEvery = 1).toDF()
+        .select(col("media_id"), col("frame"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("tl_r"), col("tl_g"), col("tl_b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // Two-stage retrieve-then-rerank (r7) — the production retrieval
     // shape: a CHEAP blocked candidate generator (4-bit hyperplane-sign
     // bucket equi-join — q161's blocking, zero all-pairs work) feeding
@@ -2015,6 +2065,46 @@ object Ext {
            CAST((doc_id + 5) % 256 AS INT) AS tl_g,
            CAST((doc_id + 11) % 256 AS INT) AS tl_b
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    // transient-overlay visibility rule replayed per pixel: latest
+    // covering non-transient frame g <= f, except f itself counts
+    // even when transient
+    "q357_gif_restore_previous" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS nf
+           FROM documents WHERE doc_id % 59 = 17),
+         fr AS (
+           SELECT doc_id, fs.f AS f
+           FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) fs),
+         px AS (
+           SELECT doc_id, f, xs.x AS x, ys.y AS y
+           FROM fr,
+           LATERAL (SELECT unnest(generate_series(0, 6)) AS x) xs,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS y) ys),
+         src AS (
+           SELECT doc_id, f, x, y, MAX(gs.g) AS g
+           FROM px, LATERAL (SELECT unnest(generate_series(0, f)) AS g) gs
+           WHERE (gs.g = f OR NOT (gs.g >= 1 AND gs.g % 3 = 2))
+             AND (gs.g = 0
+              OR (x >= (doc_id + 2*gs.g) % 5
+                  AND x < (doc_id + 2*gs.g) % 5 + 3
+                  AND y >= (doc_id + gs.g) % 4
+                  AND y < (doc_id + gs.g) % 4 + 2))
+           GROUP BY 1, 2, 3, 4),
+         vals AS (
+           SELECT doc_id, f, x, y,
+             (doc_id + 5*g + x + 2*y) % 256 AS r,
+             (doc_id + 7*g + 2*x + y + 3) % 256 AS gg,
+             (doc_id + 11*g + x + 3*y + 6) % 256 AS b
+           FROM src)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+           CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+           round(SUM(r) * 1.0 / 35, 6) AS mean_r,
+           round(SUM(gg) * 1.0 / 35, 6) AS mean_g,
+           round(SUM(b) * 1.0 / 35, 6) AS mean_b,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r END) AS INT) AS tl_r,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN gg END) AS INT) AS tl_g,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN b END) AS INT) AS tl_b
+         FROM vals GROUP BY doc_id, f ORDER BY media_id, frame""",
     // composition replayed arithmetically: each canvas pixel at
     // sampled frame f shows the LATEST frame g <= f covering it
     "q355_gif_composition" ->

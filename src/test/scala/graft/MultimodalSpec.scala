@@ -331,22 +331,42 @@ class MultimodalSpec extends SparkSpec {
     assert((snaps(2).tl_r, snaps(2).tl_g, snaps(2).tl_b) == A)
   }
 
-  test("GIF composition: disposal 3 and transparency fail loudly") {
-    val A = (1, 2, 3)
-    val full = Multimodal.GifRawFrame(0, 0, 2, 2, 1,
-      Array.fill(4)(0.toByte))
-    val d3 = Multimodal.GifRawFrame(0, 0, 1, 1, 3, Array[Byte](0))
-    val bytes = Multimodal.encodeGifComposed(2, 2, Seq(A), Seq(full, d3))
+  test("GIF composition: disposal 3 restores the pre-frame canvas; " +
+      "reserved disposal values and transparency fail loudly") {
+    val A = (100, 0, 0); val B = (0, 100, 0); val C = (0, 0, 100)
+    val full = Multimodal.GifRawFrame(0, 0, 4, 4, 1,
+      Array.fill(16)(0.toByte))
+    val b3 = Multimodal.GifRawFrame(0, 0, 2, 2, 3, // restore-to-previous
+      Array.fill(4)(1.toByte))
+    val c1 = Multimodal.GifRawFrame(2, 2, 2, 2, 1,
+      Array.fill(4)(2.toByte))
+    val bytes = Multimodal.encodeGifComposed(4, 4, Seq(A, B, C),
+      Seq(full, b3, c1))
+    val snaps = Multimodal.gifComposited(8L, bytes, sampleEvery = 1)
+    // f1 displayed: B visible in the corner
+    assert((snaps(1).tl_r, snaps(1).tl_g, snaps(1).tl_b) == B)
+    assert(snaps(1).mean_g == 100.0 * 4 / 16)
+    // f2: B's frame fully undone (restore-to-previous), C painted
+    assert((snaps(2).tl_r, snaps(2).tl_g, snaps(2).tl_b) == A)
+    assert(snaps(2).mean_g == 0.0)
+    assert(snaps(2).mean_r == 100.0 * 12 / 16)
+    assert(snaps(2).mean_b == 100.0 * 4 / 16)
+    // reserved disposal 4: loud rejection
+    val d4 = Multimodal.GifRawFrame(0, 0, 1, 1, 4, Array[Byte](0))
     intercept[IllegalArgumentException] {
-      Multimodal.gifComposited(8L, bytes)
+      Multimodal.gifComposited(9L,
+        Multimodal.encodeGifComposed(2, 2, Seq(A),
+          Seq(Multimodal.GifRawFrame(0, 0, 2, 2, 1,
+            Array.fill(4)(0.toByte)), d4)))
     }
     // transparency flag: flip bit 0 of the first GCE's packed byte
-    val tbytes = Multimodal.encodeGifComposed(2, 2, Seq(A), Seq(full))
+    val tbytes = Multimodal.encodeGifComposed(2, 2, Seq(A),
+      Seq(Multimodal.GifRawFrame(0, 0, 2, 2, 1, Array.fill(4)(0.toByte))))
     val gce = tbytes.indexOfSlice(Seq(0x21.toByte, 0xf9.toByte, 4.toByte))
     assert(gce >= 0)
     tbytes(gce + 3) = (tbytes(gce + 3) | 0x01).toByte
     intercept[IllegalArgumentException] {
-      Multimodal.gifComposited(9L, tbytes)
+      Multimodal.gifComposited(10L, tbytes)
     }
   }
 

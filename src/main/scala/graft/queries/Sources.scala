@@ -404,6 +404,80 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Bloom semi-join pushdown through the manifest (r9 — q356's
+    // probe-SET form, the dim-filtered fact lookup shape): the probe
+    // side is a key SET (here the keys of events 1..8 — in production
+    // a broadcast dim's join keys); each file is kept iff ANY probe
+    // passes its range + bloom, then Spark scans only the kept files
+    // with the IN-set filter. Same correctness theorem as q356
+    // (per-probe no-false-negatives unions over the set), verified
+    // in-query and by the oracle's raw-table replay of the semi-join;
+    // pruning pinned as kept ≤ 12-of-16 (8 scattered probes, ≈1 file
+    // each, fpp-bounded extras). At 100 TB this is bloom-tested
+    // dynamic file pruning: the manifest pass costs
+    // O(files · |probe set|) metadata work, zero fact-table IO.
+    "q358_bloom_semijoin_scan" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+            * 1000L + 7L).as("ukey"),
+          expr("unix_micros(ts) div 3600000000").as("yq"))
+      val n = base.count()
+      val k = (n + 15) / 16
+      val probes = base.filter(col("event_id").between(1, 8))
+        .select(col("ukey")).collect().map(_.getLong(0)).toSeq
+      val stage = Files.createTempDirectory("graft_bsemi_")
+      try {
+        base.repartition(1)
+          .sortWithinPartitions(col("yq"), col("event_id"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#ukey", "true")
+          .mode("overwrite").parquet(s"$stage/out")
+        val conf = s.sessionState.newHadoopConf()
+        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
+        val fs = outPath.getFileSystem(conf)
+        val all = fs.listStatus(outPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val kept = all.filter { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf))
+          try {
+            rd.getFooter.getBlocks.asScala.exists { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == "ukey")
+                .getOrElse(sys.error("no footer stats for ukey"))
+              val stats = cc.getStatistics
+              val lo = stats.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue
+              val hi = stats.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue
+              val inRange = probes.filter(v => lo <= v && v <= hi)
+              inRange.nonEmpty && {
+                val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+                bf != null && inRange.exists(v => bf.findHash(bf.hash(v)))
+              }
+            }
+          } finally rd.close()
+        }
+        val pruned = s.read.parquet(kept.map(_.getPath.toString): _*)
+          .filter(col("ukey").isin(probes: _*))
+          .select(col("event_id"), col("ukey"))
+        val full = s.read.parquet(s"$stage/out")
+          .filter(col("ukey").isin(probes: _*))
+          .select(col("event_id"), col("ukey"))
+        val complete = pruned.exceptAll(full).isEmpty &&
+          full.exceptAll(pruned).isEmpty
+        materialize(s, "q358_bloom_semijoin_scan", pruned
+          .withColumn("n_files", lit(all.size.toLong))
+          .withColumn("kept_le_12", lit(kept.size <= 12))
+          .withColumn("result_complete", lit(complete))
+          .orderBy(col("event_id")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -887,6 +961,21 @@ object Sources {
          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
          TRUE AS files_disjoint
          FROM documents""",
+    // the semi-join's ROWS are the contract: the bloom-pruned scan
+    // must return exactly the raw-table IN-set rows
+    "q358_bloom_semijoin_scan" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
+           FROM events),
+         pv AS (SELECT ukey FROM base WHERE event_id BETWEEN 1 AND 8),
+         nf AS (SELECT ((COUNT(*) + 15) // 16) AS k,
+                       COUNT(*) AS n FROM base)
+         SELECT event_id, ukey,
+           CAST((SELECT (n + k - 1) // k FROM nf) AS BIGINT) AS n_files,
+           TRUE AS kept_le_12, TRUE AS result_complete
+         FROM base WHERE ukey IN (SELECT ukey FROM pv)
+         ORDER BY event_id""",
     // the lookup's ROWS are the contract: the bloom-pruned scan must
     // return exactly the raw-table filter's rows or the hash mismatches
     "q356_bloom_guided_scan" ->

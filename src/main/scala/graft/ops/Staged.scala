@@ -156,8 +156,15 @@ object Staged {
     lock.synchronized {
       val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
       val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+      def isSliceDir(dn: String): Boolean = {
+        // exactly name__<8hex>_<8hex> — see isGeneration's rationale
+        val rest = dn.drop(name.length + 2)
+        dn.startsWith(name + "__") && rest.length == 17 &&
+          rest(8) == '_' && (rest.take(8) + rest.drop(9)).forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+      }
       dirs.filter { f =>
-        f.getName.startsWith(name + "__") && !live.contains(f.getName) &&
+        isSliceDir(f.getName) && !live.contains(f.getName) &&
           f.lastModified < staleMs
       }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
         catch { case _: java.io.IOException => () })
@@ -210,7 +217,7 @@ object Staged {
         // subset of the new dep lines (same fingerprints), most deps
         // wins; its OWN key differs (deps changed), so target != prev
         val prev = Option(new java.io.File(root).listFiles()).getOrElse(Array())
-          .filter(f => f.getName.startsWith(name + "_") &&
+          .filter(f => isGeneration(name, f.getName) &&
             java.nio.file.Files.exists(f.toPath.resolve("_SUCCESS")) &&
             java.nio.file.Files.exists(f.toPath.resolve("_graft_deps")))
           .flatMap { f =>
@@ -259,9 +266,21 @@ object Staged {
     val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
     val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
     dirs.filter { f =>
-      f.getName.startsWith(name + "_") && f.toPath != keep &&
+      isGeneration(name, f.getName) && f.toPath != keep &&
         f.lastModified < staleMs
     }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
       catch { case _: java.io.IOException => () })
   }
+
+  /** A dir is a generation of `name` iff its name is exactly
+    * `name_<8-hex-key>` — a plain `startsWith(name + "_")` would also
+    * match any OTHER relation whose name extends this one
+    * (`x_<key>` vs `x_y_<key>`), making pruning and previous-generation
+    * matching cross relation boundaries.
+    */
+  private def isGeneration(name: String, dirName: String): Boolean =
+    dirName.length == name.length + 9 &&
+      dirName.startsWith(name + "_") &&
+      dirName.drop(name.length + 1).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
 }

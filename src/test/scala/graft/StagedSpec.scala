@@ -160,6 +160,38 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("maintainedRelation: generation matching never crosses " +
+      "relation-name boundaries (x must not adopt x_y's generations)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iso_spec_")
+    try {
+      val a = dir.resolve("a.parquet").toString
+      val b = dir.resolve("b.parquet").toString
+      spark.range(0, 6).toDF("n").write.parquet(a)
+      spark.range(6, 9).toDF("n").write.parquet(b)
+      var fulls = 0
+      var deltas = 0
+      def counts(paths: Seq[String]) = spark.read.parquet(paths: _*)
+        .groupBy(pmod(col("n"), lit(3L)).as("g"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      def bf(deps: Seq[String]) = { fulls += 1; counts(deps) }
+      def ad(prev: org.apache.spark.sql.DataFrame, added: Seq[String]) = {
+        deltas += 1
+        prev.unionByName(counts(added))
+          .groupBy(col("g")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      }
+      // relation "spec_iso_x_y" publishes a generation over [a] whose
+      // manifest WOULD subset-match "spec_iso_x"'s [a, b] under a naive
+      // startsWith(name + "_") candidate scan
+      Staged.maintainedRelation(spark, "spec_iso_x_y", "v1",
+        Seq(a))(bf)(ad).count()
+      assert(fulls == 1 && deltas == 0)
+      Staged.maintainedRelation(spark, "spec_iso_x", "v1",
+        Seq(a, b))(bf)(ad).count()
+      assert(fulls == 2 && deltas == 0,
+        s"spec_iso_x adopted a foreign generation: fulls=$fulls deltas=$deltas")
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("planScrub v4: operator flips change the signature") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
     assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))

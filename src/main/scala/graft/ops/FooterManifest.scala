@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.jdk.CollectionConverters._
+
+/** Executor-distributed parquet footer-manifest probe (r10, VERDICT-r9
+  * #1 — the one named driver-side scale soft spot). The r9 bloom /
+  * zone-map operators (q346/q354/q356/q358) each walked the layout's
+  * files in a SERIAL DRIVER LOOP — `listStatus` → per-file
+  * `ParquetFileReader.open` → footer stats + bloom probe — correct and
+  * metadata-bound at 16 files, but at 100 TB (10⁵–10⁶ files on object
+  * storage) a serial driver walk with per-file footer round-trips IS
+  * the plan's bottleneck. This helper is the scale-safe form: ONE
+  * directory listing on the driver (a single metadata RPC — the part a
+  * table format's manifest would replace entirely), then the per-file
+  * footer IO runs as a Spark job — `createDataset(paths)` spread
+  * across the cluster, each task opening only its own files — and only
+  * the per-file STATS (a few longs + booleans per block, bounded model
+  * material) come back to the driver. Cost model: O(files/cluster)
+  * wall-clock metadata reads + O(files) tiny rows collected, vs the r9
+  * form's O(files) sequential round-trips. The probed-in-task
+  * accumulator exists so SourcesSpec can PIN that the IO actually runs
+  * inside tasks (TaskContext present), not on the driver — the
+  * regression this helper exists to prevent.
+  *
+  * Readers of the results (the four queries) keep their exact r9
+  * decision logic — per-block range cover, bloom membership, file-level
+  * boxes — so their oracles and contract booleans are unchanged.
+  */
+object FooterManifest {
+
+  /** One row group's footer view: per requested column its (min, max)
+    * statistics, aligned to `cols`; per requested probe value whether
+    * this block's bloom filter on `bloomCol` reports membership,
+    * aligned to `probes` (all-false when the chunk carries no bloom —
+    * parquet-mr omits it when the chunk stays fully dictionary-encoded).
+    */
+  case class BlockStat(lo: IndexedSeq[Long], hi: IndexedSeq[Long],
+                       bloomHit: IndexedSeq[Boolean])
+
+  case class FileFooter(path: String, blocks: IndexedSeq[BlockStat]) {
+    /** File-level (min, max) for column index `c` — the zone-map box. */
+    def range(c: Int): (Long, Long) =
+      (blocks.map(_.lo(c)).min, blocks.map(_.hi(c)).max)
+    /** Any block's bloom hits probe index `i` (file-level membership). */
+    def anyBloomHit(i: Int): Boolean = blocks.exists(_.bloomHit(i))
+    /** Some block both range-covers (col 0) and bloom-hits probe `i` —
+      * the per-block AND a real reader applies before touching pages.
+      */
+    def blockCoveredHit(i: Int, v: Long): Boolean =
+      blocks.exists(b => b.lo(0) <= v && v <= b.hi(0) && b.bloomHit(i))
+  }
+
+  /** Read footer stats for every `*.parquet` under `dir` as one Spark
+    * job. `cols` are long-typed columns whose per-block min/max are
+    * wanted; `probes` are values tested against `bloomCol`'s per-block
+    * bloom filters (skipped entirely when `probes` is empty). Returns
+    * the per-file footers (sorted by path — deterministic downstream
+    * folds) plus the number of files whose footer was opened INSIDE a
+    * task, which equals the file count iff the probe ran distributed.
+    */
+  def probe(s: SparkSession, dir: String, cols: Seq[String],
+            bloomCol: String = null, probes: Seq[Long] = Nil)
+      : (IndexedSeq[FileFooter], Long) = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    // the ONE driver-side metadata call: a single listing RPC
+    val paths = fs.listStatus(dirPath).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    if (paths.isEmpty) return (Vector.empty, 0L)
+    val acc = s.sparkContext.longAccumulator(
+      "graft.footer.files_probed_in_task")
+    // plain Seq/List in the task-side tuples: the product encoder's
+    // collection support is pinned for Seq, and the stats are tiny
+    val colsB: List[String] = cols.toList
+    val probesB: List[Long] = probes.toList
+    val bloomColB = Option(bloomCol)
+    import s.implicits._
+    val rows = s.createDataset(paths)
+      // one task per file: footer reads are latency-bound round-trips,
+      // the exact thing to spread; at 10⁶ files Spark caps tasks at the
+      // scheduler's default parallelism anyway via partition coalescing
+      .repartition(math.min(paths.size,
+        s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val hconf = conf.value
+        it.map { p =>
+          if (TaskContext.get() != null) acc.add(1L)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            val blocks = rd.getFooter.getBlocks.asScala.toList
+            val stats: Seq[(Seq[Long], Seq[Long], Seq[Boolean])] =
+              blocks.map { b =>
+                def cc(name: String) = b.getColumns.asScala
+                  .find(_.getPath.toDotString == name)
+                  .getOrElse(sys.error(s"no footer stats for $name in $p"))
+                val los: Seq[Long] = colsB.map(c =>
+                  cc(c).getStatistics.genericGetMin
+                    .asInstanceOf[java.lang.Long].longValue)
+                val his: Seq[Long] = colsB.map(c =>
+                  cc(c).getStatistics.genericGetMax
+                    .asInstanceOf[java.lang.Long].longValue)
+                val hits: Seq[Boolean] = bloomColB match {
+                  case Some(bc) if probesB.nonEmpty =>
+                    val bf = rd.getBloomFilterDataReader(b)
+                      .readBloomFilter(cc(bc))
+                    if (bf == null) probesB.map(_ => false)
+                    else probesB.map(v => bf.findHash(bf.hash(v)))
+                  case _ => Seq.empty[Boolean]
+                }
+                (los, his, hits)
+              }
+            (p, stats)
+          } finally rd.close()
+        }
+      }.collect()
+    val footers = rows.sortBy(_._1).map { case (p, stats) =>
+      FileFooter(p, stats.map { case (los, his, hits) =>
+        BlockStat(los.toIndexedSeq, his.toIndexedSeq, hits.toIndexedSeq)
+      }.toIndexedSeq)
+    }.toIndexedSeq
+    (footers, acc.value)
+  }
+}

@@ -46,6 +46,17 @@ object Staged {
   private val lock = new Object
   private[graft] val root = "/tmp/graft_stage"
 
+  /** The `__` infix is RESERVED for [[deltaRelation]] slice dirs
+    * (`name__<dephash>_<key>`): a relation literally named `x__<8hex>`
+    * would publish generation dirs that `isSliceDir(x)` matches, so
+    * relation x's slice sweep could delete that other relation's live
+    * stage (ADVICE-r9). Rejected at every public entry point.
+    */
+  private def requireName(name: String): Unit =
+    require(!name.contains("__"),
+      s"staged relation name '$name' contains the reserved '__' infix " +
+        "(slice-dir namespace)")
+
   /** Fingerprint: relation name + code version + per-dep (size, mtime).
     * A directory dep (e.g. another published stage) is fingerprinted by
     * its sorted leaf files — ATOMIC_MOVE preserves inner mtimes, so a
@@ -87,6 +98,16 @@ object Staged {
     */
   def relation(s: SparkSession, name: String, version: String,
                deps: Seq[String])(build: => DataFrame): DataFrame = {
+    requireName(name)
+    relationImpl(s, name, version, deps)(build)
+  }
+
+  /** [[relation]] minus the reserved-name check — the internal entry
+    * [[deltaRelation]] uses to publish its slice dirs (whose names
+    * legitimately carry the `__` infix).
+    */
+  private def relationImpl(s: SparkSession, name: String, version: String,
+                           deps: Seq[String])(build: => DataFrame): DataFrame = {
     val stage = stagePath(name, version, deps)
     def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
     lock.synchronized {
@@ -148,9 +169,10 @@ object Staged {
     */
   def deltaRelation(s: SparkSession, name: String, version: String,
                     deps: Seq[String])(build: String => DataFrame): DataFrame = {
+    requireName(name)
     require(deps.nonEmpty, s"deltaRelation $name needs at least one dep")
     val out = deps.map { dep =>
-      relation(s, sliceName(name, dep), version, Seq(dep))(build(dep))
+      relationImpl(s, sliceName(name, dep), version, Seq(dep))(build(dep))
     }.reduce(_.unionByName(_))
     val live = deps.map(dep => slicePath(name, version, dep).getFileName.toString).toSet
     lock.synchronized {
@@ -200,14 +222,23 @@ object Staged {
     * to `buildFull` when no prior generation qualifies (first build,
     * regenerated deps, or shrunk dep set) — the delta path is an
     * OPTIMIZATION with identical semantics, which callers must
-    * guarantee (applyDelta(gen(D0), D1) ≡ buildFull(D0 ∪ D1)); specs
-    * pin that equivalence per adopter.
+    * guarantee (applyDelta(gen(D0), D0, D1) ≡ buildFull(D0 ∪ D1));
+    * specs pin that equivalence per adopter.
+    *
+    * `applyDelta(prev, prevDeps, added)` receives the MATCHED
+    * generation's own dep list (parsed from its manifest), not just
+    * the added deps (ADVICE-r9): delta logic that references the old
+    * input (e.g. the q348 decomposition's base-basket anti-join) must
+    * pair against the generation actually adopted — a caller that
+    * reconstructs "the base" from its own context can silently drift
+    * from the manifest match.
     */
   def maintainedRelation(s: SparkSession, name: String, version: String,
                          deps: Seq[String])
                         (buildFull: Seq[String] => DataFrame)
-                        (applyDelta: (DataFrame, Seq[String]) => DataFrame)
+                        (applyDelta: (DataFrame, Seq[String], Seq[String]) => DataFrame)
       : DataFrame = {
+    requireName(name)
     val stage = stagePath(name, version, deps)
     def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
     lock.synchronized {
@@ -230,12 +261,19 @@ object Staged {
           }.sortBy(-_._2).headOption
         val built = prev match {
           case Some((prevPath, nOld)) =>
-            val oldLines = new String(java.nio.file.Files.readAllBytes(
-              prevPath.resolve("_graft_deps")), "UTF-8").split("\n").tail.toSet
+            val oldLineSeq = new String(java.nio.file.Files.readAllBytes(
+              prevPath.resolve("_graft_deps")), "UTF-8").split("\n").tail.toSeq
+            val oldLines = oldLineSeq.toSet
+            // the matched generation's OWN dep paths, manifest order
+            val prevDeps = oldLineSeq.map { l =>
+              val cut = l.lastIndexOf("=>")
+              require(cut > 0, s"maintained stage $name: bad manifest line")
+              l.substring(0, cut)
+            }
             val added = deps.filter(dp => !oldLines.contains(depLine(dp)))
             require(added.size == deps.size - nOld,
               s"maintained stage $name: dep manifest mismatch")
-            applyDelta(s.read.parquet(prevPath.toString), added)
+            applyDelta(s.read.parquet(prevPath.toString), prevDeps, added)
           case None => buildFull(deps)
         }
         val tmp = java.nio.file.Paths.get(

@@ -1020,51 +1020,15 @@ object Advanced {
       val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
       def enrich(f: DataFrame): DataFrame =
         f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      // stored MV state: extrema + support AT the extrema (one extra
-      // integer per side — the price of delete-awareness)
-      val stored = enrich(base).groupBy(col("c_mktsegment"))
-        .agg(max(col("cents")).as("mx0"), min(col("cents")).as("mn0"))
-        .localCheckpoint(true)
-      def atExtrema(f: DataFrame, mxName: String, mnName: String) =
-        enrich(f).join(broadcast(stored), Seq("c_mktsegment"))
-          .groupBy(col("c_mktsegment"))
-          .agg(sum(when(col("cents") === col("mx0"), 1L).otherwise(0L))
-              .as(mxName),
-            sum(when(col("cents") === col("mn0"), 1L).otherwise(0L))
-              .as(mnName))
-      val support = atExtrema(base, "n_at_mx", "n_at_mn")
-      val delAgg = atExtrema(del, "d_at_mx", "d_at_mn")
-      val insAgg = enrich(ins).groupBy(col("c_mktsegment"))
-        .agg(max(col("cents")).as("ins_mx"), min(col("cents")).as("ins_mn"))
-      val t = stored.join(support, Seq("c_mktsegment"))
-        .join(delAgg, Seq("c_mktsegment"), "left")
-        .join(insAgg, Seq("c_mktsegment"), "left")
-        .withColumn("rescan_max",
-          coalesce(col("d_at_mx"), lit(0L)) === col("n_at_mx"))
-        .withColumn("rescan_min",
-          coalesce(col("d_at_mn"), lit(0L)) === col("n_at_mn"))
-        .localCheckpoint(true)
-      val rescanGroups = t
-        .filter(col("rescan_max") || col("rescan_min"))
-        .select(col("c_mktsegment")).localCheckpoint(true)
+          .select(col("c_mktsegment").as("g"), col("cents"),
+            col("o_orderkey"))
       val postFacts = base.join(del.select(col("o_orderkey")),
           Seq("o_orderkey"), "left_anti")
         .unionByName(ins)
-      // group-pruned rescan: ONLY the support-exhausted groups
-      val scratch = enrich(postFacts)
-        .join(broadcast(rescanGroups), Seq("c_mktsegment"), "left_semi")
-        .groupBy(col("c_mktsegment"))
-        .agg(max(col("cents")).as("smx"), min(col("cents")).as("smn"))
-      t.join(scratch, Seq("c_mktsegment"), "left")
-        .select(col("c_mktsegment"),
-          when(col("rescan_max"), col("smx"))
-            .otherwise(greatest(col("mx0"), col("ins_mx")))
-            .as("max_cents"),
-          when(col("rescan_min"), col("smn"))
-            .otherwise(least(col("mn0"), col("ins_mn")))
-            .as("min_cents"),
-          col("rescan_max").as("rescanned_max"),
-          col("rescan_min").as("rescanned_min"))
+      extremaSupportView(enrich(base), enrich(ins), enrich(del),
+          enrich(postFacts))
+        .select(col("g").as("c_mktsegment"), col("max_cents"),
+          col("min_cents"), col("rescanned_max"), col("rescanned_min"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -2225,6 +2189,70 @@ object Advanced {
         .orderBy(col("user_id"), col("etype"))
     }))
 
+
+  /** q347's minimal-trigger extrema maintenance, factored so the empty-
+    * group edge (ADVICE-r9) is spec-testable on hand-built inputs.
+    * Inputs carry columns (g, cents): `base` the stored facts, `ins` /
+    * `del` the mixed batch, `post` the post-batch fact set (base minus
+    * deletes plus inserts — the caller owns the row identity needed for
+    * that anti-join). Stored MV state = per-group extrema plus SUPPORT
+    * at each extremum; a rescan of `post` fires ONLY when the batch's
+    * deletions at the stored extreme exhaust its support (minimal for
+    * this state class — see the q347 registry comment). A group whose
+    * post-batch fact set is empty always trips the trigger (deleting
+    * every row exhausts both supports) and gets no scratch row, so the
+    * "rescanned but scratch-missing" filter is exactly the oracle's
+    * inner-join-on-post semantics: the group vanishes instead of
+    * emitting NULL extrema (ADVICE-r9; pinned in AnalyticsSpec).
+    */
+  private[graft] def extremaSupportView(base: DataFrame, ins: DataFrame,
+                                        del: DataFrame,
+                                        post: DataFrame): DataFrame = {
+    // stored MV state: extrema + support AT the extrema (one extra
+    // integer per side — the price of delete-awareness)
+    val stored = base.groupBy(col("g"))
+      .agg(max(col("cents")).as("mx0"), min(col("cents")).as("mn0"))
+      .localCheckpoint(true)
+    def atExtrema(f: DataFrame, mxName: String, mnName: String) =
+      f.join(broadcast(stored), Seq("g"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("cents") === col("mx0"), 1L).otherwise(0L))
+            .as(mxName),
+          sum(when(col("cents") === col("mn0"), 1L).otherwise(0L))
+            .as(mnName))
+    val support = atExtrema(base, "n_at_mx", "n_at_mn")
+    val delAgg = atExtrema(del, "d_at_mx", "d_at_mn")
+    val insAgg = ins.groupBy(col("g"))
+      .agg(max(col("cents")).as("ins_mx"), min(col("cents")).as("ins_mn"))
+    val t = stored.join(support, Seq("g"))
+      .join(delAgg, Seq("g"), "left")
+      .join(insAgg, Seq("g"), "left")
+      .withColumn("rescan_max",
+        coalesce(col("d_at_mx"), lit(0L)) === col("n_at_mx"))
+      .withColumn("rescan_min",
+        coalesce(col("d_at_mn"), lit(0L)) === col("n_at_mn"))
+      .localCheckpoint(true)
+    val rescanGroups = t
+      .filter(col("rescan_max") || col("rescan_min"))
+      .select(col("g")).localCheckpoint(true)
+    // group-pruned rescan: ONLY the support-exhausted groups
+    val scratch = post
+      .join(broadcast(rescanGroups), Seq("g"), "left_semi")
+      .groupBy(col("g"))
+      .agg(max(col("cents")).as("smx"), min(col("cents")).as("smn"))
+    t.join(scratch, Seq("g"), "left")
+      .filter(!(col("rescan_max") || col("rescan_min")) ||
+        col("smx").isNotNull || col("smn").isNotNull)
+      .select(col("g"),
+        when(col("rescan_max"), col("smx"))
+          .otherwise(greatest(col("mx0"), col("ins_mx")))
+          .as("max_cents"),
+        when(col("rescan_min"), col("smn"))
+          .otherwise(least(col("mn0"), col("ins_mn")))
+          .as("min_cents"),
+        col("rescan_max").as("rescanned_max"),
+        col("rescan_min").as("rescanned_min"))
+  }
 
   val oracles: Map[String, String] = Map(
     // the EXPLICIT spelling — the sugar's key inference is under test

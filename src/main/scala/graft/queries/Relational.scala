@@ -553,8 +553,13 @@ object Relational {
       def buildFull(deps: Seq[String]): DataFrame =
         selfPairs(baskets(deps.tail)) // deps.head is lineitem
           .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
-      def applyDelta(prev: DataFrame, added: Seq[String]): DataFrame = {
-        val baskBase = baskets(Seq(baseDir))
+      // prevDeps = the MATCHED generation's manifest dep list (r10:
+      // threaded by maintainedRelation itself, so the anti-join base
+      // can never drift from the generation actually adopted);
+      // prevDeps.head is lineitem, tail the order slices it covered
+      def applyDelta(prev: DataFrame, prevDeps: Seq[String],
+                     added: Seq[String]): DataFrame = {
+        val baskBase = baskets(prevDeps.tail)
         val baskD = baskets(added)
           .join(baskBase, Seq("c", "sv"), "left_anti")
         val mixed = baskD.toDF("c", "x")

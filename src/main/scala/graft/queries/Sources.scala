@@ -151,9 +151,10 @@ object Sources {
     // maxRecordsPerFile rows per file in sort order), so the
     // per-predicate touched counts the oracle replays are exactly what
     // a min/max-pruning reader would do on these bytes. The footer
-    // loop is driver-side over ~16 files — bounded model material, the
-    // same scan a table-format manifest (Iceberg/Delta file stats)
-    // serves at 100 TB.
+    // pass runs as ONE distributed metadata job (ops.FooterManifest,
+    // r10) — per-file footer IO in executors, only the tiny boxes
+    // collected — the same scan a table-format manifest (Iceberg/Delta
+    // file stats) serves at 100 TB.
     "q346_footer_zonemap" -> ((s, d) => {
       graft.expr.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
@@ -173,35 +174,16 @@ object Sources {
           .sortWithinPartitions(col("hkey"), col("event_id"))
           .write.option("maxRecordsPerFile", k)
           .mode("overwrite").parquet(s"$stage/out")
-        val conf = s.sessionState.newHadoopConf()
-        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
-        val fs = outPath.getFileSystem(conf)
-        val footerBoxes = fs.listStatus(outPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromStatus(st, conf))
-            try {
-              val blocks = rd.getFooter.getBlocks.asScala.toSeq
-              def mm(c: String): (Long, Long) = {
-                val per = blocks.map { b =>
-                  val stats = b.getColumns.asScala
-                    .find(_.getPath.toDotString == c)
-                    .getOrElse(sys.error(s"no footer stats for $c"))
-                    .getStatistics
-                  (stats.genericGetMin.asInstanceOf[java.lang.Long]
-                     .longValue,
-                   stats.genericGetMax.asInstanceOf[java.lang.Long]
-                     .longValue)
-                }
-                (per.map(_._1).min, per.map(_._2).max)
-              }
-              val (x0, x1) = mm("xq")
-              val (y0, y1) = mm("yq")
-              (x0, x1, y0, y1)
-            } finally rd.close()
-          }
+        // r10 (VERDICT-r9 #1): footer IO runs as ONE metadata Spark job
+        // (ops.FooterManifest), not a serial driver loop — only the
+        // per-file boxes come back; SourcesSpec pins the in-task count
+        val (footers, _) = graft.ops.FooterManifest.probe(
+          s, s"$stage/out", Seq("xq", "yq"))
+        val footerBoxes = footers.map { f =>
+          val (x0, x1) = f.range(0)
+          val (y0, y1) = f.range(1)
+          (x0, x1, y0, y1)
+        }
         val model = base
           .withColumn("rn", row_number().over(
             Window.orderBy(col("hkey"), col("event_id"))))
@@ -273,33 +255,14 @@ object Sources {
           .write.option("maxRecordsPerFile", k)
           .option("parquet.bloom.filter.enabled#ukey", "true")
           .mode("overwrite").parquet(s"$stage/out")
-        val conf = s.sessionState.newHadoopConf()
-        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
-        val fs = outPath.getFileSystem(conf)
-        val infos = fs.listStatus(outPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromStatus(st, conf))
-            try {
-              val blocks = rd.getFooter.getBlocks.asScala.toSeq
-              val ccs = blocks.map(_.getColumns.asScala
-                .find(_.getPath.toDotString == "ukey")
-                .getOrElse(sys.error("no footer stats for ukey")))
-              val lo = ccs.map(_.getStatistics.genericGetMin
-                .asInstanceOf[java.lang.Long].longValue).min
-              val hi = ccs.map(_.getStatistics.genericGetMax
-                .asInstanceOf[java.lang.Long].longValue).max
-              def bloomHit(v: Long): Boolean =
-                blocks.zip(ccs).exists { case (b, cc) =>
-                  val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
-                  bf != null && bf.findHash(bf.hash(v))
-                }
-              (st.getPath.toString, lo, hi,
-                bloomHit(presentKey), bloomHit(absentKey))
-            } finally rd.close()
-          }
+        // r10 (VERDICT-r9 #1): one distributed metadata job for all
+        // footers+blooms — decision logic below is unchanged
+        val (footers, _) = graft.ops.FooterManifest.probe(s,
+          s"$stage/out", Seq("ukey"), "ukey", Seq(presentKey, absentKey))
+        val infos = footers.map { f =>
+          val (lo, hi) = f.range(0)
+          (f.path, lo, hi, f.anyBloomHit(0), f.anyBloomHit(1))
+        }
         def rangeHits(v: Long) = infos.filter(i => i._2 <= v && v <= i._3)
         def effective(v: Long, hit: ((String, Long, Long, Boolean, Boolean)) => Boolean) =
           rangeHits(v).count(hit)
@@ -330,18 +293,21 @@ object Sources {
 
     // Bloom-GUIDED scan (r9 — q354 promoted from measurement to
     // operator): an equality lookup on the scattered key executes as
-    // (1) a driver-side MANIFEST scan — list files, read footers, keep
-    // only files whose min/max range covers AND bloom hits the probe
-    // (the same pre-scan a table format's file-stats index serves) —
-    // then (2) a Spark scan over ONLY the kept files. Correctness is a
-    // theorem (blooms have no false negatives, ranges are exact ⇒ the
-    // pruned scan sees every matching row), verified in-query by
-    // symmetric exceptAll against the full scan AND by the oracle,
-    // which replays the lookup over the raw table — identical rows or
-    // the hash mismatches. The pruning effect is pinned as the
-    // kept ≤ 4-of-16 contract boolean (fpp-bounded). At 100 TB the
-    // manifest scan is O(files) driver/metadata work that replaces an
-    // O(corpus) scan for point lookups on non-clustered keys.
+    // (1) a MANIFEST pass — one listing, then per-file footer stats +
+    // bloom probes as a DISTRIBUTED metadata job (ops.FooterManifest,
+    // r10), keeping only files where some block's min/max range covers
+    // AND its bloom hits the probe (the same pre-scan a table format's
+    // file-stats index serves) — then (2) a Spark scan over ONLY the
+    // kept files. Correctness is a theorem (blooms have no false
+    // negatives, ranges are exact ⇒ the pruned scan sees every
+    // matching row), verified in-query by symmetric exceptAll against
+    // the full scan AND by the oracle, which replays the lookup over
+    // the raw table — identical rows or the hash mismatches. The
+    // pruning effect is pinned as the kept ≤ 4-of-16 contract boolean
+    // (fpp-bounded). At 100 TB the manifest pass is one metadata job
+    // spread over the cluster (O(files/cluster) wall-clock) that
+    // replaces an O(corpus) scan for point lookups on non-clustered
+    // keys.
     "q356_bloom_guided_scan" -> ((s, d) => {
       import s.implicits._
       import scala.jdk.CollectionConverters._
@@ -361,34 +327,22 @@ object Sources {
           .write.option("maxRecordsPerFile", k)
           .option("parquet.bloom.filter.enabled#ukey", "true")
           .mode("overwrite").parquet(s"$stage/out")
-        val conf = s.sessionState.newHadoopConf()
-        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
-        val fs = outPath.getFileSystem(conf)
-        val all = fs.listStatus(outPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        val kept = all.filter { st =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, conf))
-          try {
-            val blocks = rd.getFooter.getBlocks.asScala.toSeq
-            blocks.exists { b =>
-              val cc = b.getColumns.asScala
-                .find(_.getPath.toDotString == "ukey")
-                .getOrElse(sys.error("no footer stats for ukey"))
-              val stats = cc.getStatistics
-              val lo = stats.genericGetMin
-                .asInstanceOf[java.lang.Long].longValue
-              val hi = stats.genericGetMax
-                .asInstanceOf[java.lang.Long].longValue
-              lo <= probe && probe <= hi && {
-                val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
-                bf != null && bf.findHash(bf.hash(probe))
-              }
-            }
-          } finally rd.close()
-        }
-        val pruned = s.read.parquet(kept.map(_.getPath.toString): _*)
+        // r10 (VERDICT-r9 #1): the manifest pass is one distributed
+        // metadata job; keep = some block range-covers AND bloom-hits
+        val (footers, _) = graft.ops.FooterManifest.probe(s,
+          s"$stage/out", Seq("ukey"), "ukey", Seq(probe))
+        val kept = footers.filter(_.blockCoveredHit(0, probe))
+        val all = footers
+        // ADVICE-r9 guard: parquet-mr OMITS the bloom when a ukey chunk
+        // stays fully dictionary-encoded (data-scale-dependent writer
+        // behavior), so kept CAN be empty even for a present key — an
+        // empty path list would crash the read. Fall back to the full
+        // scan: correctness-neutral (the exceptAll check still runs),
+        // pruning booleans report honestly below.
+        val keptPaths =
+          if (kept.isEmpty) Seq(s"$stage/out")
+          else kept.map(_.path)
+        val pruned = s.read.parquet(keptPaths: _*)
           .filter(col("ukey") === probe)
           .select(col("event_id"), col("ukey"))
         val full = s.read.parquet(s"$stage/out")
@@ -414,8 +368,9 @@ object Sources {
     // in-query and by the oracle's raw-table replay of the semi-join;
     // pruning pinned as kept ≤ 12-of-16 (8 scattered probes, ≈1 file
     // each, fpp-bounded extras). At 100 TB this is bloom-tested
-    // dynamic file pruning: the manifest pass costs
-    // O(files · |probe set|) metadata work, zero fact-table IO.
+    // dynamic file pruning: the manifest pass is one distributed
+    // metadata job (O(files · |probe set|) work spread over the
+    // cluster — ops.FooterManifest, r10), zero fact-table IO.
     "q358_bloom_semijoin_scan" -> ((s, d) => {
       import s.implicits._
       import scala.jdk.CollectionConverters._
@@ -435,34 +390,20 @@ object Sources {
           .write.option("maxRecordsPerFile", k)
           .option("parquet.bloom.filter.enabled#ukey", "true")
           .mode("overwrite").parquet(s"$stage/out")
-        val conf = s.sessionState.newHadoopConf()
-        val outPath = new org.apache.hadoop.fs.Path(s"$stage/out")
-        val fs = outPath.getFileSystem(conf)
-        val all = fs.listStatus(outPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        val kept = all.filter { st =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, conf))
-          try {
-            rd.getFooter.getBlocks.asScala.exists { b =>
-              val cc = b.getColumns.asScala
-                .find(_.getPath.toDotString == "ukey")
-                .getOrElse(sys.error("no footer stats for ukey"))
-              val stats = cc.getStatistics
-              val lo = stats.genericGetMin
-                .asInstanceOf[java.lang.Long].longValue
-              val hi = stats.genericGetMax
-                .asInstanceOf[java.lang.Long].longValue
-              val inRange = probes.filter(v => lo <= v && v <= hi)
-              inRange.nonEmpty && {
-                val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
-                bf != null && inRange.exists(v => bf.findHash(bf.hash(v)))
-              }
-            }
-          } finally rd.close()
-        }
-        val pruned = s.read.parquet(kept.map(_.getPath.toString): _*)
+        // r10 (VERDICT-r9 #1): one distributed metadata job covers all
+        // probes × files; keep = any block where some in-range probe
+        // bloom-hits (identical per-block AND as the r9 driver loop)
+        val (footers, _) = graft.ops.FooterManifest.probe(s,
+          s"$stage/out", Seq("ukey"), "ukey", probes)
+        val all = footers
+        val kept = footers.filter(f =>
+          probes.indices.exists(i => f.blockCoveredHit(i, probes(i))))
+        // ADVICE-r9 guard: see q356 — dictionary-encoded chunks can
+        // carry no bloom, leaving kept empty; fall back to full scan
+        val keptPaths =
+          if (kept.isEmpty) Seq(s"$stage/out")
+          else kept.map(_.path)
+        val pruned = s.read.parquet(keptPaths: _*)
           .filter(col("ukey").isin(probes: _*))
           .select(col("event_id"), col("ukey"))
         val full = s.read.parquet(s"$stage/out")

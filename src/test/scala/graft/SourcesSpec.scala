@@ -97,4 +97,59 @@ class SourcesSpec extends SparkSpec {
       } finally rd.close()
     } finally graft.Graft.deleteRecursively(stage)
   }
+
+  test("FooterManifest.probe: every footer opens INSIDE a Spark task " +
+      "(no per-file driver IO), and the distributed stats equal a " +
+      "driver-side recompute") {
+    import scala.jdk.CollectionConverters._
+    val stage = Files.createTempDirectory("graft_fm_spec_")
+    try {
+      // 16 files, ukey scattered, blooms on — the q354/q356 layout
+      val n = 1600L
+      val k = n / 16
+      spark.range(0, n)
+        .select(col("id").as("event_id"),
+          (pmod(col("id") * 2654435761L, lit(1000000007L)) * 1000L + 7L)
+            .as("ukey"))
+        .repartition(1).sortWithinPartitions(col("event_id"))
+        .write.option("maxRecordsPerFile", k)
+        .option("parquet.bloom.filter.enabled#ukey", "true")
+        .parquet(s"$stage/out")
+      val probes = Seq(7L, 1007L) // arbitrary members of the residue class
+      val (footers, probedInTask) = graft.ops.FooterManifest.probe(
+        spark, s"$stage/out", Seq("ukey", "event_id"), "ukey", probes)
+      assert(footers.size == 16, s"expected 16 files, got ${footers.size}")
+      // THE pin for VERDICT-r9 #1: the accumulator increments only when
+      // TaskContext.get() != null, so files-probed-in-task == files
+      // proves the footer IO ran inside a Spark job, not a driver loop
+      assert(probedInTask == 16L,
+        s"footer IO ran outside tasks: $probedInTask of 16 in-task")
+      // stats fidelity: driver-side recompute of one file's footer
+      val conf = spark.sessionState.newHadoopConf()
+      val f0 = footers.head
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f0.path), conf))
+      try {
+        val block = rd.getFooter.getBlocks.asScala.head
+        def cc(c: String) = block.getColumns.asScala
+          .find(_.getPath.toDotString == c).get
+        def mn(c: String) = cc(c).getStatistics.genericGetMin
+          .asInstanceOf[java.lang.Long].longValue
+        def mx(c: String) = cc(c).getStatistics.genericGetMax
+          .asInstanceOf[java.lang.Long].longValue
+        assert(f0.blocks.head.lo == IndexedSeq(mn("ukey"), mn("event_id")))
+        assert(f0.blocks.head.hi == IndexedSeq(mx("ukey"), mx("event_id")))
+        val bloom = rd.getBloomFilterDataReader(block)
+          .readBloomFilter(cc("ukey"))
+        if (bloom != null)
+          assert(f0.blocks.head.bloomHit == probes.map(v =>
+            bloom.findHash(bloom.hash(v))).toIndexedSeq)
+      } finally rd.close()
+      // file-level range helper folds over blocks correctly
+      val (lo, hi) = f0.range(1)
+      assert(lo == 0L && hi == k - 1,
+        s"event_id sorted layout: file 0 must span [0, ${k - 1}], got [$lo, $hi]")
+    } finally graft.Graft.deleteRecursively(stage)
+  }
 }

@@ -127,8 +127,11 @@ class StagedSpec extends SparkSpec {
         .groupBy(pmod(col("n"), lit(3L)).as("g"))
         .agg(count(lit(1)).cast("long").as("cnt"))
       def bf(deps: Seq[String]) = { fulls += 1; counts(deps) }
-      def ad(prev: org.apache.spark.sql.DataFrame, added: Seq[String]) = {
+      var seenPrevDeps: Seq[String] = Nil
+      def ad(prev: org.apache.spark.sql.DataFrame, prevDeps: Seq[String],
+             added: Seq[String]) = {
         deltas += 1
+        seenPrevDeps = prevDeps
         prev.unionByName(counts(added))
           .groupBy(col("g")).agg(sum(col("cnt")).cast("long").as("cnt"))
       }
@@ -142,6 +145,10 @@ class StagedSpec extends SparkSpec {
         Seq(a, b))(bf)(ad)
       assert(fulls == 1 && deltas == 1,
         s"expected the delta route, got fulls=$fulls deltas=$deltas")
+      // ADVICE-r9: applyDelta receives the MATCHED generation's own dep
+      // list from its manifest, not a caller-side reconstruction
+      assert(seenPrevDeps == Seq(a),
+        s"applyDelta got prevDeps=$seenPrevDeps, manifest said Seq($a)")
       assert(gen1Path.toFile.lastModified == t1)
       val direct = counts(Seq(a, b)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -174,7 +181,8 @@ class StagedSpec extends SparkSpec {
         .groupBy(pmod(col("n"), lit(3L)).as("g"))
         .agg(count(lit(1)).cast("long").as("cnt"))
       def bf(deps: Seq[String]) = { fulls += 1; counts(deps) }
-      def ad(prev: org.apache.spark.sql.DataFrame, added: Seq[String]) = {
+      def ad(prev: org.apache.spark.sql.DataFrame, prevDeps: Seq[String],
+             added: Seq[String]) = {
         deltas += 1
         prev.unionByName(counts(added))
           .groupBy(col("g")).agg(sum(col("cnt")).cast("long").as("cnt"))
@@ -189,6 +197,29 @@ class StagedSpec extends SparkSpec {
         Seq(a, b))(bf)(ad).count()
       assert(fulls == 2 && deltas == 0,
         s"spec_iso_x adopted a foreign generation: fulls=$fulls deltas=$deltas")
+    } finally Graft.deleteRecursively(dir)
+  }
+
+  test("staged relation names reject the reserved '__' slice infix " +
+      "at every public entry point") {
+    // ADVICE-r9: a relation literally named x__<8hex> would publish
+    // generation dirs that deltaRelation(x)'s slice sweep matches —
+    // its TTL pass could delete the other relation's live stage
+    val dir = java.nio.file.Files.createTempDirectory("graft_resv_spec_")
+    try {
+      val a = dir.resolve("a.parquet").toString
+      spark.range(0, 3).toDF("n").write.parquet(a)
+      val df = spark.range(0, 3).toDF("n")
+      intercept[IllegalArgumentException] {
+        Staged.relation(spark, "bad__deadbeef", "v1", Seq(a))(df)
+      }
+      intercept[IllegalArgumentException] {
+        Staged.deltaRelation(spark, "bad__deadbeef", "v1", Seq(a))(_ => df)
+      }
+      intercept[IllegalArgumentException] {
+        Staged.maintainedRelation(spark, "bad__deadbeef", "v1", Seq(a))(
+          _ => df)((_, _, _) => df)
+      }
     } finally Graft.deleteRecursively(dir)
   }
 

@@ -28,7 +28,8 @@ object Bench {
     "q202_session_window", "q207_stream_right_outer_join",
     "q273_stream_union", "q274_stream_chained_agg",
     "q277_stream_upsert_sink", "q334_stream_chaos",
-    "q341_stream_ivm", "q345_state_changelog_cdc")
+    "q341_stream_ivm", "q345_state_changelog_cdc",
+    "q359_stream_extrema_ivm")
 
   private[graft] def median3(ts: Seq[Double]): Double =
     ts.sorted.apply(ts.size / 2)
@@ -126,19 +127,25 @@ object Bench {
         // exactly those queries (q62/q64/q72 shared one hash in r2).
         plans(name) = queries.Sources.planHashes.getOrElse(name,
           Graft.planSignature(df))
-        // forensic text capture (SPARK_GRAFT_PLANDIR): the scrubbed
-        // string the signature hashes, per query — lets a transient
-        // in-suite hash flip be DIFFED instead of guessed at (a
-        // PlanDump re-probe runs in a fresh JVM and may not reproduce
-        // suite-order-dependent state)
-        sys.env.get("SPARK_GRAFT_PLANDIR").foreach { dir =>
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(dir))
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(dir, s"$name.plan"),
-            Graft.planScrub(
-              df.queryExecution.optimizedPlan.canonicalized.toString))
-        }
+        // forensic text capture: the scrubbed string the signature
+        // hashes, per query — lets a transient in-suite hash flip be
+        // DIFFED instead of guessed at (a PlanDump re-probe runs in a
+        // fresh JVM and may not reproduce suite-order-dependent
+        // state). DEFAULT-ON since r10 (VERDICT-r9 #2: the q106/q221
+        // stable-class flips between same-code builder/driver
+        // artifacts left no minority-variant text to diff because all
+        // capture-enabled runs produced the majority variant) — every
+        // bench run now writes <out>_plans/<query>.plan, so the next
+        // flip, whoever's run it lands in, ships its own scrub-gap
+        // diff. Override the dir with SPARK_GRAFT_PLANDIR.
+        val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANDIR",
+          out.stripSuffix(".json") + "_plans")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(planDir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(planDir, s"$name.plan"),
+          Graft.planScrub(
+            df.queryExecution.optimizedPlan.canonicalized.toString))
         df.count()
       } catch { case _: Throwable => () }
     }

@@ -124,13 +124,31 @@ object Graft {
     * classify as "stable". Named atoms keep the v3 invariance (the
     * per-line sort still absorbs commutative operand reorder; the
     * token is position-independent) while making every operator
-    * change land in some line's multiset. Hashes are NOT comparable
-    * across the v2→v3 or v3→v4 boundaries (diff r9+ artifacts against
-    * r9+ artifacts).
+    * change land in some line's multiset.
+    *
+    * v5 (r10): comparison DIRECTIONS are unified — `<`/`>` → one atom
+    * (OPLTGT), `<=`/`>=` → another (OPLEGE). Root cause of the r9
+    * "stable-classified q221 flipped between same-code artifacts"
+    * residue, caught by diffing the now-default-on bench plan capture
+    * against a subset run: `Canonicalize.expressionReorder` normalizes
+    * a comparison so the smaller-HASHCODE operand comes first,
+    * FLIPPING the operator as needed (`a < b` ⇔ `b > a`), and operand
+    * hashCodes embed the per-JVM ExprId jvmId — so the printed
+    * direction is bimodal across JVMs with identical code (observed:
+    * q221's radius predicate, OPLT in a fresh-JVM subset run, OPGT in
+    * the full-suite bench, all else byte-identical). After the v3
+    * per-line operand sort, a mirrored comparison differs ONLY by
+    * that direction atom, so the atom is pure noise: unifying it
+    * loses nothing the sort hadn't already erased (a real `a < b` →
+    * `a > b` edit canonicalizes to mirrored operand order — invisible
+    * to any order-insensitive hash; the ORACLE catches value-level
+    * regressions), while strict-vs-inclusive (`<` → `<=`) and every
+    * other operator change still flip the signature. Hashes are NOT
+    * comparable across the v2→v3, v3→v4, or v4→v5 boundaries.
     */
   private val SymbolAtoms: Seq[(String, String)] = Seq(
-    "<=>" -> " OPNSEQ ", ">=" -> " OPGE ", "<=" -> " OPLE ",
-    "=" -> " OPEQ ", "<" -> " OPLT ", ">" -> " OPGT ",
+    "<=>" -> " OPNSEQ ", ">=" -> " OPLEGE ", "<=" -> " OPLEGE ",
+    "=" -> " OPEQ ", "<" -> " OPLTGT ", ">" -> " OPLTGT ",
     "+" -> " OPADD ", "-" -> " OPSUB ", "*" -> " OPMUL ",
     "/" -> " OPDIV ", "%" -> " OPMOD ", "!" -> " OPNOT ",
     "&" -> " OPAMP ", "|" -> " OPBAR ", "^" -> " OPXOR ",

@@ -922,6 +922,36 @@ object Multimodal {
   private[graft] def gifComposited(id: Long, bytes: Array[Byte],
                                    sampleEvery: Int = 1): Vector[GifFrameOut] = {
     require(sampleEvery >= 1)
+    var frames = Vector.empty[GifFrameOut]
+    gifComposeWalk(id, bytes) { (frameIdx, screenW, screenH, canvas) =>
+      if (frameIdx % sampleEvery == 0) {
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        canvas.foreach { c =>
+          sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff
+          sumB += c & 0xff
+        }
+        val tl = canvas(0)
+        val nPix = screenW.toLong * screenH
+        frames :+= GifFrameOut(id, frameIdx, screenW, screenH,
+          sumR.toDouble / nPix, sumG.toDouble / nPix,
+          sumB.toDouble / nPix,
+          (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
+      }
+    }
+    require(frames.nonEmpty, s"media $id: no decodable frames")
+    frames
+  }
+
+  /** The GCE composition walk under [[gifComposited]], factored so the
+    * fuzz spec (r10, VERDICT-r9 #4) can compare WHOLE CANVASES per
+    * frame against an independent compositor over the JDK reader's
+    * decoded frames — the public sampler emits only channel means +
+    * top-left, which a compensating two-pixel error could slip past.
+    * `emit` receives the LIVE canvas after each frame's paint (before
+    * its disposal runs) — copy it if you keep it.
+    */
+  private[graft] def gifComposeWalk(id: Long, bytes: Array[Byte])
+      (emit: (Int, Int, Int, Array[Int]) => Unit): Unit = {
     require(bytes.length >= 13 &&
       bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
@@ -944,7 +974,6 @@ object Multimodal {
       if ((packed & 0x80) != 0) colorTable(packed & 0x07) else Array.empty
     val bg = if (gct.nonEmpty) gct(bgIndex min (gct.length - 1)) else 0
     val canvas = Array.fill(screenW * screenH)(bg)
-    var frames = Vector.empty[GifFrameOut]
     var frameIdx = 0
     var disposal = 0
     var sep = u8()
@@ -997,19 +1026,7 @@ object Multimodal {
           canvas(y * screenW + x) = table(ci)
           i += 1
         }
-        if (frameIdx % sampleEvery == 0) {
-          var sumR = 0L; var sumG = 0L; var sumB = 0L
-          canvas.foreach { c =>
-            sumR += (c >> 16) & 0xff; sumG += (c >> 8) & 0xff
-            sumB += c & 0xff
-          }
-          val tl = canvas(0)
-          val nPix = screenW.toLong * screenH
-          frames :+= GifFrameOut(id, frameIdx, screenW, screenH,
-            sumR.toDouble / nPix, sumG.toDouble / nPix,
-            sumB.toDouble / nPix,
-            (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff)
-        }
+        emit(frameIdx, screenW, screenH, canvas)
         if (disposal == 2) { // restore the REGION to background
           var y = top
           while (y < top + h) {
@@ -1030,8 +1047,6 @@ object Multimodal {
       }
       sep = u8()
     }
-    require(frames.nonEmpty, s"media $id: no decodable frames")
-    frames
   }
 
   /** Batched composited sampling — [[sampleGifFramesBatched]]'s shape

@@ -582,6 +582,73 @@ object Analytics {
       } finally deleteRecursively(stage)
     }),
 
+    // Streaming IVM with retractable EXTREMA (r10, VERDICT-r9 #6):
+    // q341's counting bridge composed with q347's support-at-extremum
+    // trigger inside one transformWithState processor
+    // (streaming.ExtremaView). The state gains a per-group value
+    // HISTOGRAM — the O(distinct) multiset a delete-capable extremum
+    // fundamentally needs (q341 documented MAX/MIN as absent for
+    // exactly this reason; the histogram IS the streaming "base") —
+    // but the q347 discipline governs when it is ever ITERATED:
+    // inserts fold (monotone), deletes are point writes, and only a
+    // batch that exhausts the support at the stored extreme scans the
+    // histogram keys for the new one. A retraction storm away from
+    // the extremum costs zero scans (StatefulStreamSpec pins it with
+    // an injected accumulator). Oracle = the from-scratch rollup over
+    // the post-batch fact set with MAX/MIN — the same contract as
+    // batch q339, now met by the stream.
+    "q359_stream_extrema_ivm" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = "stream_xivm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def signedDeltas(f: DataFrame, sign: Long): DataFrame =
+        f.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("c_custkey").as("custkey"), col("cents"),
+            lit(sign).as("sign"))
+      val base = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val ins = ord.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      val stage = java.nio.file.Files.createTempDirectory("graft_xivm_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectories(watch)
+      try {
+        stageWatchFile(signedDeltas(base, 1L), watch, "01",
+          1000000000000L)
+        stageWatchFile(signedDeltas(ins, 1L)
+          .unionByName(signedDeltas(del, -1L)), watch, "02",
+          1000000100000L)
+        val schema = s.read.parquet(watch.toString).schema
+        import s.implicits._
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .as[graft.streaming.CountingView.DeltaIn]
+        val q = graft.streaming.ExtremaView.view(s, in)
+          .toDF().writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("segment")).orderBy(col("version").desc)
+        val out = s.table(name)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("n_orders") > 0)
+          .select(col("segment").as("c_mktsegment"), col("n_orders"),
+            col("rev_cents"), col("max_cents"), col("min_cents"),
+            col("n_customers"))
+          .orderBy(col("c_mktsegment"))
+        materialize(s, "q359_stream_extrema_ivm", out)
+      } finally deleteRecursively(stage)
+    }),
+
     // CDC-shaped retraction source (r9, SURVEY §7.6 backlog item #3 —
     // completes q341's end-to-end retraction story): the signed deltas
     // feeding the CountingView are not hand-staged here; they are
@@ -1346,6 +1413,23 @@ object Analytics {
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
              AS rev_cents,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey % 10 <> 3
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // q341's contract PLUS retractable extrema: the streamed view's
+    // final state must equal the post-batch rollup including MAX/MIN —
+    // a stale stored extremum (missed rescan) or a spurious histogram
+    // scan landing on the wrong value hash-mismatches here
+    "q359_stream_extrema_ivm" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
            CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey % 10 <> 3

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.util.LongAccumulator
+
+/** Delete-capable streaming IVM WITH extrema (r10, VERDICT-r9 #6) —
+  * [[CountingView]]'s counting algebra composed with q347's
+  * support-at-extremum trigger inside one `transformWithState`
+  * processor, so the streaming MV matches the batch MV under mixed
+  * insert+delete batches INCLUDING max/min. q341 deliberately omitted
+  * extrema ("not delta-maintainable under deletes — a stream has no
+  * base to rescan"); this processor supplies the missing base: a
+  * per-group VALUE HISTOGRAM (`MapState[cents, liveCount]`) — the
+  * O(distinct values) state a retractable extremum fundamentally
+  * needs (Flink's retract-max keeps the same multiset; with only
+  * (extreme, support) stored, a delete of the last extreme row is
+  * unanswerable). The q347 discipline decides when that histogram is
+  * ever ITERATED:
+  *
+  *  - inserts fold: `mx = max(mx, v)` with support bumped on equality
+  *    — O(1), MAX is monotone under inserts;
+  *  - deletes at the stored extreme decrement its support; everything
+  *    else is point histogram writes;
+  *  - ONLY when a batch exhausts the support at the stored extreme
+  *    does the processor scan the histogram keys for the new extreme —
+  *    the streaming analogue of q347's group-pruned base rescan, and
+  *    the trigger is the same minimality argument: any weaker
+  *    condition misses a true extremum move, any stronger one scans a
+  *    histogram whose stored value is still certified by a survivor.
+  *
+  * A retraction storm away from the extremum therefore costs ZERO
+  * histogram scans — pinned by StatefulStreamSpec via the injected
+  * `rescans` accumulator (tasks merge it back to the driver; in a
+  * cluster this is the same observability a Spark metric gives).
+  *
+  * State per group: scalars + live-member support map (CountingView's)
+  * + the value histogram — O(groups + members + distinct values),
+  * RocksDB-backed, point reads/writes on touched entries only.
+  * Emissions are versioned like CountingView (a count can go down, so
+  * the final view row per key is max version, never a monotone fold).
+  * A group whose post-batch count is zero emits n_orders = 0 with
+  * None extrema — the reader filters it out, matching q347's
+  * "emptied group vanishes" batch semantics.
+  */
+object ExtremaView {
+
+  case class Scalars(n: Long, rev: Long, live: Long, version: Long,
+                     mx: Long, mxSup: Long, mn: Long, mnSup: Long)
+  case class ViewOut(segment: String, version: Long, n_orders: Long,
+                     rev_cents: Long, n_customers: Long,
+                     max_cents: Option[Long], min_cents: Option[Long])
+
+  class Processor(rescans: Option[LongAccumulator])
+      extends StatefulProcessor[String, CountingView.DeltaIn, ViewOut] {
+    @transient private var scalars: ValueState[Scalars] = _
+    @transient private var support: MapState[Long, Long] = _
+    @transient private var hist: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      scalars = getHandle.getValueState[Scalars]("scalars",
+        Encoders.product[Scalars], TTLConfig.NONE)
+      support = getHandle.getMapState[Long, Long]("support",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      hist = getHandle.getMapState[Long, Long]("hist",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[CountingView.DeltaIn],
+                                 timerValues: TimerValues): Iterator[ViewOut] = {
+      var s = if (scalars.exists()) scalars.get()
+              else Scalars(0L, 0L, 0L, 0L,
+                Long.MinValue, 0L, Long.MaxValue, 0L)
+      // fold the batch locally per member / per value, then one point
+      // write each (the CountingView discipline: never iterate state
+      // for a batch)
+      val touched = scala.collection.mutable.LinkedHashMap[Long, Long]()
+      val histTouched = scala.collection.mutable.LinkedHashMap[Long, Long]()
+      var insMax = Long.MinValue
+      var insMin = Long.MaxValue
+      rows.foreach { r =>
+        s = s.copy(n = s.n + r.sign, rev = s.rev + r.sign * r.cents)
+        val cur = touched.getOrElse(r.custkey,
+          if (support.containsKey(r.custkey)) support.getValue(r.custkey)
+          else 0L)
+        touched(r.custkey) = cur + r.sign
+        val hc = histTouched.getOrElse(r.cents,
+          if (hist.containsKey(r.cents)) hist.getValue(r.cents) else 0L)
+        histTouched(r.cents) = hc + r.sign
+        if (r.sign > 0L) {
+          if (r.cents > insMax) insMax = r.cents
+          if (r.cents < insMin) insMin = r.cents
+        }
+      }
+      touched.foreach { case (ck, sup) =>
+        val before = if (support.containsKey(ck)) support.getValue(ck) else 0L
+        if (sup <= 0L) {
+          if (support.containsKey(ck)) support.removeKey(ck)
+          if (before > 0L) s = s.copy(live = s.live - 1L)
+        } else {
+          support.updateValue(ck, sup)
+          if (before <= 0L) s = s.copy(live = s.live + 1L)
+        }
+      }
+      histTouched.foreach { case (v, c) =>
+        if (c <= 0L) { if (hist.containsKey(v)) hist.removeKey(v) }
+        else hist.updateValue(v, c)
+      }
+      // extrema: insert fold first (monotone), then the q347 trigger —
+      // rescan the histogram ONLY if the stored extreme's support is
+      // exhausted after this batch's deltas at that value
+      def supAt(v: Long): Long =
+        histTouched.getOrElse(v,
+          if (hist.containsKey(v)) hist.getValue(v) else 0L)
+      if (s.n <= 0L) {
+        // emptied group: no extrema exist; reset to the empty sentinel
+        // (no scan needed — the histogram is empty by the count algebra)
+        s = s.copy(mx = Long.MinValue, mxSup = 0L,
+          mn = Long.MaxValue, mnSup = 0L)
+      } else {
+        // MAX side
+        val mxCand = math.max(s.mx, insMax)
+        if (supAt(mxCand) > 0L) {
+          s = s.copy(mx = mxCand, mxSup = supAt(mxCand))
+        } else {
+          // support at the stored (insert-folded) max exhausted —
+          // the ONE case that reads the histogram
+          rescans.foreach(_.add(1L))
+          var bm = Long.MinValue
+          hist.keys().foreach(v => if (v > bm) bm = v)
+          s = s.copy(mx = bm, mxSup = supAt(bm))
+        }
+        // MIN side (mirror)
+        val mnCand = math.min(s.mn, insMin)
+        if (supAt(mnCand) > 0L) {
+          s = s.copy(mn = mnCand, mnSup = supAt(mnCand))
+        } else {
+          rescans.foreach(_.add(1L))
+          var bm = Long.MaxValue
+          hist.keys().foreach(v => if (v < bm) bm = v)
+          s = s.copy(mn = bm, mnSup = supAt(bm))
+        }
+      }
+      s = s.copy(version = s.version + 1L)
+      scalars.update(s)
+      Iterator.single(ViewOut(key, s.version, s.n, s.rev, s.live,
+        if (s.n > 0L) Some(s.mx) else None,
+        if (s.n > 0L) Some(s.mn) else None))
+    }
+  }
+
+  /** Wire the processor over a stream of signed (segment, custkey,
+    * cents, sign) deltas — [[CountingView.view]]'s contract plus
+    * retractable extrema.
+    */
+  def view(spark: SparkSession, deltas: Dataset[CountingView.DeltaIn],
+           rescans: Option[LongAccumulator] = None): Dataset[ViewOut] = {
+    import spark.implicits._
+    deltas.groupByKey(_.segment)
+      .transformWithState(new Processor(rescans), TimeMode.None(),
+        OutputMode.Update())
+  }
+}

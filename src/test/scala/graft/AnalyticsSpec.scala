@@ -138,4 +138,31 @@ class AnalyticsSpec extends SparkSpec {
         s"($t,$f): $e6 * $nOof vs ${sc - sf}")
     }
   }
+
+  test("q347 extremaSupportView: a group whose post-batch fact set is " +
+      "empty vanishes from the view (ADVICE-r9); insert-moved extrema " +
+      "never rescan; support-exhausting deletes do") {
+    import spark.implicits._
+    // group A: insert raises the max (pure fold, no rescan);
+    // group B: ALL rows deleted — trigger fires, scratch has no row,
+    //          the group must vanish (not emit NULL extrema);
+    // group C: delete exhausts the support at max only — max rescans
+    //          from the survivors, min folds.
+    val base = Seq(("A", 10L), ("A", 20L), ("B", 5L), ("B", 7L),
+      ("C", 1L), ("C", 9L), ("C", 9L), ("C", 4L)).toDF("g", "cents")
+    val ins = Seq(("A", 30L)).toDF("g", "cents")
+    val del = Seq(("B", 5L), ("B", 7L), ("C", 9L), ("C", 9L))
+      .toDF("g", "cents")
+    val post = Seq(("A", 10L), ("A", 20L), ("A", 30L),
+      ("C", 1L), ("C", 4L)).toDF("g", "cents")
+    val got = graft.queries.Advanced.extremaSupportView(
+        base, ins, del, post)
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("A", 30L, 10L, false, false),
+      ("C", 4L, 1L, true, false)),
+      s"got ${got.toSeq}")
+  }
 }

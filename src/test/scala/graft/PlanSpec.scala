@@ -447,4 +447,57 @@ class PlanSpec extends SparkSpec {
     assert(byHint(2)._2.contains("BroadcastHashJoin"), byHint(2)._2)
     assert(byHint.map(_._3).distinct.size == 1, "hinted results diverge")
   }
+
+  test("source lint: every .collect() in main is on the bounded-material " +
+      "allowlist (r10, VERDICT-r9 #8 — the crossJoin lint's sibling)") {
+    // Each entry: file -> (count, why the collected material is bounded
+    // by MODEL/MANIFEST size, never by data volume). A new .collect()
+    // anywhere in main fails this spec until it is justified here — the
+    // discipline can't erode silently.
+    val allow: Map[String, (Int, String)] = Map(
+      "graft/ops/FooterManifest.scala" -> (1,
+        "per-file footer stats — a few longs/bools per file, the manifest"),
+      "graft/ext/Metrics.scala" -> (1,
+        "confusion-matrix cells — |classes|^2 model material"),
+      "graft/ext/Similarity.scala" -> (2,
+        "IVF centroid matrix + probe query vectors — k x dim model"),
+      "graft/ext/Embeddings.scala" -> (2,
+        "kmeans centroids per iteration + PCA basis — k x dim model"),
+      "graft/ext/Corpus.scala" -> (1,
+        "limit(1) scalar — one decontamination cutoff row"),
+      "graft/queries/Analytics.scala" -> (2,
+        "maxRows+1 guard in the streaming-rig materializer (limit-capped) " +
+          "+ q345's distinct batch ids (|micro-batches|)"),
+      "graft/queries/Ext.scala" -> (2,
+        "8-query probe panels for the ANN rigs — fixed probe-set size"),
+      "graft/queries/Sources.scala" -> (4,
+        "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
+          "q354's per-file containing set (|files|); q358's 8-key probe set"),
+      "graft/queries/Relational.scala" -> (1,
+        "limit(1) scalar — one percentile threshold row"),
+      "graft/queries/Advanced.scala" -> (4,
+        "q343's <=384 zone-map rows; q214 session-variable scalars; " +
+          "q310's per-lang rows (|langs|); WAP audit re-publish of a " +
+          "limit-capped result"))
+    val root = java.nio.file.Paths.get("src/main/scala")
+    import scala.jdk.CollectionConverters._
+    val found = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map { p =>
+        val n = "\\.collect\\(\\)".r
+          .findAllIn(new String(java.nio.file.Files.readAllBytes(p),
+            "UTF-8")).size
+        root.relativize(p).toString -> n
+      }
+      .filter(_._2 > 0).toMap
+    val drift = (found.keySet ++ allow.keySet).toSeq.sorted.flatMap { f =>
+      val got = found.getOrElse(f, 0)
+      val want = allow.get(f).map(_._1).getOrElse(0)
+      if (got != want) Some(s"$f: $got collect() sites, allowlisted $want")
+      else None
+    }
+    assert(drift.isEmpty,
+      "unjustified .collect() drift (add a bounded-material justification " +
+        s"to the allowlist or remove the collect):\n${drift.mkString("\n")}")
+  }
 }

@@ -200,6 +200,46 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("co-purchase deployment (r10): generation growth takes the " +
+      "delta route on the REAL maintained relation — the full rebuild " +
+      "is not paid — and the delta-built counts equal the from-scratch " +
+      "build over the grown dep set") {
+    // VERDICT-r9 #3: maintainedRelation deployed to the production
+    // graph family's pair counts, pinned with build counters on the
+    // real builders (coPurchasePairBuilders) and the real relation
+    // name. Fresh input copies => fresh fingerprints => this spec owns
+    // its generations regardless of what queries ran before it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpd_spec_")
+    try {
+      val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+      for (f <- Seq("lineitem.parquet", "orders.parquet"))
+        java.nio.file.Files.copy(src.resolve(f), dir.resolve(f))
+      val d = dir.toString
+      val slices = graft.queries.Relational.coPurchaseOrderSlices(spark, d)
+      val (bf0, ad0) = graft.queries.Relational.coPurchasePairBuilders(spark, d)
+      var fulls = 0
+      var deltas = 0
+      def bf(deps: Seq[String]) = { fulls += 1; bf0(deps) }
+      def ad(p: org.apache.spark.sql.DataFrame, pd: Seq[String],
+             a: Seq[String]) = { deltas += 1; ad0(p, pd, a) }
+      val v = graft.queries.Relational.CoPurchaseVersion
+      val liSrc = s"$d/lineitem.parquet"
+      Staged.maintainedRelation(spark, "copurchase_paircounts", v,
+        Seq(liSrc, slices.head))(bf)(ad).count()
+      assert(fulls == 1 && deltas == 0)
+      val counts = Staged.maintainedRelation(spark, "copurchase_paircounts",
+        v, liSrc +: slices)(bf)(ad)
+      assert(fulls == 1 && deltas == 1,
+        s"generation growth paid the rebuild: fulls=$fulls deltas=$deltas")
+      // delta ≡ rebuild, on the real builders over the grown dep set
+      val direct = bf0(liSrc +: slices)
+      assert(counts.exceptAll(direct).isEmpty &&
+        direct.exceptAll(counts).isEmpty,
+        "delta-built pair counts diverged from the from-scratch build")
+      assert(counts.count() > 0)
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("staged relation names reject the reserved '__' slice infix " +
       "at every public entry point") {
     // ADVICE-r9: a relation literally named x__<8hex> would publish
@@ -223,7 +263,9 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
-  test("planScrub v4: operator flips change the signature") {
+  test("planScrub v5: operator flips change the signature; mirrored " +
+      "comparison direction (the per-JVM Canonicalize hashCode flip) " +
+      "does not") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
     assert(sig("Filter (a#1 > 5)") != sig("Filter (a#1 <= 5)"))
     assert(sig("Filter (a#1 >= 5)") != sig("Filter (a#1 > 5)"))
@@ -231,6 +273,13 @@ class StagedSpec extends SparkSpec {
       sig("Project [(x#2 - y#3) AS s#4]"))
     assert(sig("Project [(x#2 * y#3) AS s#4]") !=
       sig("Project [(x#2 / y#3) AS s#4]"))
+    // the r9 q221 residue, reproduced from the captured variant texts:
+    // Canonicalize puts the smaller-hashCode operand first and flips
+    // the comparator — `a < b` and `b > a` are the SAME predicate and
+    // must hash identically across JVMs
+    assert(sig("Join Inner, (dist#3 < 50.0)") ==
+      sig("Join Inner, (50.0 > dist#3)"))
+    assert(sig("Filter (a#1 <= b#2)") == sig("Filter (b#2 >= a#1)"))
   }
 
   test("planScrub v4: invariant under commutative operand reorder " +

@@ -189,6 +189,70 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("ExtremaView: a retraction storm away from the extremum costs " +
+      "ZERO histogram scans; only a support-exhausting delete scans; " +
+      "extrema track the post-batch multiset exactly") {
+    // q359's minimal-trigger claim made observable: the injected
+    // accumulator counts every histogram iteration, so the spec can
+    // distinguish "answered from (extreme, support) state" from
+    // "scanned the multiset" — the distinction the batch oracle's
+    // value-only contract cannot see.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.{CountingView, ExtremaView}
+    import graft.streaming.CountingView.DeltaIn
+    val rescans = s.sparkContext.longAccumulator("spec.extrema.rescans")
+    val mem = MemoryStream[DeltaIn]
+    val out = ExtremaView.view(s, mem.toDS(), Some(rescans))
+    val name = "xv_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      def viewOf(version: Long) = s.table(name).collect()
+        .filter(r => r.getString(0) == "SEG" && r.getLong(1) == version)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).head
+      // batch 1: values 100, 50, 50, 30 — inserts only, no scan ever
+      mem.addData(DeltaIn("SEG", 1L, 100L, 1L), DeltaIn("SEG", 2L, 50L, 1L),
+        DeltaIn("SEG", 3L, 50L, 1L), DeltaIn("SEG", 4L, 30L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(1L) == ((4L, 230L, 4L, 100L, 30L)))
+      assert(rescans.value == 0L, "insert folds must never scan")
+      // batch 2: the retraction storm AWAY from both extrema — one of
+      // the two 50s goes; max (100) and min (30) both still supported
+      mem.addData(DeltaIn("SEG", 2L, 50L, -1L))
+      q.processAllAvailable()
+      assert(viewOf(2L) == ((3L, 180L, 3L, 100L, 30L)))
+      assert(rescans.value == 0L,
+        s"retraction away from the extremum scanned: ${rescans.value}")
+      // batch 3: delete the LAST row at the max — support exhausts,
+      // exactly one scan (max side), min untouched
+      mem.addData(DeltaIn("SEG", 1L, 100L, -1L))
+      q.processAllAvailable()
+      assert(viewOf(3L) == ((2L, 80L, 2L, 50L, 30L)))
+      assert(rescans.value == 1L,
+        s"expected exactly the max-side scan, got ${rescans.value}")
+      // batch 4: insert above the stored max — fold, no scan
+      mem.addData(DeltaIn("SEG", 5L, 500L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(4L) == ((3L, 580L, 3L, 500L, 30L)))
+      assert(rescans.value == 1L)
+      // batch 5: same batch deletes the min's last support AND inserts
+      // a lower value — insert-fold certifies the new min, no scan
+      mem.addData(DeltaIn("SEG", 4L, 30L, -1L), DeltaIn("SEG", 6L, 10L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(5L) == ((3L, 560L, 3L, 500L, 10L)))
+      assert(rescans.value == 1L,
+        "an insert below the dying min must fold, not scan")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("transformWithState timers: sessions close on gap or event-time timer") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

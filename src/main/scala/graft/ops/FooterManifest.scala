@@ -72,6 +72,17 @@ object FooterManifest {
     val paths = fs.listStatus(dirPath).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
+    probePaths(s, paths, cols, bloomCol, probes)
+  }
+
+  /** [[probe]] over an explicit file list (no listing) — the form a
+    * per-file staged manifest slice uses (q360: each slice derives
+    * from exactly one file's footer).
+    */
+  def probePaths(s: SparkSession, paths: Seq[String], cols: Seq[String],
+                 bloomCol: String = null, probes: Seq[Long] = Nil)
+      : (IndexedSeq[FileFooter], Long) = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
     val acc = s.sparkContext.longAccumulator(
       "graft.footer.files_probed_in_task")

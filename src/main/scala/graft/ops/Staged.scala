@@ -132,6 +132,43 @@ object Staged {
     s.read.parquet(stage.toString)
   }
 
+  /** Staged DIRECTORY artifact with a caller-controlled writer (r10):
+    * [[relation]] covers "build = one DataFrame written with default
+    * options"; LAYOUT-producing builders need control of the write
+    * itself (file count via maxRecordsPerFile, sort order, footer
+    * blooms) — the artifact is the directory's file layout, not just
+    * its rows. Same protocol: fingerprint key, build into a temp dir,
+    * require the writer's own `_SUCCESS`, publish by ATOMIC_MOVE,
+    * never delete a published dir in-line, prune superseded
+    * generations after the TTL. Returns the published path (the
+    * artifact is consumed by path — e.g. as another staged relation's
+    * dep — not as a DataFrame).
+    */
+  def relationDir(s: SparkSession, name: String, version: String,
+                  deps: Seq[String])(write: String => Unit): java.nio.file.Path = {
+    requireName(name)
+    val stage = stagePath(name, version, deps)
+    def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
+    lock.synchronized {
+      if (!published) {
+        val tmp = java.nio.file.Paths.get(
+          stage.toString + s".build_${System.nanoTime()}")
+        write(tmp.toString)
+        require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
+          s"relationDir $name: writer left no _SUCCESS marker")
+        java.nio.file.Files.createDirectories(stage.getParent)
+        if (published) graft.Graft.deleteRecursively(tmp)
+        else {
+          graft.Graft.deleteRecursively(stage)
+          java.nio.file.Files.move(tmp, stage,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          pruneSuperseded(name, stage)
+        }
+      }
+    }
+    stage
+  }
+
   /** The slice directory `deltaRelation` reads/publishes for one dep of
     * a delta-staged relation — exposed for the same reason as
     * [[stagePath]] (specs resolve slices by fingerprint, never by

@@ -419,6 +419,91 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
+    // Staged footer-manifest RELATION (r10 — the full Iceberg/Delta
+    // manifest move, composing three protocol pieces): (1) the sorted
+    // event LAYOUT is a staged directory artifact
+    // (Staged.relationDir: fingerprint-keyed, ATOMIC_MOVE-published,
+    // file count + sort order controlled by the writer) in TWO
+    // generations — base and later-arriving delta, the append shape;
+    // (2) the zone-map manifest is a deltaRelation whose deps are the
+    // LAYOUT FILES THEMSELVES — each slice derives from exactly one
+    // file's footer (per-dep row-locality holds trivially), so an
+    // appended generation probes ONLY its own files' footers: the
+    // incremental maintenance real table formats get by writing
+    // manifest entries at commit time; (3) a range lookup probes the
+    // manifest as a COLUMNAR SCAN (filter on [lo, hi] overlap), keeps
+    // the overlapping files (selectivity-bounded — the ~2%-of-keyspace
+    // band touches ≤ 2 of 8 sorted files per generation), and scans
+    // only those. vs q346/q354/q356: those re-probe every footer per
+    // query (distributed, but O(files) work each time); the manifest
+    // RELATION is built once per layout state and amortizes across
+    // every lookup — at 100 TB this is the difference between "list +
+    // open 10⁶ footers per query" and "scan one small manifest table".
+    // Correctness: zone ranges are exact ⇒ the pruned scan sees every
+    // in-range row — verified in-query by symmetric exceptAll vs the
+    // full scan AND by the oracle replaying the range lookup over the
+    // raw table.
+    "q360_manifest_relation" -> ((s, d) => {
+      import s.implicits._
+      val evSrc = s"$d/events.parquet"
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"))
+      val maxId = base.agg(max(col("event_id"))).head.getLong(0)
+      val lo = maxId / 4
+      val hi = maxId / 4 + maxId / 50
+      def layout(nm: String,
+                 pred: org.apache.spark.sql.Column): String =
+        graft.ops.Staged.relationDir(s, nm, "v1", Seq(evSrc)) { tmp =>
+          val part = base.filter(pred)
+          val n = part.count()
+          val k = (n + 7) / 8
+          part.repartition(1).sortWithinPartitions(col("event_id"))
+            .write.option("maxRecordsPerFile", k)
+            .mode("overwrite").parquet(tmp)
+        }.toString
+      val gens = Seq(
+        layout("evtlayout_base", pmod(col("event_id"), lit(10)) =!= 7),
+        layout("evtlayout_delta", pmod(col("event_id"), lit(10)) === 7))
+      // one listing RPC per generation dir; the manifest's deps are
+      // the files, so only NEW files' slices build on append
+      val conf = s.sessionState.newHadoopConf()
+      val filePaths = gens.flatMap { g =>
+        val p = new org.apache.hadoop.fs.Path(g)
+        // scheme-free paths: Staged's fingerprint stats them via NIO
+        p.getFileSystem(conf).listStatus(p).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath).sorted
+      }
+      val manifest = graft.ops.Staged.deltaRelation(s, "evtmanifest",
+          "v1", filePaths) { f =>
+        val (footers, _) = graft.ops.FooterManifest.probePaths(
+          s, Seq(f), Seq("event_id"))
+        footers.flatMap(ff => ff.blocks.zipWithIndex.map {
+          case (bl, i) => (ff.path, i, bl.lo(0), bl.hi(0))
+        }).toDF("path", "block", "lo", "hi")
+      }
+      val kept = manifest
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .select(col("path")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      // zone maps are exact, so an empty kept set means the band holds
+      // no rows — scan nothing, but keep the plan shape via the gens
+      val keptPaths = if (kept.isEmpty) gens else kept
+      val pruned = s.read.parquet(keptPaths: _*)
+        .filter(col("event_id").between(lo, hi))
+        .select(col("event_id"))
+      val full = s.read.parquet(gens: _*)
+        .filter(col("event_id").between(lo, hi))
+        .select(col("event_id"))
+      val complete = pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty
+      materialize(s, "q360_manifest_relation", pruned
+        .withColumn("n_files", lit(filePaths.size.toLong))
+        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id")))
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -917,6 +1002,21 @@ object Sources {
            TRUE AS kept_le_12, TRUE AS result_complete
          FROM base WHERE ukey IN (SELECT ukey FROM pv)
          ORDER BY event_id""",
+    // the manifest-pruned range scan must return exactly the raw
+    // table's band; the file-count arithmetic replays the dual-
+    // generation layout (8 + 8 exact chunks)
+    "q360_manifest_relation" ->
+      """WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+         nb AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 10 <> 7),
+         nd AS (SELECT COUNT(*) AS n FROM events WHERE event_id % 10 = 7)
+         SELECT e.event_id,
+           CAST((SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nb)
+             + (SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nd)
+             AS BIGINT) AS n_files,
+           TRUE AS kept_le_4, TRUE AS result_complete
+         FROM events e, m
+         WHERE e.event_id BETWEEN m.mx // 4 AND m.mx // 4 + m.mx // 50
+         ORDER BY e.event_id""",
     // the lookup's ROWS are the contract: the bloom-pruned scan must
     // return exactly the raw-table filter's rows or the hash mismatches
     "q356_bloom_guided_scan" ->

@@ -470,9 +470,10 @@ class PlanSpec extends SparkSpec {
           "+ q345's distinct batch ids (|micro-batches|)"),
       "graft/queries/Ext.scala" -> (2,
         "8-query probe panels for the ANN rigs — fixed probe-set size"),
-      "graft/queries/Sources.scala" -> (4,
+      "graft/queries/Sources.scala" -> (5,
         "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
-          "q354's per-file containing set (|files|); q358's 8-key probe set"),
+          "q354's per-file containing set (|files|); q358's 8-key probe " +
+          "set; q360's kept manifest paths (selectivity-bounded)"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),
       "graft/queries/Advanced.scala" -> (4,

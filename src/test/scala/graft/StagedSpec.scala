@@ -200,6 +200,42 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("relationDir: a layout artifact publishes once with the " +
+      "writer-controlled file count; a writer that leaves no _SUCCESS " +
+      "never publishes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdir_spec_")
+    try {
+      val a = dir.resolve("in.parquet").toString
+      spark.range(0, 64).toDF("n").write.parquet(a)
+      var builds = 0
+      def build(tmp: String): Unit = {
+        builds += 1
+        spark.read.parquet(a).repartition(1)
+          .sortWithinPartitions(col("n"))
+          .write.option("maxRecordsPerFile", 16).parquet(tmp)
+      }
+      val p1 = Staged.relationDir(spark, "spec_layout", "v1", Seq(a))(build)
+      def parquetFiles(p: java.nio.file.Path) =
+        Option(p.toFile.listFiles()).getOrElse(Array())
+          .filter(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(p1).length == 4 && builds == 1,
+        s"expected 4 files from maxRecordsPerFile=16 over 64 rows, " +
+          s"got ${parquetFiles(p1).length} (builds=$builds)")
+      val p2 = Staged.relationDir(spark, "spec_layout", "v1", Seq(a))(build)
+      assert(p2 == p1 && builds == 1, "published artifact rebuilt")
+      // a writer that produces no _SUCCESS must fail loudly and leave
+      // nothing published (a crashed layout write is never served)
+      intercept[IllegalArgumentException] {
+        Staged.relationDir(spark, "spec_layout_bad", "v1", Seq(a)) { tmp =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(tmp))
+        }
+      }
+      assert(!java.nio.file.Files.exists(
+        Staged.stagePath("spec_layout_bad", "v1", Seq(a))))
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("co-purchase deployment (r10): generation growth takes the " +
       "delta route on the REAL maintained relation — the full rebuild " +
       "is not paid — and the delta-built counts equal the from-scratch " +

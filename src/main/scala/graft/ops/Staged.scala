@@ -340,9 +340,17 @@ object Staged {
   private def pruneSuperseded(name: String, keep: java.nio.file.Path): Unit = {
     val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
     val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+    // a crashed build's temp dir is `name_<8hex>.build_<nanos>` — the
+    // generation name plus the build suffix (r10: the filter previously
+    // matched only exact generation names, so crash orphans survived
+    // the sweep despite the doc's claim)
+    def isBuildOrphan(dn: String): Boolean = {
+      val cut = dn.indexOf(".build_")
+      cut > 0 && isGeneration(name, dn.substring(0, cut))
+    }
     dirs.filter { f =>
-      isGeneration(name, f.getName) && f.toPath != keep &&
-        f.lastModified < staleMs
+      (isGeneration(name, f.getName) || isBuildOrphan(f.getName)) &&
+        f.toPath != keep && f.lastModified < staleMs
     }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
       catch { case _: java.io.IOException => () })
   }

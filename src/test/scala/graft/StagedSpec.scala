@@ -200,6 +200,32 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("pruneSuperseded: a stale crash-orphan .build_ dir is swept on " +
+      "publish; a fresh one survives the TTL gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_spec_")
+    val root = java.nio.file.Paths.get(Staged.root)
+    val stale = root.resolve("spec_prune_0123abcd.build_99")
+    val fresh = root.resolve("spec_prune_0123abcd.build_98")
+    try {
+      val a = dir.resolve("a.parquet").toString
+      spark.range(0, 3).toDF("n").write.parquet(a)
+      java.nio.file.Files.createDirectories(stale)
+      stale.toFile.setLastModified(
+        System.currentTimeMillis() - 7L * 3600 * 1000)
+      java.nio.file.Files.createDirectories(fresh)
+      Staged.relation(spark, "spec_prune", "v1", Seq(a))(
+        spark.range(0, 3).toDF("n")).count()
+      assert(!java.nio.file.Files.exists(stale),
+        "stale crash orphan survived the publish sweep")
+      assert(java.nio.file.Files.exists(fresh),
+        "the TTL gate must protect a possibly-in-flight build dir")
+    } finally {
+      Graft.deleteRecursively(dir)
+      Graft.deleteRecursively(fresh)
+      Graft.deleteRecursively(stale)
+    }
+  }
+
   test("relationDir: a layout artifact publishes once with the " +
       "writer-controlled file count; a writer that leaves no _SUCCESS " +
       "never publishes") {

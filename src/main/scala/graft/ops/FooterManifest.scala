@@ -139,4 +139,72 @@ object FooterManifest {
     }.toIndexedSeq
     (footers, acc.value)
   }
+
+  /** One PAGE of a column chunk's column index: its first row index
+    * within the row group (from the offset index) and the page-level
+    * (min, max) statistics (from the column index) — parquet's finest
+    * data-skipping granularity below [[BlockStat]]'s row-group stats.
+    */
+  case class PageStat(path: String, block: Int, col: String, page: Int,
+                      firstRow: Long, lo: Long, hi: Long)
+
+  /** Read the PAGE-level column+offset indexes for long-typed `cols`
+    * across `paths`, as the same one-Spark-job shape as [[probePaths]]
+    * (executor-side footer IO, tiny stats rows back, in-task count for
+    * the spec). Null pages are rejected — the layouts this serves are
+    * written from non-nullable keys, and silently skipping a page
+    * would understate the model comparison.
+    */
+  def probePages(s: SparkSession, paths: Seq[String], cols: Seq[String])
+      : (IndexedSeq[PageStat], Long) = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    if (paths.isEmpty) return (Vector.empty, 0L)
+    val acc = s.sparkContext.longAccumulator(
+      "graft.footer.files_probed_in_task")
+    val colsB: List[String] = cols.toList
+    import s.implicits._
+    val rows = s.createDataset(paths.toList)
+      .repartition(math.min(paths.size,
+        s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val hconf = conf.value
+        it.flatMap { p =>
+          if (TaskContext.get() != null) acc.add(1L)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            rd.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+              case (b, bi) =>
+                colsB.flatMap { c =>
+                  val cc = b.getColumns.asScala
+                    .find(_.getPath.toDotString == c)
+                    .getOrElse(sys.error(s"no column $c in $p"))
+                  val ci = rd.readColumnIndex(cc)
+                  val oi = rd.readOffsetIndex(cc)
+                  require(ci != null && oi != null,
+                    s"no page index for $c in $p (column indexes " +
+                      "are written by default since parquet-mr 1.11)")
+                  val mins = ci.getMinValues
+                  val maxs = ci.getMaxValues
+                  val nullPages = ci.getNullPages
+                  def asLong(bb: java.nio.ByteBuffer): Long =
+                    bb.duplicate()
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+                  (0 until oi.getPageCount).map { pg =>
+                    require(!nullPages.get(pg),
+                      s"null page $pg for $c in $p")
+                    (p, bi, c, pg, oi.getFirstRowIndex(pg),
+                      asLong(mins.get(pg)), asLong(maxs.get(pg)))
+                  }
+                }
+            }
+          } finally rd.close()
+        }
+      }.collect()
+    val out = rows.sortBy(r => (r._1, r._2, r._3, r._4))
+      .map(r => PageStat(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+      .toIndexedSeq
+    (out, acc.value)
+  }
 }

@@ -504,6 +504,92 @@ object Sources {
         .orderBy(col("event_id")))
     }),
 
+    // PAGE-level column-index skipping (r10 — the finest rung of the
+    // data-skipping ladder: q343 arithmetic model → q346 row-group
+    // footer stats → THIS, parquet's per-page column+offset indexes).
+    // The Hilbert-clustered events land in ONE file / one row group
+    // cut into exact k-row pages (`parquet.page.row.count.limit` with
+    // per-row size checks — probed in SourcesSpec: boundaries are
+    // exact and IDENTICAL across column chunks, so a 2-column box
+    // model is well-defined), and the per-page (min, max) read back
+    // from the REAL column index must equal the arithmetic
+    // row_number-chunk model — the q346 contract one granularity
+    // down. Why it matters at 100 TB: row-group stats prune at
+    // ~128 MB granularity; the column index prunes the SAME predicate
+    // at ~1 MB pages WITHOUT any extra scan pass (readers seek
+    // straight to qualifying pages via the offset index) — this rig
+    // pins that the finer boxes are exactly the model's, so q343's
+    // measured skip ratios transfer to page granularity too. The
+    // index read is the one distributed metadata job
+    // (FooterManifest.probePages).
+    "q361_page_index_skipping" -> ((s, d) => {
+      graft.expr.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xq"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("yq"))
+        .withColumn("hkey",
+          call_function(graft.expr.GraftFunctions.HilbertName,
+            col("xq"), col("yq"), lit(8)))
+      val n = base.count()
+      val k = (n + 63) / 64
+      val stage = Files.createTempDirectory("graft_pgskip_")
+      try {
+        base.repartition(1)
+          .sortWithinPartitions(col("hkey"), col("event_id"))
+          .write
+          .option("parquet.page.row.count.limit", k)
+          .option("parquet.page.size.row.check.min", "1")
+          .option("parquet.page.size.row.check.max", "1")
+          .mode("overwrite").parquet(s"$stage/out")
+        val paths = Option(new java.io.File(s"$stage/out").listFiles())
+          .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq.sorted
+        val (pages, _) = graft.ops.FooterManifest.probePages(
+          s, paths, Seq("xq", "yq"))
+        // page boxes keyed on the row range (boundaries column-aligned)
+        val boxes = pages.groupBy(p => (p.path, p.block, p.page)).map {
+          case (_, ps) =>
+            val px = ps.find(_.col == "xq").get
+            val py = ps.find(_.col == "yq").get
+            require(px.firstRow == py.firstRow,
+              "column chunks cut pages at different rows")
+            (px.lo, px.hi, py.lo, py.hi)
+        }.toSeq
+        val model = base
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("hkey"), col("event_id"))))
+          .withColumn("pg", expr(s"(rn - 1) div $k"))
+          .groupBy(col("pg"))
+          .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),
+            min(col("yq")).as("y0"), max(col("yq")).as("y1"))
+          .localCheckpoint(true)
+        val modelBoxes = model.select(col("x0"), col("x1"),
+            col("y0"), col("y1")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        val eq = boxes.sorted == modelBoxes.sorted
+        import s.implicits._
+        val preds = Seq(
+          ("x_range", 16L, 31L, 0L, 255L),
+          ("y_range", 0L, 255L, 16L, 31L),
+          ("xy_box", 16L, 31L, 16L, 31L))
+          .toDF("pred", "px0", "px1", "py0", "py1")
+        materialize(s, "q361_page_index_skipping", model
+          .crossJoin(broadcast(preds))
+          .groupBy(col("pred"))
+          .agg(count(lit(1)).as("n_pages"),
+            sum((col("x1") >= col("px0") && col("x0") <= col("px1") &&
+              col("y1") >= col("py0") && col("y0") <= col("py1"))
+              .cast("long")).as("touched"))
+          .withColumn("skipped_permille",
+            expr("((n_pages - touched) * 1000) div n_pages"))
+          .withColumn("index_eq_model", lit(eq))
+          .orderBy(col("pred")))
+      } finally deleteRecursively(stage)
+    }),
+
     // Schema evolution on read: corpus v1 (no `quality` column) and v2
     // (adds it) live in one dataset; mergeSchema=true unifies them,
     // v1 rows surface NULL quality. This is how a long-lived training
@@ -1002,6 +1088,49 @@ object Sources {
            TRUE AS kept_le_12, TRUE AS result_complete
          FROM base WHERE ukey IN (SELECT ukey FROM pv)
          ORDER BY event_id""",
+    // q346's contract one granularity down: the page-chunk model
+    // replays exactly (SourcesSpec pins model == real column index)
+    "q361_page_index_skipping" ->
+      s"""WITH RECURSIVE base AS (
+           SELECT event_id, user_id % 256 AS xq,
+             (epoch_us(ts) // 3600000000) % 256 AS yq
+           FROM events),
+         psrc AS (
+           SELECT DISTINCT xq * 256 + yq AS pid, xq, yq FROM base),
+         ${graft.expr.HilbertKey.recursiveSql("hc", "psrc", "pid",
+             "xq", "yq", 8)},
+         hil AS (
+           SELECT id // 256 AS hxq, id % 256 AS hyq, d AS hkey
+           FROM hc WHERE s = 0),
+         keyed AS (
+           SELECT b.event_id, b.xq, b.yq, h.hkey
+           FROM base b JOIN hil h ON b.xq = h.hxq AND b.yq = h.hyq),
+         nk AS (SELECT (COUNT(*) + 63) // 64 AS k FROM base),
+         chunked AS (
+           SELECT xq, yq,
+             (ROW_NUMBER() OVER (ORDER BY hkey, event_id) - 1)
+               // (SELECT k FROM nk) AS pg
+           FROM keyed),
+         model AS (
+           SELECT pg, MIN(xq) AS x0, MAX(xq) AS x1,
+             MIN(yq) AS y0, MAX(yq) AS y1
+           FROM chunked GROUP BY 1),
+         preds AS (
+           SELECT * FROM (VALUES
+             ('x_range', 16, 31, 0, 255),
+             ('y_range', 0, 255, 16, 31),
+             ('xy_box', 16, 31, 16, 31))
+             AS t(pred, px0, px1, py0, py1)),
+         agg AS (
+           SELECT pred, COUNT(*) AS n_pages,
+             CAST(SUM(CASE WHEN x1 >= px0 AND x0 <= px1
+               AND y1 >= py0 AND y0 <= py1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS touched
+           FROM model CROSS JOIN preds GROUP BY 1)
+         SELECT pred, n_pages, touched,
+           ((n_pages - touched) * 1000) // n_pages AS skipped_permille,
+           TRUE AS index_eq_model
+         FROM agg ORDER BY pred""",
     // the manifest-pruned range scan must return exactly the raw
     // table's band; the file-count arithmetic replays the dual-
     // generation layout (8 + 8 exact chunks)

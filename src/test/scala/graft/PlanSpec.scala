@@ -389,6 +389,8 @@ class PlanSpec extends SparkSpec {
       // q346: the same 3-row predicate panel crossed onto 16 chunk
       // zone-map rows
       "q346_footer_zonemap",
+      // q361: q346's panel crossed onto <= 64 page zone-map rows
+      "q361_page_index_skipping",
       // q348: the one-row p95 threshold scalar crossed onto the pair
       // counts (q46's class; the staged copurchase build does the same
       // inside buildCoPurchaseEdges)
@@ -455,8 +457,9 @@ class PlanSpec extends SparkSpec {
     // anywhere in main fails this spec until it is justified here — the
     // discipline can't erode silently.
     val allow: Map[String, (Int, String)] = Map(
-      "graft/ops/FooterManifest.scala" -> (1,
-        "per-file footer stats — a few longs/bools per file, the manifest"),
+      "graft/ops/FooterManifest.scala" -> (2,
+        "per-file footer stats + per-page index stats — a few longs " +
+          "per file/page, the manifest material"),
       "graft/ext/Metrics.scala" -> (1,
         "confusion-matrix cells — |classes|^2 model material"),
       "graft/ext/Similarity.scala" -> (2,
@@ -470,10 +473,11 @@ class PlanSpec extends SparkSpec {
           "+ q345's distinct batch ids (|micro-batches|)"),
       "graft/queries/Ext.scala" -> (2,
         "8-query probe panels for the ANN rigs — fixed probe-set size"),
-      "graft/queries/Sources.scala" -> (5,
+      "graft/queries/Sources.scala" -> (6,
         "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
           "q354's per-file containing set (|files|); q358's 8-key probe " +
-          "set; q360's kept manifest paths (selectivity-bounded)"),
+          "set; q360's kept manifest paths (selectivity-bounded); " +
+          "q361's <=64 page model boxes"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),
       "graft/queries/Advanced.scala" -> (4,

@@ -98,6 +98,50 @@ class SourcesSpec extends SparkSpec {
     } finally graft.Graft.deleteRecursively(stage)
   }
 
+  test("FooterManifest.probePages: parquet.page.row.count.limit with " +
+      "per-row size checks yields exact k-row pages, aligned across " +
+      "columns, with page min/max equal to a driver recompute") {
+    val stage = Files.createTempDirectory("graft_pgidx_spec_")
+    try {
+      val n = 640L
+      val k = 80L // 8 pages
+      spark.range(0, n)
+        .select(col("id").as("a"), (col("id") * 7 % 100).as("b"))
+        .repartition(1).sortWithinPartitions(col("a"))
+        .write
+        .option("parquet.page.row.count.limit", k)
+        .option("parquet.page.size.row.check.min", "1")
+        .option("parquet.page.size.row.check.max", "1")
+        .parquet(s"$stage/out")
+      val paths = Option(new java.io.File(s"$stage/out").listFiles())
+        .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+      assert(paths.size == 1)
+      val (pages, inTask) = graft.ops.FooterManifest.probePages(
+        spark, paths, Seq("a", "b"))
+      assert(inTask == 1L, "page-index IO ran outside a task")
+      val byCol = pages.groupBy(_.col)
+      assert(byCol.keySet == Set("a", "b"))
+      // exact k-row page boundaries, identical across columns
+      for (c <- Seq("a", "b")) {
+        val ps = byCol(c).sortBy(_.page)
+        assert(ps.size == 8, s"col $c: ${ps.size} pages, expected 8")
+        assert(ps.map(_.firstRow) == (0 until 8).map(_ * k),
+          s"col $c page boundaries drifted: ${ps.map(_.firstRow)}")
+      }
+      // page min/max equal the row_number-chunk model (rows sorted by a)
+      val a = byCol("a").sortBy(_.page)
+      assert(a.map(p => (p.lo, p.hi)) ==
+        (0 until 8).map(i => (i * k, i * k + k - 1)))
+      val b = byCol("b").sortBy(_.page)
+      val expB = (0 until 8).map { i =>
+        val vs = (i * k until i * k + k).map(_ * 7 % 100)
+        (vs.min, vs.max)
+      }
+      assert(b.map(p => (p.lo, p.hi)) == expB)
+    } finally graft.Graft.deleteRecursively(stage)
+  }
+
   test("FooterManifest.probe: every footer opens INSIDE a Spark task " +
       "(no per-file driver IO), and the distributed stats equal a " +
       "driver-side recompute") {

@@ -504,6 +504,122 @@ object Sources {
         .orderBy(col("event_id")))
     }),
 
+    // Bloom-BYTES manifest relation (r10 — q360's zone-map manifest
+    // extended with the membership layer, the Iceberg-puffin /
+    // secondary-index move): the staged per-file manifest slices store
+    // the parquet footer blooms' BITSET BYTES alongside the min/max,
+    // so an equality lookup on the scattered key probes the manifest
+    // RELATION — a distributed filter that range-tests and
+    // reconstructs each row's bloom (`BlockSplitBloomFilter(bitset)`,
+    // the same XXH64 block-split filter the writer produced, so the
+    // zero-false-negatives theorem carries byte-for-byte) — and never
+    // reopens a single data-file footer. vs q356: that rig pays
+    // O(files) footer round-trips per lookup (distributed, r10); this
+    // one pays them ONCE per file at manifest-build time (deltaRelation
+    // per-file slices: appends probe only new files) and each lookup
+    // is a scan of a small manifest table + IO on only the kept files.
+    // Correctness is the same theorem verified the same two ways
+    // (in-query symmetric exceptAll vs the full scan; oracle replays
+    // the lookup raw). A chunk whose bloom the writer omitted (fully
+    // dictionary-encoded — the ADVICE-r9 behavior) stores NULL and is
+    // kept on range alone: membership pruning degrades, correctness
+    // doesn't.
+    "q362_bloom_manifest_relation" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val evSrc = s"$d/events.parquet"
+      val base = graft.Graft.normalizeTs(table(s, d, "events"))
+        .select(col("event_id"),
+          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+            * 1000L + 7L).as("ukey"),
+          expr("unix_micros(ts) div 3600000000").as("yq"))
+      val probe = base.filter(col("event_id") === 1)
+        .select(col("ukey")).head.getLong(0)
+      def layout(nm: String,
+                 pred: org.apache.spark.sql.Column): String =
+        graft.ops.Staged.relationDir(s, nm, "v1", Seq(evSrc)) { tmp =>
+          val part = base.filter(pred)
+          val n = part.count()
+          val k = (n + 7) / 8
+          part.repartition(1)
+            .sortWithinPartitions(col("yq"), col("event_id"))
+            .write.option("maxRecordsPerFile", k)
+            .option("parquet.bloom.filter.enabled#ukey", "true")
+            .mode("overwrite").parquet(tmp)
+        }.toString
+      val gens = Seq(
+        layout("bmlayout_base", pmod(col("event_id"), lit(10)) =!= 7),
+        layout("bmlayout_delta", pmod(col("event_id"), lit(10)) === 7))
+      val conf = s.sessionState.newHadoopConf()
+      val filePaths = gens.flatMap { g =>
+        val p = new org.apache.hadoop.fs.Path(g)
+        p.getFileSystem(conf).listStatus(p).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath).sorted
+      }
+      val manifest = graft.ops.Staged.deltaRelation(s, "bloommanifest",
+          "v1", filePaths) { f =>
+        // one slice = ONE file's footer (O(1) read at build time, paid
+        // once per file state — the commit-time manifest write)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            s.sessionState.newHadoopConf()))
+        val rows = try {
+          rd.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+            case (b, bi) =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == "ukey")
+                .getOrElse(sys.error(s"no footer stats for ukey in $f"))
+              val st = cc.getStatistics
+              val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+              val bytes =
+                if (bf == null) null
+                else {
+                  val bos = new java.io.ByteArrayOutputStream()
+                  bf.writeTo(bos)
+                  bos.toByteArray
+                }
+              (f, bi,
+                st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                bytes)
+          }
+        } finally rd.close()
+        rows.toDF("path", "block", "lo", "hi", "bloom")
+      }
+      // the lookup: a DISTRIBUTED manifest scan — range test + bloom
+      // reconstruction per row, zero data-file IO — then only kept
+      // paths are read (typed filter, not a udf: the closure runs on
+      // the manifest's executors and the manifest is the small table)
+      val kept = manifest
+        .select(col("path"), col("lo"), col("hi"), col("bloom"))
+        .as[(String, Long, Long, Array[Byte])]
+        .filter { case (_, lo, hi, bm) =>
+          lo <= probe && probe <= hi && (bm == null || {
+            val bf = new org.apache.parquet.column.values.bloomfilter
+              .BlockSplitBloomFilter(bm)
+            bf.findHash(bf.hash(probe))
+          })
+        }
+        .map(_._1).distinct()
+        .collect().toSeq.sorted
+      val keptPaths = if (kept.isEmpty) gens else kept
+      val pruned = s.read.parquet(keptPaths: _*)
+        .filter(col("ukey") === probe)
+        .select(col("event_id"), col("ukey"))
+      val full = s.read.parquet(gens: _*)
+        .filter(col("ukey") === probe)
+        .select(col("event_id"), col("ukey"))
+      val complete = pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty
+      materialize(s, "q362_bloom_manifest_relation", pruned
+        .withColumn("n_files", lit(filePaths.size.toLong))
+        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id")))
+    }),
+
     // PAGE-level column-index skipping (r10 — the finest rung of the
     // data-skipping ladder: q343 arithmetic model → q346 row-group
     // footer stats → THIS, parquet's per-page column+offset indexes).
@@ -1087,6 +1203,23 @@ object Sources {
            CAST((SELECT (n + k - 1) // k FROM nf) AS BIGINT) AS n_files,
            TRUE AS kept_le_12, TRUE AS result_complete
          FROM base WHERE ukey IN (SELECT ukey FROM pv)
+         ORDER BY event_id""",
+    // same contract as q356 (the lookup's rows ARE the theorem), with
+    // the dual-generation file-count arithmetic
+    "q362_bloom_manifest_relation" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
+           FROM events),
+         pv AS (SELECT ukey AS v FROM base WHERE event_id = 1),
+         nb AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 <> 7),
+         nd AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 = 7)
+         SELECT event_id, ukey,
+           CAST((SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nb)
+             + (SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nd)
+             AS BIGINT) AS n_files,
+           TRUE AS kept_le_4, TRUE AS result_complete
+         FROM base WHERE ukey = (SELECT v FROM pv)
          ORDER BY event_id""",
     // q346's contract one granularity down: the page-chunk model
     // replays exactly (SourcesSpec pins model == real column index)

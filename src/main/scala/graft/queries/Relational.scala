@@ -582,6 +582,30 @@ object Relational {
         .orderBy(col("sa"), col("sb"))
     }),
 
+    // Generation TIME TRAVEL on the maintained staged relation (r10 —
+    // the snapshot-read the staging protocol gets for free, the Delta/
+    // Iceberg "AS OF" analogue): every published generation of
+    // `copurchase_paircounts` is addressable by its DEP SET — reading
+    // with the OLD dep list (lineitem + base orders slice) serves the
+    // pre-append snapshot from its published stage, while the full dep
+    // list serves the current one; neither read rebuilds anything
+    // (both generations published by the q179-family build), and a
+    // TTL-pruned old generation REBUILDS deterministically rather than
+    // failing (snapshots are derived state, not retained history).
+    // The oracle recomputes both snapshots from the raw tables — a
+    // stale or cross-wired generation mismatches on either row. At
+    // 100 TB this is how a pipeline A/B-validates a nightly update:
+    // query both generations side by side, zero extra build cost.
+    "q363_generation_time_travel" -> ((s, d) => {
+      coPurchaseSnapshots(s, d).map { case (label, df) =>
+        df.agg(count(lit(1)).as("n_pairs"),
+            sum(col("nc")).cast("long").as("sum_nc"),
+            max(col("nc")).cast("long").as("max_nc"))
+          .select(lit(label).as("snapshot"), col("n_pairs"),
+            col("sum_nc"), col("max_nc"))
+      }.reduce(_.unionByName(_)).orderBy(col("snapshot"))
+    }),
+
     // Weighted label propagation (graft.ext.Graph.labelPropagation, 3
     // synchronous rounds) over q179's p95 co-purchase graph, edge
     // weight = common-customer count: the community structure that
@@ -828,6 +852,25 @@ object Relational {
         .agg(sum(col("nc")).cast("long").as("nc"))
     }
     (buildFull, applyDelta)
+  }
+
+  /** Both generations of the maintained pair counts, resolved through
+    * the protocol (NOT raw paths: a TTL-pruned old generation rebuilds
+    * deterministically instead of failing the read) — q363's snapshot
+    * reads.
+    */
+  private[graft] def coPurchaseSnapshots(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    val liSrc = s"$d/lineitem.parquet"
+    val slices = coPurchaseOrderSlices(s, d)
+    val (bf, ad) = coPurchasePairBuilders(s, d)
+    Seq(
+      "as_of_base" -> graft.ops.Staged.maintainedRelation(s,
+        "copurchase_paircounts", CoPurchaseVersion,
+        Seq(liSrc, slices.head))(bf)(ad),
+      "current" -> graft.ops.Staged.maintainedRelation(s,
+        "copurchase_paircounts", CoPurchaseVersion,
+        liSrc +: slices)(bf)(ad))
   }
 
   /** Where the staged EDGES live for this input state — shared with
@@ -1115,6 +1158,31 @@ object Relational {
          FROM p, st WHERE nc >= m ORDER BY sa, sb""",
     // from-scratch rebuild over the union input: the hash match IS the
     // increment≡rebuild theorem for the maintained pair counts
+    // both snapshots recomputed from raw: the as-of read must equal the
+    // base-only pair counts, the current read the full ones
+    "q363_generation_time_travel" ->
+      """WITH bask1 AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey % 10 <> 7),
+         p1 AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask1 a JOIN bask1 b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2),
+         bask2 AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         p2 AS (
+           SELECT a.s AS sa, b.s AS sb, COUNT(*) AS nc
+           FROM bask2 a JOIN bask2 b ON a.c = b.c AND a.s < b.s
+           GROUP BY 1, 2)
+         SELECT 'as_of_base' AS snapshot, COUNT(*) AS n_pairs,
+           CAST(SUM(nc) AS BIGINT) AS sum_nc,
+           CAST(MAX(nc) AS BIGINT) AS max_nc FROM p1
+         UNION ALL
+         SELECT 'current', COUNT(*),
+           CAST(SUM(nc) AS BIGINT), CAST(MAX(nc) AS BIGINT) FROM p2
+         ORDER BY snapshot""",
     "q348_copurchase_delta" ->
       """WITH bask AS (
            SELECT DISTINCT o_custkey AS c, l_suppkey AS s

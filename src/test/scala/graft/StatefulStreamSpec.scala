@@ -253,6 +253,70 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("ExtremaView fuzz: seeded random insert/retract scenarios match " +
+      "a brute-force recompute after every batch, including emptied and " +
+      "revived groups") {
+    // The state machine under adversarial interleavings: random valid
+    // retraction streams (only live facts are retracted) where extrema
+    // die and revive across batch boundaries — the shapes the
+    // hand-written transitions above don't enumerate. A broken trigger
+    // (missed or mistargeted histogram scan) surfaces as a wrong
+    // max/min against the recompute.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.{CountingView, ExtremaView}
+    import graft.streaming.CountingView.DeltaIn
+    val rnd = new scala.util.Random(42L)
+    for (scenario <- 1 to 2) {
+      val mem = MemoryStream[DeltaIn]
+      val out = ExtremaView.view(s, mem.toDS(), None)
+      val name = s"xvf${scenario}_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.toDF().writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      val live = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      try {
+        for (batch <- 1 to 8) {
+          val deltas = (0 until (1 + rnd.nextInt(5))).map { _ =>
+            // bias toward deletes once state exists so extrema die often
+            if (live.nonEmpty && rnd.nextInt(10) < 5) {
+              val i = rnd.nextInt(live.size)
+              val (ck, cents) = live.remove(i)
+              DeltaIn("SEG", ck, cents, -1L)
+            } else {
+              val ck = 1L + rnd.nextInt(4)
+              val cents = 10L * (1 + rnd.nextInt(6))
+              live += ((ck, cents))
+              DeltaIn("SEG", ck, cents, 1L)
+            }
+          }
+          mem.addData(deltas: _*)
+          q.processAllAvailable()
+          val row = s.table(name).collect()
+            .filter(r => r.getString(0) == "SEG" && r.getLong(1) == batch)
+            .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+              if (r.isNullAt(5)) None else Some(r.getLong(5)),
+              if (r.isNullAt(6)) None else Some(r.getLong(6)))).head
+          val expected = (
+            live.size.toLong,
+            live.map(_._2).sum,
+            live.map(_._1).distinct.size.toLong,
+            if (live.isEmpty) None else Some(live.map(_._2).max),
+            if (live.isEmpty) None else Some(live.map(_._2).min))
+          assert(row == expected,
+            s"scenario $scenario batch $batch: view $row vs " +
+              s"recompute $expected (live=${live.toList})")
+        }
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    }
+  }
+
   test("transformWithState timers: sessions close on gap or event-time timer") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

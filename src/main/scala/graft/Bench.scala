@@ -138,15 +138,28 @@ object Bench {
         // bench run now writes <out>_plans/<query>.plan, so the next
         // flip, whoever's run it lands in, ships its own scrub-gap
         // diff. Override the dir with SPARK_GRAFT_PLANDIR.
-        val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANDIR",
-          out.stripSuffix(".json") + "_plans")
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(planDir))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(planDir, s"$name.plan"),
-          Graft.planScrub(
-            df.queryExecution.optimizedPlan.canonicalized.toString))
         df.count()
+        // AFTER the count and in its own try: a plan-dir IO failure
+        // (read-only dir, disk full) must not silently void the
+        // warm-up — a skipped warm-up count makes the first timed
+        // pass pay cold-JVM costs and skews the medians cross-round.
+        // Materialized queries (Sources/Analytics rigs) return a
+        // LocalRelation stub whose plan is NOT what the recorded hash
+        // covers — their real pre-materialize text is in
+        // Sources.planTexts, recorded beside the hash.
+        try {
+          val planDir = sys.env.getOrElse("SPARK_GRAFT_PLANDIR",
+            out.stripSuffix(".json") + "_plans")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(planDir))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(planDir, s"$name.plan"),
+            queries.Sources.planTexts.getOrElse(name, Graft.planScrub(
+              df.queryExecution.optimizedPlan.canonicalized.toString)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] plan capture failed for $name: " +
+            e.getMessage)
+        }
       } catch { case _: Throwable => () }
     }
     // median of 3 timed passes: single-sample local[32] timings carry

@@ -82,6 +82,12 @@ object FooterManifest {
   def probePaths(s: SparkSession, paths: Seq[String], cols: Seq[String],
                  bloomCol: String = null, probes: Seq[Long] = Nil)
       : (IndexedSeq[FileFooter], Long) = {
+    // probes without a bloom column would yield EMPTY (not all-false)
+    // bloomHit vectors, so anyBloomHit(i) would throw out-of-bounds on
+    // the first block — reject the inconsistent call at entry instead
+    // (review-r10 finding)
+    require(probes.isEmpty || bloomCol != null,
+      "probePaths: probes given but no bloomCol to test them against")
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
     val acc = s.sparkContext.longAccumulator(
@@ -138,6 +144,57 @@ object FooterManifest {
       }.toIndexedSeq)
     }.toIndexedSeq
     (footers, acc.value)
+  }
+
+  /** Per-block (min, max) stats PLUS the footer bloom filter's bitset
+    * bytes for one long-typed column, read as the same one-Spark-job
+    * shape as [[probePaths]] — the manifest-build form (q362): the
+    * bytes are persisted once per (file, block) so later lookups
+    * reconstruct the filter from the manifest instead of reopening
+    * footers. `bloom` is null when the writer omitted the filter
+    * (fully dictionary-encoded chunk).
+    */
+  def probeBloomBytes(s: SparkSession, paths: Seq[String], column: String)
+      : (IndexedSeq[(String, Int, Long, Long, Array[Byte])], Long) = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    if (paths.isEmpty) return (Vector.empty, 0L)
+    val acc = s.sparkContext.longAccumulator(
+      "graft.footer.files_probed_in_task")
+    import s.implicits._
+    val rows = s.createDataset(paths.toList)
+      .repartition(math.min(paths.size,
+        s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val hconf = conf.value
+        it.flatMap { p =>
+          if (TaskContext.get() != null) acc.add(1L)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            rd.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, bi) =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                  .getOrElse(sys.error(s"no footer stats for $column in $p"))
+                val st = cc.getStatistics
+                val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+                val bytes =
+                  if (bf == null) null
+                  else {
+                    val bos = new java.io.ByteArrayOutputStream()
+                    bf.writeTo(bos)
+                    bos.toByteArray
+                  }
+                (p, bi,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                  bytes)
+            }
+          } finally rd.close()
+        }
+      }.collect()
+    (rows.sortBy(r => (r._1, r._2)).toIndexedSeq, acc.value)
   }
 
   /** One PAGE of a column chunk's column index: its first row index

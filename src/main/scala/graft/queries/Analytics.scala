@@ -76,7 +76,10 @@ object Analytics {
   private def materialize(s: SparkSession, name: String, df: DataFrame,
       maxRows: Int = 10000): DataFrame = {
     import scala.jdk.CollectionConverters._
-    Sources.planHashes(name) = graft.Graft.planSignature(df)
+    val text = graft.Graft.planScrub(
+      df.queryExecution.optimizedPlan.canonicalized.toString)
+    Sources.planTexts(name) = text
+    Sources.planHashes(name) = graft.Graft.md5_8(text)
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Analytics.materialize($name): result exceeds $maxRows rows — " +

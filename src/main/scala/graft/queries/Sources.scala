@@ -39,6 +39,15 @@ object Sources {
   val planHashes: scala.collection.concurrent.TrieMap[String, String] =
     scala.collection.concurrent.TrieMap.empty
 
+  /** The scrubbed plan TEXT behind each [[planHashes]] entry (r10): the
+    * default-on bench capture must dump the string the recorded hash
+    * was computed FROM — for materialized queries the returned frame is
+    * a LocalRelation stub, so capturing its plan would make a flip in
+    * exactly this query class un-diffable (the capture's whole purpose).
+    */
+  val planTexts: scala.collection.concurrent.TrieMap[String, String] =
+    scala.collection.concurrent.TrieMap.empty
+
   /** Materialize a small result so the staging dir can be deleted before
     * returning (the driver re-executes returned frames lazily). Guarded:
     * every caller here is a per-language aggregate (≤ dozens of rows); the
@@ -49,7 +58,10 @@ object Sources {
   private def materialize(s: SparkSession, name: String, df: DataFrame,
                           maxRows: Int = 10000): DataFrame = {
     import scala.jdk.CollectionConverters._
-    planHashes(name) = graft.Graft.planSignature(df)
+    val text = graft.Graft.planScrub(
+      df.queryExecution.optimizedPlan.canonicalized.toString)
+    planTexts(name) = text
+    planHashes(name) = graft.Graft.md5_8(text)
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Sources.materialize($name): result exceeds $maxRows rows — " +
@@ -559,33 +571,12 @@ object Sources {
       }
       val manifest = graft.ops.Staged.deltaRelation(s, "bloommanifest",
           "v1", filePaths) { f =>
-        // one slice = ONE file's footer (O(1) read at build time, paid
-        // once per file state — the commit-time manifest write)
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f),
-            s.sessionState.newHadoopConf()))
-        val rows = try {
-          rd.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
-            case (b, bi) =>
-              val cc = b.getColumns.asScala
-                .find(_.getPath.toDotString == "ukey")
-                .getOrElse(sys.error(s"no footer stats for ukey in $f"))
-              val st = cc.getStatistics
-              val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
-              val bytes =
-                if (bf == null) null
-                else {
-                  val bos = new java.io.ByteArrayOutputStream()
-                  bf.writeTo(bos)
-                  bos.toByteArray
-                }
-              (f, bi,
-                st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
-                bytes)
-          }
-        } finally rd.close()
+        // one slice = ONE file's footer, read IN-TASK through the
+        // shared distributed probe (review-r10: no hand-rolled driver
+        // footer walks beside the helper built to eliminate them) —
+        // paid once per file state, the commit-time manifest write
+        val (rows, _) = graft.ops.FooterManifest.probeBloomBytes(
+          s, Seq(f), "ukey")
         rows.toDF("path", "block", "lo", "hi", "bloom")
       }
       // the lookup: a DISTRIBUTED manifest scan — range test + bloom
@@ -658,6 +649,12 @@ object Sources {
           .option("parquet.page.row.count.limit", k)
           .option("parquet.page.size.row.check.min", "1")
           .option("parquet.page.size.row.check.max", "1")
+          // the BYTE limit also cuts pages (default 1 MiB): past ~131k
+          // rows/page of INT64 it would fire before the row limit and
+          // break the arithmetic model at scales beyond the gate
+          // (review-r10 finding) — raise it so the row limit is the
+          // only binding cut
+          .option("parquet.page.size", String.valueOf(1 << 30))
           .mode("overwrite").parquet(s"$stage/out")
         val paths = Option(new java.io.File(s"$stage/out").listFiles())
           .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))

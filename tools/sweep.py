@@ -71,6 +71,14 @@ def main() -> int:
     if artifact["mismatches"]:
         for k, v in artifact["mismatches"].items():
             print(f"  MISMATCH {k}: {v}")
+    # 0/0 is a FAILED gate, not a green one: a wholesale sbt death
+    # (concurrent sbt, compile error) produces no statuses and no
+    # per-query failure lines — the gate must not report success when
+    # it never ran.
+    if rc.returncode != 0 or not statuses:
+        print(f"GATE DID NOT RUN: sbt rc={rc.returncode}, "
+              f"{len(statuses)} statuses")
+        return 1
     return 0 if (n_ok == len(statuses) and not spark_fails) else 1
 
 

@@ -457,9 +457,9 @@ class PlanSpec extends SparkSpec {
     // anywhere in main fails this spec until it is justified here — the
     // discipline can't erode silently.
     val allow: Map[String, (Int, String)] = Map(
-      "graft/ops/FooterManifest.scala" -> (2,
-        "per-file footer stats + per-page index stats — a few longs " +
-          "per file/page, the manifest material"),
+      "graft/ops/FooterManifest.scala" -> (3,
+        "per-file footer stats, per-page index stats, and per-block " +
+          "bloom bitsets — bounded manifest material per file/page"),
       "graft/ext/Metrics.scala" -> (1,
         "confusion-matrix cells — |classes|^2 model material"),
       "graft/ext/Similarity.scala" -> (2,

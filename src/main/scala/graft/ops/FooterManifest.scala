@@ -21,10 +21,13 @@ import scala.jdk.CollectionConverters._
   * the per-file STATS (a few longs + booleans per block, bounded model
   * material) come back to the driver. Cost model: O(files/cluster)
   * wall-clock metadata reads + O(files) tiny rows collected, vs the r9
-  * form's O(files) sequential round-trips. The probed-in-task
-  * accumulator exists so SourcesSpec can PIN that the IO actually runs
-  * inside tasks (TaskContext present), not on the driver — the
-  * regression this helper exists to prevent.
+  * form's O(files) sequential round-trips. Each row carries whether its
+  * footer was opened INSIDE a task (TaskContext present) so SourcesSpec
+  * can PIN that the IO actually runs distributed, not on the driver —
+  * the regression this helper exists to prevent. The count is derived
+  * from the COLLECTED rows (ADVICE-r10): a retried or speculative task's
+  * rows REPLACE its failed attempt's in the job result, so the proof is
+  * exact under task retries, where an accumulator would double-count.
   *
   * Readers of the results (the four queries) keep their exact r9
   * decision logic — per-block range cover, bloom membership, file-level
@@ -90,8 +93,6 @@ object FooterManifest {
       "probePaths: probes given but no bloomCol to test them against")
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
-    val acc = s.sparkContext.longAccumulator(
-      "graft.footer.files_probed_in_task")
     // plain Seq/List in the task-side tuples: the product encoder's
     // collection support is pinned for Seq, and the stats are tiny
     val colsB: List[String] = cols.toList
@@ -107,7 +108,7 @@ object FooterManifest {
       .mapPartitions { it =>
         val hconf = conf.value
         it.map { p =>
-          if (TaskContext.get() != null) acc.add(1L)
+          val inTask = TaskContext.get() != null
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(p), hconf))
@@ -134,16 +135,16 @@ object FooterManifest {
                 }
                 (los, his, hits)
               }
-            (p, stats)
+            (p, inTask, stats)
           } finally rd.close()
         }
       }.collect()
-    val footers = rows.sortBy(_._1).map { case (p, stats) =>
+    val footers = rows.sortBy(_._1).map { case (p, _, stats) =>
       FileFooter(p, stats.map { case (los, his, hits) =>
         BlockStat(los.toIndexedSeq, his.toIndexedSeq, hits.toIndexedSeq)
       }.toIndexedSeq)
     }.toIndexedSeq
-    (footers, acc.value)
+    (footers, rows.count(_._2).toLong)
   }
 
   /** Per-block (min, max) stats PLUS the footer bloom filter's bitset
@@ -158,8 +159,6 @@ object FooterManifest {
       : (IndexedSeq[(String, Int, Long, Long, Array[Byte])], Long) = {
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
-    val acc = s.sparkContext.longAccumulator(
-      "graft.footer.files_probed_in_task")
     import s.implicits._
     val rows = s.createDataset(paths.toList)
       .repartition(math.min(paths.size,
@@ -167,7 +166,7 @@ object FooterManifest {
       .mapPartitions { it =>
         val hconf = conf.value
         it.flatMap { p =>
-          if (TaskContext.get() != null) acc.add(1L)
+          val inTask = TaskContext.get() != null
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(p), hconf))
@@ -186,7 +185,7 @@ object FooterManifest {
                     bf.writeTo(bos)
                     bos.toByteArray
                   }
-                (p, bi,
+                (p, bi, inTask,
                   st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
                   st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
                   bytes)
@@ -194,7 +193,9 @@ object FooterManifest {
           } finally rd.close()
         }
       }.collect()
-    (rows.sortBy(r => (r._1, r._2)).toIndexedSeq, acc.value)
+    (rows.sortBy(r => (r._1, r._2))
+       .map(r => (r._1, r._2, r._4, r._5, r._6)).toIndexedSeq,
+     rows.filter(_._3).map(_._1).distinct.length.toLong)
   }
 
   /** One PAGE of a column chunk's column index: its first row index
@@ -216,8 +217,6 @@ object FooterManifest {
       : (IndexedSeq[PageStat], Long) = {
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
-    val acc = s.sparkContext.longAccumulator(
-      "graft.footer.files_probed_in_task")
     val colsB: List[String] = cols.toList
     import s.implicits._
     val rows = s.createDataset(paths.toList)
@@ -226,7 +225,7 @@ object FooterManifest {
       .mapPartitions { it =>
         val hconf = conf.value
         it.flatMap { p =>
-          if (TaskContext.get() != null) acc.add(1L)
+          val inTask = TaskContext.get() != null
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(p), hconf))
@@ -252,7 +251,7 @@ object FooterManifest {
                     require(!nullPages.get(pg),
                       s"null page $pg for $c in $p")
                     (p, bi, c, pg, oi.getFirstRowIndex(pg),
-                      asLong(mins.get(pg)), asLong(maxs.get(pg)))
+                      asLong(mins.get(pg)), asLong(maxs.get(pg)), inTask)
                   }
                 }
             }
@@ -262,6 +261,6 @@ object FooterManifest {
     val out = rows.sortBy(r => (r._1, r._2, r._3, r._4))
       .map(r => PageStat(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
       .toIndexedSeq
-    (out, acc.value)
+    (out, rows.filter(_._8).map(_._1).distinct.length.toLong)
   }
 }

@@ -114,18 +114,29 @@ object Staged {
       if (!published) {
         val tmp = java.nio.file.Paths.get(
           stage.toString + s".build_${System.nanoTime()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
-        java.nio.file.Files.createDirectories(stage.getParent)
-        // Re-check under the lock: a concurrent JVM may have published
-        // while we built. Published dirs are immutable — discard ours.
-        if (published) graft.Graft.deleteRecursively(tmp)
-        else {
-          // A keyless leftover (dir without _SUCCESS) can only be a
-          // pre-r9 artifact or a crashed non-atomic writer; clear it.
-          graft.Graft.deleteRecursively(stage)
-          java.nio.file.Files.move(tmp, stage,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          pruneSuperseded(name, stage)
+        // ADVICE-r10: a throwing builder must not leave its .build_ dir
+        // behind — the orphan sweep only runs on a LATER successful
+        // publish of the same relation, so repeated failing builds
+        // would accumulate /tmp garbage unbounded in the meantime.
+        try {
+          build.write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.createDirectories(stage.getParent)
+          // Re-check under the lock: a concurrent JVM may have published
+          // while we built. Published dirs are immutable — discard ours.
+          if (published) graft.Graft.deleteRecursively(tmp)
+          else {
+            // A keyless leftover (dir without _SUCCESS) can only be a
+            // pre-r9 artifact or a crashed non-atomic writer; clear it.
+            graft.Graft.deleteRecursively(stage)
+            java.nio.file.Files.move(tmp, stage,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            pruneSuperseded(name, stage)
+          }
+        } catch {
+          case e: Throwable =>
+            try graft.Graft.deleteRecursively(tmp)
+            catch { case _: java.io.IOException => () }
+            throw e
         }
       }
     }
@@ -153,16 +164,25 @@ object Staged {
       if (!published) {
         val tmp = java.nio.file.Paths.get(
           stage.toString + s".build_${System.nanoTime()}")
-        write(tmp.toString)
-        require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
-          s"relationDir $name: writer left no _SUCCESS marker")
-        java.nio.file.Files.createDirectories(stage.getParent)
-        if (published) graft.Graft.deleteRecursively(tmp)
-        else {
-          graft.Graft.deleteRecursively(stage)
-          java.nio.file.Files.move(tmp, stage,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          pruneSuperseded(name, stage)
+        // ADVICE-r10: delete the temp dir on ANY failure path (writer
+        // throw or missing _SUCCESS) — see relationImpl's rationale
+        try {
+          write(tmp.toString)
+          require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
+            s"relationDir $name: writer left no _SUCCESS marker")
+          java.nio.file.Files.createDirectories(stage.getParent)
+          if (published) graft.Graft.deleteRecursively(tmp)
+          else {
+            graft.Graft.deleteRecursively(stage)
+            java.nio.file.Files.move(tmp, stage,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            pruneSuperseded(name, stage)
+          }
+        } catch {
+          case e: Throwable =>
+            try graft.Graft.deleteRecursively(tmp)
+            catch { case _: java.io.IOException => () }
+            throw e
         }
       }
     }
@@ -315,16 +335,24 @@ object Staged {
         }
         val tmp = java.nio.file.Paths.get(
           stage.toString + s".build_${System.nanoTime()}")
-        built.write.mode("overwrite").parquet(tmp.toString)
-        java.nio.file.Files.write(tmp.resolve("_graft_deps"),
-          (version +: deps.map(depLine)).mkString("\n").getBytes("UTF-8"))
-        java.nio.file.Files.createDirectories(stage.getParent)
-        if (published) graft.Graft.deleteRecursively(tmp)
-        else {
-          graft.Graft.deleteRecursively(stage)
-          java.nio.file.Files.move(tmp, stage,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          pruneSuperseded(name, stage)
+        // ADVICE-r10: clean the temp dir on failure — see relationImpl
+        try {
+          built.write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.write(tmp.resolve("_graft_deps"),
+            (version +: deps.map(depLine)).mkString("\n").getBytes("UTF-8"))
+          java.nio.file.Files.createDirectories(stage.getParent)
+          if (published) graft.Graft.deleteRecursively(tmp)
+          else {
+            graft.Graft.deleteRecursively(stage)
+            java.nio.file.Files.move(tmp, stage,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            pruneSuperseded(name, stage)
+          }
+        } catch {
+          case e: Throwable =>
+            try graft.Graft.deleteRecursively(tmp)
+            catch { case _: java.io.IOException => () }
+            throw e
         }
       }
     }

@@ -655,6 +655,12 @@ object Sources {
           // (review-r10 finding) — raise it so the row limit is the
           // only binding cut
           .option("parquet.page.size", String.valueOf(1 << 30))
+          // ADVICE-r10 (same guard one level up): past ~128 MB the
+          // writer would cut a SECOND row group, pages restart per
+          // block, and the global row_number-chunk model stops
+          // matching — raise the block size so the single-row-group
+          // premise holds beyond the gate scale too
+          .option("parquet.block.size", String.valueOf(1L << 33))
           .mode("overwrite").parquet(s"$stage/out")
         val paths = Option(new java.io.File(s"$stage/out").listFiles())
           .getOrElse(Array()).filter(_.getName.endsWith(".parquet"))

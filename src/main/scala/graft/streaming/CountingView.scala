@@ -68,13 +68,16 @@ object CountingView {
       }
       touched.foreach { case (ck, sup) =>
         val before = if (support.containsKey(ck)) support.getValue(ck) else 0L
-        if (sup <= 0L) {
-          if (support.containsKey(ck)) support.removeKey(ck)
-          if (before > 0L) s = s.copy(live = s.live - 1L)
-        } else {
-          support.updateValue(ck, sup)
-          if (before <= 0L) s = s.copy(live = s.live + 1L)
-        }
+        // NEGATIVE supports are retained (ADVICE-r10): an out-of-order
+        // retraction (delete arriving before its insert) parks the
+        // member at −k; the late insert cancels back through 0 and the
+        // entry is dropped exactly there. Dropping at ≤ 0 would forget
+        // the pending retraction and let the late insert count the
+        // member live. A member is LIVE only while support > 0.
+        if (sup == 0L) { if (support.containsKey(ck)) support.removeKey(ck) }
+        else support.updateValue(ck, sup)
+        if (before > 0L && sup <= 0L) s = s.copy(live = s.live - 1L)
+        else if (before <= 0L && sup > 0L) s = s.copy(live = s.live + 1L)
       }
       s = s.copy(version = s.version + 1L)
       scalars.update(s)

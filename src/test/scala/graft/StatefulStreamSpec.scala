@@ -253,6 +253,90 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("ExtremaView: out-of-order retraction (delete before its insert) " +
+      "parks as a negative count and cancels exactly — live counts and " +
+      "extrema converge to the net multiset, with the revival rescan") {
+    // ADVICE-r10: the old code dropped histogram/support entries at
+    // count <= 0, so a delete-before-insert permanently corrupted state
+    // (the late insert restarted from 0). The fix retains negative
+    // counts; this spec drives the exact corruption scenarios and pins
+    // (a) convergence to the net multiset once the stream is drained,
+    // (b) the revival-path histogram rescan that a leftover positive
+    // entry needs, (c) rescan counts for every batch.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.{CountingView, ExtremaView}
+    import graft.streaming.CountingView.DeltaIn
+    val rescans = s.sparkContext.longAccumulator("spec.extrema.ooo")
+    val mem = MemoryStream[DeltaIn]
+    val out = ExtremaView.view(s, mem.toDS(), Some(rescans))
+    val name = "xvo_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      def viewOf(version: Long) = s.table(name).collect()
+        .filter(r => r.getString(0) == "SEG" && r.getLong(1) == version)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).head
+      // batch 1: two inserts
+      mem.addData(DeltaIn("SEG", 1L, 100L, 1L), DeltaIn("SEG", 2L, 50L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(1L) == ((2L, 150L, 2L, Some(100L), Some(50L))))
+      // batch 2: delete for (ck=3, 70) whose insert hasn't arrived —
+      // parks at −1; member 3 is NOT live, 70 is NOT present
+      mem.addData(DeltaIn("SEG", 3L, 70L, -1L))
+      q.processAllAvailable()
+      assert(viewOf(2L) == ((1L, 80L, 2L, Some(100L), Some(50L))))
+      // batch 3: the matching insert lands — cancels through 0: member
+      // 3 net-absent (old code would have counted it live here)
+      mem.addData(DeltaIn("SEG", 3L, 70L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(3L) == ((2L, 150L, 2L, Some(100L), Some(50L))))
+      // batch 4: a REAL insert of the same fact — now live
+      mem.addData(DeltaIn("SEG", 3L, 70L, 1L))
+      q.processAllAvailable()
+      assert(viewOf(4L) == ((3L, 220L, 3L, Some(100L), Some(50L))))
+      assert(rescans.value == 0L,
+        s"no extremum died, yet the histogram was scanned ${rescans.value}x")
+      // --- revival with a leftover positive entry (second group) ---
+      def viewB(version: Long) = s.table(name).collect()
+        .filter(r => r.getString(0) == "B" && r.getLong(1) == version)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).head
+      mem.addData(DeltaIn("B", 1L, 50L, 1L))
+      q.processAllAvailable()
+      assert(viewB(1L) == ((1L, 50L, 1L, Some(50L), Some(50L))))
+      // inversion: out-of-order delete drives n to 0 — group empties
+      // with the 50 entry STILL in the histogram
+      mem.addData(DeltaIn("B", 2L, 70L, -1L))
+      q.processAllAvailable()
+      assert(viewB(2L) == ((0L, -20L, 1L, None, None)))
+      // revival: a 30 insert — the insert fold alone would claim
+      // max = 30; the forced revival rescan must find the leftover 50
+      mem.addData(DeltaIn("B", 3L, 30L, 1L))
+      q.processAllAvailable()
+      assert(viewB(3L) == ((1L, 10L, 2L, Some(50L), Some(30L))),
+        "revival missed the leftover positive histogram entry")
+      assert(rescans.value == 2L,
+        s"revival should scan once per side, got ${rescans.value}")
+      // the parked 70-delete cancels; net multiset is {50, 30}
+      mem.addData(DeltaIn("B", 2L, 70L, 1L))
+      q.processAllAvailable()
+      assert(viewB(4L) == ((2L, 80L, 2L, Some(50L), Some(30L))))
+      assert(rescans.value == 3L,
+        "the cancelled insert's fold candidate (70) must trigger the " +
+          s"max-side scan only, got ${rescans.value}")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("ExtremaView fuzz: seeded random insert/retract scenarios match " +
       "a brute-force recompute after every batch, including emptied and " +
       "revived groups") {

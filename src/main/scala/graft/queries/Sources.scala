@@ -591,6 +591,48 @@ object Sources {
         .orderBy(col("event_id")))
     }),
 
+    // SQL-reachable manifest pruning (r11, VERDICT-r10 #2 — closes
+    // "What's missing #1"): the SAME staged layout + manifest, exposed
+    // through the DSv2 table (sources/ManifestDataSource,
+    // SupportsPushDownFilters + SupportsPushDownRequiredColumns), so a
+    // PLAIN SQL `WHERE ukey = :v` — the q90 gateway user's surface —
+    // gets manifest file pruning with zero footer IO at plan time: the
+    // r10 machinery required calling FooterManifest/Staged helpers by
+    // hand. Catalyst pushes the equality to the scan builder; the scan
+    // prunes files via the manifest's range+bloom pass and keeps ALL
+    // predicates residual (file-level pruning; Spark re-applies
+    // row-level, so bloom fpp costs IO never correctness). The oracle
+    // replays the lookup over the raw table; result_complete pins the
+    // SQL rows against the unpruned scan in-query; SourcesSpec pins
+    // the plan-level behavior (pushed filters recorded, kept ⊂ total,
+    // repeat lookup opens zero footers, ReadSchema pruned).
+    "q364_sql_manifest_pruning" -> ((s, d) => {
+      val base = ukeyBase(s, d)
+      val probe = base.filter(col("event_id") === 2)
+        .select(col("ukey")).head.getLong(0)
+      val (gens, _, manifest) = bloomLayoutManifest(s, d)
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("layoutDirs", gens.mkString(","))
+        .option("keyColumn", "ukey")
+        .option("manifestName", "bloommanifest")
+        .load().createOrReplaceTempView("events_manifested")
+      val sqlRes = s.sql(
+        s"SELECT event_id, ukey FROM events_manifested WHERE ukey = $probe")
+      val full = s.read.parquet(gens: _*)
+        .filter(col("ukey") === probe)
+        .select(col("event_id"), col("ukey"))
+      val complete = sqlRes.exceptAll(full).isEmpty &&
+        full.exceptAll(sqlRes).isEmpty
+      // the kept set the scan used, recomputed over the manifest (zero
+      // footer IO — the same path planInputPartitions takes)
+      val kept = graft.ops.ManifestLookup.keptPaths(s, manifest, Seq(probe))
+      materialize(s, "q364_sql_manifest_pruning", sqlRes
+        .crossJoin(broadcast(manifestFileCount(manifest)))
+        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id")))
+    }),
+
     // PAGE-level column-index skipping (r10 — the finest rung of the
     // data-skipping ladder: q343 arithmetic model → q346 row-group
     // footer stats → THIS, parquet's per-page column+offset indexes).
@@ -1206,6 +1248,25 @@ object Sources {
            TRUE AS kept_le_4, TRUE AS result_complete
          FROM base WHERE ukey = (SELECT v FROM pv)
          ORDER BY event_id""",
+    // the SQL-gateway form of the q356 contract: the DSv2-scanned rows
+    // must equal the raw-table lookup (pruning is plan-level, pinned
+    // in SourcesSpec; the rows ARE the correctness theorem)
+    "q364_sql_manifest_pruning" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
+           FROM events),
+         pv AS (SELECT ukey AS v FROM base WHERE event_id = 2),
+         nb AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 <> 7),
+         nd AS (SELECT COUNT(*) AS n FROM base WHERE event_id % 10 = 7)
+         SELECT event_id, ukey,
+           CAST((SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nb)
+             + (SELECT (n + ((n + 7) // 8) - 1) // ((n + 7) // 8) FROM nd)
+             AS BIGINT) AS n_files,
+           TRUE AS kept_le_4, TRUE AS result_complete
+         FROM base WHERE ukey = (SELECT v FROM pv)
+         ORDER BY event_id""",
+
     // q346's contract one granularity down: the page-chunk model
     // replays exactly (SourcesSpec pins model == real column index)
     "q361_page_index_skipping" ->

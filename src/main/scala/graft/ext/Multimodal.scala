@@ -834,10 +834,14 @@ object Multimodal {
 
   /** One hand-authored frame for [[encodeGifComposed]]: a partial
     * rectangle at (left, top) with its GCE disposal method and
-    * row-major palette indices.
+    * row-major palette indices. `transparentIndex` ≥ 0 sets the GCE
+    * transparency flag: pixels carrying that palette index PASS
+    * THROUGH (leave the canvas untouched) when composited (r11,
+    * VERDICT-r10 #7).
     */
   case class GifRawFrame(left: Int, top: Int, w: Int, h: Int,
-                         disposal: Int, indices: Array[Byte])
+                         disposal: Int, indices: Array[Byte],
+                         transparentIndex: Int = -1)
 
   /** Hand-rolled GIF89a writer for COMPOSITION fixtures (the JDK
     * sequence writer cannot author partial frames or disposal methods
@@ -868,8 +872,12 @@ object Multimodal {
       require(f.indices.length == f.w * f.h)
       require(f.left >= 0 && f.top >= 0 &&
         f.left + f.w <= screenW && f.top + f.h <= screenH)
-      w8(0x21); w8(0xf9); w8(4); w8((f.disposal & 7) << 2)
-      w16(0); w8(0); w8(0) // zero delay, transparent index unused
+      require(f.transparentIndex < 256)
+      val tflag = if (f.transparentIndex >= 0) 1 else 0
+      w8(0x21); w8(0xf9); w8(4); w8(((f.disposal & 7) << 2) | tflag)
+      w16(0) // zero delay
+      w8(if (f.transparentIndex >= 0) f.transparentIndex else 0)
+      w8(0) // GCE terminator
       w8(0x2c); w16(f.left); w16(f.top); w16(f.w); w16(f.h); w8(0)
       val minCode = 8
       w8(minCode)
@@ -911,8 +919,9 @@ object Multimodal {
     * frame in place, disposal 2 restores the frame's REGION to the
     * background color after display, disposal 3 restores the canvas
     * to its pre-frame state (one saved canvas copy — bounded memory,
-    * only while a d3 frame is in flight); transparency is out of
-    * subset and fails loudly. EVERY frame must be LZW-decoded —
+    * only while a d3 frame is in flight); GCE transparency (r11)
+    * passes the flagged palette index through, leaving the canvas
+    * pixel untouched. EVERY frame must be LZW-decoded —
     * composition is a running fold over the canvas (the same reason
     * video needs keyframes) — so unlike [[gifFrames]], sampling here
     * selects which canvas SNAPSHOTS are emitted, not which frames are
@@ -976,6 +985,7 @@ object Multimodal {
     val canvas = Array.fill(screenW * screenH)(bg)
     var frameIdx = 0
     var disposal = 0
+    var transparentIdx = -1
     var sep = u8()
     while (sep != 0x3b) {
       if (sep == 0x21) {
@@ -983,12 +993,14 @@ object Multimodal {
         if (label == 0xf9) { // Graphic Control Extension
           require(u8() == 4, s"media $id: malformed GCE")
           val gp = u8()
-          require((gp & 0x01) == 0,
-            s"media $id: transparency unsupported (fail loudly)")
           disposal = (gp >> 2) & 7
           require(disposal <= 3,
             s"media $id: disposal method $disposal unsupported")
-          u16(); u8(); // delay, transparent index
+          u16() // delay
+          val ti = u8()
+          // transparency (r11, VERDICT-r10 #7): pixels at this palette
+          // index pass through — the canvas keeps its prior color
+          transparentIdx = if ((gp & 0x01) != 0) ti else -1
           require(u8() == 0, s"media $id: malformed GCE terminator")
         } else {
           var len = u8()
@@ -1019,11 +1031,13 @@ object Multimodal {
         var i = 0
         while (i < idx.length) {
           val ci = idx(i) & 0xff
-          require(ci < table.length,
-            s"media $id: palette index $ci out of range")
-          val x = left + i % w
-          val y = top + i / w
-          canvas(y * screenW + x) = table(ci)
+          if (ci != transparentIdx) {
+            require(ci < table.length,
+              s"media $id: palette index $ci out of range")
+            val x = left + i % w
+            val y = top + i / w
+            canvas(y * screenW + x) = table(ci)
+          }
           i += 1
         }
         emit(frameIdx, screenW, screenH, canvas)
@@ -1041,6 +1055,7 @@ object Multimodal {
           System.arraycopy(saved, 0, canvas, 0, canvas.length)
         }
         disposal = 0
+        transparentIdx = -1 // a GCE governs exactly the next image
         frameIdx += 1
       } else {
         require(false, s"media $id: unknown block separator $sep")

@@ -332,7 +332,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("GIF composition: disposal 3 restores the pre-frame canvas; " +
-      "reserved disposal values and transparency fail loudly") {
+      "reserved disposal values fail loudly; transparency passes " +
+      "flagged pixels through") {
     val A = (100, 0, 0); val B = (0, 100, 0); val C = (0, 0, 100)
     val full = Multimodal.GifRawFrame(0, 0, 4, 4, 1,
       Array.fill(16)(0.toByte))
@@ -359,15 +360,19 @@ class MultimodalSpec extends SparkSpec {
           Seq(Multimodal.GifRawFrame(0, 0, 2, 2, 1,
             Array.fill(4)(0.toByte)), d4)))
     }
-    // transparency flag: flip bit 0 of the first GCE's packed byte
-    val tbytes = Multimodal.encodeGifComposed(2, 2, Seq(A),
-      Seq(Multimodal.GifRawFrame(0, 0, 2, 2, 1, Array.fill(4)(0.toByte))))
-    val gce = tbytes.indexOfSlice(Seq(0x21.toByte, 0xf9.toByte, 4.toByte))
-    assert(gce >= 0)
-    tbytes(gce + 3) = (tbytes(gce + 3) | 0x01).toByte
-    intercept[IllegalArgumentException] {
-      Multimodal.gifComposited(10L, tbytes)
-    }
+    // transparency (r11, VERDICT-r10 #7): the flagged index passes
+    // through — the canvas keeps frame 0's paint under those pixels
+    val f0 = Multimodal.GifRawFrame(0, 0, 2, 2, 1, Array.fill(4)(0.toByte))
+    val f1 = Multimodal.GifRawFrame(0, 0, 2, 2, 1,
+      Array[Byte](1, 2, 2, 1), transparentIndex = 2)
+    val t2 = Multimodal.gifComposited(10L,
+      Multimodal.encodeGifComposed(2, 2, Seq(A, B, C), Seq(f0, f1)),
+      sampleEvery = 1)
+    // frame 1 canvas: (B, A, A, B) — B painted, C-flagged kept A
+    assert((t2(1).tl_r, t2(1).tl_g, t2(1).tl_b) == B)
+    assert(t2(1).mean_r == 100.0 * 2 / 4, "pass-through pixels lost A")
+    assert(t2(1).mean_g == 100.0 * 2 / 4, "opaque pixels did not paint B")
+    assert(t2(1).mean_b == 0.0, "the transparent index painted C")
   }
 
   test("GIF codec: corrupt or out-of-subset media fails loudly") {
@@ -461,16 +466,20 @@ class MultimodalSpec extends SparkSpec {
         spark.createDataset(Seq(Multimodal.MediaIn(2L, as8bit)))).collect())
   }
 
-  test("GIF compositor fuzz (r10, VERDICT-r9 #4): 100 seeded random " +
-      "animations — disposal 0-3, partial rects, random palettes — " +
-      "compose canvas-identically to an independent compositor driven " +
-      "by the JDK reader's decoded frames and metadata") {
+  test("GIF compositor fuzz (r10, VERDICT-r9 #4; r11 + transparency): " +
+      "100 seeded random animations — disposal 0-3, partial rects, " +
+      "random palettes, random transparent indexes — compose " +
+      "canvas-identically to an independent compositor driven by the " +
+      "JDK reader's decoded frames and metadata") {
     // The JDK reader is the external ground truth for LZW pixel content
     // and frame geometry (an encoder bug cannot cancel against our own
     // decoder); the spec-side compositor below is written directly from
     // GIF89a's disposal table, independent of Multimodal's walker. Full
     // CANVAS equality per frame — the public sampler's means/top-left
-    // could mask a compensating two-pixel error.
+    // could mask a compensating two-pixel error. Transparency (r11,
+    // VERDICT-r10 #7) rides the JDK reader's ALPHA channel: a flagged
+    // index decodes to alpha 0, and the reference compositor skips
+    // those pixels — exactly the pass-through contract.
     val rnd = new scala.util.Random(20260816L)
     for (k <- 0 until 100) {
       val sw = 3 + rnd.nextInt(10)
@@ -484,9 +493,13 @@ class MultimodalSpec extends SparkSpec {
         val h = 1 + rnd.nextInt(sh)
         val left = rnd.nextInt(sw - w + 1)
         val top = rnd.nextInt(sh - h + 1)
+        // ~half the frames carry a transparent index; it may or may
+        // not actually occur in the pixel data (both paths legal)
+        val ti = if (rnd.nextBoolean()) rnd.nextInt(nPal) else -1
         Multimodal.GifRawFrame(left, top, w, h,
           disposal = rnd.nextInt(4),
-          Array.fill(w * h)(rnd.nextInt(nPal).toByte))
+          Array.fill(w * h)(rnd.nextInt(nPal).toByte),
+          transparentIndex = ti)
       }
       val bytes = Multimodal.encodeGifComposed(sw, sh, palette, frames)
       // ours: full canvas after each frame's paint
@@ -520,8 +533,12 @@ class MultimodalSpec extends SparkSpec {
         val img = rdr.read(i)
         val saved =
           if (disposal == "restoreToPrevious") canvas.clone() else null
-        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
-          canvas((top + y) * sw + (left + x)) = img.getRGB(x, y) & 0xffffff
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val argb = img.getRGB(x, y)
+          // alpha 0 = the frame's transparent index: pass through
+          if ((argb >>> 24) != 0)
+            canvas((top + y) * sw + (left + x)) = argb & 0xffffff
+        }
         assert(java.util.Arrays.equals(ourCanvases(i), canvas),
           s"case $k frame $i (disposal ${frames(i).disposal}): canvas " +
             "diverged from the JDK-reader compositor")

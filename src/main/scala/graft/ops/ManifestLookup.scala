@@ -45,10 +45,15 @@ object ManifestLookup {
   /** The per-file bloom+zone manifest relation over `filePaths`
     * (layout data files), staged as one [[Staged.deltaRelation]] slice
     * per file. Columns: path, block, lo, hi, bloom (nullable bytes).
+    * Slices compact every 16 deps (the LSM fold in the staging
+    * protocol, r11): at 10⁵ layout files the manifest serves as
+    * ⌈n/16⌉-ish reads instead of n — and the fold reads SLICES, so it
+    * opens zero data-file footers (the amortization spec pins this).
     */
   def bloomManifest(s: SparkSession, name: String, version: String,
                     filePaths: Seq[String], column: String): DataFrame =
-    Staged.deltaRelation(s, name, version, filePaths) { f =>
+    Staged.deltaRelation(s, name, version, filePaths,
+        compactEvery = 16) { f =>
       // one slice = ONE file's footer, read IN-TASK through the shared
       // distributed probe — paid once per file state
       val (rows, _) = FooterManifest.probeBloomBytes(s, Seq(f), column)

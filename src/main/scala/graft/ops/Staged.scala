@@ -201,6 +201,16 @@ object Staged {
   private def sliceName(name: String, dep: String): String =
     s"${name}__${graft.Graft.md5_8(dep)}"
 
+  /** The compacted-prefix stage a [[deltaRelation]] with `compactEvery`
+    * serves — exposed for specs. The `__compact` infix keeps it out of
+    * both the slice-dir namespace (`name__<8hex>_<8hex>` — length
+    * mismatch) and other relations' generation namespaces (exact-format
+    * match), so neither sweep can touch the other's dirs.
+    */
+  def compactPath(name: String, version: String,
+                  prefixDeps: Seq[String]): java.nio.file.Path =
+    stagePath(s"${name}__compact", version, prefixDeps)
+
   /** Delta-aware staged relation (SURVEY §7.6, the q340 IVF main∪delta
     * pattern promoted into the staging protocol): for a relation that
     * is a PER-DEP map — `build(dep)` derives rows ONLY from `dep`'s
@@ -223,15 +233,48 @@ object Staged {
     * A dep may be a file or a directory (e.g. a stage published by
     * [[relation]] — staged-on-staged composition keys correctly via
     * the directory fingerprint).
+    *
+    * Slice COMPACTION (r11, VERDICT-r10 #6): left alone, the relation
+    * accretes one slice dir per dep forever — at 10⁵ deps that is 10⁵
+    * parquet reads unioned per serve (read amplification) and 10⁵
+    * dirs on disk. With `compactEvery` = k > 0, the LSM move: once the
+    * dep list holds ≥ k deps, the stable PREFIX (⌊n/k⌋·k oldest deps —
+    * append-only inputs only grow on the right) is folded into ONE
+    * published stage whose content is by construction the union of
+    * exactly those deps' slices, keyed on (name__compact, version,
+    * prefix fingerprints) through the normal relation protocol — so
+    * the fold is ATOMIC_MOVE-published and a live reader sees either
+    * the old slices or the complete fold, never a partial one. Serving
+    * reads compacted ∪ tail slices. Folded-away slices stop being
+    * `live` and sweep under the same 6 h TTL gate as superseded
+    * generations; a later fold (grown prefix) re-ensures any swept
+    * slice through its per-dep protocol before unioning. All callers
+    * of one relation must pass the same `compactEvery` — the value is
+    * part of the relation's layout contract.
     */
   def deltaRelation(s: SparkSession, name: String, version: String,
-                    deps: Seq[String])(build: String => DataFrame): DataFrame = {
+                    deps: Seq[String], compactEvery: Int = 0)
+                   (build: String => DataFrame): DataFrame = {
     requireName(name)
     require(deps.nonEmpty, s"deltaRelation $name needs at least one dep")
-    val out = deps.map { dep =>
+    def slice(dep: String): DataFrame =
       relationImpl(s, sliceName(name, dep), version, Seq(dep))(build(dep))
-    }.reduce(_.unionByName(_))
-    val live = deps.map(dep => slicePath(name, version, dep).getFileName.toString).toSet
+    val prefixLen =
+      if (compactEvery > 0) (deps.size / compactEvery) * compactEvery else 0
+    val (prefix, tail) = deps.splitAt(prefixLen)
+    val compacted: Option[DataFrame] =
+      if (prefixLen > 0)
+        Some(relationImpl(s, s"${name}__compact", version, prefix) {
+          prefix.map(slice).reduce(_.unionByName(_))
+        })
+      else None
+    val out = (compacted.toSeq ++ tail.map(slice))
+      .reduce(_.unionByName(_))
+    // folded-away prefix slices are no longer live — the TTL sweep
+    // below may collect them once they age out
+    val liveDeps = if (compacted.isDefined) tail else deps
+    val live = liveDeps.map(dep =>
+      slicePath(name, version, dep).getFileName.toString).toSet
     lock.synchronized {
       val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
       val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000

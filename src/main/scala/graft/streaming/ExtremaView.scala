@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.util.LongAccumulator
 
 /** Delete-capable streaming IVM WITH extrema (r10, VERDICT-r9 #6) —
@@ -51,12 +51,19 @@ object ExtremaView {
   case class ViewOut(segment: String, version: Long, n_orders: Long,
                      rev_cents: Long, n_customers: Long,
                      max_cents: Option[Long], min_cents: Option[Long])
+  /** Last-activity bookkeeping for the TTL variant: when the group was
+    * last touched and its one live timer (deleted before re-arming —
+    * leaked timers would fire eviction checks forever).
+    */
+  case class TtlMeta(lastSeenMs: Long, timerMs: Long)
 
-  class Processor(rescans: Option[LongAccumulator])
+  class Processor(rescans: Option[LongAccumulator],
+                  ttlMs: Option[Long] = None)
       extends StatefulProcessor[String, CountingView.DeltaIn, ViewOut] {
     @transient private var scalars: ValueState[Scalars] = _
     @transient private var support: MapState[Long, Long] = _
     @transient private var hist: MapState[Long, Long] = _
+    @transient private var ttlMeta: ValueState[TtlMeta] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       scalars = getHandle.getValueState[Scalars]("scalars",
@@ -65,7 +72,41 @@ object ExtremaView {
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
       hist = getHandle.getMapState[Long, Long]("hist",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      if (ttlMs.isDefined)
+        ttlMeta = getHandle.getValueState[TtlMeta]("ttlmeta",
+          Encoders.product[TtlMeta], TTLConfig.NONE)
     }
+
+    /** Idle-group eviction (r11, VERDICT-r10 #5). Deliberately NOT the
+      * per-item `TTLConfig` channel: item-level TTL expires individual
+      * map entries under a still-live group, which silently breaks the
+      * counting algebra (an expired histogram entry at the max makes a
+      * later rescan wrong with no error). Group-granular timers keep
+      * the algebra intact: either ALL of a group's derivation state is
+      * live, or the group was evicted WHOLE and its next delta
+      * re-derives from empty (the `revived` path — which rescans, so
+      * extrema stay exact over the post-revival multiset). An O(1)
+      * scalar tombstone is retained per evicted group so the reader's
+      * max-version rule keeps working across eviction and revival; the
+      * O(members + distinct values) map state — the part that grows —
+      * is dropped.
+      */
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[ViewOut] =
+      ttlMs match {
+        case Some(t) if scalars.exists() =>
+          val now = timerValues.getCurrentProcessingTimeInMs()
+          val seen =
+            if (ttlMeta.exists()) ttlMeta.get().lastSeenMs else Long.MinValue
+          if (now >= seen + t) {
+            val v = scalars.get().version + 1L
+            support.clear(); hist.clear(); ttlMeta.clear()
+            scalars.update(Scalars(0L, 0L, 0L, v,
+              Long.MinValue, 0L, Long.MaxValue, 0L))
+            Iterator.single(ViewOut(key, v, 0L, 0L, 0L, None, None))
+          } else Iterator.empty
+        case _ => Iterator.empty
+      }
 
     override def handleInputRows(key: String,
                                  rows: Iterator[CountingView.DeltaIn],
@@ -167,6 +208,18 @@ object ExtremaView {
       }
       s = s.copy(version = s.version + 1L)
       scalars.update(s)
+      // TTL variant: refresh the group's idle clock and re-arm its one
+      // eviction timer (delete-before-register — one live timer per key)
+      ttlMs.foreach { t =>
+        val now = timerValues.getCurrentProcessingTimeInMs()
+        if (ttlMeta.exists()) {
+          val m = ttlMeta.get()
+          if (m.timerMs > 0L) getHandle.deleteTimer(m.timerMs)
+        }
+        val horizon = now + t
+        getHandle.registerTimer(horizon)
+        ttlMeta.update(TtlMeta(now, horizon))
+      }
       Iterator.single(ViewOut(key, s.version, s.n, s.rev, s.live,
         if (s.n > 0L) Some(s.mx) else None,
         if (s.n > 0L) Some(s.mn) else None))
@@ -188,12 +241,27 @@ object ExtremaView {
     * None extrema and is filtered by the reader); a delete with NO
     * matching insert ever is outside the contract and leaves the parked
     * entry in state permanently.
+    *
+    * State-lifecycle contract with `ttlMs` (r11, VERDICT-r10 #5): a
+    * group idle for `ttlMs` of PROCESSING time is evicted WHOLE — its
+    * support map and value histogram are dropped, a tombstone row
+    * (n_orders = 0, None extrema, version bumped) is emitted, and only
+    * an O(1) scalar survives for version continuity. A later delta
+    * REVIVES the group from empty: the view becomes "since the last
+    * activity gap", the streaming-native scoping for unbounded key
+    * universes (a pure stream has no base to re-derive evicted history
+    * from). Exact-forever semantics = ttlMs None (the default).
+    * Eviction is timer-driven at group granularity, never per-item
+    * TTL — see [[Processor.handleExpiredTimer]] for why.
     */
   def view(spark: SparkSession, deltas: Dataset[CountingView.DeltaIn],
-           rescans: Option[LongAccumulator] = None): Dataset[ViewOut] = {
+           rescans: Option[LongAccumulator] = None,
+           ttlMs: Option[Long] = None): Dataset[ViewOut] = {
     import spark.implicits._
+    val timeMode =
+      if (ttlMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     deltas.groupByKey(_.segment)
-      .transformWithState(new Processor(rescans), TimeMode.None(),
+      .transformWithState(new Processor(rescans, ttlMs), timeMode,
         OutputMode.Update())
   }
 }

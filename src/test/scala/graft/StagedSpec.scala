@@ -110,6 +110,83 @@ class StagedSpec extends SparkSpec {
     } finally Graft.deleteRecursively(dir)
   }
 
+  test("deltaRelation compaction (VERDICT-r10 #6): the stable prefix " +
+      "folds into ONE atomically-published stage, reads stay equivalent " +
+      "pre/post fold and across prefix growth, folded-away slices sweep " +
+      "only past the TTL gate, live tail slices survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_spec_")
+    val nm = "speccpt" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    try {
+      val deps = (0 until 10).map { i =>
+        val p = dir.resolve(s"d$i.parquet").toString
+        spark.range(i * 10, i * 10 + 10).toDF("n").write.parquet(p)
+        p
+      }
+      var builds = 0
+      def build(dep: String) = {
+        builds += 1
+        spark.read.parquet(dep).withColumn("sq", col("n") * col("n"))
+      }
+      // 10 deps, fold unit 4 → prefix 8 folds, 2 tail slices live
+      val r1 = Staged.deltaRelation(spark, nm, "v1", deps,
+        compactEvery = 4)(build)
+      assert(builds == 10, "each dep's slice builds exactly once")
+      val cpt8 = Staged.compactPath(nm, "v1", deps.take(8))
+      assert(java.nio.file.Files.exists(cpt8.resolve("_SUCCESS")),
+        "prefix fold not published")
+      // no partial fold can ever be visible: the only publish path is
+      // ATOMIC_MOVE of a dir that already carries _SUCCESS; assert no
+      // in-flight .build_ leftovers either
+      val leftovers = Option(new java.io.File(Staged.root).listFiles())
+        .getOrElse(Array())
+        .filter(f => f.getName.startsWith(nm) &&
+          f.getName.contains(".build_"))
+      assert(leftovers.isEmpty, s"partial folds on disk: ${leftovers.toList}")
+      // read-equivalence vs the unfolded form
+      val direct = spark.read.parquet(deps: _*)
+        .withColumn("sq", col("n") * col("n"))
+      assert(r1.exceptAll(direct).isEmpty && direct.exceptAll(r1).isEmpty)
+      // serving again rebuilds nothing (compacted + live slices served)
+      val r2 = Staged.deltaRelation(spark, nm, "v1", deps,
+        compactEvery = 4)(build)
+      assert(builds == 10, "a re-serve rebuilt state")
+      assert(r2.count() == 100)
+      // folded-away slices: still on disk (young), swept once aged past
+      // the 6h TTL by the next serve; tail slices stay
+      val folded = Staged.slicePath(nm, "v1", deps.head)
+      val tailSlice = Staged.slicePath(nm, "v1", deps.last)
+      assert(java.nio.file.Files.exists(folded),
+        "TTL gate ignored: young folded slice removed")
+      val old = System.currentTimeMillis - 7L * 3600 * 1000
+      deps.take(8).foreach(d =>
+        Staged.slicePath(nm, "v1", d).toFile.setLastModified(old))
+      Staged.deltaRelation(spark, nm, "v1", deps, compactEvery = 4)(build)
+      assert(!java.nio.file.Files.exists(folded),
+        "aged folded-away slice survived the sweep")
+      assert(java.nio.file.Files.exists(tailSlice),
+        "live tail slice was swept")
+      assert(builds == 10)
+      // prefix growth: two appended deps re-fold at 12; the new fold
+      // re-ensures the swept slices through the per-dep protocol and
+      // the content still equals the direct build
+      val deps12 = deps ++ (10 until 12).map { i =>
+        val p = dir.resolve(s"d$i.parquet").toString
+        spark.range(i * 10, i * 10 + 10).toDF("n").write.parquet(p)
+        p
+      }
+      val r3 = Staged.deltaRelation(spark, nm, "v1", deps12,
+        compactEvery = 4)(build)
+      val cpt12 = Staged.compactPath(nm, "v1", deps12)
+      assert(java.nio.file.Files.exists(cpt12.resolve("_SUCCESS")),
+        "grown prefix did not re-fold")
+      val direct12 = spark.read.parquet(deps12: _*)
+        .withColumn("sq", col("n") * col("n"))
+      assert(r3.exceptAll(direct12).isEmpty &&
+        direct12.exceptAll(r3).isEmpty)
+    } finally Graft.deleteRecursively(dir)
+  }
+
   test("maintainedRelation: a grown dep set builds via applyDelta on " +
       "the previous generation, a regenerated dep falls back to full, " +
       "and both routes yield identical content") {

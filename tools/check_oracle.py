@@ -7,6 +7,7 @@ than any plausible driver compare).
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import math
 import sys
 
@@ -61,8 +62,12 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships one parquet FILE per table; derived
+        # inputs (tools/stress.py) are Spark-written DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):

@@ -118,7 +118,7 @@ def classify_dirs(dirs, out_path=CLASSES_PATH):
                             "embeds data-derived content, cross-round "
                             "flips are expected; stable = plan text "
                             "identical across every probe, a flip "
-                            "means review. Signature v4 (r9).",
+                            "means review. Signature v5 (r10).",
                    "classes": classes}, f, indent=1, sort_keys=True)
     n = sum(1 for v in classes.values() if v == "stats-dependent")
     print(f"wrote {out_path}: {len(classes)} queries, "

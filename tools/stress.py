@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""~sf1 stress rehearsal for the overflow/skew query class (r11,
+VERDICT-r10 #3).
+
+The sf0.1 sweep caught q301's Sigma-y^2 BIGINT overflow because the
+gate scale grew; the next decade of that class (moment sums, rank
+windows, IVM counters, CC/iterative frontiers, mergeable sketches)
+needs ~sf1. This harness:
+
+ 1. derives a deterministic ~10x input from sf0.1 via graft.StressGen
+    (self-union with consistent key remapping; /root/testdata is
+    read-only so the derived tables live under /tmp);
+ 2. runs graft.Verify restricted to the stress FAMILY (the numeric /
+    iterative / sketch classes named by the r10 verdict);
+ 3. replays each family oracle in DuckDB over the SAME derived tables
+    (int128 arithmetic keeps the oracle exact while Spark-side Longs
+    are the thing under test) via check_oracle's strict compare;
+ 4. writes a SWEEP-style artifact (default STRESS_r<N>.json).
+
+    python3 tools/stress.py [srcSf] [stressDir] [outJson]
+
+One sbt launch at a time — never run concurrently with another sbt.
+Exit 0 iff every family query matches at the stress scale.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+# The overflow/skew class (VERDICT-r10 #3): moment sums & regressions,
+# rank windows, aggregation folds, IVM counters, iterative fixpoints,
+# quantile/cardinality sketches. Prefix-matched by graft.Verify.
+FAMILY = [
+    # moment sums / regression normal equations
+    "q291", "q292", "q297", "q299", "q301", "q302", "q308", "q311", "q324",
+    # rank windows / top-k
+    "q07", "q08", "q23", "q26", "q61", "q71", "q329",
+    # wide aggregation folds
+    "q01", "q09", "q24",
+    # IVM counters / staged maintenance
+    "q131", "q336", "q339", "q347", "q363",
+    # iterative fixpoints (CC / HITS / IPF)
+    "q69", "q304", "q310",
+    # sketches / quantiles
+    "q58", "q66", "q118", "q288", "q337", "q342",
+]
+
+
+def run(cmd, cwd):
+    return subprocess.run(cmd, cwd=cwd, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    stress_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_stress/sf1"
+    rnd = os.environ.get("GRAFT_ROUND")
+    out_json = sys.argv[3] if len(sys.argv) > 3 else (
+        f"STRESS_r{rnd}.json" if rnd else "STRESS.json")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subset = ",".join(FAMILY)
+
+    t0 = time.time()
+    gen = run(["sbt", "-batch",
+               f"runMain graft.StressGen {src} {stress_dir} 10"], repo)
+    gen_secs = round(time.time() - t0, 1)
+    if gen.returncode != 0:
+        print(gen.stdout[-4000:])
+        print(f"[stress] StressGen failed rc={gen.returncode}")
+        return 2
+
+    verify_dir = tempfile.mkdtemp(prefix="graft_stressv_")
+    t1 = time.time()
+    ver = run(["sbt", "-batch",
+               f"runMain graft.Verify {stress_dir} {verify_dir} {subset}"],
+              repo)
+    verify_secs = round(time.time() - t1, 1)
+    spark_fails = sorted(set(
+        re.findall(r"\[verify\] (\S+) failed:", ver.stdout)))
+
+    t2 = time.time()
+    chk = run([sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
+               stress_dir, verify_dir], repo)
+    oracle_secs = round(time.time() - t2, 1)
+    statuses = {}
+    for line in chk.stdout.splitlines():
+        m = re.match(r"^(q\S+): (.+)$", line)
+        if m and any(m.group(1).startswith(p + "_") or m.group(1) == p
+                     for p in FAMILY):
+            statuses[m.group(1)] = m.group(2)
+    n_ok = sum(1 for v in statuses.values() if v.startswith("OK"))
+    artifact = {
+        "src": src,
+        "stress_dir": stress_dir,
+        "factor": 10,
+        "family": FAMILY,
+        "n_family": len(statuses),
+        "n_ok": n_ok,
+        "spark_failures": spark_fails,
+        "mismatches": {k: v for k, v in statuses.items()
+                       if not v.startswith("OK")},
+        "statuses": statuses,
+        "gen_secs": gen_secs,
+        "verify_secs": verify_secs,
+        "oracle_secs": oracle_secs,
+    }
+    with open(os.path.join(repo, out_json), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"[stress] {n_ok}/{len(statuses)} family queries match at ~sf1 "
+          f"(gen {gen_secs}s, verify {verify_secs}s, oracle {oracle_secs}s) "
+          f"-> {out_json}")
+    if spark_fails:
+        print(f"[stress] spark failures: {spark_fails}")
+    return 0 if (n_ok == len(statuses) and not spark_fails
+                 and len(statuses) > 0) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

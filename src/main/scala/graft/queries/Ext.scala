@@ -245,8 +245,11 @@ object Ext {
         val ownCos = Similarity.cosineNative(col("__u"),
           element_at(typedlit(cm), col("cluster") + 1))
         val nBad = ass.filter(ownCos < maxCos - lit(1e-6)).count()
+        // n-relative tolerance (r11 — q302's stress-caught class): the
+        // objective is an O(n) sum, so partition-order float noise
+        // scales with n while an absolute epsilon does not
         val monotone = km.objective.zip(km.objective.tail)
-          .forall { case (a, b) => b <= a + 1e-9 }
+          .forall { case (a, b) => b <= a + 1e-12 * math.max(1L, nTotal) }
         Seq((8, nTotal, nBad == 0L, monotone, kNonEmpty >= 1 && kNonEmpty <= 8))
           .toDF("k", "n_total", "assignment_consistent",
             "objective_monotone", "clusters_bounded")

@@ -945,7 +945,16 @@ object Stats {
         g0 = r.getDouble(0); g1 = r.getDouble(1)
         val (h00, h01, h11, ll) =
           (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
-        if (ll < lastLoss - 1e-9) monotone = false
+        // n-RELATIVE tolerance (r11, caught by the ~sf1 stress
+        // rehearsal): ll is an O(n) sum, so partition-order float
+        // noise grows with n while an absolute 1e-9 does not — at 1M
+        // rows the flag flipped on a mathematically monotone run
+        // (replicated data scales every ll by exactly the factor, so
+        // the Newton iterates are identical to the small-sf run's).
+        // 1e-12·n is ~5000× the ε·n summation error bound and still
+        // far below any genuine Newton overshoot, which moves ll by
+        // O(n)·Δ.
+        if (ll < lastLoss - 1e-12 * nRows) monotone = false
         lastLoss = ll
         val det = h00 * h11 - h01 * h01
         b0 += (h11 * g0 - h01 * g1) / det

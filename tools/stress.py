@@ -42,8 +42,14 @@ FAMILY = [
     "q01", "q09", "q24",
     # IVM counters / staged maintenance
     "q131", "q336", "q339", "q347", "q363",
-    # iterative fixpoints (CC / HITS / IPF)
-    "q69", "q304", "q310",
+    # iterative fixpoints (HITS / IPF). q69 (connected components) is
+    # deliberately NOT here: its oracle is the brute all-pairs cosine
+    # replay — O(n^2 d) in DuckDB, feasible at sf0.1 only (and vector
+    # replication makes every replica pair cosine-1.0, exploding the
+    # edge set 100x on top). q69's own scale path is the banded LSH
+    # family (q97/q161); it is not in the numeric-overflow class this
+    # rehearsal targets.
+    "q304", "q310",
     # sketches / quantiles
     "q58", "q66", "q118", "q288", "q337", "q342",
 ]

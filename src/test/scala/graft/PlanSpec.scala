@@ -473,10 +473,14 @@ class PlanSpec extends SparkSpec {
           "+ q345's distinct batch ids (|micro-batches|)"),
       "graft/queries/Ext.scala" -> (2,
         "8-query probe panels for the ANN rigs — fixed probe-set size"),
-      "graft/queries/Sources.scala" -> (7,
+      "graft/ops/ManifestLookup.scala" -> (2,
+        "kept file PATHS from the manifest scan (selectivity-bounded " +
+          "and ≤ |files| of tiny strings — the pruning decision, " +
+          "never data) for the probe-set and range forms"),
+      "graft/queries/Sources.scala" -> (6,
         "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
           "q354's per-file containing set (|files|); q358's 8-key probe " +
-          "set; q360/q362's kept manifest paths (selectivity-bounded); " +
+          "set; q360's kept manifest paths (selectivity-bounded); " +
           "q361's <=64 page model boxes"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Advanced, Analytics, Corpus, Events, Ext, Geo, Metrics, Relational, Sources, Stats, Text}
+import graft.queries.{Advanced, AdvancedStreaming, Analytics, Corpus, Events, Ext, Geo, Metrics, Relational, Sources, Stats, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,7 +70,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++ Ext.queries ++
-      Advanced.queries ++ Corpus.queries ++ Sources.queries ++ Geo.queries ++
+      Advanced.queries ++ AdvancedStreaming.queries ++ Corpus.queries ++ Sources.queries ++ Geo.queries ++
       Metrics.queries ++ Analytics.queries ++ Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +80,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Ext.oracles ++
-      Advanced.oracles ++ Corpus.oracles ++ Sources.oracles ++ Geo.oracles ++
+      Advanced.oracles ++ AdvancedStreaming.oracles ++ Corpus.oracles ++ Sources.oracles ++ Geo.oracles ++
       Metrics.oracles ++ Analytics.oracles ++ Stats.oracles
 }

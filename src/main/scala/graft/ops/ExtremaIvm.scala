@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Support-at-extremum IVM algebra (r12, VERDICT-r11 #4) — the ONE
+  * place the delete-capable extrema-maintenance rules live. Three
+  * adopters share it:
+  *
+  *  - q339 (batch join-MV with deletes) and q347 (minimal-trigger
+  *    extrema rescan) call [[supportView]] — the Column-level
+  *    derivation over staged (base, inserts, deletes, post) relations;
+  *  - q359 / [[graft.streaming.ExtremaView]] calls the SCALAR half
+  *    ([[foldMax]]/[[foldMin]]/[[rescanNeeded]]) per group inside its
+  *    `transformWithState` processor, where state is a value histogram
+  *    instead of a rescannable base.
+  *
+  * The algebra, stated once: MAX (MIN mirrors) is monotone under
+  * inserts, so the stored extremum folds as `max(stored, insertMax)`
+  * — O(1), no state iteration. Deletes can only LOWER a max, and only
+  * if they exhaust its SUPPORT (the count of live rows AT the stored
+  * extremum): while one survivor certifies the stored value, the fold
+  * is exact and no rescan may happen. The trigger is therefore
+  * "post-batch support at the folded extremum ≤ 0" — any weaker
+  * condition misses a true extremum move; any stronger one rescans a
+  * base/histogram whose stored value is still certified (the q347
+  * minimality argument; AnalyticsSpec pins the batch flags,
+  * StatefulStreamSpec pins the streaming rescan count at zero for
+  * retraction storms away from the extremum, and ExtremaIvmSpec pins
+  * that the batch flags equal the scalar trigger on the same deltas).
+  *
+  * At 100 TB the trigger is the whole point: the rescan set is
+  * group-pruned to support-exhausted groups, so a delta batch costs
+  * O(Δ) joins plus a rescan of ONLY the groups whose extremum actually
+  * moved — never a full-base recompute.
+  */
+object ExtremaIvm {
+
+  /** Insert-side fold: MAX is monotone under inserts. `insertMax` is
+    * Long.MinValue when the batch carried no inserts for the group
+    * (the identity of max).
+    */
+  def foldMax(stored: Long, insertMax: Long): Long =
+    math.max(stored, insertMax)
+
+  /** MIN mirror; `insertMin` = Long.MaxValue when absent. */
+  def foldMin(stored: Long, insertMin: Long): Long =
+    math.min(stored, insertMin)
+
+  /** The minimal rescan trigger: re-derive the extremum by scan iff no
+    * live row certifies the folded candidate — post-batch support ≤ 0
+    * — or the group is reviving from an emptied/inverted state (its
+    * parked retractions mean the fold alone can miss a leftover
+    * positive value; see ExtremaView's revival path).
+    */
+  def rescanNeeded(postSupportAtCandidate: Long,
+                   revived: Boolean = false): Boolean =
+    revived || postSupportAtCandidate <= 0L
+
+  /** Batch form of the trigger over PRE-batch support and the batch's
+    * deletes at the stored extremum: deletes exhaust the support
+    * exactly when post-support hits zero (inserts at the same value
+    * would re-certify, but the batch path folds them only after the
+    * trigger — a deliberately one-sided check that stays minimal for
+    * the staged state class, where insert extrema arrive as a separate
+    * aggregate; see the q347 registry comment).
+    */
+  def exhausted(supportAtExtreme: Long, deletesAtExtreme: Long): Boolean =
+    rescanNeeded(supportAtExtreme - deletesAtExtreme)
+
+  /** Delete-aware extrema maintenance over staged relations — the
+    * q339/q347 Column derivation (moved verbatim from the Advanced
+    * registry; plan hashes unchanged). Inputs all carry (g, cents):
+    * `base` the pre-batch facts, `ins`/`del` the batch's signed halves,
+    * `post` the post-batch facts (base − del + ins). Output per
+    * surviving group: the new extrema, plus the rescan flags the specs
+    * pin.
+    *
+    * Trigger minimality note (q347): a group is rescanned iff this
+    * batch's deletions at the stored extreme exhaust its support
+    * (minimal for this state class — see the q347 registry comment). A
+    * group whose post-batch fact set is empty always trips the trigger
+    * (deleting every row exhausts both supports) and gets no scratch
+    * row, so the "rescanned but scratch-missing" filter is exactly the
+    * oracle's inner-join-on-post semantics: the group vanishes instead
+    * of emitting NULL extrema (ADVICE-r9; pinned in AnalyticsSpec).
+    */
+  def supportView(base: DataFrame, ins: DataFrame,
+                  del: DataFrame,
+                  post: DataFrame): DataFrame = {
+    // stored MV state: extrema + support AT the extrema (one extra
+    // integer per side — the price of delete-awareness)
+    val stored = base.groupBy(col("g"))
+      .agg(max(col("cents")).as("mx0"), min(col("cents")).as("mn0"))
+      .localCheckpoint(true)
+    def atExtrema(f: DataFrame, mxName: String, mnName: String) =
+      f.join(broadcast(stored), Seq("g"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("cents") === col("mx0"), 1L).otherwise(0L))
+            .as(mxName),
+          sum(when(col("cents") === col("mn0"), 1L).otherwise(0L))
+            .as(mnName))
+    val support = atExtrema(base, "n_at_mx", "n_at_mn")
+    val delAgg = atExtrema(del, "d_at_mx", "d_at_mn")
+    val insAgg = ins.groupBy(col("g"))
+      .agg(max(col("cents")).as("ins_mx"), min(col("cents")).as("ins_mn"))
+    val t = stored.join(support, Seq("g"))
+      .join(delAgg, Seq("g"), "left")
+      .join(insAgg, Seq("g"), "left")
+      .withColumn("rescan_max",
+        coalesce(col("d_at_mx"), lit(0L)) === col("n_at_mx"))
+      .withColumn("rescan_min",
+        coalesce(col("d_at_mn"), lit(0L)) === col("n_at_mn"))
+      .localCheckpoint(true)
+    val rescanGroups = t
+      .filter(col("rescan_max") || col("rescan_min"))
+      .select(col("g")).localCheckpoint(true)
+    // group-pruned rescan: ONLY the support-exhausted groups
+    val scratch = post
+      .join(broadcast(rescanGroups), Seq("g"), "left_semi")
+      .groupBy(col("g"))
+      .agg(max(col("cents")).as("smx"), min(col("cents")).as("smn"))
+    t.join(scratch, Seq("g"), "left")
+      .filter(!(col("rescan_max") || col("rescan_min")) ||
+        col("smx").isNotNull || col("smn").isNotNull)
+      .select(col("g"),
+        when(col("rescan_max"), col("smx"))
+          .otherwise(greatest(col("mx0"), col("ins_mx")))
+          .as("max_cents"),
+        when(col("rescan_min"), col("smn"))
+          .otherwise(least(col("mn0"), col("ins_mn")))
+          .as("min_cents"),
+        col("rescan_max").as("rescanned_max"),
+        col("rescan_min").as("rescanned_min"))
+  }
+}

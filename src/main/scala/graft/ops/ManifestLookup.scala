@@ -51,15 +51,35 @@ object ManifestLookup {
     * opens zero data-file footers (the amortization spec pins this).
     */
   def bloomManifest(s: SparkSession, name: String, version: String,
-                    filePaths: Seq[String], column: String): DataFrame =
-    Staged.deltaRelation(s, name, version, filePaths,
+                    filePaths: Seq[String], column: String): DataFrame = {
+    import s.implicits._
+    // ADVICE-r11 (medium): slice statistics are PER COLUMN — fold the
+    // bloom column into the staged version, so a lookup with a
+    // different keyColumn against an already-staged manifestName can
+    // never serve slices whose lo/hi/bloom were built for another
+    // column (which would prune by the wrong statistics — silent
+    // false negatives).
+    val v = s"$version-$column"
+    // r12 (VERDICT-r11 #2): COLD builds are batched — one distributed
+    // probe job over every missing file's footer, one bulk partitioned
+    // slice write — instead of one tiny Spark job per file (the
+    // driver-serialized loop that would dominate a 10⁶-file layout or
+    // a 10³-file bulk commit). Slice keying is unchanged, so the
+    // deltaRelation below serves the prepublished slices as its own.
+    Staged.prepublishSlices(s, name, v, filePaths) { missing =>
+      val (rows, _) = FooterManifest.probeBloomBytes(s, missing, column)
+      rows.toDF("path", "block", "lo", "hi", "bloom")
+        .withColumn("__dep", org.apache.spark.sql.functions.col("path"))
+    }
+    Staged.deltaRelation(s, name, v, filePaths,
         compactEvery = 16) { f =>
-      // one slice = ONE file's footer, read IN-TASK through the shared
-      // distributed probe — paid once per file state
+      // per-dep fallback (zero-row files, fingerprint collisions): ONE
+      // file's footer, read IN-TASK through the shared distributed
+      // probe — paid once per file state
       val (rows, _) = FooterManifest.probeBloomBytes(s, Seq(f), column)
-      import s.implicits._
       rows.toDF("path", "block", "lo", "hi", "bloom")
     }
+  }
 
   /** File paths kept for an equality lookup on ANY of `probes`: a
     * distributed scan of the manifest relation — per row, some probe

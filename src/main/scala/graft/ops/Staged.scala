@@ -107,7 +107,19 @@ object Staged {
     * legitimately carry the `__` infix).
     */
   private def relationImpl(s: SparkSession, name: String, version: String,
-                           deps: Seq[String])(build: => DataFrame): DataFrame = {
+                           deps: Seq[String])(build: => DataFrame): DataFrame =
+    s.read.parquet(
+      ensured(s, name, version, deps)(build).toString)
+
+  /** The ensure-published half of [[relationImpl]]: build+publish if
+    * needed, return the stage PATH without reading it. Split out (r12)
+    * so [[deltaRelation]] can serve its N slices as ONE multi-path
+    * parquet read — a per-slice `read.parquet` costs a schema-inference
+    * Spark job and a Union plan node PER SLICE, which at 10⁵ slices is
+    * both a driver-serialized job loop and a plan-size explosion.
+    */
+  private def ensured(s: SparkSession, name: String, version: String,
+                      deps: Seq[String])(build: => DataFrame): java.nio.file.Path = {
     val stage = stagePath(name, version, deps)
     def published = java.nio.file.Files.exists(stage.resolve("_SUCCESS"))
     lock.synchronized {
@@ -140,7 +152,7 @@ object Staged {
         }
       }
     }
-    s.read.parquet(stage.toString)
+    stage
   }
 
   /** Staged DIRECTORY artifact with a caller-controlled writer (r10):
@@ -257,19 +269,24 @@ object Staged {
                    (build: String => DataFrame): DataFrame = {
     requireName(name)
     require(deps.nonEmpty, s"deltaRelation $name needs at least one dep")
-    def slice(dep: String): DataFrame =
-      relationImpl(s, sliceName(name, dep), version, Seq(dep))(build(dep))
+    // ensure-published per slice, but SERVE as one multi-path read
+    // (r12): a per-slice read.parquet + unionByName costs a schema-
+    // inference job and a Union leg per slice — O(N) driver jobs and
+    // plan nodes per serve at 10⁵ slices. All slices of one relation
+    // share the builder's schema, so a multi-path scan IS the union.
+    def slicePathOf(dep: String): java.nio.file.Path =
+      ensured(s, sliceName(name, dep), version, Seq(dep))(build(dep))
     val prefixLen =
       if (compactEvery > 0) (deps.size / compactEvery) * compactEvery else 0
     val (prefix, tail) = deps.splitAt(prefixLen)
-    val compacted: Option[DataFrame] =
+    val compacted: Option[java.nio.file.Path] =
       if (prefixLen > 0)
-        Some(relationImpl(s, s"${name}__compact", version, prefix) {
-          prefix.map(slice).reduce(_.unionByName(_))
+        Some(ensured(s, s"${name}__compact", version, prefix) {
+          s.read.parquet(prefix.map(d => slicePathOf(d).toString): _*)
         })
       else None
-    val out = (compacted.toSeq ++ tail.map(slice))
-      .reduce(_.unionByName(_))
+    val out = s.read.parquet(
+      (compacted.toSeq ++ tail.map(slicePathOf)).map(_.toString): _*)
     // folded-away prefix slices are no longer live — the TTL sweep
     // below may collect them once they age out
     val liveDeps = if (compacted.isDefined) tail else deps
@@ -292,6 +309,80 @@ object Staged {
         catch { case _: java.io.IOException => () })
     }
     out
+  }
+
+  /** Batch slice prepass for [[deltaRelation]] (r12, VERDICT-r11 #2):
+    * publish the slices of every not-yet-published dep from ONE bulk
+    * build, instead of one driver-dispatched Spark job per dep — the
+    * cold-build path previously degenerated to N sequential 1-task
+    * jobs (job-dispatch latency × files) on a fresh 10⁶-file layout
+    * or a bulk commit.
+    *
+    * Contract: `bulkBuild(missing)` returns the union of the per-dep
+    * builds over exactly `missing`, with an extra string column
+    * `__dep` naming each row's dep — the rows for dep d, minus
+    * `__dep`, must equal what [[deltaRelation]]'s `build(d)` returns
+    * (specs pin that equivalence per adopter). The bulk output is
+    * written ONCE, partitioned by an 8-hex dep fingerprint, and each
+    * partition directory is promoted to its slice stage under the
+    * normal keying ([[slicePath]] — same fingerprints, so a later
+    * [[deltaRelation]] call serves these slices without building).
+    *
+    * Safety: deps whose 8-hex fingerprints collide in this batch are
+    * left OUT (the per-dep fallback builds them — correctness never
+    * rides on hash uniqueness); a dep yielding zero rows produces no
+    * partition dir and likewise falls through to the per-dep build;
+    * promotion happens under the build lock with the published
+    * re-check, and the bulk temp dir is removed on every exit path.
+    * This is an OPTIMIZATION prepass: skipping it entirely leaves
+    * [[deltaRelation]]'s semantics unchanged.
+    */
+  def prepublishSlices(s: SparkSession, name: String, version: String,
+                       deps: Seq[String])
+                      (bulkBuild: Seq[String] => DataFrame): Unit = {
+    requireName(name)
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val unpublished = deps.filterNot(d => java.nio.file.Files.exists(
+      slicePath(name, version, d).resolve("_SUCCESS")))
+    // batch only fingerprint-unique deps (collisions → per-dep path)
+    val missing = unpublished.groupBy(graft.Graft.md5_8)
+      .collect { case (_, Seq(one)) => one }.toSeq.sorted
+    if (missing.isEmpty) return
+    lock.synchronized {
+      val still = missing.filterNot(d => java.nio.file.Files.exists(
+        slicePath(name, version, d).resolve("_SUCCESS")))
+      if (still.isEmpty) return
+      val tmp = java.nio.file.Paths.get(
+        s"$root/${name}.slicebatch_${System.nanoTime()}")
+      try {
+        val df = bulkBuild(still)
+        require(df.columns.contains("__dep"),
+          s"prepublishSlices $name: bulk build must carry a __dep column")
+        // spark md5 hex == Graft.md5_8's digest prefix, so the
+        // partition value IS the slice fingerprint (8 hex chars:
+        // no partition-path escaping to reverse)
+        df.withColumn("__sk", substring(md5(col("__dep")), 1, 8))
+          .drop("__dep")
+          .write.partitionBy("__sk").mode("overwrite").parquet(tmp.toString)
+        require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
+          s"prepublishSlices $name: bulk write left no _SUCCESS")
+        for (dep <- still) {
+          val src = tmp.resolve(s"__sk=${graft.Graft.md5_8(dep)}")
+          val target = slicePath(name, version, dep)
+          if (java.nio.file.Files.isDirectory(src) &&
+              !java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
+            java.nio.file.Files.createFile(src.resolve("_SUCCESS"))
+            java.nio.file.Files.createDirectories(target.getParent)
+            graft.Graft.deleteRecursively(target)
+            java.nio.file.Files.move(src, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      } finally {
+        try graft.Graft.deleteRecursively(tmp)
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Per-dep fingerprint line for the generation manifest. */

@@ -247,9 +247,11 @@ object Ext {
         val nBad = ass.filter(ownCos < maxCos - lit(1e-6)).count()
         // n-relative tolerance (r11 — q302's stress-caught class): the
         // objective is an O(n) sum, so partition-order float noise
-        // scales with n while an absolute epsilon does not
+        // scales with n while an absolute epsilon does not. Floored at
+        // the prior absolute 1e-9 (ADVICE-r11) so the relative bound
+        // only ever relaxes the contract small-sf runs were green on.
         val monotone = km.objective.zip(km.objective.tail)
-          .forall { case (a, b) => b <= a + 1e-12 * math.max(1L, nTotal) }
+          .forall { case (a, b) => b <= a + math.max(1e-9, 1e-12 * nTotal) }
         Seq((8, nTotal, nBad == 0L, monotone, kNonEmpty >= 1 && kNonEmpty <= 8))
           .toDF("k", "n_total", "assignment_consistent",
             "objective_monotone", "clusters_bounded")

@@ -633,6 +633,59 @@ object Sources {
         .orderBy(col("event_id")))
     }),
 
+    // RUNTIME file pruning / DPP on the DSv2 manifest table (r12,
+    // VERDICT-r11 #1 — the "what's missing #1" completion): q364
+    // covers the literal `WHERE ukey = v` form; the dominant warehouse
+    // lookup is JOIN-shaped — `fact ⋈ dim WHERE dim.pred`, where the
+    // ONLY key predicate lives on the DIM side, so plan-time pushdown
+    // sees nothing to prune on. ManifestScan now implements
+    // SupportsRuntimeFiltering(keyColumn): Catalyst's PartitionPruning
+    // rule plants a DynamicPruningSubquery on the fact scan (reusing
+    // the dim's broadcast), and at execution the scan receives the
+    // dim's distinct keys as an IN filter and re-plans its kept set
+    // through the same manifest range+bloom pass — file pruning from
+    // a key set that only exists at runtime. The dim here is 2 keys
+    // (event_id ∈ {3,5} → their ukeys), so the 16-file layout prunes
+    // to ≤4 kept files AT ANY SF — the contract booleans don't decay
+    // with scale. runtime_pruned pins that the runtime filter actually
+    // arrived and pruned (kept < total); result_complete pins row
+    // equality against the raw-parquet join. Oracle replays the
+    // derivation + join over the events table.
+    "q366_dpp_manifest_lookup" -> ((s, d) => {
+      import graft.sources.ManifestDataSource
+      val (gens, _, _) = bloomLayoutManifest(s, d)
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("layoutDirs", gens.mkString(","))
+        .option("keyColumn", "ukey")
+        .option("manifestName", "bloommanifest")
+        .load().createOrReplaceTempView("events_manifested_dpp")
+      ukeyBase(s, d).filter(col("event_id").isin(3L, 5L))
+        .select(col("ukey").as("d_ukey"))
+        .createOrReplaceTempView("dpp_dim")
+      val joined = s.sql("SELECT f.event_id, f.ukey " +
+        "FROM events_manifested_dpp f JOIN dpp_dim d ON f.ukey = d.d_ukey")
+      // execute once so the runtime-filter observables reflect THIS
+      // query, then read them for the contract booleans
+      ManifestDataSource.lastRuntimeFilters = Nil
+      ManifestDataSource.lastRuntimeKeptFiles = Nil
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val runtimePruned = ManifestDataSource.lastRuntimeFilters.nonEmpty &&
+        ManifestDataSource.lastRuntimeKeptFiles.nonEmpty &&
+        ManifestDataSource.lastRuntimeKeptFiles.size <
+          ManifestDataSource.lastTotalFiles
+      val want = s.read.parquet(gens: _*)
+        .join(ukeyBase(s, d).filter(col("event_id").isin(3L, 5L))
+          .select(col("ukey").as("d_ukey")),
+          col("ukey") === col("d_ukey"))
+        .select(col("event_id"), col("ukey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val complete = got.sorted.sameElements(want.sorted)
+      materialize(s, "q366_dpp_manifest_lookup", joined
+        .withColumn("runtime_pruned", lit(runtimePruned))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("event_id"), col("ukey")))
+    }),
+
     // PAGE-level column-index skipping (r10 — the finest rung of the
     // data-skipping ladder: q343 arithmetic model → q346 row-group
     // footer stats → THIS, parquet's per-page column+offset indexes).
@@ -1266,6 +1319,19 @@ object Sources {
            TRUE AS kept_le_4, TRUE AS result_complete
          FROM base WHERE ukey = (SELECT v FROM pv)
          ORDER BY event_id""",
+
+    // the DPP join replayed over the raw table; the runtime pruning
+    // itself is pinned by the in-query contract booleans + SourcesSpec
+    "q366_dpp_manifest_lookup" ->
+      """WITH base AS (
+           SELECT event_id,
+             (event_id * 2654435761 % 1000000007) * 1000 + 7 AS ukey
+           FROM events),
+         dim AS (SELECT ukey AS d_ukey FROM base WHERE event_id IN (3, 5))
+         SELECT f.event_id, f.ukey,
+           TRUE AS runtime_pruned, TRUE AS result_complete
+         FROM base f JOIN dim d ON f.ukey = d.d_ukey
+         ORDER BY f.event_id, f.ukey""",
 
     // q346's contract one granularity down: the page-chunk model
     // replays exactly (SourcesSpec pins model == real column index)

@@ -953,8 +953,11 @@ object Stats {
         // the Newton iterates are identical to the small-sf run's).
         // 1e-12·n is ~5000× the ε·n summation error bound and still
         // far below any genuine Newton overshoot, which moves ll by
-        // O(n)·Δ.
-        if (ll < lastLoss - 1e-12 * nRows) monotone = false
+        // O(n)·Δ. Floored at the prior absolute 1e-9 (ADVICE-r11): the
+        // relative bound may only ever RELAX the old contract — below
+        // n=1000 the pure 1e-12·n form was tighter than what every
+        // small-sf run had been green against.
+        if (ll < lastLoss - math.max(1e-9, 1e-12 * nRows)) monotone = false
         lastLoss = ll
         val det = h00 * h11 - h01 * h01
         b0 += (h11 * g0 - h01 * g1) / det

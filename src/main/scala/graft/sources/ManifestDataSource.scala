@@ -5,8 +5,8 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,10 +44,25 @@ import org.apache.spark.util.SerializableConfiguration
   * columns only — the layout family this serves), projecting only the
   * columns Catalyst pruned to.
   *
+  * RUNTIME filtering / DPP (r12, VERDICT-r11 #1): [[ManifestScan]]
+  * implements [[SupportsRuntimeFiltering]] on the key column, so the
+  * dominant warehouse lookup shape — `fact ⋈ dim WHERE dim.pred` with
+  * the ONLY key predicate on the DIM side — re-prunes kept files at
+  * RUNTIME from the build side's key set: Catalyst's PartitionPruning
+  * rule plants a DynamicPruningSubquery on the fact scan (reusing the
+  * dim's broadcast exchange), and at execution [[ManifestScan.filter]]
+  * receives the dim's distinct keys as an IN filter and re-plans the
+  * kept set through the same manifest range+bloom pass. Plan-time
+  * literal predicates (q364) and runtime join-derived probes compose —
+  * both intersect the kept set; ignoring an unrecognizable runtime
+  * filter is always sound (pruning-only; the join re-applies itself).
+  *
   * At 100 TB: the manifest scan replaces "open 10⁶ footers per query"
   * at plan time, and kept files spread across the cluster one per task.
   * SourcesSpec pins: pushed filters recorded, kept ⊂ total, SQL result
-  * equals the full scan, and a repeated SQL lookup opens ZERO footers.
+  * equals the full scan, a repeated SQL lookup opens ZERO footers, and
+  * the DPP shape runtime-prunes (runtime kept < total) with result
+  * equality against the unpruned join.
   */
 object ManifestDataSource {
   /** Driver-side observables for the spec (set at plan time; Verify and
@@ -56,11 +71,31 @@ object ManifestDataSource {
   @volatile var lastPushed: Seq[Filter] = Nil
   @volatile var lastKeptFiles: Seq[String] = Nil
   @volatile var lastTotalFiles: Int = 0
+  /** Runtime (DPP) observables: the filters delivered to
+    * [[ManifestScan.filter]] and the kept set of the LAST
+    * planInputPartitions that ran with runtime probes applied.
+    */
+  @volatile var lastRuntimeFilters: Seq[Filter] = Nil
+  @volatile var lastRuntimeKeptFiles: Seq[String] = Nil
+
+  /** Readable failures for the three required options (ADVICE-r11:
+    * a missing `layoutDirs` NPE'd inside split).
+    */
+  private[sources] def required(options: CaseInsensitiveStringMap,
+                                key: String): String = {
+    val v = options.get(key)
+    require(v != null && v.nonEmpty,
+      s"ManifestDataSource: required option '$key' is missing " +
+        "(expected layoutDirs=<dir1,dir2,...>, keyColumn=<long column>, " +
+        "manifestName=<staged relation name>)")
+    v
+  }
 }
 
 class ManifestDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val dirs = options.get("layoutDirs").split(",").toSeq
+    val dirs = ManifestDataSource.required(options, "layoutDirs")
+      .split(",").toSeq
     SparkSession.active.read.parquet(dirs: _*).schema
   }
 
@@ -83,22 +118,24 @@ class ManifestScanBuilder(schema: StructType,
                           options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private val keyCol = options.get("keyColumn")
+  private val keyCol = ManifestDataSource.required(options, "keyColumn")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
 
   /** A filter this source can use for FILE pruning: key equality/IN
-    * (range + bloom) or key comparison (range only).
+    * (range + bloom) or key comparison (range only). Both integral
+    * literal widths qualify (VERDICT-r11 #7: an int-literal range
+    * predicate previously fell through and silently pruned nothing).
     */
+  private def integral(v: Any): Boolean =
+    v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]
   private def prunable(f: Filter): Boolean = f match {
-    case EqualTo(c, _: java.lang.Long) => c == keyCol
-    case EqualTo(c, _: java.lang.Integer) => c == keyCol
-    case In(c, vs) => c == keyCol && vs.forall(v =>
-      v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer])
-    case GreaterThan(c, _: java.lang.Long) => c == keyCol
-    case GreaterThanOrEqual(c, _: java.lang.Long) => c == keyCol
-    case LessThan(c, _: java.lang.Long) => c == keyCol
-    case LessThanOrEqual(c, _: java.lang.Long) => c == keyCol
+    case EqualTo(c, v) => c == keyCol && integral(v)
+    case In(c, vs) => c == keyCol && vs.forall(integral)
+    case GreaterThan(c, v) => c == keyCol && integral(v)
+    case GreaterThanOrEqual(c, v) => c == keyCol && integral(v)
+    case LessThan(c, v) => c == keyCol && integral(v)
+    case LessThanOrEqual(c, v) => c == keyCol && integral(v)
     case _ => false
   }
 
@@ -122,18 +159,48 @@ class ManifestScanBuilder(schema: StructType,
 case class ManifestInputPartition(path: String) extends InputPartition
 
 class ManifestScan(schema: StructType, options: CaseInsensitiveStringMap,
-                   pushed: Array[Filter]) extends Scan with Batch {
+                   pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   require(schema.fields.forall(_.dataType == LongType),
     "ManifestDataSource serves long-typed layout columns only, got " +
       schema.simpleString)
+  private val keyCol = ManifestDataSource.required(options, "keyColumn")
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
+  // --- SupportsRuntimeFiltering (r12): DPP probes from a join's build
+  // side arrive here at execution time as an IN on the key column;
+  // planInputPartitions (re-run by BatchScanExec after filter()) then
+  // intersects them with the plan-time kept set. Anything we can't
+  // interpret is IGNORED — runtime filters are pruning-only hints, the
+  // join still evaluates itself, so dropping one never loses rows.
+  private var runtimeProbes: Option[Seq[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(keyCol))
+  override def filter(filters: Array[Filter]): Unit = {
+    ManifestDataSource.lastRuntimeFilters = filters.toSeq
+    val probes = filters.collect {
+      case In(c, vs) if c == keyCol &&
+          vs.forall(v => v.isInstanceOf[java.lang.Long] ||
+            v.isInstanceOf[java.lang.Integer]) =>
+        vs.toSeq.map {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }
+      case EqualTo(c, v: java.lang.Long) if c == keyCol => Seq(v.longValue)
+      case EqualTo(c, v: java.lang.Integer) if c == keyCol =>
+        Seq(v.longValue)
+    }
+    if (probes.nonEmpty)
+      // multiple runtime filters on the key conjoin: intersect value sets
+      runtimeProbes = Some(probes.reduce(_.intersect(_)))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val s = SparkSession.active
-    val keyCol = options.get("keyColumn")
-    val dirs = options.get("layoutDirs").split(",").toSeq
-    val mName = options.get("manifestName")
+    val dirs = ManifestDataSource.required(options, "layoutDirs")
+      .split(",").toSeq
+    val mName = ManifestDataSource.required(options, "manifestName")
     val mVersion = Option(options.get("manifestVersion")).getOrElse("v1")
     val conf = s.sessionState.newHadoopConf()
     val filePaths = dirs.flatMap { g =>
@@ -152,28 +219,47 @@ class ManifestScan(schema: StructType, options: CaseInsensitiveStringMap,
       case other => sys.error(s"non-integral key literal: $other")
     }
     var kept: Set[String] = filePaths.toSet
-    val probes: Seq[Long] = pushed.flatMap {
-      case EqualTo(_, v) => Seq(longOf(v))
-      case In(_, vs) => vs.toSeq.map(longOf)
-      case _ => Nil
-    }.toSeq
-    if (probes.nonEmpty)
-      kept = kept.intersect(
-        graft.ops.ManifestLookup.keptPaths(s, manifest, probes).toSet)
+    // each pushed equality/IN conjunct is its own probe SET; conjuncts
+    // (and a runtime DPP probe set) INTERSECT in value space — a row
+    // must satisfy all of them, so only the common values can match
+    val probeSets: Seq[Set[Long]] = pushed.collect {
+      case EqualTo(_, v) => Set(longOf(v))
+      case In(_, vs) => vs.map(longOf).toSet
+    }.toSeq ++ runtimeProbes.map(_.toSet).toSeq
+    if (probeSets.nonEmpty) {
+      val values = probeSets.reduce(_.intersect(_))
+      kept =
+        if (values.isEmpty) Set.empty
+        else kept.intersect(graft.ops.ManifestLookup
+          .keptPaths(s, manifest, values.toSeq.sorted).toSet)
+    }
+    // ±1 strict-bound arithmetic saturates at the sentinels (ADVICE-r11:
+    // GreaterThan(Long.MaxValue) wrapped to MinValue, turning a
+    // provably-empty predicate into keep-everything): a strict bound
+    // past the extreme keeps NOTHING, short-circuit to the empty range
+    // (hi < lo) instead of wrapping.
     val ranges: Seq[(Long, Long)] = pushed.flatMap {
-      case GreaterThan(_, v) => Seq((longOf(v) + 1L, Long.MaxValue))
+      case GreaterThan(_, v) =>
+        val lo = longOf(v)
+        Seq(if (lo == Long.MaxValue) (1L, 0L) else (lo + 1L, Long.MaxValue))
       case GreaterThanOrEqual(_, v) => Seq((longOf(v), Long.MaxValue))
-      case LessThan(_, v) => Seq((Long.MinValue, longOf(v) - 1L))
+      case LessThan(_, v) =>
+        val hi = longOf(v)
+        Seq(if (hi == Long.MinValue) (1L, 0L) else (Long.MinValue, hi - 1L))
       case LessThanOrEqual(_, v) => Seq((Long.MinValue, longOf(v)))
       case _ => Nil
     }.toSeq
     for ((lo, hi) <- ranges)
-      kept = kept.intersect(
-        graft.ops.ManifestLookup.keptPathsRange(s, manifest, lo, hi).toSet)
+      kept =
+        if (hi < lo) Set.empty
+        else kept.intersect(
+          graft.ops.ManifestLookup.keptPathsRange(s, manifest, lo, hi).toSet)
     val keptSorted = kept.toSeq.sorted
     ManifestDataSource.lastPushed = pushed.toSeq
     ManifestDataSource.lastKeptFiles = keptSorted
     ManifestDataSource.lastTotalFiles = filePaths.size
+    if (runtimeProbes.isDefined)
+      ManifestDataSource.lastRuntimeKeptFiles = keptSorted
     keptSorted.map(p => ManifestInputPartition(p): InputPartition).toArray
   }
 
@@ -191,33 +277,42 @@ class ManifestReaderFactory(fields: Seq[String],
       partition.asInstanceOf[ManifestInputPartition].path, fields, conf)
 }
 
+/** A [[org.apache.parquet.hadoop.example.GroupReadSupport]] whose
+  * projection is derived from the FILE schema parquet hands `init()` —
+  * the projection must mirror the file's own repetition (required vs
+  * optional varies by writer), and doing it here means the reader's
+  * one internal footer read serves both schema and data (ADVICE-r11:
+  * the previous explicit `ParquetFileReader.open` for the schema
+  * doubled per-file metadata round-trips on the pruned scan).
+  */
+class ProjectingGroupReadSupport(fields: Seq[String])
+    extends org.apache.parquet.hadoop.example.GroupReadSupport {
+  override def init(conf: org.apache.hadoop.conf.Configuration,
+                    keyValueMetaData: java.util.Map[String, String],
+                    fileSchema: org.apache.parquet.schema.MessageType)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    import scala.jdk.CollectionConverters._
+    val fieldTypes: java.util.List[org.apache.parquet.schema.Type] =
+      fields.map(f => fileSchema.getType(Seq(f): _*)).asJava
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new org.apache.parquet.schema.MessageType("graft_projection",
+        fieldTypes))
+  }
+}
+
 /** Streams one kept file's rows through the parquet-hadoop Group API,
-  * projecting only the Catalyst-pruned columns (the projection schema
-  * rides in the read conf — parquet materializes just those chunks).
+  * projecting only the Catalyst-pruned columns (the projection is built
+  * inside the read support's `init` from the file schema parquet already
+  * read — one footer open per file, total).
   */
 class ManifestPartitionReader(path: String, fields: Seq[String],
                               conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val reader = {
-    import scala.jdk.CollectionConverters._
     val c = new org.apache.hadoop.conf.Configuration(conf.value)
     val p = new org.apache.hadoop.fs.Path(path)
-    // the projection must mirror the FILE's own repetition (required
-    // vs optional varies by writer); read its schema from the footer —
-    // in-task, and part of opening the file for data anyway
-    val fileSchema = {
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, c))
-      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    }
-    val fieldTypes: java.util.List[org.apache.parquet.schema.Type] =
-      fields.map(f => fileSchema.getType(Seq(f): _*)).asJava
-    val projection = new org.apache.parquet.schema.MessageType(
-      "graft_projection", fieldTypes)
-    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projection.toString)
     org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .builder(new ProjectingGroupReadSupport(fields), p)
       .withConf(c).build()
   }
   private var current: org.apache.parquet.example.data.Group = _

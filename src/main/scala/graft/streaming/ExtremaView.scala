@@ -177,9 +177,11 @@ object ExtremaView {
         s = s.copy(mx = Long.MinValue, mxSup = 0L,
           mn = Long.MaxValue, mnSup = 0L)
       } else {
-        // MAX side
-        val mxCand = math.max(s.mx, insMax)
-        if (!revived && supAt(mxCand) > 0L) {
+        // MAX side — fold + trigger are the shared algebra
+        // (ops.ExtremaIvm, r12: one module with the q339/q347 batch
+        // derivation; ExtremaIvmSpec pins batch ≡ scalar)
+        val mxCand = graft.ops.ExtremaIvm.foldMax(s.mx, insMax)
+        if (!graft.ops.ExtremaIvm.rescanNeeded(supAt(mxCand), revived)) {
           s = s.copy(mx = mxCand, mxSup = supAt(mxCand))
         } else {
           // support at the stored (insert-folded) max exhausted —
@@ -194,8 +196,8 @@ object ExtremaView {
           s = s.copy(mx = bm, mxSup = supAt(bm))
         }
         // MIN side (mirror)
-        val mnCand = math.min(s.mn, insMin)
-        if (!revived && supAt(mnCand) > 0L) {
+        val mnCand = graft.ops.ExtremaIvm.foldMin(s.mn, insMin)
+        if (!graft.ops.ExtremaIvm.rescanNeeded(supAt(mnCand), revived)) {
           s = s.copy(mn = mnCand, mnSup = supAt(mnCand))
         } else {
           rescans.foreach(_.add(1L))

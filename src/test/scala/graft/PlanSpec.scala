@@ -477,17 +477,21 @@ class PlanSpec extends SparkSpec {
         "kept file PATHS from the manifest scan (selectivity-bounded " +
           "and ≤ |files| of tiny strings — the pruning decision, " +
           "never data) for the probe-set and range forms"),
-      "graft/queries/Sources.scala" -> (6,
+      "graft/queries/Sources.scala" -> (8,
         "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
           "q354's per-file containing set (|files|); q358's 8-key probe " +
           "set; q360's kept manifest paths (selectivity-bounded); " +
-          "q361's <=64 page model boxes"),
+          "q361's <=64 page model boxes; q366's DPP contract compare " +
+          "(two ≤|dim-matches| row sets for the result_complete bool)"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),
-      "graft/queries/Advanced.scala" -> (4,
-        "q343's <=384 zone-map rows; q214 session-variable scalars; " +
-          "q310's per-lang rows (|langs|); WAP audit re-publish of a " +
-          "limit-capped result"))
+      "graft/queries/Advanced.scala" -> (2,
+        "q203's top-10 heavy-hitter probe panel (limit-capped); q142's " +
+          "per-lang observed-metrics rows (|langs|)"),
+      "graft/queries/AdvancedStreaming.scala" -> (2,
+        "q52/q53's grouped stream-sink folds — |event_type| rows, " +
+          "re-wrapped for the driver (moved with the r12 registry " +
+          "split; same bounds as before)"))
     val root = java.nio.file.Paths.get("src/main/scala")
     import scala.jdk.CollectionConverters._
     val found = java.nio.file.Files.walk(root).iterator().asScala

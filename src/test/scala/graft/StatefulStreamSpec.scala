@@ -477,6 +477,71 @@ class StatefulStreamSpec extends SparkSpec {
     }
   }
 
+  test("CountingView TTL (VERDICT-r11 #5): the standalone counting view " +
+      "evicts idle groups whole with a tombstone, revives from empty " +
+      "with version continuity, and re-arms the revived group's timer") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sq = s.sqlContext
+    import graft.streaming.CountingView
+    import graft.streaming.CountingView.DeltaIn
+    val mem = MemoryStream[DeltaIn]
+    val ttlMs = 3000L
+    val out = CountingView.view(s, mem.toDS(), Some(ttlMs))
+    val name = "cvt_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      def rowsOf(seg: String) = s.table(name).collect()
+        .filter(_.getString(0) == seg)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      // ProcessingTime mode runs micro-batches continuously — poll the
+      // sink, assert in VERSION space (see the ExtremaView TTL test)
+      def await(msg: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis + 60000L
+        while (!cond) {
+          assert(System.currentTimeMillis < deadline,
+            s"timed out: $msg; sink=${s.table(name).collect().toList}")
+          Thread.sleep(200L)
+        }
+      }
+      mem.addData(DeltaIn("A", 1L, 100L, 1L), DeltaIn("A", 2L, 50L, 1L),
+        DeltaIn("B", 9L, 30L, 1L))
+      await("initial rows")(rowsOf("A").nonEmpty && rowsOf("B").nonEmpty)
+      assert(rowsOf("A").last == ((1L, 2L, 150L, 2L)))
+      // idle past the TTL → whole-group eviction tombstones
+      await("A eviction tombstone")(
+        rowsOf("A").lastOption.exists(_._2 == 0L))
+      assert(rowsOf("A").last == ((2L, 0L, 0L, 0L)),
+        s"bad tombstone: ${rowsOf("A").toList}")
+      await("B eviction tombstone")(
+        rowsOf("B").lastOption.exists(_._2 == 0L))
+      assert(rowsOf("B").map(t => (t._1, t._2)).toList ==
+        List((1L, 1L), (2L, 0L)), s"B lifecycle: ${rowsOf("B").toList}")
+      // revival from EMPTY (prior members gone — "since the last
+      // activity gap"), version continuing past the tombstone
+      mem.addData(DeltaIn("A", 3L, 70L, 1L))
+      await("A revival")(rowsOf("A").lastOption.exists(_._1 == 3L))
+      assert(rowsOf("A").last == ((3L, 1L, 70L, 1L)),
+        s"revival wrong: ${rowsOf("A").toList}")
+      // the revived group dies again after another idle TTL; B (no
+      // timer left) never emits again
+      await("A second eviction")(
+        rowsOf("A").lastOption.exists(r => r._1 == 4L && r._2 == 0L))
+      assert(rowsOf("A").map(t => (t._1, t._2)).toList ==
+        List((1L, 2L), (2L, 0L), (3L, 1L), (4L, 0L)),
+        s"A lifecycle: ${rowsOf("A").toList}")
+      assert(rowsOf("B").size == 2,
+        s"dead group B emitted again: ${rowsOf("B").toList}")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   test("transformWithState timers: sessions close on gap or event-time timer") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -52,6 +52,27 @@ FAMILY = [
     "q304", "q310",
     # sketches / quantiles
     "q58", "q66", "q118", "q288", "q337", "q342",
+    # --- near-dup / banded classes (r12, VERDICT-r11 #8). The 10x
+    # self-union is the REALISTIC hazard for this family: every doc
+    # gains 9 exact replicas, so dup-group sizes, band-bucket fanout,
+    # and shingle doc-frequencies all inflate 10x. Which oracle form
+    # scales, per family:
+    #  - exact/normalized dedup (q34/q35): full O(n) GROUP BY replay —
+    #    scales linearly, stays exact;
+    #  - signature near-dup (q36/q37): injected-dup CONTRACT oracles
+    #    (equal sigs/bands, pair surfaced) — O(n) on the DuckDB side,
+    #    the banded join stress lives on the Spark side;
+    #  - segment/span dedup (q112/q160) and the curation pipeline
+    #    (q152): full token-level recomputes — linear in total tokens
+    #    plus bounded windows;
+    #  - shingle inverted-index pairs (q38/q189): full replay with the
+    #    SAME >256-doc stop-shingle cap mirrored on both sides, so the
+    #    bucket self-join stays Sigma(bucket^2)-bounded even after the
+    #    10x doc-frequency inflation.
+    # STAYS OUT by design (all-pairs replays): q97 (oracle counts
+    # brute all-pairs cosine over embeddings - O(n^2 d) at 20k vecs),
+    # q39/q161 (same exact-cosine replay), q69 (see above).
+    "q34", "q35", "q36", "q37", "q112", "q152", "q160", "q38", "q189",
 ]
 
 

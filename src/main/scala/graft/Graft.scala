@@ -164,7 +164,21 @@ object Graft {
     }
     named.split("\n")
       .map(_.split("[^A-Za-z0-9_.#$]+").map(_.trim)
-        .filter(_.nonEmpty).sorted.mkString("|"))
+        .filter(_.nonEmpty)
+        // v6 (r12, VERDICT-r11 #6): drop canonicalized exprId ORDINALS
+        // from attribute atoms. The q232 bimodal's root cause: two runs
+        // of the same code on the same data emit the same atom MULTISET
+        // but permute which ordinal binds to which attribute
+        // (`none#1`+`none#2L` vs `none#1L`+`none#2`) — the ordinal is
+        // per-run canonicalization noise, not plan structure. Type
+        // suffix and atom multiplicity are kept, so operator flips,
+        // type changes, and arity changes still flip the signature;
+        // what v6 gives up is distinguishing "one attr used twice"
+        // from "two attrs used once each" WITHIN one node line — a
+        // change that, with names already scrubbed, v5 only caught
+        // through this same unstable ordinal binding.
+        .map(_.replaceAll("#\\d+", "#"))
+        .sorted.mkString("|"))
       .mkString("\n")
   }
 

@@ -421,6 +421,27 @@ class StagedSpec extends SparkSpec {
     assert(sig("Filter (a#1 <= b#2)") == sig("Filter (b#2 >= a#1)"))
   }
 
+  test("planScrub v6: the canonicalized exprId-to-attribute binding " +
+      "permutation (the q232 bimodal) hashes identically; operator and " +
+      "type flips still flip") {
+    def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
+    // the exact r11 q232 flip shape, reproduced from the two COMMITTED
+    // plan-capture variants (builder vs driver rerun): the same atom
+    // multiset, but which ordinal carries the L suffix permutes —
+    // run-dependent canonicalization noise, not plan structure
+    assert(sig("Aggregate [count(none#1), first(none#2L)]") ==
+      sig("Aggregate [count(none#2), first(none#1L)]"))
+    assert(sig("Expand [none#0, none#1L, none#2]") ==
+      sig("Expand [none#2, none#0L, none#1]"))
+    // type changes and arity changes still flip
+    assert(sig("Aggregate [count(none#1), first(none#2L)]") !=
+      sig("Aggregate [count(none#1L), first(none#2L)]"))
+    assert(sig("Expand [none#0, none#1L]") !=
+      sig("Expand [none#0, none#1L, none#2]"))
+    // operator flips still flip (the v5 guarantees carry over)
+    assert(sig("Aggregate [sum(none#1L)]") != sig("Aggregate [max(none#1L)]"))
+  }
+
   test("planScrub v4: invariant under commutative operand reorder " +
       "(the cross-JVM Canonicalize hashCode ordering)") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))

@@ -84,11 +84,14 @@ def load(path):
 # all three queries hash-stable. Re-add entries here ONLY with a v3
 # reproduction.
 OBSERVED_FLIPS = {
-    "q232_chi_square": "r8: pivot distinct-value ORDER follows scan "
-        "partitioning — flipped under a 1MB maxPartitionBytes PlanDump "
-        "probe on identical sf0.01 data (v3 hashes); a later probe pair "
-        "did not reproduce it, so the dependence is real but "
-        "intermittent — pinned stats-dependent",
+    # q232_chi_square's pin retired in r12: the r8/r11 intermittent flip
+    # was root-caused to the canonicalized exprId<->attribute binding
+    # permuting across runs (same atom multiset, #1/#2L vs #1L/#2 —
+    # judge-diffed on the two committed r11 captures) and scrub v6 now
+    # drops the ordinals, which unifies ALL observed variants (validated
+    # against both committed r11 texts + 6 fresh probes incl. the 1MB
+    # maxPartitionBytes perturbation and an sf change). Nothing is
+    # currently pinned.
 }
 
 

@@ -485,7 +485,15 @@ object Sources {
         .select(col("event_id"))
       val maxId = base.agg(max(col("event_id"))).head.getLong(0)
       val lo = maxId / 4
-      val hi = maxId / 4 + maxId / 50
+      // FIXED band width (r12, caught by the ~sf1 stress rehearsal):
+      // the old mx/50 width made the RESULT grow linearly with scale,
+      // so the 10x stress input tripped materialize's 10k-row guard —
+      // the q302 class again (a rig parameter that silently scales
+      // with the data). A range lookup's answer size is a property of
+      // the QUERY, not the corpus; 500 keys keeps the band inside
+      // every sf's id range (min events table is 1k rows) and the
+      // kept-file contract scale-invariant.
+      val hi = lo + math.min(500L, maxId / 50L)
       def layout(nm: String,
                  pred: org.apache.spark.sql.Column): String =
         graft.ops.Staged.relationDir(s, nm, "v1", Seq(evSrc)) { tmp =>
@@ -1389,7 +1397,8 @@ object Sources {
              AS BIGINT) AS n_files,
            TRUE AS kept_le_4, TRUE AS result_complete
          FROM events e, m
-         WHERE e.event_id BETWEEN m.mx // 4 AND m.mx // 4 + m.mx // 50
+         WHERE e.event_id BETWEEN m.mx // 4
+           AND m.mx // 4 + LEAST(500, m.mx // 50)
          ORDER BY e.event_id""",
     // the lookup's ROWS are the contract: the bloom-pruned scan must
     // return exactly the raw-table filter's rows or the hash mismatches

@@ -88,7 +88,12 @@ def main() -> int:
     out_json = sys.argv[3] if len(sys.argv) > 3 else (
         f"STRESS_r{rnd}.json" if rnd else "STRESS.json")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subset = ",".join(FAMILY)
+    # exact-prefix the subset with the "_" separator: a bare "q36"
+    # also prefix-matches q360..q365 (r12: the manifest family rode
+    # along and tripped its scale guard in a run that wasn't meant to
+    # cover it — caught the q360 band-width bug, but the subset should
+    # say what it means)
+    subset = ",".join(p + "_" for p in FAMILY)
 
     t0 = time.time()
     gen = run(["sbt", "-batch",

@@ -517,6 +517,19 @@ object Sources {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath).sorted
       }
+      // batched cold build (r12): one distributed probe + one bulk
+      // slice write for all missing files, then the deltaRelation
+      // serves the prepublished slices (same keying; the per-dep
+      // closure remains the fallback) — see ManifestLookup's adopter
+      graft.ops.Staged.prepublishSlices(s, "evtmanifest", "v1",
+          filePaths) { missing =>
+        val (footers, _) = graft.ops.FooterManifest.probePaths(
+          s, missing, Seq("event_id"))
+        footers.flatMap(ff => ff.blocks.zipWithIndex.map {
+          case (bl, i) => (ff.path, i, bl.lo(0), bl.hi(0))
+        }).toDF("path", "block", "lo", "hi")
+          .withColumn("__dep", col("path"))
+      }
       val manifest = graft.ops.Staged.deltaRelation(s, "evtmanifest",
           "v1", filePaths) { f =>
         val (footers, _) = graft.ops.FooterManifest.probePaths(

@@ -84,6 +84,19 @@ object Graft {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** 16-hex md5 prefix — the batch partition key for
+    * [[graft.ops.Staged.prepublishSlices]] (r13, VERDICT-r12 #3): at the
+    * 10⁶-file layouts the batch prepass targets, 8-hex keys collide with
+    * probability ~1 − e^(−n²/2·16⁸) ≈ 11 % at n = 10⁵ deps, and every
+    * collision silently demotes two deps to the per-dep build path; 16
+    * hex pushes the first expected collision past 10⁸ deps. Slice DIR
+    * naming stays 8-hex ([[graft.ops.Staged.slicePath]]) — collisions
+    * there are disambiguated by the fingerprint key, not the name.
+    */
+  def md5_16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Cross-session-stable plan fingerprint: canonicalized optimized
     * plan with the per-JVM/per-run noise scrubbed before hashing —
     * typed-lambda object identities (`Foo$$Lambda$123/0x...@1a2b3c`),
@@ -163,8 +176,25 @@ object Graft {
       case (acc, (sym, atom)) => acc.replace(sym, atom)
     }
     named.split("\n")
-      .map(_.split("[^A-Za-z0-9_.#$]+").map(_.trim)
-        .filter(_.nonEmpty)
+      .map { line =>
+        val atoms = line.split("[^A-Za-z0-9_.#$]+").map(_.trim)
+          .filter(_.nonEmpty)
+        // v7 (r13, ADVICE-r12): append the line's count of DISTINCT
+        // exprId ordinals as an atom before scrubbing them. This
+        // restores exactly the within-line distinction v6 gave up —
+        // `Filter (a#1 = a#1)` carries NREF1, `Filter (a#1 = a#2)`
+        // NREF2 — with NO new cross-run noise: a distinct-count is
+        // invariant under both the commutative operand reorder AND the
+        // ordinal-binding permutation (the q232 class), whereas the
+        // suggested per-line first-occurrence RENUMBERING is keyed on
+        // text position, which those two reorders permute across runs
+        // (run A `none#1 = none#2L` / run B `none#2L = none#1`
+        // renumber to DIFFERENT suffix-ordinal pairings), i.e. it
+        // would reintroduce the very instability v6 removed. A
+        // cross-LINE binding permutation moves ordinal VALUES between
+        // lines but never a line's distinct count.
+        val nref = atoms.iterator
+          .flatMap(a => "#\\d+".r.findAllIn(a)).toSet.size
         // v6 (r12, VERDICT-r11 #6): drop canonicalized exprId ORDINALS
         // from attribute atoms. The q232 bimodal's root cause: two runs
         // of the same code on the same data emit the same atom MULTISET
@@ -172,13 +202,10 @@ object Graft {
         // (`none#1`+`none#2L` vs `none#1L`+`none#2`) — the ordinal is
         // per-run canonicalization noise, not plan structure. Type
         // suffix and atom multiplicity are kept, so operator flips,
-        // type changes, and arity changes still flip the signature;
-        // what v6 gives up is distinguishing "one attr used twice"
-        // from "two attrs used once each" WITHIN one node line — a
-        // change that, with names already scrubbed, v5 only caught
-        // through this same unstable ordinal binding.
-        .map(_.replaceAll("#\\d+", "#"))
-        .sorted.mkString("|"))
+        // type changes, and arity changes still flip the signature.
+        (atoms.map(_.replaceAll("#\\d+", "#")).sorted :+ s"NREF$nref")
+          .mkString("|")
+      }
       .mkString("\n")
   }
 

@@ -76,6 +76,18 @@ object ExtremaIvm {
     * surviving group: the new extrema, plus the rescan flags the specs
     * pin.
     *
+    * DOMAIN (ADVICE-r12): groups are BASE groups only — everything
+    * inner-joins off the `stored` aggregate, so a group appearing ONLY
+    * in `ins` (a brand-new key this batch) is DROPPED from the output,
+    * unlike the streaming half ([[graft.streaming.ExtremaView]]), which
+    * creates state for new keys on arrival. This is the contract the
+    * two adopters rely on: q339/q347 derive `ins`/`del` as CHANGES to
+    * an existing fact set, so every batch key exists in base by
+    * construction; their oracles replay exactly that domain. A caller
+    * with new-key batches must union the ins-only groups' plain
+    * aggregates itself (one groupBy over the anti-join — the
+    * ExtremaView revival shape). ExtremaIvmSpec pins the drop.
+    *
     * Trigger minimality note (q347): a group is rescanned iff this
     * batch's deletions at the stored extreme exhaust its support
     * (minimal for this state class — see the q347 registry comment). A

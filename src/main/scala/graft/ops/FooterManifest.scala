@@ -211,6 +211,111 @@ object FooterManifest {
      rows.filter(_._3).map(_._1).distinct.length.toLong)
   }
 
+  /** Distributed (no-collect) form of [[probeBloomBytes]] (r13,
+    * ADVICE-r12 medium): the per-block manifest rows — (path, block,
+    * lo, hi, bloom bitset bytes) for a LONG-typed column — as a
+    * DataFrame whose footer IO runs in executors at EXECUTION time and
+    * whose rows flow straight into the consumer's write. The collected
+    * form puts every missing file's bloom bitset simultaneously
+    * resident on the driver — at the 10⁶-file scale the batched cold
+    * build targets, a driver OOM hazard; here the bitsets never leave
+    * the executors ([[graft.ops.Staged.prepublishSlices]] writes the
+    * frame partitioned by dep, so peak memory is per-task, not
+    * per-layout). [[footerOpenRequests]] still counts at call time:
+    * the builder below runs exactly once per file state under the
+    * staging protocol, so request-counting semantics are unchanged for
+    * the amortization specs.
+    */
+  def probeBloomBytesDF(s: SparkSession, paths: Seq[String],
+                        column: String): org.apache.spark.sql.DataFrame = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    footerOpenRequests.addAndGet(paths.size.toLong)
+    import s.implicits._
+    s.createDataset(paths.toList)
+      .repartition(math.min(paths.size,
+        s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val hconf = conf.value
+        it.flatMap { p =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            rd.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, bi) =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                  .getOrElse(sys.error(s"no footer stats for $column in $p"))
+                val st = cc.getStatistics
+                (p, bi,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                  bloomBytesOf(rd, b, cc))
+            }
+          } finally rd.close()
+        }
+      }.toDF("path", "block", "lo", "hi", "bloom")
+  }
+
+  /** [[probeBloomBytesDF]] for a BINARY/STRING column (r13, VERDICT-r12
+    * #1 — string-key manifested lookups): zone bounds are the footer
+    * statistics' RAW BYTES (parquet orders binary min/max by unsigned
+    * lexicographic comparison, and a truncated max is incremented to
+    * stay an upper bound — so unsigned byte comparison downstream is
+    * sound without ever decoding, including mid-codepoint truncation
+    * that would corrupt a UTF-8 round-trip). Bloom bitsets as in the
+    * long form; NULL when the writer omitted the filter.
+    */
+  def probeBloomBytesBinaryDF(s: SparkSession, paths: Seq[String],
+                              column: String): org.apache.spark.sql.DataFrame = {
+    val conf = new SerializableConfiguration(s.sessionState.newHadoopConf())
+    footerOpenRequests.addAndGet(paths.size.toLong)
+    import s.implicits._
+    s.createDataset(paths.toList)
+      .repartition(math.min(paths.size,
+        s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val hconf = conf.value
+        it.flatMap { p =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            rd.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, bi) =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                  .getOrElse(sys.error(s"no footer stats for $column in $p"))
+                val st = cc.getStatistics
+                (p, bi,
+                  st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                  st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                  bloomBytesOf(rd, b, cc))
+            }
+          } finally rd.close()
+        }
+      }.toDF("path", "block", "lo", "hi", "bloom")
+  }
+
+  /** Task-side: one block's bloom bitset bytes for a column chunk, or
+    * null when the writer omitted the filter (fully dictionary-encoded
+    * chunk) — shared by the probe shapes above.
+    */
+  private def bloomBytesOf(
+      rd: org.apache.parquet.hadoop.ParquetFileReader,
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Array[Byte] = {
+    val bf = rd.getBloomFilterDataReader(b).readBloomFilter(cc)
+    if (bf == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
   /** One PAGE of a column chunk's column index: its first row index
     * within the row group (from the offset index) and the page-level
     * (min, max) statistics (from the column index) — parquet's finest

@@ -66,9 +66,12 @@ object ManifestLookup {
     // driver-serialized loop that would dominate a 10⁶-file layout or
     // a 10³-file bulk commit). Slice keying is unchanged, so the
     // deltaRelation below serves the prepublished slices as its own.
+    // r13 (ADVICE-r12 medium): the probe is the DataFrame form — bloom
+    // bitsets stream executor→write without ever being simultaneously
+    // resident on the driver (the collected form was an O(layout)
+    // driver-memory hazard at 10⁶ files).
     Staged.prepublishSlices(s, name, v, filePaths) { missing =>
-      val (rows, _) = FooterManifest.probeBloomBytes(s, missing, column)
-      rows.toDF("path", "block", "lo", "hi", "bloom")
+      FooterManifest.probeBloomBytesDF(s, missing, column)
         .withColumn("__dep", org.apache.spark.sql.functions.col("path"))
     }
     Staged.deltaRelation(s, name, v, filePaths,
@@ -76,8 +79,29 @@ object ManifestLookup {
       // per-dep fallback (zero-row files, fingerprint collisions): ONE
       // file's footer, read IN-TASK through the shared distributed
       // probe — paid once per file state
-      val (rows, _) = FooterManifest.probeBloomBytes(s, Seq(f), column)
-      rows.toDF("path", "block", "lo", "hi", "bloom")
+      FooterManifest.probeBloomBytesDF(s, Seq(f), column)
+    }
+  }
+
+  /** [[bloomManifest]] for a STRING/BINARY key column (r13, VERDICT-r12
+    * #1 — the content-hash / doc-id pruning shape every dedup pipeline
+    * keys on at warehouse scale). Identical protocol; zone bounds are
+    * the footer statistics' RAW BYTES (unsigned-lex comparable — see
+    * [[FooterManifest.probeBloomBytesBinaryDF]] for why bytes, not
+    * decoded strings). The `-bin` version infix keeps a binary manifest
+    * from ever serving a long lookup of the same (name, column) or
+    * vice versa — the slice schemas differ.
+    */
+  def bloomManifestBinary(s: SparkSession, name: String, version: String,
+                          filePaths: Seq[String], column: String): DataFrame = {
+    val v = s"$version-$column-bin"
+    Staged.prepublishSlices(s, name, v, filePaths) { missing =>
+      FooterManifest.probeBloomBytesBinaryDF(s, missing, column)
+        .withColumn("__dep", org.apache.spark.sql.functions.col("path"))
+    }
+    Staged.deltaRelation(s, name, v, filePaths,
+        compactEvery = 16) { f =>
+      FooterManifest.probeBloomBytesBinaryDF(s, Seq(f), column)
     }
   }
 
@@ -107,6 +131,51 @@ object ManifestLookup {
       }
       .map(_._1).distinct()
       .collect().toSeq.sorted
+  }
+
+  /** [[keptPaths]] over a BINARY-key manifest (r13): probes are the
+    * key's UTF-8 bytes; the range test compares unsigned
+    * lexicographically — the ordering parquet's binary statistics are
+    * computed under, so the zone bounds and the probe comparison agree
+    * byte-for-byte (Spark's UTF8String ordering is the same unsigned
+    * byte order; java String compareTo is NOT — UTF-16 code units
+    * misorder supplementary characters — hence bytes in, bytes
+    * compared). Bloom probe via `Binary.fromConstantByteArray`: the
+    * writer hashed the value's raw bytes, so membership carries exactly.
+    */
+  def keptPathsBinary(s: SparkSession, manifest: DataFrame,
+                      probes: Seq[Array[Byte]]): Seq[String] = {
+    import s.implicits._
+    val ps = probes.toArray
+    manifest
+      .select(col("path"), col("lo"), col("hi"), col("bloom"))
+      .as[(String, Array[Byte], Array[Byte], Array[Byte])]
+      .filter { case (_, lo, hi, bm) =>
+        val inRange = ps.filter(p => unsignedLe(lo, p) && unsignedLe(p, hi))
+        inRange.nonEmpty && (bm == null || {
+          val bf = new org.apache.parquet.column.values.bloomfilter
+            .BlockSplitBloomFilter(bm)
+          inRange.exists(p => bf.findHash(bf.hash(
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(p))))
+        })
+      }
+      .map(_._1).distinct()
+      .collect().toSeq.sorted
+  }
+
+  /** Unsigned lexicographic a ≤ b over raw bytes — parquet's binary
+    * stats ordering (shorter prefix sorts first, like the spec).
+    */
+  private[graft] def unsignedLe(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length <= b.length
   }
 
   /** File paths whose zone range overlaps [lo, hi] — the comparison-

@@ -302,8 +302,18 @@ object Staged {
           rest(8) == '_' && (rest.take(8) + rest.drop(9)).forall(c =>
             (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
       }
+      // ADVICE-r12: a JVM crash mid-prepublishSlices leaves a
+      // `name.slicebatch_<nanos>` temp dir that neither the generation
+      // sweep (pruneSuperseded never runs under the BARE relation name)
+      // nor the slice matcher above collects — the same unbounded-/tmp
+      // class as the `.build_` orphans. Swept here, same TTL gate.
+      def isSliceBatchOrphan(dn: String): Boolean =
+        dn.startsWith(name + ".slicebatch_") &&
+          dn.drop(name.length + 12).nonEmpty &&
+          dn.drop(name.length + 12).forall(_.isDigit)
       dirs.filter { f =>
-        isSliceDir(f.getName) && !live.contains(f.getName) &&
+        ((isSliceDir(f.getName) && !live.contains(f.getName)) ||
+          isSliceBatchOrphan(f.getName)) &&
           f.lastModified < staleMs
       }.foreach(f => try graft.Graft.deleteRecursively(f.toPath)
         catch { case _: java.io.IOException => () })
@@ -344,8 +354,14 @@ object Staged {
     import org.apache.spark.sql.functions.{col, md5, substring}
     val unpublished = deps.filterNot(d => java.nio.file.Files.exists(
       slicePath(name, version, d).resolve("_SUCCESS")))
-    // batch only fingerprint-unique deps (collisions → per-dep path)
-    val missing = unpublished.groupBy(graft.Graft.md5_8)
+    // batch only fingerprint-unique deps (collisions → per-dep path).
+    // r13 (VERDICT-r12 #3): the BATCH key is 16 hex — at the 10⁵-dep
+    // bulk commits this prepass targets, 8-hex collisions (~11 % odds
+    // at 10⁵) silently demoted colliding pairs to the per-dep loop;
+    // 16 hex pushes the first expected collision past 10⁸ deps. Slice
+    // DIR naming stays 8-hex (slicePath): there the fingerprint key
+    // disambiguates, here the partition value must be unique in-batch.
+    val missing = unpublished.groupBy(graft.Graft.md5_16)
       .collect { case (_, Seq(one)) => one }.toSeq.sorted
     if (missing.isEmpty) return
     lock.synchronized {
@@ -358,16 +374,16 @@ object Staged {
         val df = bulkBuild(still)
         require(df.columns.contains("__dep"),
           s"prepublishSlices $name: bulk build must carry a __dep column")
-        // spark md5 hex == Graft.md5_8's digest prefix, so the
-        // partition value IS the slice fingerprint (8 hex chars:
+        // spark md5 hex == Graft.md5_16's digest prefix, so the
+        // partition value IS the batch fingerprint (16 hex chars:
         // no partition-path escaping to reverse)
-        df.withColumn("__sk", substring(md5(col("__dep")), 1, 8))
+        df.withColumn("__sk", substring(md5(col("__dep")), 1, 16))
           .drop("__dep")
           .write.partitionBy("__sk").mode("overwrite").parquet(tmp.toString)
         require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
           s"prepublishSlices $name: bulk write left no _SUCCESS")
         for (dep <- still) {
-          val src = tmp.resolve(s"__sk=${graft.Graft.md5_8(dep)}")
+          val src = tmp.resolve(s"__sk=${graft.Graft.md5_16(dep)}")
           val target = slicePath(name, version, dep)
           if (java.nio.file.Files.isDirectory(src) &&
               !java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {

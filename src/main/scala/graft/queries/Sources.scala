@@ -70,6 +70,25 @@ object Sources {
     s.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
+  /** [[materialize]] for a rig that already EXECUTED its frame once and
+    * holds the rows (r13, VERDICT-r12 #7 — q366 previously ran its DSv2
+    * join three times: contract collect, completeness replay, and the
+    * materialize re-collect): records `planDf`'s optimized plan for the
+    * drift gate exactly as [[materialize]] would, but assembles the
+    * result from the caller's collected rows instead of re-executing.
+    * The caller guarantees `rows` IS what `planDf` would return.
+    */
+  private def materializeCollected(s: SparkSession, name: String,
+                                   planDf: DataFrame,
+                                   rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val text = graft.Graft.planScrub(
+      planDf.queryExecution.optimizedPlan.canonicalized.toString)
+    planTexts(name) = text
+    planHashes(name) = graft.Graft.md5_8(text)
+    s.createDataFrame(rows.asJava, planDf.schema)
+  }
+
   /** The (event_id, ukey, yq) projection the bloom-lookup family keys
     * on: ukey is the scattered lookup key (multiplicative-hash residue
     * class), yq the hour bucket the layout sorts by.
@@ -507,55 +526,36 @@ object Sources {
       val gens = Seq(
         layout("evtlayout_base", pmod(col("event_id"), lit(10)) =!= 7),
         layout("evtlayout_delta", pmod(col("event_id"), lit(10)) === 7))
-      // one listing RPC per generation dir; the manifest's deps are
-      // the files, so only NEW files' slices build on append
-      val conf = s.sessionState.newHadoopConf()
-      val filePaths = gens.flatMap { g =>
-        val p = new org.apache.hadoop.fs.Path(g)
-        // scheme-free paths: Staged's fingerprint stats them via NIO
-        p.getFileSystem(conf).listStatus(p).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toUri.getPath).sorted
-      }
-      // batched cold build (r12): one distributed probe + one bulk
-      // slice write for all missing files, then the deltaRelation
-      // serves the prepublished slices (same keying; the per-dep
-      // closure remains the fallback) — see ManifestLookup's adopter
-      graft.ops.Staged.prepublishSlices(s, "evtmanifest", "v1",
-          filePaths) { missing =>
-        val (footers, _) = graft.ops.FooterManifest.probePaths(
-          s, missing, Seq("event_id"))
-        footers.flatMap(ff => ff.blocks.zipWithIndex.map {
-          case (bl, i) => (ff.path, i, bl.lo(0), bl.hi(0))
-        }).toDF("path", "block", "lo", "hi")
-          .withColumn("__dep", col("path"))
-      }
-      val manifest = graft.ops.Staged.deltaRelation(s, "evtmanifest",
-          "v1", filePaths) { f =>
-        val (footers, _) = graft.ops.FooterManifest.probePaths(
-          s, Seq(f), Seq("event_id"))
-        footers.flatMap(ff => ff.blocks.zipWithIndex.map {
-          case (bl, i) => (ff.path, i, bl.lo(0), bl.hi(0))
-        }).toDF("path", "block", "lo", "hi")
-      }
-      val kept = manifest
-        .filter(col("hi") >= lo && col("lo") <= hi)
-        .select(col("path")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      // zone maps are exact, so an empty kept set means the band holds
-      // no rows — scan nothing, but keep the plan shape via the gens
-      val keptPaths = if (kept.isEmpty) gens else kept
-      val pruned = s.read.parquet(keptPaths: _*)
-        .filter(col("event_id").between(lo, hi))
-        .select(col("event_id"))
+      // r13 (VERDICT-r12 #2): the zone-map manifest family is UNIFIED
+      // onto the DSv2 table — the r12 rig-local prepublishSlices +
+      // deltaRelation serve is retired; graft.sources.ManifestDataSource
+      // builds/serves "evtmanifest" through the same ManifestLookup
+      // protocol (batched cold build, per-file slices, LSM compaction),
+      // and the range lookup is a plain SQL BETWEEN whose >=/<=
+      // conjuncts prune files via the manifest's zone ranges at plan
+      // time. Bloom is OPTIONAL by construction: this layout writes no
+      // footer blooms, so its manifest rows carry NULL bitsets and the
+      // range path is the only pruning layer — exactly what a zone-map
+      // manifest is. The executed plan carries the RelationV2 manifest
+      // scan (the done-criterion observable).
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("layoutDirs", gens.mkString(","))
+        .option("keyColumn", "event_id")
+        .option("manifestName", "evtmanifest")
+        .load().createOrReplaceTempView("evt_manifested")
+      val pruned = s.sql("SELECT event_id FROM evt_manifested " +
+        s"WHERE event_id BETWEEN $lo AND $hi")
       val full = s.read.parquet(gens: _*)
         .filter(col("event_id").between(lo, hi))
         .select(col("event_id"))
       val complete = pruned.exceptAll(full).isEmpty &&
         full.exceptAll(pruned).isEmpty
+      // the scan's own observables (scoped to this manifest), set by
+      // the completeness executions above
+      val o = graft.sources.ManifestDataSource.observed("evtmanifest")
       materialize(s, "q360_manifest_relation", pruned
-        .withColumn("n_files", lit(filePaths.size.toLong))
-        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("n_files", lit(o.totalFiles.toLong))
+        .withColumn("kept_le_4", lit(o.keptFiles.size <= 4))
         .withColumn("result_complete", lit(complete))
         .orderBy(col("event_id")))
     }),
@@ -685,26 +685,166 @@ object Sources {
         .createOrReplaceTempView("dpp_dim")
       val joined = s.sql("SELECT f.event_id, f.ukey " +
         "FROM events_manifested_dpp f JOIN dpp_dim d ON f.ukey = d.d_ukey")
-      // execute once so the runtime-filter observables reflect THIS
-      // query, then read them for the contract booleans
-      ManifestDataSource.lastRuntimeFilters = Nil
-      ManifestDataSource.lastRuntimeKeptFiles = Nil
-      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val runtimePruned = ManifestDataSource.lastRuntimeFilters.nonEmpty &&
-        ManifestDataSource.lastRuntimeKeptFiles.nonEmpty &&
-        ManifestDataSource.lastRuntimeKeptFiles.size <
-          ManifestDataSource.lastTotalFiles
+      // ONE execution of the DSv2 join (r13, VERDICT-r12 #7 — the rig
+      // previously ran it three times: contract collect, then the
+      // materialize re-collect on top of the completeness replay): the
+      // sorted collect below both yields the result rows and sets the
+      // runtime-filter observables; the contract booleans are appended
+      // to the COLLECTED rows, and materializeCollected records the
+      // logical frame's plan without re-executing it.
+      val o = ManifestDataSource.observed("bloommanifest")
+      o.resetRuntime()
+      val got = joined.orderBy(col("event_id"), col("ukey")).collect()
+      val runtimePruned = o.runtimeFilters.nonEmpty &&
+        o.runtimeKeptFiles.nonEmpty &&
+        o.runtimeKeptFiles.size < o.totalFiles
       val want = s.read.parquet(gens: _*)
         .join(ukeyBase(s, d).filter(col("event_id").isin(3L, 5L))
           .select(col("ukey").as("d_ukey")),
           col("ukey") === col("d_ukey"))
         .select(col("event_id"), col("ukey"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val complete = got.sorted.sameElements(want.sorted)
-      materialize(s, "q366_dpp_manifest_lookup", joined
+      val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(want.sorted)
+      val planDf = joined
         .withColumn("runtime_pruned", lit(runtimePruned))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id"), col("ukey")))
+        .orderBy(col("event_id"), col("ukey"))
+      materializeCollected(s, "q366_dpp_manifest_lookup", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), runtimePruned, complete)))
+    }),
+
+    // STRING-key manifested lookups (r13, VERDICT-r12 #1 — "top_next"):
+    // the content-hash / doc-id pruning shape every dedup pipeline keys
+    // on at warehouse scale, through the same DSv2 table. The layout:
+    // documents keyed by skey — a 16-hex content fingerprint
+    // (md5 of the doc_id string: deterministic AND DuckDB-replayable,
+    // standing in for the sha-of-normalized-text key q35/q108 dedup
+    // uses) — sorted by skey into 8 exact chunks with footer blooms on
+    // the key. The manifest stores per-block BINARY zone bounds (raw
+    // parquet stat bytes, unsigned-lex compared — sound under stat
+    // truncation where a decoded-string round-trip is not) plus the
+    // bloom bitsets. A plain SQL equality and an IN(3) each prune files
+    // at plan time (contract booleans pin kept ≪ total, which holds at
+    // ANY sf: the 8-file hash-sorted layout keeps one file per probe);
+    // the rows are the oracle's theorem. Both pruned scans execute once
+    // (the q366 collected-rows pattern).
+    "q368_string_manifest_lookup" -> ((s, d) => {
+      import graft.sources.ManifestDataSource
+      val docSrc = s"$d/documents.parquet"
+      val keyed = table(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 16).as("skey"))
+      val gen = graft.ops.Staged.relationDir(s, "skeylayout", "v1",
+          Seq(docSrc)) { tmp =>
+        val n = keyed.count()
+        val k = (n + 7) / 8
+        keyed.repartition(1).sortWithinPartitions(col("skey"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#skey", "true")
+          .mode("overwrite").parquet(tmp)
+      }.toString
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("layoutDirs", gen)
+        .option("keyColumn", "skey")
+        .option("manifestName", "skeymanifest")
+        .load().createOrReplaceTempView("docs_manifested")
+      // probes: the 4 smallest doc_ids' keys — deterministic at any sf
+      val ids = keyed.orderBy(col("doc_id")).limit(4)
+        .select(col("skey")).collect().map(_.getString(0))
+      val eqProbe = ids.head
+      val inProbes = ids.tail.toSeq
+      val o = ManifestDataSource.observed("skeymanifest")
+      val eqRes = s.sql(
+        s"SELECT doc_id, skey FROM docs_manifested WHERE skey = '$eqProbe'")
+      val eqRows = eqRes.collect()
+      val eqKept = o.keptFiles.size
+      val total = o.totalFiles
+      val inRes = s.sql("SELECT doc_id, skey FROM docs_manifested " +
+        s"WHERE skey IN (${inProbes.map(p => s"'$p'").mkString(", ")})")
+      val inRows = inRes.collect()
+      val inKept = o.keptFiles.size
+      val want = s.read.parquet(gen)
+        .filter(col("skey").isin((eqProbe +: inProbes): _*))
+        .select(col("doc_id"), col("skey"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val gotAll = (eqRows ++ inRows).map(r => (r.getLong(0), r.getString(1)))
+      val complete = gotAll.sorted.sameElements(want.sorted)
+      val eqOk = eqKept <= 2 && eqKept < total
+      val inOk = inKept <= 4 && inKept < total
+      val planDf = eqRes.unionAll(inRes)
+        .withColumn("n_files", lit(total.toLong))
+        .withColumn("eq_kept_le_2", lit(eqOk))
+        .withColumn("in_kept_le_4", lit(inOk))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("doc_id"))
+      materializeCollected(s, "q368_string_manifest_lookup", planDf,
+        gotAll.sortBy(_._1).toSeq.map { case (id, k) =>
+          org.apache.spark.sql.Row(id, k, total.toLong, eqOk, inOk,
+            complete)
+        })
+    }),
+
+    // STRING-key runtime pruning (r13, VERDICT-r12 #1's DPP variant):
+    // the q366 join shape — `fact ⋈ dim` with the ONLY key predicate on
+    // the dim side — over the STRING-keyed layout: at execution the
+    // scan receives the dim's distinct skeys as an IN of string
+    // literals and re-prunes kept files through the binary-zone+bloom
+    // manifest pass. Same one-execution rig; the oracle replays the
+    // key derivation + join over the raw table.
+    "q370_string_dpp_lookup" -> ((s, d) => {
+      import graft.sources.ManifestDataSource
+      val docSrc = s"$d/documents.parquet"
+      val keyed = table(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 16).as("skey"))
+      // family-shared staged layout (built by whichever of q368/q370
+      // runs first; served from the stage after)
+      val gen = graft.ops.Staged.relationDir(s, "skeylayout", "v1",
+          Seq(docSrc)) { tmp =>
+        val n = keyed.count()
+        val k = (n + 7) / 8
+        keyed.repartition(1).sortWithinPartitions(col("skey"))
+          .write.option("maxRecordsPerFile", k)
+          .option("parquet.bloom.filter.enabled#skey", "true")
+          .mode("overwrite").parquet(tmp)
+      }.toString
+      s.read.format("graft.sources.ManifestDataSource")
+        .option("layoutDirs", gen)
+        .option("keyColumn", "skey")
+        .option("manifestName", "skeymanifest")
+        .load().createOrReplaceTempView("docs_manifested_dpp")
+      // dim: the 5th and 6th smallest doc_ids — the selective predicate
+      // lives ONLY on the dim side, so plan-time pushdown sees nothing
+      val dimIds = keyed.orderBy(col("doc_id")).limit(6)
+        .select(col("doc_id")).collect().map(_.getLong(0)).drop(4)
+      keyed.filter(col("doc_id").isin(dimIds: _*))
+        .select(col("skey").as("d_skey"))
+        .createOrReplaceTempView("sdpp_dim")
+      val joined = s.sql("SELECT f.doc_id, f.skey " +
+        "FROM docs_manifested_dpp f JOIN sdpp_dim d ON f.skey = d.d_skey")
+      val o = ManifestDataSource.observed("skeymanifest")
+      o.resetRuntime()
+      val got = joined.orderBy(col("doc_id"), col("skey")).collect()
+      val runtimePruned = o.runtimeFilters.nonEmpty &&
+        o.runtimeKeptFiles.nonEmpty &&
+        o.runtimeKeptFiles.size < o.totalFiles
+      val want = s.read.parquet(gen)
+        .join(keyed.filter(col("doc_id").isin(dimIds: _*))
+          .select(col("skey").as("d_skey")),
+          col("skey") === col("d_skey"))
+        .select(col("doc_id"), col("skey"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val complete = got.map(r => (r.getLong(0), r.getString(1))).sorted
+        .sameElements(want.sorted)
+      val planDf = joined
+        .withColumn("runtime_pruned", lit(runtimePruned))
+        .withColumn("result_complete", lit(complete))
+        .orderBy(col("doc_id"), col("skey"))
+      materializeCollected(s, "q370_string_dpp_lookup", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getString(1), runtimePruned, complete)))
     }),
 
     // PAGE-level column-index skipping (r10 — the finest rung of the
@@ -1353,6 +1493,46 @@ object Sources {
            TRUE AS runtime_pruned, TRUE AS result_complete
          FROM base f JOIN dim d ON f.ukey = d.d_ukey
          ORDER BY f.event_id, f.ukey""",
+
+    // the string-key lookup replayed over the raw table: the same
+    // 16-hex fingerprint derivation, the eq probe = smallest doc_id's
+    // key, the IN probes = the next three; the pruned DSv2 rows must
+    // equal this set exactly (file pruning is plan-level, pinned by
+    // the contract booleans + SourcesSpec)
+    "q368_string_manifest_lookup" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS skey
+           FROM documents),
+         ids AS (SELECT doc_id FROM keyed ORDER BY doc_id LIMIT 4),
+         probes AS (
+           SELECT skey FROM keyed
+           WHERE doc_id IN (SELECT doc_id FROM ids)),
+         n AS (SELECT COUNT(*) AS c FROM keyed)
+         SELECT k.doc_id, k.skey,
+           CAST((SELECT (c + ((c + 7) // 8) - 1) // ((c + 7) // 8)
+             FROM n) AS BIGINT) AS n_files,
+           TRUE AS eq_kept_le_2, TRUE AS in_kept_le_4,
+           TRUE AS result_complete
+         FROM keyed k WHERE k.skey IN (SELECT skey FROM probes)
+         ORDER BY k.doc_id""",
+
+    // the string-key DPP join replayed over the raw table; runtime
+    // pruning is pinned by the in-query contract booleans + SourcesSpec
+    "q370_string_dpp_lookup" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS skey
+           FROM documents),
+         ids AS (
+           SELECT doc_id FROM keyed ORDER BY doc_id LIMIT 2 OFFSET 4),
+         dim AS (
+           SELECT skey AS d_skey FROM keyed
+           WHERE doc_id IN (SELECT doc_id FROM ids))
+         SELECT k.doc_id, k.skey,
+           TRUE AS runtime_pruned, TRUE AS result_complete
+         FROM keyed k JOIN dim d ON k.skey = d.d_skey
+         ORDER BY k.doc_id, k.skey""",
 
     // q346's contract one granularity down: the page-chunk model
     // replays exactly (SourcesSpec pins model == real column index)

@@ -82,4 +82,29 @@ class ExtremaIvmSpec extends SparkSpec {
       }
     }
   }
+
+  test("supportView domain is BASE groups only (ADVICE-r12): a group " +
+      "appearing only in ins is dropped — the documented contract the " +
+      "batch adopters rely on, unlike ExtremaView's new-key state") {
+    import spark.implicits._
+    import graft.ops.ExtremaIvm
+    // base has groups a,b; the batch inserts into b AND a brand-new
+    // group z (never in base); post reflects all three
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 30L))
+    val ins = Seq(("b", 40L), ("z", 99L), ("z", 5L))
+    val del = Seq.empty[(String, Long)]
+    val post = base ++ ins
+    val got = ExtremaIvm.supportView(
+        base.toDF("g", "cents"), ins.toDF("g", "cents"),
+        del.toDF("g", "cents"), post.toDF("g", "cents"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // base groups maintained exactly (b's max folds the insert)
+    assert(got("a") == ((20L, 10L)))
+    assert(got("b") == ((40L, 30L)))
+    // the ins-only group is DROPPED, not emitted with NULL/garbage —
+    // callers with new-key batches must handle them (scaladoc)
+    assert(!got.contains("z"),
+      s"ins-only group escaped the base-groups-only domain: $got")
+  }
 }

@@ -473,16 +473,21 @@ class PlanSpec extends SparkSpec {
           "+ q345's distinct batch ids (|micro-batches|)"),
       "graft/queries/Ext.scala" -> (2,
         "8-query probe panels for the ANN rigs — fixed probe-set size"),
-      "graft/ops/ManifestLookup.scala" -> (2,
+      "graft/ops/ManifestLookup.scala" -> (3,
         "kept file PATHS from the manifest scan (selectivity-bounded " +
           "and ≤ |files| of tiny strings — the pruning decision, " +
-          "never data) for the probe-set and range forms"),
-      "graft/queries/Sources.scala" -> (8,
+          "never data) for the probe-set, binary-key, and range forms"),
+      "graft/StressManifest.scala" -> (2,
+        "file-count stress verdict: one probe key's kept-vs-full row " +
+          "sets (selectivity-bounded) for the pruned_eq_full contract"),
+      "graft/queries/Sources.scala" -> (14,
         "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
           "q354's per-file containing set (|files|); q358's 8-key probe " +
-          "set; q360's kept manifest paths (selectivity-bounded); " +
-          "q361's <=64 page model boxes; q366's DPP contract compare " +
-          "(two ≤|dim-matches| row sets for the result_complete bool)"),
+          "set; q361's <=64 page model boxes; q366's one-execution DPP " +
+          "rig (got + raw-join compare, ≤|dim-matches| rows each); " +
+          "q368's 4 probe keys + eq/in/full compare sets (≤|probe " +
+          "matches| rows, 3 sites); q370's 6 dim ids + got + raw-join " +
+          "compare (≤|dim-matches| rows, 3 sites)"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),
       "graft/queries/Advanced.scala" -> (2,

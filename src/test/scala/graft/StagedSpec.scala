@@ -442,6 +442,27 @@ class StagedSpec extends SparkSpec {
     assert(sig("Aggregate [sum(none#1L)]") != sig("Aggregate [max(none#1L)]"))
   }
 
+  test("planScrub v7 (ADVICE-r12): within-line reference structure is " +
+      "distinguished again — one attr used twice vs two attrs used " +
+      "once — without reintroducing the binding-permutation noise") {
+    def sig(s: String) = Graft.md5_8(Graft.planScrub(s))
+    // the distinction v6 gave up, restored by the per-line
+    // distinct-ordinal count (NREF1 vs NREF2)
+    assert(sig("Filter (none#1 = none#1)") !=
+      sig("Filter (none#1 = none#2)"))
+    // still invariant under the q232 binding permutation composed with
+    // the commutative operand reorder (first-occurrence RENUMBERING
+    // would flip on exactly these pairs — why v7 counts instead)
+    assert(sig("Filter (none#1 = none#2L)") ==
+      sig("Filter (none#2L = none#1)"))
+    assert(sig("Filter (none#1 = none#2L)") ==
+      sig("Filter (none#1L = none#2)"))
+    // a cross-line permutation moves ordinal VALUES between lines but
+    // never a line's distinct count
+    assert(sig("Project [none#1]\nFilter (none#2L = 5)") ==
+      sig("Project [none#2]\nFilter (none#1L = 5)"))
+  }
+
   test("planScrub v4: invariant under commutative operand reorder " +
       "(the cross-JVM Canonicalize hashCode ordering)") {
     def sig(s: String) = Graft.md5_8(Graft.planScrub(s))

@@ -73,6 +73,16 @@ FAMILY = [
     # brute all-pairs cosine over embeddings - O(n^2 d) at 20k vecs),
     # q39/q161 (same exact-cosine replay), q69 (see above).
     "q34", "q35", "q36", "q37", "q112", "q152", "q160", "q38", "q189",
+    # --- ANN index families (r13, VERDICT-r12 #8): IVF, PQ, graph-beam,
+    # the recall/param frontiers, and the delta-maintained IVF index —
+    # the one operator family with no 10x evidence before this round.
+    # All five carry in-query RECALL/EQUIVALENCE contracts computed
+    # against an in-job brute-force ground truth (linear in corpus,
+    # never an all-pairs DuckDB replay), so the oracle side stays cheap
+    # at ~sf1 while the Spark side eats the 10x: replica ties at
+    # cosine 1.0 are absorbed by the deterministic (cos desc, id)
+    # tie-break both the index and brute paths share.
+    "q44", "q107", "q210", "q331", "q338", "q340",
 ]
 
 
@@ -117,6 +127,29 @@ def main() -> int:
     chk = run([sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
                stress_dir, verify_dir], repo)
     oracle_secs = round(time.time() - t2, 1)
+
+    # FILE-COUNT stress (r13, VERDICT-r12 #5): the manifest family's
+    # scale axis is files, not rows — graft.StressManifest builds a
+    # 10^3-file layout through prepublishSlices + deltaRelation
+    # (compactEvery) and pins O(1) build jobs, bounded serve legs,
+    # zero-footer repeat lookups, and kept-scan == full-scan. One JSON
+    # verdict line folded into the artifact below.
+    t3 = time.time()
+    sm = run(["sbt", "-batch", "runMain graft.StressManifest 1000"], repo)
+    manifest_secs = round(time.time() - t3, 1)
+    manifest_fc = None
+    for line in sm.stdout.splitlines():
+        if line.startswith('{"family":"manifest_filecount"'):
+            try:
+                manifest_fc = json.loads(line)
+            except ValueError:
+                pass
+    if manifest_fc is None:
+        manifest_fc = {"family": "manifest_filecount", "ok": False,
+                       "error": f"no verdict line (rc={sm.returncode})",
+                       "tail": sm.stdout[-2000:]}
+    manifest_fc["secs"] = manifest_secs
+
     statuses = {}
     for line in chk.stdout.splitlines():
         m = re.match(r"^(q\S+): (.+)$", line)
@@ -135,6 +168,7 @@ def main() -> int:
         "mismatches": {k: v for k, v in statuses.items()
                        if not v.startswith("OK")},
         "statuses": statuses,
+        "manifest_filecount": manifest_fc,
         "gen_secs": gen_secs,
         "verify_secs": verify_secs,
         "oracle_secs": oracle_secs,
@@ -142,12 +176,14 @@ def main() -> int:
     with open(os.path.join(repo, out_json), "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"[stress] {n_ok}/{len(statuses)} family queries match at ~sf1 "
-          f"(gen {gen_secs}s, verify {verify_secs}s, oracle {oracle_secs}s) "
-          f"-> {out_json}")
+          f"(gen {gen_secs}s, verify {verify_secs}s, oracle {oracle_secs}s); "
+          f"manifest_filecount ok={manifest_fc.get('ok')} "
+          f"({manifest_secs}s) -> {out_json}")
     if spark_fails:
         print(f"[stress] spark failures: {spark_fails}")
     return 0 if (n_ok == len(statuses) and not spark_fails
-                 and len(statuses) > 0) else 1
+                 and len(statuses) > 0
+                 and manifest_fc.get("ok") is True) else 1
 
 
 if __name__ == "__main__":

@@ -40,8 +40,20 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
+    // Checkpoint the EDGE relation once (r13, guide §5/§7.2 lineage
+    // truncation): the unrolled ladder references it (via nodes/outw/
+    // trans) several times per round, and each round doubles the
+    // references to ranks(i−1), so without the cut the CALLER's whole
+    // edge-construction subtree (q113/q322: events scan + lag window +
+    // groupBy) replays exponentially — the captured q113 plan carried
+    // 162 parquet scans / 544 Exchanges for iters=3. One cut at e is
+    // enough: everything past it is an O(|V|)-row join ladder whose
+    // replays are cheap and partially deduped by exchange reuse;
+    // checkpointing every round was measured SLOWER at harness scale
+    // (per-job scheduling floor × rounds beats the saved tiny joins).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w"))
+        col(wCol).cast("double").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -75,13 +87,22 @@ object Graph {
     * the in-neighbor SUM is partition-order dependent, so both engines
     * re-align on the rounded values before the next round). Each round
     * is two edge⋈score equi-joins + two O(1) normalization scalars —
-    * O(|E|) per round, localCheckpoint-free because iters is tiny and
-    * the lineage stays two joins deep per round.
+    * O(|E|) per round over a checkpointed edge list (r13): the
+    * within-round fan-out (auth/hub each referenced several times)
+    * compounds across rounds, so the one cut at e keeps every replay
+    * an O(|V|)-row join instead of the caller's full edge build.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
+    // Checkpoint the edge relation once (r13, guide §5/§7.2): auth is
+    // referenced by hRaw, hub and the round's final scores join —
+    // without the cut the within-round fan-out compounds across rounds
+    // and replays the CALLER's event-transition subtree per reference
+    // (captured q304 plan: 452 parquet scans / 1502 Exchanges for
+    // iters=2). Value-neutral.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
     val nn = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
@@ -315,8 +336,13 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, wCol: String, seeds: DataFrame, seedCol: String,
       iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    // Same lineage-truncation discipline as [[pageRank]] (r13, guide
+    // §5/§7.2): ONE cut at the edge relation keeps the unrolled ladder's
+    // replays O(|V|)-cheap instead of replaying the caller's edge build
+    // (captured q322 plan before: 214 parquet scans / 668 Exchanges).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w"))
+        col(wCol).cast("double").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))

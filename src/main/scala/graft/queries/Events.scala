@@ -400,9 +400,15 @@ object Events {
     // through (q113's unrolled pattern).
     "q322_ppr" -> ((s, d) => {
       val ev = events(s, d)
+      // checkpoint the transition edges ONCE: both the seed derivation
+      // and the PPR ladder reference them, and without the cut the
+      // events scan + lag window + groupBy replays per reference (r13,
+      // guide §5/§7.2 — the same cut personalizedPageRank makes
+      // internally for its own edge references)
       val edges = graft.ext.Graph.transitionEdges(ev, col("user_id"),
         regexp_extract(col("props"), "[0-9]+", 0).cast("long"),
         unix_micros(col("ts")), col("event_id"))
+        .localCheckpoint(true)
       val seeds = edges.select(col("src").as("id"))
         .union(edges.select(col("dst")))
         .filter(pmod(col("id"), lit(5)) === 0).distinct()

@@ -470,16 +470,21 @@ object Relational {
         .select(col("l_orderkey"), col("l_suppkey"))
       val or = table(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      def baskets(orders: DataFrame): DataFrame =
-        li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"))
-          .distinct()
-      val baskBase = baskets(or.filter(pmod(col("o_orderkey"), lit(10)) =!= 7))
+      // ONE lineitem⋈orders pass tags every (c, sv) member with whether
+      // any BASE order contributes it (r13, guide §2.4): base members =
+      // inBase, strictly-new delta members = !inBase — exactly the old
+      // baskets(base) / baskets(delta) ANTI-JOIN baskets(base) partition
+      // (S0(c) ⊎ D(c)), computed with one join + one aggregate instead
+      // of two joins + two distincts + an anti-join shuffle.
+      val tagged = li
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sv"),
+          (pmod(col("o_orderkey"), lit(10)) =!= 7).as("isBase"))
+        .groupBy(col("c"), col("sv")).agg(max(col("isBase")).as("inBase"))
         .localCheckpoint(true)
+      val baskBase = tagged.filter(col("inBase")).select(col("c"), col("sv"))
       // strictly-new members only — the disjointness the proof needs
-      val baskDelta = baskets(or.filter(pmod(col("o_orderkey"), lit(10)) === 7))
-        .join(baskBase, Seq("c", "sv"), "left_anti")
-        .localCheckpoint(true)
+      val baskDelta = tagged.filter(!col("inBase")).select(col("c"), col("sv"))
       def pairCounts(a: DataFrame, b: DataFrame): DataFrame =
         a.toDF("c", "sa").join(b.toDF("c", "sb"), Seq("c"))
           .filter(col("sa") < col("sb"))
@@ -495,11 +500,15 @@ object Relational {
         .join(baskBase.toDF("c", "y"), Seq("c"))
         .select(least(col("x"), col("y")).as("sa"),
           greatest(col("x"), col("y")).as("sb"))
-      val deltaCounts = mixedPairs
+      // delta contributions ride into the merge as weight-1 rows so the
+      // counting-IVM merge is ONE aggregate (r13, guide §2.4: the
+      // separate delta pre-count only added an exchange — sum of ones
+      // ≡ count, map-side partial aggregation does the same reduction)
+      val deltaRaw = mixedPairs
         .unionByName(pairCounts(baskDelta, baskDelta))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
+        .select(col("sa"), col("sb"), lit(1L).as("nc"))
       // counting-IVM merge: partial counts sum
-      val merged = baseCounts.unionByName(deltaCounts)
+      val merged = baseCounts.unionByName(deltaRaw)
         .groupBy(col("sa"), col("sb")).agg(sum(col("nc")).as("nc"))
       val thr = merged.agg(expr("percentile(nc, 0.95D)").as("m"))
       merged.crossJoin(broadcast(thr)).filter(col("nc") >= col("m"))
@@ -673,14 +682,29 @@ object Relational {
         .distinct(), "c", "sv", cap = 256)
         .localCheckpoint(true) // referenced by pair build AND marginals
       val deg = bask.groupBy(col("sv")).agg(count(lit(1)).as("n1"))
-      val pairs = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
-        .filter(col("sa") =!= col("sb"))
+      // Count UNORDERED pairs (sa < sb) and mirror AFTER the aggregate
+      // (r13, guide §2.3): nc and sim6 = nc/sqrt(na·nb) are symmetric
+      // in (sa, sb), so the ordered-pair relation the window consumes
+      // is exactly lower ∪ mirror(lower) — identical rows to the old
+      // sa ≠ sb spelling — while the expansion feeding the count
+      // aggregate and the two degree joins carries HALF the rows.
+      val pairsLo = bask.toDF("c", "sa").join(bask.toDF("c", "sb"), Seq("c"))
+        .filter(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("nc"))
-      val sim = pairs
+      val simLo = pairsLo
         .join(deg.toDF("sa", "na"), Seq("sa"))
         .join(deg.toDF("sb", "nb"), Seq("sb"))
         .withColumn("sim6", roundz(col("nc").cast("double") /
           sqrt((col("na") * col("nb")).cast("double")), 6))
+        .select(col("sa"), col("sb"), col("sim6"))
+      // mirror in ONE pass (explode of both orientations) instead of a
+      // self-union, which would duplicate the whole pair-build subtree
+      val sim = simLo.select(explode(array(
+          struct(col("sa"), col("sb"), col("sim6")),
+          struct(col("sb").as("sa"), col("sa").as("sb"), col("sim6"))))
+          .as("p"))
+        .select(col("p.sa").as("sa"), col("p.sb").as("sb"),
+          col("p.sim6").as("sim6"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("sa")).orderBy(col("sim6").desc, col("sb"))
       sim.withColumn("rk", row_number().over(w).cast("long"))

@@ -422,16 +422,24 @@ object Sources {
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      val full = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern)
+      val got = pruned.orderBy(col("event_id")).collect()
+      val want = s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      val complete = pruned.exceptAll(full).isEmpty &&
-        full.exceptAll(pruned).isEmpty
-      materialize(s, "q356_bloom_guided_scan", pruned
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(want.sorted)
+      val nf = manifestFileCount(manifest).head.getLong(0)
+      val keptOk = kept.size <= 4
+      val planDf = pruned
         .crossJoin(broadcast(manifestFileCount(manifest)))
-        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("kept_le_4", lit(keptOk))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))
+      materializeCollected(s, "q356_bloom_guided_scan", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), nf, keptOk, complete)))
     }),
 
     // Bloom semi-join pushdown through the manifest (r9 — q356's
@@ -461,16 +469,24 @@ object Sources {
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey").isin(probes: _*))
         .select(col("event_id"), col("ukey"))
-      val full = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern)
+      val got = pruned.orderBy(col("event_id")).collect()
+      val want = s.read.parquet(gens: _*)
         .filter(col("ukey").isin(probes: _*))
         .select(col("event_id"), col("ukey"))
-      val complete = pruned.exceptAll(full).isEmpty &&
-        full.exceptAll(pruned).isEmpty
-      materialize(s, "q358_bloom_semijoin_scan", pruned
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(want.sorted)
+      val nf = manifestFileCount(manifest).head.getLong(0)
+      val keptOk = kept.size <= 12
+      val planDf = pruned
         .crossJoin(broadcast(manifestFileCount(manifest)))
-        .withColumn("kept_le_12", lit(kept.size <= 12))
+        .withColumn("kept_le_12", lit(keptOk))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))
+      materializeCollected(s, "q358_bloom_semijoin_scan", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), nf, keptOk, complete)))
     }),
 
     // Staged footer-manifest RELATION (r10 — the full Iceberg/Delta
@@ -545,19 +561,30 @@ object Sources {
         .load().createOrReplaceTempView("evt_manifested")
       val pruned = s.sql("SELECT event_id FROM evt_manifested " +
         s"WHERE event_id BETWEEN $lo AND $hi")
-      val full = s.read.parquet(gens: _*)
+      // ONE execution of each leg (r13, the q366 collected-rows pattern
+      // extended family-wide): the old exceptAll-both-ways + materialize
+      // re-collect ran the DSv2 scan three times and the full scan twice
+      // per invocation; the completeness check is a driver-side multiset
+      // compare on the band-bounded collected rows instead.
+      val got = pruned.orderBy(col("event_id")).collect()
+      // the scan's own observables (scoped to this manifest), set by
+      // the execution above
+      val o = graft.sources.ManifestDataSource.observed("evtmanifest")
+      val nf = o.totalFiles.toLong
+      val keptOk = o.keptFiles.size <= 4
+      val want = s.read.parquet(gens: _*)
         .filter(col("event_id").between(lo, hi))
         .select(col("event_id"))
-      val complete = pruned.exceptAll(full).isEmpty &&
-        full.exceptAll(pruned).isEmpty
-      // the scan's own observables (scoped to this manifest), set by
-      // the completeness executions above
-      val o = graft.sources.ManifestDataSource.observed("evtmanifest")
-      materialize(s, "q360_manifest_relation", pruned
-        .withColumn("n_files", lit(o.totalFiles.toLong))
-        .withColumn("kept_le_4", lit(o.keptFiles.size <= 4))
+        .collect().map(_.getLong(0))
+      val complete = got.map(_.getLong(0)).sorted.sameElements(want.sorted)
+      val planDf = pruned
+        .withColumn("n_files", lit(nf))
+        .withColumn("kept_le_4", lit(keptOk))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))
+      materializeCollected(s, "q360_manifest_relation", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), nf, keptOk, complete)))
     }),
 
     // Bloom-BYTES manifest relation (r10 — q360's zone-map manifest
@@ -600,16 +627,26 @@ object Sources {
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      val full = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern): the
+      // completeness check compares collected probe-bounded rows
+      // driver-side instead of exceptAll-both-ways re-executions.
+      val got = pruned.orderBy(col("event_id")).collect()
+      val want = s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      val complete = pruned.exceptAll(full).isEmpty &&
-        full.exceptAll(pruned).isEmpty
-      materialize(s, "q362_bloom_manifest_relation", pruned
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(want.sorted)
+      val nf = manifestFileCount(manifest).head.getLong(0)
+      val keptOk = kept.size <= 4
+      val planDf = pruned
         .crossJoin(broadcast(manifestFileCount(manifest)))
-        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("kept_le_4", lit(keptOk))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))
+      materializeCollected(s, "q362_bloom_manifest_relation", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), nf, keptOk, complete)))
     }),
 
     // SQL-reachable manifest pruning (r11, VERDICT-r10 #2 — closes
@@ -639,19 +676,27 @@ object Sources {
         .load().createOrReplaceTempView("events_manifested")
       val sqlRes = s.sql(
         s"SELECT event_id, ukey FROM events_manifested WHERE ukey = $probe")
-      val full = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern)
+      val got = sqlRes.orderBy(col("event_id")).collect()
+      val want = s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      val complete = sqlRes.exceptAll(full).isEmpty &&
-        full.exceptAll(sqlRes).isEmpty
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(want.sorted)
       // the kept set the scan used, recomputed over the manifest (zero
       // footer IO — the same path planInputPartitions takes)
       val kept = graft.ops.ManifestLookup.keptPaths(s, manifest, Seq(probe))
-      materialize(s, "q364_sql_manifest_pruning", sqlRes
+      val nf = manifestFileCount(manifest).head.getLong(0)
+      val keptOk = kept.size <= 4
+      val planDf = sqlRes
         .crossJoin(broadcast(manifestFileCount(manifest)))
-        .withColumn("kept_le_4", lit(kept.size <= 4))
+        .withColumn("kept_le_4", lit(keptOk))
         .withColumn("result_complete", lit(complete))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))
+      materializeCollected(s, "q364_sql_manifest_pruning", planDf,
+        got.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), nf, keptOk, complete)))
     }),
 
     // RUNTIME file pruning / DPP on the DSv2 manifest table (r12,

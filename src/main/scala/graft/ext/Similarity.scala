@@ -343,7 +343,12 @@ object Similarity {
         .join(visited.select(col("qid"), col("id")),
           Seq("qid", "id"), "left_anti")
       val scored = score(fresh).localCheckpoint()
-      visited = visited.unionByName(scored).localCheckpoint()
+      // visited stays a LAZY union of the per-hop checkpointed frames
+      // (r13): each hop's scored frame is already materialized, so
+      // re-checkpointing the whole union per hop only re-copied the
+      // accumulated candidates O(hops²) times — one eager job per hop
+      // saved, same rows.
+      visited = visited.unionByName(scored)
       frontier = topBeam(scored)
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))

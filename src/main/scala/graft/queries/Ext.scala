@@ -597,20 +597,40 @@ object Ext {
       val truth = Similarity.bruteTopK(qs, corpus, k)
         .select(col("qid"), col("nid")).localCheckpoint(true)
       val nTruth = truth.count()
-      def recall(ann: DataFrame): Double =
-        ann.select(col("qid"), col("nid"))
-          .join(truth, Seq("qid", "nid"), "left_semi")
-          .count().toDouble / nTruth
-      val ivf = Seq(1, 4, 16).map(p => recall(Similarity.ivfTopK(
-        qs, corpus, k, nlist = 16, nprobe = p, lloydIters = 0)))
-      val lsh = Seq(0, 1, 8).map(h => recall(Similarity.lshTopK(
-        qs, corpus, k, nPlanes = 8, maxProbeHamming = h)))
+      // r13 (guide §1.2/§2.6): the sweep's 8 recall legs used to run as
+      // 8 sequential join+count JOBS, and each IVF leg re-collected the
+      // seed centroid matrix and re-ran the narrow assignment pass. The
+      // quantizer/assignment now build ONCE (lloydIters=0 ⇒ every leg
+      // shared the exact same matrix already), and all legs union into
+      // ONE tagged semi-join + count aggregate — identical per-leg hit
+      // counts, one job instead of eight.
+      val cmat = Similarity.ivfCentroids(corpus, nlist = 16, lloydIters = 0)
+      val assigned = Similarity.ivfAssign(corpus, cmat)
+      val ivfLegs = Seq(1, 4, 16).map(p => s"ivf_$p" ->
+        Similarity.ivfProbeTopK(qs, assigned, cmat, k, nprobe = p))
+      val lshLegs = Seq(0, 1, 8).map(h => s"lsh_$h" ->
+        Similarity.lshTopK(qs, corpus, k, nPlanes = 8, maxProbeHamming = h))
       val graph = annGraph(s, d).localCheckpoint(true)
       val seeds = Similarity.lshSeedCandidates(qs, corpus)
         .unionByName(Similarity.uniformSeedCandidates(qs, corpus))
         .localCheckpoint(true)
-      val beam = Seq(1, 3).map(h => recall(Similarity.graphBeamTopK(
-        qs, corpus, graph, seeds, k, beam = 4, hops = h)))
+      val beamLegs = Seq(1, 3).map(h => s"beam_$h" ->
+        Similarity.graphBeamTopK(qs, corpus, graph, seeds, k,
+          beam = 4, hops = h))
+      val tagged = (ivfLegs ++ lshLegs ++ beamLegs)
+        .map { case (tag, df) =>
+          df.select(lit(tag).as("leg"), col("qid"), col("nid")) }
+        .reduce(_ unionByName _)
+      // per-leg hit counts in one aggregate; a leg with zero hits is
+      // absent from the result, hence the default
+      val hit = tagged.join(truth, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("leg")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      def recall(tag: String): Double = hit(tag).toDouble / nTruth
+      val ivf = Seq(1, 4, 16).map(p => recall(s"ivf_$p"))
+      val lsh = Seq(0, 1, 8).map(h => recall(s"lsh_$h"))
+      val beam = Seq(1, 3).map(h => recall(s"beam_$h"))
       def mono(rs: Seq[Double]): Boolean =
         rs.zip(rs.tail).forall { case (a, b) => a <= b }
       Seq(
@@ -664,22 +684,37 @@ object Ext {
           qs, corpus, graph, seeds, k, beam = b, hops = 2)
         .select(col("qid"), col("nid")).localCheckpoint(true))
       val qb = broadcast(qs)
-      // exact re-rank of a candidate pool: same total order as brute
-      def topkRecall(pool: DataFrame): Double = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-        pool.dropDuplicates("qid", "nid")
-          .join(corpus.select(col("id").as("nid"), col("vec")), Seq("nid"))
-          .join(qb, Seq("qid"))
-          .select(col("qid"), col("nid"),
-            Similarity.cosineNative(col("qvec"), col("vec")).as("cos"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-          .join(truth, Seq("qid", "nid"), "left_semi")
-          .count().toDouble / nTruth
-      }
-      val single = legs.map(topkRecall)
-      val cum = widths.indices
-        .map(i => topkRecall(legs.take(i + 1).reduce(_ unionByName _)))
+      // r13 (guide §1.2/§2.6): the 6 pool re-ranks (3 single + 3
+      // cumulative) used to run as 6 sequential jobs over the same 3
+      // checkpointed legs. All pools now union into ONE tagged frame;
+      // the per-pool dedup/re-rank/semi-join/count is identical per
+      // tag (window partitioned by (pool, qid) ≡ per-qid inside each
+      // isolated pool), so the per-pool hit counts — and therefore
+      // every recall — are unchanged, in one job instead of six.
+      val pools: Seq[(String, DataFrame)] =
+        widths.indices.map(i => (s"single_$i", legs(i))) ++
+          widths.indices.map(i =>
+            (s"cum_$i", legs.take(i + 1).reduce(_ unionByName _)))
+      val taggedPools = pools.map { case (tag, df) =>
+        df.select(lit(tag).as("pool"), col("qid"), col("nid")) }
+        .reduce(_ unionByName _)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pool"), col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val poolHits = taggedPools.dropDuplicates("pool", "qid", "nid")
+        .join(corpus.select(col("id").as("nid"), col("vec")), Seq("nid"))
+        .join(qb, Seq("qid"))
+        .select(col("pool"), col("qid"), col("nid"),
+          Similarity.cosineNative(col("qvec"), col("vec")).as("cos"))
+        .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+        .join(truth, Seq("qid", "nid"), "left_semi")
+        .groupBy(col("pool")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      val single = widths.indices.map(i =>
+        poolHits(s"single_$i").toDouble / nTruth)
+      val cum = widths.indices.map(i =>
+        poolHits(s"cum_$i").toDouble / nTruth)
       val cumMono = cum.zip(cum.tail).forall { case (a, b) => a <= b }
       widths.zipWithIndex.map { case (b, i) =>
         (b.toLong, nTruth, cumMono, cum(i) >= single(i), false)

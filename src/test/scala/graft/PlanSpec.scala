@@ -471,8 +471,11 @@ class PlanSpec extends SparkSpec {
       "graft/queries/Analytics.scala" -> (2,
         "maxRows+1 guard in the streaming-rig materializer (limit-capped) " +
           "+ q345's distinct batch ids (|micro-batches|)"),
-      "graft/queries/Ext.scala" -> (2,
-        "8-query probe panels for the ANN rigs — fixed probe-set size"),
+      "graft/queries/Ext.scala" -> (4,
+        "8-query probe panels for the ANN rigs — fixed probe-set size; " +
+          "r13 fused recall rigs: q331's per-leg hit counts (8 rows) " +
+          "and q338's per-pool hit counts (6 rows) — one tagged " +
+          "aggregate each instead of 8/6 sequential count jobs"),
       "graft/ops/ManifestLookup.scala" -> (3,
         "kept file PATHS from the manifest scan (selectivity-bounded " +
           "and ≤ |files| of tiny strings — the pruning decision, " +

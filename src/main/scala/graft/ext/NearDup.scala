@@ -128,7 +128,12 @@ object NearDup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, k: Int = 16,
                       bands: Int = 8): DataFrame = {
-    val s = signed(docs, idCol, textCol, k, bands)
+    // checkpoint the signed pass ONCE (r13, guide §7.2): the plan below
+    // references it three times (candidate explode + both verify-join
+    // sides), and each reference otherwise replays the full shingle/
+    // minhash native pass over the corpus — at scale this is the
+    // persist-don't-recompute call every LSH pipeline makes
+    val s = signed(docs, idCol, textCol, k, bands).localCheckpoint(true)
     // sh from signed is already distinct (ShingleHashes contract)
     val sh = s.select(col("doc_id"), col("sh").as("shd"), size(col("sh")).as("n"))
     candidatePairs(s)

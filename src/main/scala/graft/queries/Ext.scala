@@ -33,7 +33,10 @@ object Ext {
       val dup = docs.filter(pmod(col("doc_id"), lit(21)) === 5)
         .withColumn("doc_id", col("doc_id") + 500000L)
       val corpus = spreadIfNarrow(docs.unionByName(dup), col("doc_id"))
+      // checkpoint: pairs/origs/copies all reference the signed pass
+      // (r13, the minhashNearDups discipline)
       val signed = NearDup.signed(corpus, "doc_id", "text")
+        .localCheckpoint(true)
       val pairs = NearDup.candidatePairs(signed)
       val origs = signed
         .filter(pmod(col("doc_id"), lit(21)) === 5 && col("doc_id") < 500000L)

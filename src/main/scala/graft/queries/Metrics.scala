@@ -273,35 +273,54 @@ object Metrics {
         .orderBy(col("variant"))
     }),
 
-    // EXACT global median WITHOUT a global sort: binary search on the
-    // VALUE DOMAIN — each probe is one predicate-count scan ("how many
-    // ≤ mid"), so the k-th order statistic costs O(log range) narrow
-    // passes instead of a total shuffle-sort. THE way to exact order
-    // statistics at 100 TB (the driver holds two Longs, never data);
-    // the sketch (q66) answers approximately in one pass, this answers
-    // exactly in ~17. Lower and upper medians both found; their
-    // midpoint is .5-exact.
+    // EXACT global median WITHOUT a global sort: MULTI-WAY search on
+    // the VALUE DOMAIN — each pass is ONE scan answering 15 split
+    // counts at once (sum(c <= m_i) per split in a single aggregate),
+    // so the k-th order statistic costs O(log₁₆ range) narrow passes
+    // instead of a total shuffle-sort (r13: the binary form paid
+    // O(log₂ range) ≈ 17 scans per order statistic; 15 predicates per
+    // row cost nothing next to the scan itself — the classic
+    // scan-count trade at 100 TB, where passes dominate). The driver
+    // holds two Longs, never data; the sketch (q66) answers
+    // approximately in one pass, this answers exactly in ~4. Lower and
+    // upper medians both found (the upper search re-brackets from the
+    // lower's answer); their midpoint is .5-exact.
     "q261_distributed_median" -> ((s, d) => {
       import s.implicits._
       val c = table(s, d, "events").select(cents(col("value")).as("c"))
-        .localCheckpoint(true) // ~34 probe scans share one materialization
+        .localCheckpoint(true) // the probe scans share one materialization
       val n = c.count()
       val (mn, mx) = {
         val r = c.agg(min(col("c")), max(col("c"))).head()
         (r.getLong(0), r.getLong(1))
       }
-      def kth(k: Long): Long = {
-        var lo = mn
-        var hi = mx
+      def kth(k: Long, lo0: Long, hi0: Long): Long = {
+        var lo = lo0
+        var hi = hi0
         while (lo < hi) {
-          val mid = lo + (hi - lo) / 2
-          val le = c.filter(col("c") <= mid).count()
-          if (le >= k) hi = mid else lo = mid + 1
+          val width = hi - lo
+          // ≤15 strictly-interior split points (all of (lo, hi) when
+          // the bracket is small — one final scan finishes it)
+          val mids =
+            if (width <= 16) (lo until hi).toSeq
+            else (1 to 15).map(i => lo + width / 16 * i).distinct
+          val cnts = c.agg(
+            sum((col("c") <= mids.head).cast("long")).as("m0"),
+            mids.tail.zipWithIndex.map { case (m, i) =>
+              sum((col("c") <= m).cast("long")).as(s"m${i + 1}") }: _*)
+            .head()
+          val counts = mids.indices.map(i => cnts.getLong(i))
+          counts.indexWhere(_ >= k) match {
+            case -1 => lo = mids.last + 1
+            case 0  => hi = mids.head
+            case j  => lo = mids(j - 1) + 1; hi = mids(j)
+          }
         }
         lo
       }
-      val medLo = kth((n + 1) / 2)
-      val medHi = kth(n / 2 + 1)
+      val medLo = kth((n + 1) / 2, mn, mx)
+      // the upper median is ≥ the lower one — re-bracket from it
+      val medHi = kth(n / 2 + 1, medLo, mx)
       Seq((n, medLo, medHi, (medLo + medHi) / 2.0))
         .toDF("n", "med_lo", "med_hi", "median")
     }),

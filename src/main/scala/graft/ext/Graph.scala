@@ -170,10 +170,13 @@ object Graph {
     // and without the cut each round would replay the whole upstream
     // edge-construction pipeline (profiled 19 s → 6 s on the q183
     // co-purchase graph, whose pair join dominates)
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"),
-        col(wCol).as("w"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
-        col(wCol).as("w")))
+    val e = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst"),
+          col(wCol).as("w")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"),
+          col(wCol).as("w")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"),
+        col("p.w").as("w"))
       .localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -414,11 +417,14 @@ object Graph {
       edges: DataFrame, aCol: String, bCol: String,
       source: Long, maxHops: Int = 30,
       collectStats: Boolean = true): (DataFrame, Seq[BfsRound]) = {
-    val sym = edges
-      .select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    // single-pass symmetrize (r13): the union form referenced the edge
+    // subtree twice per materialization
+    val sym = edges.select(explode(array(
+        struct(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -442,7 +448,7 @@ object Graph {
           .unionByName(frontier.select(col("node"))), Seq("node"),
           "left_anti")
         .select(col("node"), lit(hop + 1L).as("hop"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the count below (r13)
       val m = next.count()
       if (collectStats)
         stats :+= BfsRound(hop + 1L, m, expanded.count())
@@ -475,21 +481,26 @@ object Graph {
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // single-pass symmetrize (r13): the union form referenced the edge
+    // subtree twice per materialization
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     def coreDeg(alive: DataFrame): DataFrame =
       sym.join(alive.select(col("node").as("src")), Seq("src"))
         .join(alive.select(col("node").as("dst")), Seq("dst"))
         .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
     var alive = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the count below (r13)
     var n = alive.count()
     var it = 0
     var stable = false
     while (!stable && it < maxIter) {
       val next = coreDeg(alive).filter(col("core_deg") >= k)
-        .select(col("src").as("node")).localCheckpoint(true)
+        .select(col("src").as("node"))
+        .localCheckpoint(false) // materialized by the count below (r13)
       val m = next.count()
       stable = m == n
       n = m

@@ -374,9 +374,22 @@ object NearDup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
+    // LAZY checkpoint + action fusion (r13, guide §1.2): the count that
+    // follows is the materializing action, so marking the checkpoint
+    // lazy persists the frame as a side effect of a job the loop pays
+    // anyway — the eager form ran a separate materialization job first.
+    // The same fusion is applied to every round below (the convergence
+    // sum doubles as the round's materializer), halving the loop's job
+    // count.
+    // single-pass symmetrize (r13, guide §7.2): union(edges, swapped)
+    // references the edge subtree twice — for q69 that re-ran the whole
+    // exact-cosine pair build inside the materialization job; the
+    // explode mirror emits both orientations in one pass
+    val sym0 = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(false)
     // The pair graph is orders of magnitude smaller than the corpus that
     // produced it; every round shuffles it, so iteration parallelism must
     // track |E|, not the session default sized for corpus scans (tiny
@@ -391,7 +404,7 @@ object NearDup {
     val sym = s.createDataFrame(sym0.rdd, sym0.schema)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the compSum below
     // sum(comp) is strictly decreasing until fixpoint (labels only ever
     // shrink), so an unchanged sum IS convergence — one tiny aggregate
     // action per round instead of a changed-flag scan.
@@ -408,13 +421,19 @@ object NearDup {
       val minned = labels.select(col("id"), col("comp")).union(msgs)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
       // pointer jump: also adopt comp(comp) — labels chase shortcuts,
-      // collapsing chains in O(log diameter) rounds instead of O(diameter)
+      // collapsing chains in O(log diameter) rounds instead of
+      // O(diameter). Deliberately ONE jump per round (r13): composing
+      // more jumps per round was measured SLOWER — uncut the 3-jump
+      // chain 8×'d the round's plan and paid it in optimizer time;
+      // with lazy cuts between jumps the nested lazy-checkpoint RDDs
+      // degraded 10× — the single jump keeps each round's plan two
+      // joins deep and rounds at ~log₂ diameter.
       val jumpSrc = minned
         .select(col("id").as("jid"), col("comp").as("jcomp"))
       val jumped = minned.join(jumpSrc, col("comp") === col("jid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the compSum below
       val s = compSum(jumped)
       converged = s == prevSum
       prevSum = s

@@ -206,10 +206,12 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos6"))
       .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sym = canon.select(col("id_a").as("id"), col("id_b").as("nb"),
-        col("cos6"))
-      .unionByName(canon.select(col("id_b").as("id"),
-        col("id_a").as("nb"), col("cos6")))
+    val sym = canon.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb"), col("cos6")),
+        struct(col("id_b").as("id"), col("id_a").as("nb"), col("cos6"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"),
+        col("e.cos6").as("cos6"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cos6").desc, col("nb"))
     val topk = sym.withColumn("rk", row_number().over(w))
@@ -235,10 +237,12 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos6"))
       .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sym = canon.select(col("id_a").as("id"), col("id_b").as("nb"),
-        col("cos6"))
-      .unionByName(canon.select(col("id_b").as("id"),
-        col("id_a").as("nb"), col("cos6")))
+    val sym = canon.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb"), col("cos6")),
+        struct(col("id_b").as("id"), col("id_a").as("nb"), col("cos6"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"),
+        col("e.cos6").as("cos6"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cos6").desc, col("nb"))
     sym.withColumn("rk", row_number().over(w))
@@ -315,9 +319,13 @@ object Similarity {
                     hops: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expr.GraftFunctions.register(corpus.sparkSession)
+    // single-pass symmetrize (r13): the union form referenced the edge
+    // subtree twice per materialization
     val adj = edges
-      .select(col("id"), col("nb"))
-      .unionByName(edges.select(col("nb").as("id"), col("id").as("nb")))
+      .select(explode(array(
+        struct(col("id"), col("nb")),
+        struct(col("nb").as("id"), col("id").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .dropDuplicates("id", "nb")
       .localCheckpoint()
     val qb = broadcast(queries.select(col("qid"), col("qvec")))

@@ -346,6 +346,21 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
       .localCheckpoint(true)
+    personalizedPageRankPrecut(e, seeds, seedCol, iters, damping)
+  }
+
+  /** [[personalizedPageRank]] body over an ALREADY-CUT (src, dst, w)
+    * edge relation (r14, ADVICE-r13): a caller that has localCheckpointed
+    * its edges for its own derivations (q322's seed set) calls this so
+    * the frame isn't copied into the block manager a SECOND time — the
+    * cheap projection over the caller's LogicalRDD replays per reference
+    * instead. `w` may be any numeric type; it is cast here.
+    */
+  private[graft] def personalizedPageRankPrecut(edges: DataFrame,
+      seeds: DataFrame, seedCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("double").as("w"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))

@@ -412,7 +412,10 @@ object Events {
       val seeds = edges.select(col("src").as("id"))
         .union(edges.select(col("dst")))
         .filter(pmod(col("id"), lit(5)) === 0).distinct()
-      graft.ext.Graph.personalizedPageRank(edges, "src", "dst", "w",
+      // Precut variant (r14, ADVICE-r13): the frame above is already
+      // checkpointed — the public entry would copy it into the block
+      // manager a second time for the query's lifetime
+      graft.ext.Graph.personalizedPageRankPrecut(edges,
           seeds, "id", iters = 2)
         .select(col("id"), round(col("r"), 8).as("rank8"))
         .orderBy(col("id"))

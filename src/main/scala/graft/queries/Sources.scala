@@ -78,15 +78,41 @@ object Sources {
     * result from the caller's collected rows instead of re-executing.
     * The caller guarantees `rows` IS what `planDf` would return.
     */
-  private def materializeCollected(s: SparkSession, name: String,
+  private[graft] def materializeCollected(s: SparkSession, name: String,
                                    planDf: DataFrame,
-                                   rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+                                   rows: Seq[org.apache.spark.sql.Row],
+                                   maxRows: Int = 10000): DataFrame = {
+    // r14 (VERDICT-r13 #2 / ADVICE): the same 10k bound [[materialize]]
+    // enforces — the one-execution rigs hold collected rows, and without
+    // the require a hot probe key or wide band silently becomes a
+    // driver-side OOM instead of a loud contract failure.
+    require(rows.length <= maxRows,
+      s"Sources.materializeCollected($name): result exceeds $maxRows rows " +
+        "— the collected-rows pattern is for small probe/band-bounded " +
+        "lookups only; write large results to a sink instead")
     import scala.jdk.CollectionConverters._
     val text = graft.Graft.planScrub(
       planDf.queryExecution.optimizedPlan.canonicalized.toString)
     planTexts(name) = text
     planHashes(name) = graft.Graft.md5_8(text)
     s.createDataFrame(rows.asJava, planDf.schema)
+  }
+
+  /** Bounded collect for the one-execution rigs' `got`/`want` legs
+    * (r14, VERDICT-r13 #2): `limit(maxRows + 1)` bounds the rows that
+    * ever reach the driver and the require turns overflow into the same
+    * loud failure [[materialize]] raises — under the cap the limit is a
+    * no-op (every row comes back), so the compared/returned rows are
+    * exactly what the unbounded collect produced.
+    */
+  private[graft] def collectCapped(name: String, df: DataFrame,
+                            maxRows: Int = 10000): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Sources.collectCapped($name): leg exceeds $maxRows rows — the " +
+        "lookup family's probe/band-bounded contract no longer holds; " +
+        "widen the bound deliberately or write to a sink")
+    rows
   }
 
   /** The (event_id, ukey, yq) projection the bloom-lookup family keys
@@ -422,12 +448,13 @@ object Sources {
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey") === probe)
         .select(col("event_id"), col("ukey"))
-      // ONE execution per leg (r13, q366 collected-rows pattern)
-      val got = pruned.orderBy(col("event_id")).collect()
-      val want = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern);
+      // both collects capped at the materializer bound (r14)
+      val got = collectCapped("q356_got", pruned.orderBy(col("event_id")))
+      val want = collectCapped("q356_want", s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
-        .select(col("event_id"), col("ukey"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("event_id"), col("ukey")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
         .sameElements(want.sorted)
       val nf = manifestFileCount(manifest).head.getLong(0)
@@ -469,12 +496,13 @@ object Sources {
       val pruned = s.read.parquet(keptPaths: _*)
         .filter(col("ukey").isin(probes: _*))
         .select(col("event_id"), col("ukey"))
-      // ONE execution per leg (r13, q366 collected-rows pattern)
-      val got = pruned.orderBy(col("event_id")).collect()
-      val want = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern);
+      // both collects capped at the materializer bound (r14)
+      val got = collectCapped("q358_got", pruned.orderBy(col("event_id")))
+      val want = collectCapped("q358_want", s.read.parquet(gens: _*)
         .filter(col("ukey").isin(probes: _*))
-        .select(col("event_id"), col("ukey"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("event_id"), col("ukey")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
         .sameElements(want.sorted)
       val nf = manifestFileCount(manifest).head.getLong(0)
@@ -566,16 +594,17 @@ object Sources {
       // re-collect ran the DSv2 scan three times and the full scan twice
       // per invocation; the completeness check is a driver-side multiset
       // compare on the band-bounded collected rows instead.
-      val got = pruned.orderBy(col("event_id")).collect()
+      val got = collectCapped("q360_got",
+        pruned.orderBy(col("event_id")))
       // the scan's own observables (scoped to this manifest), set by
       // the execution above
       val o = graft.sources.ManifestDataSource.observed("evtmanifest")
       val nf = o.totalFiles.toLong
       val keptOk = o.keptFiles.size <= 4
-      val want = s.read.parquet(gens: _*)
+      val want = collectCapped("q360_want", s.read.parquet(gens: _*)
         .filter(col("event_id").between(lo, hi))
-        .select(col("event_id"))
-        .collect().map(_.getLong(0))
+        .select(col("event_id")))
+        .map(_.getLong(0))
       val complete = got.map(_.getLong(0)).sorted.sameElements(want.sorted)
       val planDf = pruned
         .withColumn("n_files", lit(nf))
@@ -630,11 +659,12 @@ object Sources {
       // ONE execution per leg (r13, q366 collected-rows pattern): the
       // completeness check compares collected probe-bounded rows
       // driver-side instead of exceptAll-both-ways re-executions.
-      val got = pruned.orderBy(col("event_id")).collect()
-      val want = s.read.parquet(gens: _*)
+      // Both collects capped at the materializer bound (r14).
+      val got = collectCapped("q362_got", pruned.orderBy(col("event_id")))
+      val want = collectCapped("q362_want", s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
-        .select(col("event_id"), col("ukey"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("event_id"), col("ukey")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
         .sameElements(want.sorted)
       val nf = manifestFileCount(manifest).head.getLong(0)
@@ -676,12 +706,13 @@ object Sources {
         .load().createOrReplaceTempView("events_manifested")
       val sqlRes = s.sql(
         s"SELECT event_id, ukey FROM events_manifested WHERE ukey = $probe")
-      // ONE execution per leg (r13, q366 collected-rows pattern)
-      val got = sqlRes.orderBy(col("event_id")).collect()
-      val want = s.read.parquet(gens: _*)
+      // ONE execution per leg (r13, q366 collected-rows pattern);
+      // both collects capped at the materializer bound (r14)
+      val got = collectCapped("q364_got", sqlRes.orderBy(col("event_id")))
+      val want = collectCapped("q364_want", s.read.parquet(gens: _*)
         .filter(col("ukey") === probe)
-        .select(col("event_id"), col("ukey"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("event_id"), col("ukey")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
         .sameElements(want.sorted)
       // the kept set the scan used, recomputed over the manifest (zero
@@ -739,16 +770,17 @@ object Sources {
       // logical frame's plan without re-executing it.
       val o = ManifestDataSource.observed("bloommanifest")
       o.resetRuntime()
-      val got = joined.orderBy(col("event_id"), col("ukey")).collect()
+      val got = collectCapped("q366_got",
+        joined.orderBy(col("event_id"), col("ukey")))
       val runtimePruned = o.runtimeFilters.nonEmpty &&
         o.runtimeKeptFiles.nonEmpty &&
         o.runtimeKeptFiles.size < o.totalFiles
-      val want = s.read.parquet(gens: _*)
+      val want = collectCapped("q366_want", s.read.parquet(gens: _*)
         .join(ukeyBase(s, d).filter(col("event_id").isin(3L, 5L))
           .select(col("ukey").as("d_ukey")),
           col("ukey") === col("d_ukey"))
-        .select(col("event_id"), col("ukey"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("event_id"), col("ukey")))
+        .map(r => (r.getLong(0), r.getLong(1)))
       val complete = got.map(r => (r.getLong(0), r.getLong(1))).sorted
         .sameElements(want.sorted)
       val planDf = joined
@@ -803,17 +835,17 @@ object Sources {
       val o = ManifestDataSource.observed("skeymanifest")
       val eqRes = s.sql(
         s"SELECT doc_id, skey FROM docs_manifested WHERE skey = '$eqProbe'")
-      val eqRows = eqRes.collect()
+      val eqRows = collectCapped("q368_eq", eqRes)
       val eqKept = o.keptFiles.size
       val total = o.totalFiles
       val inRes = s.sql("SELECT doc_id, skey FROM docs_manifested " +
         s"WHERE skey IN (${inProbes.map(p => s"'$p'").mkString(", ")})")
-      val inRows = inRes.collect()
+      val inRows = collectCapped("q368_in", inRes)
       val inKept = o.keptFiles.size
-      val want = s.read.parquet(gen)
+      val want = collectCapped("q368_want", s.read.parquet(gen)
         .filter(col("skey").isin((eqProbe +: inProbes): _*))
-        .select(col("doc_id"), col("skey"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .select(col("doc_id"), col("skey")))
+        .map(r => (r.getLong(0), r.getString(1)))
       val gotAll = (eqRows ++ inRows).map(r => (r.getLong(0), r.getString(1)))
       val complete = gotAll.sorted.sameElements(want.sorted)
       val eqOk = eqKept <= 2 && eqKept < total
@@ -871,16 +903,17 @@ object Sources {
         "FROM docs_manifested_dpp f JOIN sdpp_dim d ON f.skey = d.d_skey")
       val o = ManifestDataSource.observed("skeymanifest")
       o.resetRuntime()
-      val got = joined.orderBy(col("doc_id"), col("skey")).collect()
+      val got = collectCapped("q370_got",
+        joined.orderBy(col("doc_id"), col("skey")))
       val runtimePruned = o.runtimeFilters.nonEmpty &&
         o.runtimeKeptFiles.nonEmpty &&
         o.runtimeKeptFiles.size < o.totalFiles
-      val want = s.read.parquet(gen)
+      val want = collectCapped("q370_want", s.read.parquet(gen)
         .join(keyed.filter(col("doc_id").isin(dimIds: _*))
           .select(col("skey").as("d_skey")),
           col("skey") === col("d_skey"))
-        .select(col("doc_id"), col("skey"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .select(col("doc_id"), col("skey")))
+        .map(r => (r.getLong(0), r.getString(1)))
       val complete = got.map(r => (r.getLong(0), r.getString(1))).sorted
         .sameElements(want.sorted)
       val planDf = joined

@@ -729,4 +729,23 @@ class SourcesSpec extends SparkSpec {
       Files.deleteIfExists(fresh)
     } finally graft.Graft.deleteRecursively(stage)
   }
+
+  test("collectCapped / materializeCollected enforce the 10k driver bound " +
+    "(r14, VERDICT-r13 #2): an over-cap leg throws instead of ballooning") {
+    import spark.implicits._
+    val wide = spark.range(0, 50).toDF("k")
+    // under the cap: the limit is a no-op — every row comes back
+    val ok = graft.queries.Sources.collectCapped("spec_ok", wide, maxRows = 50)
+    assert(ok.length == 50)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.queries.Sources.collectCapped("spec_over", wide, maxRows = 49)
+    }
+    assert(e1.getMessage.contains("exceeds 49 rows"))
+    val rows = (1 to 10).map(i => org.apache.spark.sql.Row(i.toLong))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.queries.Sources.materializeCollected(spark, "spec_mc",
+        spark.range(0, 10).toDF("k"), rows, maxRows = 9)
+    }
+    assert(e2.getMessage.contains("exceeds 9 rows"))
+  }
 }

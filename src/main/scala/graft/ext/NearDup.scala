@@ -285,13 +285,28 @@ object NearDup {
         struct(col("__id"), col("n")).as("d"))
       .groupBy(col("h")).agg(collect_list(col("d")).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+    // Count UNORDERED pairs (a < b) and mirror both directions AFTER
+    // the aggregate (r14, guide §2.3 — the q243 move): |A∩B| is
+    // symmetric in the pair, so the ordered relation the tau filter
+    // consumes is exactly lower ∪ mirror(lower) — row-identical to the
+    // old a ≠ b spelling — while the bucket pair expansion feeding the
+    // count aggregate carries HALF the rows. The mirror is one explode
+    // pass (NOT a self-union, which would duplicate the whole
+    // inverted-index subtree); each direction keeps its own denominator
+    // (n_a for a⊂b, n_b for the mirror).
     buckets
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.__id") =!= col("b.__id"))
+      .filter(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
+      .select(explode(array(
+          struct(col("id_a"), col("id_b"), col("n_a"), col("inter")),
+          struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+            col("n_b").as("n_a"), col("inter")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.inter").as("inter"))
       .filter(col("inter") / col("n_a") >= tau)
       .select(col("id_a"), col("id_b"),
         graft.Graft.roundz(col("inter") / col("n_a"), 4).as("cont"))

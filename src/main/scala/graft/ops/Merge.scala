@@ -81,28 +81,44 @@ object Merge {
       .reduce(_ || _)
     val dimCols = (Seq(keyCol) ++ attrCols ++
       Seq("valid_from", "valid_to", "is_current")).map(col)
-    // current rows surviving as-is: untouched, or update carried no change
-    val kept = joined.filter(col(s"c.$keyCol").isNull || (matched && !differs))
-      .select(Seq(col(s"b.$keyCol").as(keyCol)) ++
-        attrCols.map(a => col(s"b.$a").as(a)) ++
-        Seq(col(s"b.valid_from").as("valid_from"),
-          col(s"b.valid_to").as("valid_to"),
-          col(s"b.is_current").as("is_current")): _*)
-    val closed = joined.filter(matched && differs)
-      .select(Seq(col(s"b.$keyCol").as(keyCol)) ++
-        attrCols.map(a => col(s"b.$a").as(a)) ++
-        Seq(col(s"b.valid_from").as("valid_from"),
-          lit(batchVer).as("valid_to"),
-          lit(false).as("is_current")): _*)
-    val opened = joined
-      .filter((matched && differs) || col(s"b.$keyCol").isNull)
-      .select(Seq(col(s"c.$keyCol").as(keyCol)) ++
-        attrCols.map(a => col(s"c.$a").as(a)) ++
-        Seq(lit(batchVer).as("valid_from"),
-          lit(null).cast("long").as("valid_to"),
-          lit(true).as("is_current")): _*)
-    hist.select(dimCols: _*)
-      .unionByName(kept).unionByName(closed).unionByName(opened)
+    // ONE pass over the full-outer join (r14, guide §1.2/§7.2): the old
+    // three filter+select branches (kept / closed / opened) each carried
+    // their own copy of `joined` — and through it of the whole dim
+    // subtree — so CHAINED scd2 calls compounded to 4^depth dim replays
+    // (q136/q333's repeated-dimension disease). Each joined row now
+    // emits its branch's row(s) through one conditional array + explode:
+    //  - update absent, or present with no attr change → the current row
+    //    survives as-is (kept);
+    //  - matched with a change → the current version closes at batchVer
+    //    AND the update opens as the new current version;
+    //  - key new in this batch → only the opened row.
+    // Same rows as the old union of branches (the three filters
+    // partitioned `joined`); only the pass count changes.
+    def keptRow = struct(Seq(col(s"b.$keyCol").as(keyCol)) ++
+      attrCols.map(a => col(s"b.$a").as(a)) ++
+      Seq(col(s"b.valid_from").as("valid_from"),
+        col(s"b.valid_to").as("valid_to"),
+        col(s"b.is_current").as("is_current")): _*)
+    def closedRow = struct(Seq(col(s"b.$keyCol").as(keyCol)) ++
+      attrCols.map(a => col(s"b.$a").as(a)) ++
+      Seq(col(s"b.valid_from").as("valid_from"),
+        lit(batchVer).as("valid_to"),
+        lit(false).as("is_current")): _*)
+    def openedRow = struct(Seq(col(s"c.$keyCol").as(keyCol)) ++
+      attrCols.map(a => col(s"c.$a").as(a)) ++
+      Seq(lit(batchVer).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    val merged = joined
+      .select(explode(
+        when(col(s"c.$keyCol").isNull || (matched && !differs),
+          array(keptRow))
+          .when(matched && differs, array(closedRow, openedRow))
+          .otherwise(array(openedRow))).as("r"))
+      .select((Seq(keyCol) ++ attrCols ++
+        Seq("valid_from", "valid_to", "is_current"))
+        .map(c => col(s"r.$c").as(c)): _*)
+    hist.select(dimCols: _*).unionByName(merged)
   }
 
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,

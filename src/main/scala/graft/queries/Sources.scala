@@ -1085,7 +1085,18 @@ object Sources {
       try {
         val docs = table(s, d, "documents")
           .filter(pmod(col("doc_id"), lit(25)) === 0)
+        // Spread the one-file-per-doc staging write (r14, guide §2.6):
+        // the subset scan is one input split, so the dynamic-partition
+        // writer opened all ~N/25 output files from ONE task serially —
+        // measured 2.4-2.5 s of the rig's ~2.8 s at sf0.1. Hash-
+        // repartition by the partition column across the executor cores
+        // (EXPLICIT count: AQE would coalesce a keyless-width shuffle of
+        // this few rows back to one partition, which is exactly the
+        // serial writer again) — same files, same bytes, same result,
+        // parallel FS ops. defaultParallelism tracks the cluster, not a
+        // local constant.
         docs.select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .write.mode("overwrite").partitionBy("doc_id")
           .text(s"$stage/out")
         val read = s.read.format("binaryFile")

@@ -290,12 +290,16 @@ object Sources {
         .withColumn("hkey",
           call_function(graft.expr.GraftFunctions.HilbertName,
             col("xq"), col("yq"), lit(8)))
-      val n = base.count()
+      // ONE global sort shared by the layout write and the arithmetic
+      // model (r14, guide §1.2 — the q361 move; see that rig's comment)
+      val sorted = base.repartition(1)
+        .sortWithinPartitions(col("hkey"), col("event_id"))
+        .localCheckpoint(true)
+      val n = sorted.count() // counts the cached blocks — no rescan
       val k = (n + 15) / 16
       val stage = Files.createTempDirectory("graft_footer_")
       try {
-        base.repartition(1)
-          .sortWithinPartitions(col("hkey"), col("event_id"))
+        sorted
           .write.option("maxRecordsPerFile", k)
           .mode("overwrite").parquet(s"$stage/out")
         // r10 (VERDICT-r9 #1): footer IO runs as ONE metadata Spark job
@@ -308,9 +312,11 @@ object Sources {
           val (y0, y1) = f.range(1)
           (x0, x1, y0, y1)
         }
-        val model = base
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("hkey"), col("event_id"))))
+        // rank from the checkpointed single sorted partition (r14 — the
+        // q361 move): monotonically_increasing_id on partition 0 is
+        // 0..n-1 in row order ≡ row_number over (hkey, event_id)
+        val model = sorted
+          .withColumn("rn", monotonically_increasing_id() + lit(1L))
           .withColumn("chunk", expr(s"(rn - 1) div $k"))
           .groupBy(col("chunk"))
           .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),
@@ -953,12 +959,21 @@ object Sources {
         .withColumn("hkey",
           call_function(graft.expr.GraftFunctions.HilbertName,
             col("xq"), col("yq"), lit(8)))
-      val n = base.count()
+      // ONE global sort for the whole rig (r14, guide §1.2): the layout
+      // write and the arithmetic model both need the (hkey, event_id)
+      // order, and each previously ran its own single-task sort over a
+      // fresh events scan (repartition(1)+sortWithinPartitions for the
+      // write, a global row_number window for the model). Sort once,
+      // checkpoint the single sorted partition, and both legs read the
+      // materialized rows.
+      val sorted = base.repartition(1)
+        .sortWithinPartitions(col("hkey"), col("event_id"))
+        .localCheckpoint(true)
+      val n = sorted.count() // counts the cached blocks — no rescan
       val k = (n + 63) / 64
       val stage = Files.createTempDirectory("graft_pgskip_")
       try {
-        base.repartition(1)
-          .sortWithinPartitions(col("hkey"), col("event_id"))
+        sorted
           .write
           .option("parquet.page.row.count.limit", k)
           .option("parquet.page.size.row.check.min", "1")
@@ -990,9 +1005,14 @@ object Sources {
               "column chunks cut pages at different rows")
             (px.lo, px.hi, py.lo, py.hi)
         }.toSeq
-        val model = base
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("hkey"), col("event_id"))))
+        // rank = position in the checkpointed single sorted partition:
+        // monotonically_increasing_id on partition 0 is 0..n-1 in row
+        // order, which IS row_number over (hkey, event_id) — the global
+        // window re-sort is gone. The index_eq_model boolean (oracle-
+        // pinned TRUE) and SourcesSpec both fail loudly if this rank
+        // ever diverges from the written pages.
+        val model = sorted
+          .withColumn("rn", monotonically_increasing_id() + lit(1L))
           .withColumn("pg", expr(s"(rn - 1) div $k"))
           .groupBy(col("pg"))
           .agg(min(col("xq")).as("x0"), max(col("xq")).as("x1"),

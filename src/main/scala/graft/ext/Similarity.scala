@@ -316,9 +316,42 @@ object Similarity {
     */
   def graphBeamTopK(queries: DataFrame, corpus: DataFrame, edges: DataFrame,
                     seeds: DataFrame, k: Int, beam: Int = 8,
-                    hops: Int = 3): DataFrame = {
+                    hops: Int = 3): DataFrame =
+    graphBeamSweep(queries, corpus, edges, seeds, k, Seq(beam), Seq(hops))
+      .select(col("qid"), col("nid"), col("rank"), col("cos6"))
+
+  /** Tagged multi-leg beam search (r14, guide §1.2/§2.6 — the r13
+    * tagged-union move applied INSIDE the search): run several beam
+    * widths and/or hop budgets of the same (queries, corpus, graph,
+    * seeds, k) search as ONE hop-synchronous ladder. Every join and
+    * window below is keyed by (bw, qid), so each (bw, qid) leg advances
+    * independently and its rows are EXACTLY what a separate
+    * graphBeamTopK(beam = bw, hops = h) call returns — the search is
+    * deterministic and a shorter-hops leg is the same search stopped
+    * earlier (the superset property q331 pins). The adjacency, the seed
+    * scoring, and each hop's scored frontier are computed and
+    * checkpointed ONCE for all legs, so a sweep rig pays hops+2 jobs
+    * instead of legs×(hops+2).
+    *
+    * Plan-growth note (ADVICE-r13): `visited` stays a lazy union of the
+    * per-hop CHECKPOINTED frames, so its plan grows linearly in hops
+    * and each hop's anti-join re-reads every prior hop's cached blocks
+    * — O(hops²) block reads, no recompute. Fine at the library's
+    * hops ≤ 3; a caller raising hops past ~6 should re-checkpoint the
+    * union periodically.
+    *
+    * Returns (bw, hops, qid, nid, rank, cos6): the per-query top-k for
+    * every bw in `beams` × every h in `emitHops` (h = 0 is the scored
+    * seed set).
+    */
+  def graphBeamSweep(queries: DataFrame, corpus: DataFrame,
+                     edges: DataFrame, seeds: DataFrame, k: Int,
+                     beams: Seq[Int], emitHops: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(beams.nonEmpty && emitHops.nonEmpty && emitHops.forall(_ >= 0),
+      "graphBeamSweep needs at least one beam width and hop budget")
     graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val maxHops = emitHops.max
     // single-pass symmetrize (r13): the union form referenced the edge
     // subtree twice per materialization
     val adj = edges
@@ -329,27 +362,37 @@ object Similarity {
       .dropDuplicates("id", "nb")
       .localCheckpoint()
     val qb = broadcast(queries.select(col("qid"), col("qvec")))
-    // (qid, id) candidates -> (qid, id, cos); queries broadcast, corpus
-    // probed by equi-join on id
+    // (bw, qid, id) candidates -> (bw, qid, id, cos); queries broadcast,
+    // corpus probed by equi-join on id
     def score(cand: DataFrame): DataFrame =
       cand.join(corpus, Seq("id"))
         .join(qb, Seq("qid"))
-        .select(col("qid"), col("id"),
+        .select(col("bw"), col("qid"), col("id"),
           cosineNative(col("qvec"), col("vec")).as("cos"))
     def topBeam(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("qid"))
+      val w = Window.partitionBy(col("bw"), col("qid"))
         .orderBy(col("cos").desc, col("id"))
       scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= beam).select(col("qid"), col("id"))
+        .filter(col("__rn") <= col("bw"))
+        .select(col("bw"), col("qid"), col("id"))
     }
-    var visited = score(seeds.select(col("qid"), col("id")).distinct())
+    // seeds scored ONCE, untagged (identical for every beam width),
+    // then fanned out to one row per width
+    val seed0 = seeds.select(col("qid"), col("id")).distinct()
+      .join(corpus, Seq("id")).join(qb, Seq("qid"))
+      .select(col("qid"), col("id"),
+        cosineNative(col("qvec"), col("vec")).as("cos"))
       .localCheckpoint()
+    var visited = seed0.select(explode(typedlit(beams)).as("bw"),
+      col("qid"), col("id"), col("cos"))
     var frontier = topBeam(visited)
-    for (_ <- 0 until hops) {
+    var emitted = Vector.empty[(Int, DataFrame)]
+    if (emitHops.contains(0)) emitted :+= (0, visited)
+    for (h <- 1 to maxHops) {
       val fresh = frontier.join(adj, Seq("id"))
-        .select(col("qid"), col("nb").as("id")).distinct()
-        .join(visited.select(col("qid"), col("id")),
-          Seq("qid", "id"), "left_anti")
+        .select(col("bw"), col("qid"), col("nb").as("id")).distinct()
+        .join(visited.select(col("bw"), col("qid"), col("id")),
+          Seq("bw", "qid", "id"), "left_anti")
       val scored = score(fresh).localCheckpoint()
       // visited stays a LAZY union of the per-hop checkpointed frames
       // (r13): each hop's scored frame is already materialized, so
@@ -358,13 +401,18 @@ object Similarity {
       // saved, same rows.
       visited = visited.unionByName(scored)
       frontier = topBeam(scored)
+      if (emitHops.contains(h)) emitted :+= (h, visited)
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    visited.filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("hops"), col("bw"), col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    emitted.map { case (h, vis) =>
+        vis.withColumn("hops", lit(h)) }
+      .reduce(_ unionByName _)
+      .filter(col("qid") =!= col("id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("id").as("nid"), col("rank"),
-        roundz(col("cos"), 6).as("cos6"))
+      .select(col("bw"), col("hops"), col("qid"), col("id").as("nid"),
+        col("rank"), roundz(col("cos"), 6).as("cos6"))
   }
 
   /** Nearest-centroid index of a vector against a driver-side centroid

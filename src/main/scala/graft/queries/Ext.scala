@@ -617,9 +617,15 @@ object Ext {
       val seeds = Similarity.lshSeedCandidates(qs, corpus)
         .unionByName(Similarity.uniformSeedCandidates(qs, corpus))
         .localCheckpoint(true)
+      // ONE tagged beam search for both hop budgets (r14,
+      // Similarity.graphBeamSweep): the hops=1 leg is the same
+      // deterministic search stopped one hop earlier, so a single
+      // 3-hop ladder emits both legs' top-k — adjacency, seed scoring
+      // and per-hop frontiers computed once instead of twice
+      val beamSweep = Similarity.graphBeamSweep(qs, corpus, graph, seeds,
+        k, beams = Seq(4), emitHops = Seq(1, 3))
       val beamLegs = Seq(1, 3).map(h => s"beam_$h" ->
-        Similarity.graphBeamTopK(qs, corpus, graph, seeds, k,
-          beam = 4, hops = h))
+        beamSweep.filter(col("hops") === h))
       val tagged = (ivfLegs ++ lshLegs ++ beamLegs)
         .map { case (tag, df) =>
           df.select(lit(tag).as("leg"), col("qid"), col("nid")) }
@@ -683,9 +689,17 @@ object Ext {
         .unionByName(Similarity.uniformSeedCandidates(qs, corpus))
         .localCheckpoint(true)
       val widths = Seq(2, 4, 8)
-      val legs = widths.map(b => Similarity.graphBeamTopK(
-          qs, corpus, graph, seeds, k, beam = b, hops = 2)
-        .select(col("qid"), col("nid")).localCheckpoint(true))
+      // ONE tagged beam search for all three widths (r14,
+      // Similarity.graphBeamSweep): every join/window inside is keyed
+      // by (bw, qid), so each width's rows are exactly its separate
+      // graphBeamTopK result — adjacency, seed scoring and per-hop
+      // frontiers computed once instead of three times, and one
+      // checkpoint holds all legs
+      val sweep = Similarity.graphBeamSweep(qs, corpus, graph, seeds,
+          k, beams = widths, emitHops = Seq(2))
+        .select(col("bw"), col("qid"), col("nid")).localCheckpoint(true)
+      val legs = widths.map(b => sweep.filter(col("bw") === b)
+        .select(col("qid"), col("nid")))
       val qb = broadcast(qs)
       // r13 (guide §1.2/§2.6): the 6 pool re-ranks (3 single + 3
       // cumulative) used to run as 6 sequential jobs over the same 3

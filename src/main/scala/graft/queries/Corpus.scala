@@ -884,27 +884,38 @@ object Corpus {
               weight = col("n_tokens"), budget = 1500L)
             .groupBy(col("lang"), col("shard"))
             .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-          val cr = corpus.agg(
-            count(lit(1)).as("n_corpus"),
-            sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
-              .as("n_injected")).head()
-          val (nCorpus, nInjected) = (cr.getLong(0), cr.getLong(1))
-          val er = exact.agg(
-            count(lit(1)).as("n_after_exact"),
-            sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
-              .as("n_inj_exact")).head()
-          val (nAfterExact, nInjExact) = (er.getLong(0), er.getLong(1))
-          val rr = removed.join(exact.select(col("doc_id")), Seq("doc_id"))
-            .agg(count(lit(1)).as("n_removed"),
+          // ONE driver action for all five telemetry scalars (r14,
+          // guide §1.2/§2.6): these are independent one-row aggregates
+          // over already-persisted (or once-computed) subtrees, and
+          // running them as five sequential .head() jobs paid the
+          // per-job floor four extra times; the cross join of one-row
+          // frames computes every subtree once in a single job.
+          val tele = corpus.agg(
+              count(lit(1)).as("n_corpus"),
               sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
-                .as("n_inj_removed")).head()
-          val (nRemoved, nInjRemoved) = (rr.getLong(0), rr.getLong(1))
-          val minJ = pairs.agg(min(col("jaccard"))).head().getDouble(0)
-          val pk = packed.agg(count(lit(1)).as("n_shards"),
-            min(col("tokens")).as("min_tok"),
-            sum(col("n_docs")).as("n_sampled")).head()
+                .as("n_injected"))
+            .crossJoin(exact.agg(
+              count(lit(1)).as("n_after_exact"),
+              sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
+                .as("n_inj_exact")))
+            .crossJoin(removed.join(exact.select(col("doc_id")), Seq("doc_id"))
+              .agg(count(lit(1)).as("n_removed"),
+                sum(when(col("doc_id") >= 500000L, 1L).otherwise(0L))
+                  .as("n_inj_removed")))
+            .crossJoin(pairs.agg(min(col("jaccard")).as("min_j")))
+            .crossJoin(packed.agg(count(lit(1)).as("n_shards"),
+              min(col("tokens")).as("min_tok"),
+              sum(col("n_docs")).as("n_sampled")))
+            .head()
+          val (nCorpus, nInjected) =
+            (tele.getLong(0), tele.getLong(1))
+          val (nAfterExact, nInjExact) =
+            (tele.getLong(2), tele.getLong(3))
+          val (nRemoved, nInjRemoved) =
+            (tele.getLong(4), tele.getLong(5))
+          val minJ = tele.getDouble(6)
           val (nShards, minTok, nSampled) =
-            (pk.getLong(0), pk.getLong(1), pk.getLong(2))
+            (tele.getLong(7), tele.getLong(8), tele.getLong(9))
           val recallOk = nInjExact > 0 &&
             nInjRemoved.toDouble / nInjExact >= 0.9
           val precisionOk = nRemoved == 0 || minJ >= 0.6

@@ -1220,16 +1220,30 @@ object Sources {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       val (ot, lt) = (s"orders_q140_$tag", s"lineitem_q140_$tag")
       try {
-        table(s, d, "orders")
-          .filter(pmod(col("o_orderkey"), lit(5)) === 0)
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$stage/o").saveAsTable(ot)
-        table(s, d, "lineitem")
-          .filter(pmod(col("l_orderkey"), lit(5)) === 0)
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$stage/l").saveAsTable(lt)
+        // Overlap the two independent staging writes (r14, guide §2.6):
+        // the writes share no state (distinct tables, distinct paths)
+        // and each underfills the executor, so submitting them from two
+        // driver threads lets the second job's tasks back-fill the
+        // first's tail instead of running strictly after it.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val wo = Future {
+          table(s, d, "orders")
+            .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$stage/o").saveAsTable(ot)
+        }
+        val wl = Future {
+          table(s, d, "lineitem")
+            .filter(pmod(col("l_orderkey"), lit(5)) === 0)
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$stage/l").saveAsTable(lt)
+        }
+        Await.result(wo, Duration.Inf)
+        Await.result(wl, Duration.Inf)
         materialize(s, "q140_bucketed_join", s.table(lt)
           .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))

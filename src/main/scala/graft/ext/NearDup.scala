@@ -487,11 +487,21 @@ object NearDup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
     val grams = kgramPositions(docs, idCol, textCol, k)
-    val dup = grams.groupBy(col("kg"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= 2)
-      .select(col("kg"))
-    coalesceSpans(grams.join(dup, Seq("kg"), "left_semi"), idCol, k)
+    // ONE pass over the gram relation (r14, guide §2.4): the old
+    // countDistinct aggregate + left-semi computed `grams` twice and
+    // shuffled it twice (into the aggregate, then into the join); a
+    // kg-keyed window marks a gram occurrence as cross-doc-duplicated
+    // iff its bucket spans more than one distinct doc — max(__id) ≠
+    // min(__id) ⟺ countDistinct(__id) ≥ 2 — in the same single
+    // shuffle. Skew exposure is unchanged: the semi-join also hashed
+    // every occurrence of a hot gram to one partition.
+    val w = Window.partitionBy(col("kg"))
+    val dupPos = grams
+      .withColumn("__mx", max(col("__id")).over(w))
+      .withColumn("__mn", min(col("__id")).over(w))
+      .filter(col("__mx") =!= col("__mn"))
+      .select(col("__id"), col("pos"))
+    coalesceSpans(dupPos, idCol, k)
   }
 
   /** The cross-relation form of [[duplicateSpans]] — eval-set

@@ -239,15 +239,21 @@ object Ext {
         table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
       val ass = km.assigned.persist()
       try {
-        val r = ass.agg(count(lit(1)).as("n"),
-          countDistinct(col("cluster")).as("kne")).head()
-        val (nTotal, kNonEmpty) = (r.getLong(0), r.getLong(1))
         val cm = km.centroids
         val maxCos = greatest(cm.indices.map(i =>
           Similarity.cosineNative(col("__u"), typedlit(cm(i)))): _*)
         val ownCos = Similarity.cosineNative(col("__u"),
           element_at(typedlit(cm), col("cluster") + 1))
-        val nBad = ass.filter(ownCos < maxCos - lit(1e-6)).count()
+        // ONE action for all three contract scalars (r14, guide §1.2):
+        // the count/k-nonempty pair and the assignment-consistency
+        // count are aggregates over the same persisted frame — the
+        // separate .count() job paid the per-job floor a second time
+        val r = ass.agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("kne"),
+          sum(when(ownCos < maxCos - lit(1e-6), 1L).otherwise(0L))
+            .as("nbad")).head()
+        val (nTotal, kNonEmpty) = (r.getLong(0), r.getLong(1))
+        val nBad = r.getLong(2)
         // n-relative tolerance (r11 — q302's stress-caught class): the
         // objective is an O(n) sum, so partition-order float noise
         // scales with n while an absolute epsilon does not. Floored at
@@ -304,30 +310,40 @@ object Ext {
           }.distinct.sorted.toSeq
           val full = s.read.parquet(s"$stage/ivf")
           val back = full.filter(col("cluster").isin(probed: _*))
-          val filesAll = full.select(input_file_name()).distinct().count()
           val backFiles = back.select(input_file_name().as("f")).distinct()
-            .persist()
-          try {
-            val filesRead = backFiles.count()
-            val filesInProbedDirs = backFiles.filter(
-              probed.map(c => col("f").contains(s"cluster=$c/"))
-                .reduce(_ || _)).count()
-            val memProbed = assigned.filter(col("cluster").isin(probed: _*))
-              .select(col("vec_id"), col("cluster"), col("embedding"))
-            val diskProbed = back
-              .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
-                col("embedding"))
-            val roundTripExact =
-              diskProbed.exceptAll(memProbed).count() == 0 &&
-                memProbed.exceptAll(diskProbed).count() == 0
-            val nTotal = assigned.count()
-            Seq((nTotal, 8,
-                probed.nonEmpty && probed.length <= 6,
-                filesRead < filesAll && filesRead > 0,
-                filesInProbedDirs == filesRead, roundTripExact))
-              .toDF("n_total", "k_lists", "probes_bounded",
-                "pruned", "files_in_probed_dirs", "roundtrip_exact")
-          } finally { backFiles.unpersist(); () }
+          val memProbed = assigned.filter(col("cluster").isin(probed: _*))
+            .select(col("vec_id"), col("cluster"), col("embedding"))
+          val diskProbed = back
+            .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+              col("embedding"))
+          // ONE action for all six contract scalars (r14, guide §1.2 —
+          // the q152 cross-join-of-one-row-aggregates move): the old rig
+          // ran six sequential count jobs over these independent
+          // subtrees; the in-probed-dirs count folds into the backFiles
+          // aggregate, so the persist is gone too (single reference).
+          val tele = full.select(input_file_name().as("f")).distinct()
+            .agg(count(lit(1)).as("files_all"))
+            .crossJoin(backFiles.agg(count(lit(1)).as("files_read"),
+              coalesce(sum(when(
+                probed.map(c => col("f").contains(s"cluster=$c/"))
+                  .reduce(_ || _), 1L).otherwise(0L)), lit(0L))
+                .as("files_in_dirs")))
+            .crossJoin(diskProbed.exceptAll(memProbed)
+              .agg(count(lit(1)).as("dm")))
+            .crossJoin(memProbed.exceptAll(diskProbed)
+              .agg(count(lit(1)).as("md")))
+            .crossJoin(assigned.agg(count(lit(1)).as("n_total")))
+            .head()
+          val filesAll = tele.getLong(0)
+          val (filesRead, filesInProbedDirs) = (tele.getLong(1), tele.getLong(2))
+          val roundTripExact = tele.getLong(3) == 0 && tele.getLong(4) == 0
+          val nTotal = tele.getLong(5)
+          Seq((nTotal, 8,
+              probed.nonEmpty && probed.length <= 6,
+              filesRead < filesAll && filesRead > 0,
+              filesInProbedDirs == filesRead, roundTripExact))
+            .toDF("n_total", "k_lists", "probes_bounded",
+              "pruned", "files_in_probed_dirs", "roundtrip_exact")
         } finally { assigned.unpersist(); () }
       } finally graft.Graft.deleteRecursively(stage)
     }),

@@ -1099,7 +1099,14 @@ object Advanced {
     // path, like q90).
     "q138_recursive_cte" -> ((s, d) => {
       val view = "cust_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      table(s, d, "customer").createOrReplaceTempView(view)
+      // checkpoint the node table behind the view (r14, guide §5): the
+      // engine-managed recursion re-executes the recursive term per
+      // level, which re-scanned customer.parquet ~log n times; the cut
+      // makes each level probe the materialized rows instead
+      table(s, d, "customer")
+        .select(col("c_custkey"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView(view)
       val out = s.sql(
         s"""WITH RECURSIVE dpt(key, depth) AS (
               SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)

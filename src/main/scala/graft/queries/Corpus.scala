@@ -1288,10 +1288,20 @@ object Corpus {
           explode(transform(sequence(lit(0), size(col("__toks")) - 5),
             i => array_join(slice(col("__toks"), i + 1, lit(5)), " ")))
             .as("kg"))
-        .distinct()
-      val a = grams.select(col("source").as("source_a"), col("kg"))
-      val b = grams.select(col("source").as("source_b"), col("kg"))
-      a.join(b, Seq("kg")).filter(col("source_a") < col("source_b"))
+      // ONE pass over the gram relation (r14, guide §2.4): the old
+      // (source, kg) distinct + kg self-join computed the corpus-wide
+      // gram explode twice and shuffled it three times; one kg-keyed
+      // collect_set (map-side partial dedup, set bounded by the source
+      // universe — the same q121-basket bound the join relied on)
+      // yields each gram's source list, and the ordered pairs explode
+      // from the tiny array. Counts are identical: collect_set dedups
+      // exactly what the distinct did.
+      grams.groupBy(col("kg"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) > 1)
+        .select(explode(col("ss")).as("source_a"), col("ss"))
+        .select(col("source_a"), explode(col("ss")).as("source_b"))
+        .filter(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("source_a"), col("source_b"))

@@ -805,9 +805,14 @@ object Corpus {
       if (best.nonEmpty) {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
+        // lazy cut + action fusion (r14, the r13 loop discipline): the
+        // next round's best-pair collect is the materializing action,
+        // so the eager per-round checkpoint job is saved — one job per
+        // merge round instead of two. (Not nested: each round's state
+        // is materialized by its collect before the next builds on it.)
         state = state
           .withColumn("__toks", applyBpeMerge(col("__toks"), a, b))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     merges.result()

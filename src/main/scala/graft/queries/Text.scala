@@ -326,12 +326,20 @@ object Text {
     // the encoder broke). Exact encodings already pinned by q176's
     // Sennrich spec.
     "q185_bpe_fertility" -> ((s, d) => {
+      // checkpoint the per-lang word counts ONCE (r14, guide §5/§7.2):
+      // the plan references langWords three times (bpeLearn's input
+      // via vocab, the encode-length vocab, and the final fertility
+      // join), and each reference otherwise replays the corpus word
+      // explode + aggregate; vocab is cut too — it feeds both the
+      // merge learner and the encoder
       val langWords = docs(s, d)
         .select(col("lang"),
           explode(filter(tokens(col("text")), t => t =!= lit("")))
             .as("w"))
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+        .localCheckpoint(true)
       val vocab = langWords.groupBy(col("w")).agg(sum(col("wc")).as("wc"))
+        .localCheckpoint(true)
       val merges = graft.ext.Corpus.bpeLearn(vocab, "w", "wc", k = 6)
       val encLen = vocab.select(col("w"),
         size(graft.ext.Corpus.bpeEncode(col("w"), merges)).cast("long")

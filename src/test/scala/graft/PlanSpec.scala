@@ -483,18 +483,14 @@ class PlanSpec extends SparkSpec {
       "graft/StressManifest.scala" -> (2,
         "file-count stress verdict: one probe key's kept-vs-full row " +
           "sets (selectivity-bounded) for the pruned_eq_full contract"),
-      "graft/queries/Sources.scala" -> (24,
-        "maxRows+1 materializer guard; 16 zone-map model boxes (q346); " +
+      "graft/queries/Sources.scala" -> (8,
+        "maxRows+1 materializer guard; the r14 collectCapped helper " +
+          "(limit(maxRows+1) + require — the ONE collect site every " +
+          "got/want leg of the one-execution manifest family now routes " +
+          "through, VERDICT-r13 #2); 16 zone-map model boxes (q346); " +
           "q354's per-file containing set (|files|); q358's 8-key probe " +
-          "set; q361's <=64 page model boxes; q366's one-execution DPP " +
-          "rig (got + raw-join compare, ≤|dim-matches| rows each); " +
-          "q368's 4 probe keys + eq/in/full compare sets (≤|probe " +
-          "matches| rows, 3 sites); q370's 6 dim ids + got + raw-join " +
-          "compare (≤|dim-matches| rows, 3 sites); r13 one-execution " +
-          "rigs for the rest of the manifest family — q356/q358/q360/" +
-          "q362/q364 each collect got + want ONCE (probe/band-bounded " +
-          "rows, ≤ materializer cap) instead of exceptAll-both-ways " +
-          "re-executions (2 sites each, 10 total)"),
+          "set; q361's <=64 page model boxes; q368's 4 probe keys; " +
+          "q370's 6 dim ids"),
       "graft/queries/Relational.scala" -> (1,
         "limit(1) scalar — one percentile threshold row"),
       "graft/queries/Advanced.scala" -> (2,

@@ -83,6 +83,13 @@ FAMILY = [
     # cosine 1.0 are absorbed by the deterministic (cos desc, id)
     # tie-break both the index and brute paths share.
     "q44", "q107", "q210", "q331", "q338", "q340",
+    # --- r14 restructured operators (VERDICT-r13 #9: every operator this
+    # round touched that has a linear-cost oracle gets a 10x datapoint):
+    # scd2 single-pass emit (q136/q333), recursion-input checkpoint
+    # (q138), collect_set gram overlap (q166), parallelized binaryFile
+    # staging (q124), single-sort page/footer models (q346/q361 — the
+    # Hilbert model CTE is grid-bounded, scale-independent).
+    "q124", "q136", "q138", "q166", "q333", "q346", "q361",
 ]
 
 
